@@ -1,0 +1,73 @@
+"""Dict algebra (Dict/Base.hs) + lexical-resource readers (S6-S10)."""
+
+from nerfray import dicts
+from nerfray.sources import lexicons
+
+
+def test_build_dict_union_and_atomic():
+    d = dicts.build_dict([("os", "library"), ("os", "module"),
+                          ("MIT License", "license"), ("a", "x")])
+    assert d == {"os": ("library", "module"), "a": ("x",)}
+    d2 = dicts.build_dict([("MIT License", "license")], atomic=False)
+    assert d2 == {"MIT License": ("license",)}
+
+
+def test_merge_and_diff():
+    a = {"x": ("1",)}
+    b = {"x": ("2",), "y": ("3",)}
+    assert dicts.merge([a, b]) == {"x": ("1", "2"), "y": ("3",)}
+    assert dicts.diff([a, b]) == {"x": ("0:1", "1:2"), "y": ("1:3",)}
+
+
+def test_sift():
+    d = {"ab": ("x",), "abc": ("y",)}
+    assert dicts.sift(lambda f, ls: len(f) > 2, d) == {"abc": ("y",)}
+
+
+def test_link_argmax_and_open_vocab():
+    al = dicts.alias_table()
+    assert dicts.link("os", "library", al) == ("lib:os", 1.0)
+    # ambiguous bare form: api candidate exists at lower weight
+    assert dicts.link("os", "api", al) == ("api:os", 0.3)
+    assert dicts.link("os.load", "api", al) == ("api:os.load", 1.0)
+    assert dicts.link("Apache License 2.0", "license", al) == \
+        ("license:Apache-2.0", 1.0)
+    assert dicts.link("anything_42", "symbol", al) == ("sym:anything_42", 1.0)
+    assert dicts.link("unknown", "library", al) == (None, 0.0)
+    assert dicts.link("Apache", "vendor", al) == (None, 0.0)
+
+
+def test_polimorf():
+    text = "Warszawa\twarszawa\tsubst\tmiasto\npies\tpies\tsubst\tpospolita\nx\ty\tz\t\n"
+    assert lexicons.parse_polimorf(text) == [("Warszawa", "miasto")]
+
+
+def test_nelexicon():
+    assert lexicons.parse_nelexicon("city; New York\nbad line\n") == \
+        [("New York", "city")]
+
+
+def test_prolexbase():
+    assert lexicons.parse_prolexbase("Paris\tParis\tN\tcity\nshort\tline\n") == \
+        [("Paris", "city")]
+
+
+def test_pnet_split():
+    text = ("ul.\tulica\tbrev\tint\tstreet\tul. Marszałkowska\n"
+            "prof.\tprofesor\tbrev\text\tperson\tprof. Nowak\n")
+    rows = lexicons.parse_pnet(text)
+    assert lexicons.pnet_triggers(rows, "int") == [("ul.", "street")]
+    assert lexicons.pnet_triggers(rows, "ext") == [("prof.", "person")]
+
+
+def test_pneg():
+    xml = """
+    <LexicalResource>
+      <LexicalEntry id="1">
+        <Lemma><feat att="writtenForm" val="ONZ"/></Lemma>
+        <WordForm><feat att="writtenForm" val="ONZ-u"/></WordForm>
+        <Sense><feat att="externalReference" val="organization"/></Sense>
+      </LexicalEntry>
+    </LexicalResource>"""
+    assert sorted(lexicons.parse_pneg(xml)) == \
+        [("ONZ", "organization"), ("ONZ-u", "organization")]
