@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). No function here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The KG pipeline's input corpus (BASELINE.json input_hint shape) is a
+deterministic pure function of the row index (nerfray/corpus.py) with the
+row count tied 1:1 to the sf dir's ``documents`` table, so every pipeline
+stage has an exact ANSI-SQL mirror over the registered ``documents`` view
+— including the full CRF tagging pipeline, whose planted gold triples the
+trained model reproduces exactly (and must: the pytest gate enforces
+P/R >= 0.95; the oracle comparison enforces equality).
 """
 
 from __future__ import annotations
@@ -20,25 +21,100 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: corpus @ sf0.001 -> CRF tag -> link -> triples."""
+    from nerfray.pipelines import kg
+    return kg.run_for("/root/testdata/sf0.001", tagger="crf")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (SURVEY.md §7.0) — each takes sf_dir
+# ---------------------------------------------------------------------------
+
+
+def _n(sf_dir: str) -> int:
+    from nerfray.sources import corpus_source
+    return corpus_source.corpus_rows_for(sf_dir)
+
+
+def _corpus(sf_dir: str):
+    from nerfray.sources import corpus_source
+    return corpus_source.corpus_dataset_for(sf_dir)
+
+
+def q_corpus_files(sf_dir: str):
+    """S3-analog source: the corpus table minus the wide content column."""
+    return _corpus(sf_dir).select_columns(["repo", "path", "commit", "lang"])
+
+
+def q_kg_units(sf_dir: str):
+    """Stage U output grain: per-file unit/char accounting (M-map +
+    flat-map); content never leaves the stage."""
+    from nerfray.stages import unitize
+    return _corpus(sf_dir).map_batches(
+        unitize.unit_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_kg_triples(sf_dir: str):
+    """Full CRF pipeline: unitize -> CRF actor pool -> link -> canonical
+    triples, exact-deduped."""
+    from nerfray.pipelines import kg
+    return kg.run_for(sf_dir, tagger="crf")
+
+
+def q_kg_triples_rule(sf_dir: str):
+    """Same pipeline with the deterministic pattern tagger."""
+    from nerfray.pipelines import kg
+    return kg.run_for(sf_dir, tagger="rule")
+
+
+def q_kg_nodes(sf_dir: str):
+    """Canonicalization (salted two-phase groupby): node mention counts."""
+    from nerfray.pipelines import kg
+    nodes = kg.kg_nodes(_corpus(sf_dir), tagger="crf", n_salts=4)
+    return nodes.select_columns(["canon_id", "n_mentions"])
+
+
+def q_kg_pred_counts(sf_dir: str):
+    """Triple-table rollup: deduped triples per predicate."""
+    from nerfray.pipelines import kg
+    trips = kg.run_for(sf_dir, tagger="crf")
+    return trips.groupby("pred").count().rename_columns(
+        {"count()": "n_triples"})
+
+
+def q_kg_eval_prf(sf_dir: str):
+    """Distributed compare (reference Compare.hs semantics): per-label
+    tp/fp/fn of the CRF tagger vs gold spans."""
+    from nerfray.stages import evaluate
+    return evaluate.span_prf(_n(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from nerfray import entrypoints
+    q = {
+        "corpus_files": q_corpus_files,
+        "kg_units": q_kg_units,
+        "kg_triples": q_kg_triples,
+        "kg_triples_rule": q_kg_triples_rule,
+        "kg_nodes": q_kg_nodes,
+        "kg_pred_counts": q_kg_pred_counts,
+        "kg_eval_prf": q_kg_eval_prf,
+    }
+    q.update(entrypoints.ops_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nerfray import corpus, entrypoints
+    sql = {
+        "corpus_files": corpus.files_sql(),
+        "kg_triples": corpus.gold_triples_sql(),
+        "kg_triples_rule": corpus.gold_triples_sql(),
+        "kg_nodes": corpus.nodes_sql(),
+        "kg_pred_counts": corpus.pred_counts_sql(),
+        "kg_eval_prf": corpus.eval_prf_sql(),
+        # kg_units: content text is not SQL-derivable -> rows-only check;
+        # sha256(content) equality is enforced in tests/test_ray_pipeline.py
+    }
+    sql.update(entrypoints.ops_oracles())
+    return sql

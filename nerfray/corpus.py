@@ -293,6 +293,31 @@ ORDER BY subj, pred, obj
 """
 
 
+def pred_counts_sql() -> str:
+    """Deduped gold triples per predicate."""
+    return f"""
+SELECT pred, count(*)::BIGINT AS n_triples
+FROM ({gold_triples_sql()})
+GROUP BY pred ORDER BY pred
+"""
+
+
+def eval_prf_sql() -> str:
+    """Per-label tp/fp/fn of a perfect tagger (planted mention counts; the
+    CRF must reproduce them exactly — pytest enforces the P/R gate first)."""
+    return """
+WITH rows AS (SELECT doc_id::BIGINT AS i FROM documents)
+SELECT label, tp, 0::BIGINT AS fp, 0::BIGINT AS fn FROM (
+  SELECT 'api' AS label, (SELECT sum(1 + i % 2) FROM rows)::BIGINT AS tp
+  UNION ALL SELECT 'library', (SELECT sum(1 + i % 3) FROM rows)::BIGINT
+  UNION ALL SELECT 'license', (SELECT count(*) FROM rows)::BIGINT
+  UNION ALL SELECT 'symbol',
+    (SELECT count(*) + count(*) FILTER (i % 2 = 0) FROM rows)::BIGINT
+  UNION ALL SELECT 'vendor', (SELECT count(*) FROM rows)::BIGINT
+) ORDER BY label
+"""
+
+
 def nodes_sql() -> str:
     """Mirror of the canonicalized node table: canonical id + mention count
     (every planted span mention counts once, vendor spans excluded)."""

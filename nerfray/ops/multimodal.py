@@ -1,0 +1,98 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed
+metadata, processed by an actor-pool decode/feature stage.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic fake (sha256-derived "features") behind the
+same actor signature a real decoder would use — the Ray-side plumbing
+(binary schema, small batches for large payloads, per-actor init, output
+layout) is real and tested. Swap ``FakeDecoder.decode`` for
+PIL/torchaudio in a real deployment.
+
+Payloads are synthesized from ``documents.text`` bytes so the metadata
+mirror (byte length, sha prefix) is SQL-oracle-able over the registered
+view.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("media_type", pa.string()),
+    ("payload", pa.large_binary()),
+    ("n_bytes", pa.int64()),
+])
+
+
+def to_media(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents -> media table (binary payload + typed metadata)."""
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        payloads = [t.encode() for t in texts]
+        types = ["image/fake" if i % 2 == 0 else "audio/fake"
+                 for i in batch.column("doc_id").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }, schema=MEDIA_SCHEMA)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class FakeDecoder:
+    """STUB decode kernel (no codecs in this container). Deterministic:
+    "features" are sha256-derived. A real deployment replaces ``decode``
+    only; the actor-pool stage signature, batch sizing, and output layout
+    stay identical."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self, strict: bool = False):
+        # strict=True models the real-library path being unavailable
+        self.strict = strict
+
+    def decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "real media decoding requires PIL/torchaudio — not in this "
+                "container; FakeDecoder(strict=False) is the test double")
+        d = hashlib.sha256(payload).digest()
+        return np.frombuffer(d[:self.FEATURE_DIM * 4], dtype=np.uint32) \
+            .astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self.decode(p, t) for p, t in
+                 zip(batch.column("payload").to_pylist(),
+                     batch.column("media_type").to_pylist())]
+        shas = [hashlib.sha256(p).hexdigest()[:8]
+                for p in batch.column("payload").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "media_type": batch.column("media_type"),
+            "n_bytes": batch.column("n_bytes"),
+            "sha_prefix": pa.array(shas, pa.string()),
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float64())),
+        })
+
+
+def media_features(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Actor-pool decode: small batches (payloads are the wide column)."""
+    return to_media(docs).map_batches(
+        FakeDecoder, concurrency=(1, 4), batch_size=64,
+        batch_format="pyarrow")
+
+
+def media_meta(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """SQL-oracled metadata projection of the decode output."""
+    return media_features(docs).select_columns(
+        ["doc_id", "media_type", "n_bytes", "sha_prefix"])

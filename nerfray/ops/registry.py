@@ -1,0 +1,208 @@
+"""queries()/oracle_sql() registry for the data-pipeline operators."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import ray.data
+
+from . import events, relational
+from .text import TOKEN_RE_SRC, STOPWORDS
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from . import dedup
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def q_dedup_minhash(sf_dir: str):
+    from . import dedup
+    return dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from . import dedup
+    return dedup.simhash_signatures(_docs(sf_dir))
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def q_sim_topk(sf_dir: str):
+    from . import similarity
+    return similarity.cosine_topk(_emb(sf_dir), k=10)
+
+
+def q_sim_lsh(sf_dir: str):
+    from . import similarity
+    return similarity.lsh_topk(_emb(sf_dir), k=10)
+
+
+def q_sim_jaccard(sf_dir: str):
+    from . import similarity
+    return similarity.jaccard_vs_queries(_docs(sf_dir), n_queries=3)
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def q_text_stats(sf_dir: str):
+    from . import text
+    return text.text_stats(_docs(sf_dir))
+
+
+def q_text_quality(sf_dir: str):
+    from . import text
+    return text.quality_scores(_docs(sf_dir))
+
+
+def q_lang_confusion(sf_dir: str):
+    from . import text
+    return text.lang_confusion(_docs(sf_dir))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from . import text
+    ds = text.doc_fingerprints(_docs(sf_dir))
+    return ds.select_columns(["doc_id", "n_fingerprints"])
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def q_media_meta(sf_dir: str):
+    from . import multimodal
+    return multimodal.media_meta(_docs(sf_dir))
+
+
+# -- assembly ---------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    q = {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk": q_sim_topk,
+        "sim_lsh": q_sim_lsh,
+        "sim_jaccard": q_sim_jaccard,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_confusion": q_lang_confusion,
+        "doc_fingerprints": q_doc_fingerprints,
+        "media_meta": q_media_meta,
+        "orders_by_status": relational.orders_by_status,
+        "top_customers": relational.top_customers,
+        "customers_per_region": relational.customers_per_region,
+        "part_type_sizes": relational.part_type_sizes,
+        "events_sessionize": events.sessionize,
+        "events_hourly": events.hourly_counts,
+    }
+    return q
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(string_split(text, ' '))::BIGINT AS n_words,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq_words,
+       len(regexp_extract_all(text, '{TOKEN_RE_SRC}'))::BIGINT AS n_tokens,
+       len(list_filter(string_split(text, ' '),
+                       w -> w IN ({_STOP_SQL})))::BIGINT AS n_stopwords
+FROM documents ORDER BY doc_id
+"""
+
+TEXT_QUALITY_SQL = f"""
+WITH s AS ({TEXT_STATS_SQL})
+SELECT doc_id,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE n_uniq_words / CAST(n_words AS DOUBLE) END
+         AS type_token_ratio,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE n_stopwords / CAST(n_words AS DOUBLE) END
+         AS stopword_ratio
+FROM s ORDER BY doc_id
+"""
+
+SIM_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS score
+  FROM q, embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+SIM_JACCARD_SQL = """
+WITH q AS (
+  SELECT doc_id AS query_doc, list_distinct(string_split(text, ' ')) AS qw
+  FROM documents WHERE doc_id < 3
+),
+d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw FROM documents
+)
+SELECT d.doc_id, q.query_doc,
+       len(list_intersect(d.dw, q.qw))::BIGINT AS n_common,
+       (len(d.dw) + len(q.qw) - len(list_intersect(d.dw, q.qw)))::BIGINT
+         AS n_union,
+       len(list_intersect(d.dw, q.qw)) /
+         CAST(len(d.dw) + len(q.qw) - len(list_intersect(d.dw, q.qw))
+              AS DOUBLE) AS jaccard
+FROM d, q ORDER BY doc_id, query_doc
+"""
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS text_sha, min(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+MEDIA_META_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END
+         AS media_type,
+       strlen(text)::BIGINT AS n_bytes,
+       substr(sha256(text), 1, 8) AS sha_prefix
+FROM documents ORDER BY doc_id
+"""
+
+
+def oracles() -> dict[str, str]:
+    sql = {
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "sim_topk": SIM_TOPK_SQL,
+        "sim_jaccard": SIM_JACCARD_SQL,
+        "text_stats": TEXT_STATS_SQL,
+        "text_quality": TEXT_QUALITY_SQL,
+        "media_meta": MEDIA_META_SQL,
+        # dedup_minhash / dedup_simhash / sim_lsh / lang_confusion /
+        # doc_fingerprints: sketch/model ops, not SQL-expressible ->
+        # rows-only check; pytest verifies them against brute force.
+    }
+    sql.update(relational.ORACLES)
+    sql.update(events.ORACLES)
+    return sql

@@ -1,0 +1,105 @@
+"""Relational operator demos over the TPC-H-ish tables: pruned reads,
+pre-aggregated groupby, broadcast join, sort/limit top-k.
+
+These exercise the generic engine surface (SURVEY.md §2.5/§2.6 gaps the
+reference lacks) with exact DuckDB oracles. Aggregates are restricted to
+order-independent kernels (count / min / max / int sums) so distributed
+reduction order cannot perturb the hash comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    """Column-pruned parquet read (prune at the read, not after)."""
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def orders_by_status(sf_dir: str) -> ray.data.Dataset:
+    """Groupby rollup with order-independent aggregates."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    return ds.groupby("o_orderstatus") \
+        .aggregate(ray.data.aggregate.Count(alias_name="n_orders"),
+                   ray.data.aggregate.Min("o_totalprice",
+                                          alias_name="min_price"),
+                   ray.data.aggregate.Max("o_totalprice",
+                                          alias_name="max_price"))
+
+
+def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Per-customer order counts -> global top-k (combiner + small sort).
+    Ties broken by o_custkey asc (mirrored in the oracle)."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    counts = ds.groupby("o_custkey").count() \
+        .rename_columns({"count()": "n_orders"})
+    return counts.sort([("n_orders", "descending"),
+                        ("o_custkey", "ascending")]).limit(k)
+
+
+def customers_per_region(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join: nation+region (tiny dims) are read driver-side,
+    ray.put once, and joined via in-task dict lookup inside map_batches —
+    never a shuffle join (SURVEY.md §2.4 J1 pattern)."""
+    import pyarrow.parquet as pq
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+    nat_to_region = {
+        nk: r_name[rk]
+        for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
+                          nation.column("n_regionkey").to_pylist())}
+    lookup_ref = ray.put(nat_to_region)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        names = [lut[nk] for nk in batch.column("c_nationkey").to_pylist()]
+        return pa.Table.from_pydict({
+            "r_name": pa.array(names, pa.string())})
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    return cust.map_batches(_attach, batch_format="pyarrow") \
+        .groupby("r_name").count() \
+        .rename_columns({"count()": "n_customers"})
+
+
+def part_type_sizes(sf_dir: str) -> ray.data.Dataset:
+    """Filter + groupby with int-sum (exact) aggregates."""
+    ds = _read(sf_dir, "part", ["p_type", "p_size"])
+    big = ds.filter(expr="p_size >= 25")
+    return big.groupby("p_type") \
+        .aggregate(ray.data.aggregate.Count(alias_name="n_parts"),
+                   ray.data.aggregate.Sum("p_size", alias_name="sum_size"))
+
+
+ORACLES = {
+    "orders_by_status": """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    "top_customers": """
+SELECT o_custkey, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY n_orders DESC, o_custkey ASC LIMIT 10
+""",
+    "customers_per_region": """
+SELECT r.r_name, count(*)::BIGINT AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+""",
+    "part_type_sizes": """
+SELECT p_type, count(*)::BIGINT AS n_parts, sum(p_size)::BIGINT AS sum_size
+FROM part WHERE p_size >= 25 GROUP BY p_type ORDER BY p_type
+""",
+}

@@ -1,0 +1,216 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+list<float>, label).
+
+- brute-force cosine top-k vs a broadcast query matrix: one numpy matmul
+  per batch (the exact baseline; SQL-oracled by rank).
+- LSH-bucketed ANN: random-hyperplane signatures partition vectors into
+  buckets; queries probe only their own bucket (the scale path —
+  candidate set shrinks by ~2^bits); recall vs brute force is measured,
+  not assumed.
+- n-gram Jaccard similarity of documents vs broadcast query docs (exact,
+  SQL-oracled).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+N_QUERIES = 5  # query vectors = embeddings with vec_id < N_QUERIES
+
+
+def _query_matrix(emb: ray.data.Dataset, n_queries: int) -> np.ndarray:
+    rows = emb.filter(expr=f"vec_id < {n_queries}").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+class CosineScores:
+    """Batch matmul against the broadcast query matrix; emits per-batch
+    LOCAL top-k per query (the combiner: k rows per query per batch cross
+    the wire, never the full score matrix)."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) \
+            if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        scores = self.q @ vecs.T  # (n_queries, batch)
+        qs, vs, ss = [], [], []
+        k = min(self.k, scores.shape[1])
+        for qi in range(scores.shape[0]):
+            row = scores[qi]
+            # deterministic order: score desc, vec_id asc
+            idx = np.lexsort((vec_ids, -row))[:k]
+            qs.extend([qi] * len(idx))
+            vs.extend(vec_ids[idx].tolist())
+            ss.extend(row[idx].tolist())
+        return pa.Table.from_pydict({
+            "query_id": pa.array(qs, pa.int64()),
+            "vec_id": pa.array(vs, pa.int64()),
+            "score": pa.array(ss, pa.float64()),
+        })
+
+
+def _final_topk(group: pa.Table, *, k: int) -> pa.Table:
+    ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+    scores = np.asarray(group.column("score").to_pylist(), dtype=np.float64)
+    idx = np.lexsort((ids, -scores))[:k]
+    n = len(idx)
+    return pa.Table.from_pydict({
+        "query_id": pa.array(group.column("query_id").to_pylist()[:1] * n,
+                             pa.int64()),
+        "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+        "vec_id": pa.array(ids[idx], pa.int64()),
+    })
+
+
+def cosine_topk(emb: ray.data.Dataset, *, k: int = 10,
+                n_queries: int = N_QUERIES) -> ray.data.Dataset:
+    """Exact top-k neighbours per query: (query_id, rank, vec_id)."""
+    q_ref = ray.put(_query_matrix(emb, n_queries))
+    partials = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        CosineScores, fn_constructor_kwargs={"queries_ref": q_ref, "k": k},
+        concurrency=(1, 8), batch_size=1024, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+class HyperplaneSigner:
+    def __init__(self, dim: int = 64, bits: int = 8, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((bits, dim))
+
+    def sign(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        sig = self.sign(vecs)
+        return batch.append_column("bucket",
+                                   pa.array(sig.astype(np.int64), pa.int64()))
+
+
+def lsh_topk(emb: ray.data.Dataset, *, k: int = 10, bits: int = 6,
+             n_queries: int = N_QUERIES) -> ray.data.Dataset:
+    """ANN: probe only the query's hyperplane bucket. Returns
+    (query_id, rank, vec_id); recall vs ``cosine_topk`` is measured in
+    tests, not assumed."""
+    signer = HyperplaneSigner(bits=bits)
+    q = _query_matrix(emb, n_queries)
+    q_buckets = signer.sign(q)
+    q_ref = ray.put(q)
+
+    bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        HyperplaneSigner, fn_constructor_kwargs={"bits": bits},
+        concurrency=(1, 4), batch_size=1024, batch_format="pyarrow")
+    wanted = pa.array(sorted(set(int(b) for b in q_buckets)), pa.int64())
+
+    def _probe_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.is_in(batch.column("bucket"),
+                                             value_set=wanted))
+
+    candidates = bucketed.map_batches(_probe_only, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    class BucketScores(CosineScores):
+        def __init__(self, queries_ref, k):
+            super().__init__(queries_ref, k)
+            self.q_buckets = q_buckets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for qi in range(len(self.q_buckets)):
+                sub = batch.filter(
+                    pa.compute.equal(batch.column("bucket"),
+                                     int(self.q_buckets[qi])))
+                if len(sub) == 0:
+                    continue
+                vecs = np.array(sub.column("embedding").to_pylist(),
+                                dtype=np.float64)
+                ids = np.asarray(sub.column("vec_id").to_pylist(),
+                                 dtype=np.int64)
+                vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+                row = self.q[qi] @ vecs.T
+                idx = np.lexsort((ids, -row))[:self.k]
+                out.append(pa.Table.from_pydict({
+                    "query_id": pa.array([qi] * len(idx), pa.int64()),
+                    "vec_id": pa.array(ids[idx], pa.int64()),
+                    "score": pa.array(row[idx], pa.float64()),
+                }))
+            if not out:
+                return pa.Table.from_pydict({
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                })
+            return pa.concat_tables(out)
+
+    partials = candidates.map_batches(
+        BucketScores, fn_constructor_kwargs={"queries_ref": q_ref, "k": k},
+        concurrency=(1, 4), batch_size=2048, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard of documents vs broadcast query docs (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+class JaccardVsQueries:
+    """Word-set Jaccard of every doc against the broadcast query docs.
+    Counts are ints; jaccard is a single division — bit-identical to the
+    DuckDB mirror."""
+
+    def __init__(self, queries_ref):
+        qs = ray.get(queries_ref) \
+            if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.queries = [(qid, set(t.split(" "))) for qid, t in qs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, q_ids, inters, unions, jacs = [], [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            ws = set(text.split(" "))
+            for qid, qset in self.queries:
+                inter = len(ws & qset)
+                union = len(ws | qset)
+                doc_ids.append(did)
+                q_ids.append(qid)
+                inters.append(inter)
+                unions.append(union)
+                jacs.append(inter / union if union else 0.0)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "query_doc": pa.array(q_ids, pa.int64()),
+            "n_common": pa.array(inters, pa.int64()),
+            "n_union": pa.array(unions, pa.int64()),
+            "jaccard": pa.array(jacs, pa.float64()),
+        })
+
+
+def jaccard_vs_queries(docs: ray.data.Dataset,
+                       n_queries: int = 3) -> ray.data.Dataset:
+    qrows = docs.filter(expr=f"doc_id < {n_queries}") \
+        .select_columns(["doc_id", "text"]).take_all()
+    q_ref = ray.put([(r["doc_id"], r["text"]) for r in qrows])
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        JaccardVsQueries, fn_constructor_kwargs={"queries_ref": q_ref},
+        concurrency=(1, 4), batch_size=512, batch_format="pyarrow")

@@ -1,0 +1,184 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Stats ops are exact SQL mirrors (splitting/regex semantics chosen to be
+identical between Python and DuckDB RE2); language ID is a char-profile
+classifier (model built once per actor) checked against the table's own
+``lang`` column; the fingerprint is a winnowing rolling-hash sketch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .dedup import h64
+
+# token regex shared verbatim with the DuckDB oracle (RE2-compatible)
+TOKEN_RE_SRC = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_TOKEN_RE = re.compile(TOKEN_RE_SRC)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc counters, fully vectorized in Arrow kernels."""
+
+    stopset = set(STOPWORDS)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        words = pc.split_pattern(text, " ")
+        n_words = pc.list_value_length(words)
+        wl = words.to_pylist()
+        uniq = [len(set(ws)) for ws in wl]
+        stop_counts = [sum(1 for w in ws if w in stopset) for ws in wl]
+        # regex token count via Python re (RE2-identical for this pattern)
+        n_toks = [len(_TOKEN_RE.findall(t)) for t in text.to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_words": pc.cast(n_words, pa.int64()),
+            "n_uniq_words": pa.array(uniq, pa.int64()),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "n_stopwords": pa.array(stop_counts, pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Heuristic quality score from the counters (single-division floats,
+    deterministic across engines)."""
+
+    def _q(batch: pa.Table) -> pa.Table:
+        n_words = batch.column("n_words").to_pylist()
+        n_uniq = batch.column("n_uniq_words").to_pylist()
+        n_stop = batch.column("n_stopwords").to_pylist()
+        ttr = [u / w if w else 0.0 for u, w in zip(n_uniq, n_words)]
+        stop_ratio = [s / w if w else 0.0 for s, w in zip(n_stop, n_words)]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "type_token_ratio": pa.array(ttr, pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+        })
+
+    return text_stats(docs).map_batches(_q, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language ID: char-bigram profile nearest-centroid
+# ---------------------------------------------------------------------------
+
+
+class LangID:
+    """Char-bigram profile classifier. Profiles are trained once per actor
+    from a deterministic seed corpus derived from the per-language priors
+    below (no external data); scoring is a sparse dot product."""
+
+    PRIORS = {
+        "en": "the and of to in is that it was for on are as with they at",
+        "fr": "le la les de des et un une est dans pour que qui sur avec",
+        "es": "el la los las de y un una es en que por con para su al",
+        "de": "der die das und ist von den ein eine mit auf für nicht im",
+        "zh": "的 是 在 了 有 和 人 这 中 大 为 上 个 国 我 以 要 他",
+    }
+
+    def __init__(self):
+        self.profiles = {}
+        for lang, seed in self.PRIORS.items():
+            prof: dict[str, float] = {}
+            for w in seed.split(" "):
+                token = f" {w} "
+                for i in range(len(token) - 1):
+                    bg = token[i:i + 2]
+                    prof[bg] = prof.get(bg, 0.0) + 1.0
+            norm = sum(v * v for v in prof.values()) ** 0.5
+            self.profiles[lang] = {k: v / norm for k, v in prof.items()}
+
+    def classify(self, text: str) -> str:
+        counts: dict[str, int] = {}
+        t = f" {text} "
+        for i in range(min(len(t) - 1, 4000)):
+            bg = t[i:i + 2]
+            counts[bg] = counts.get(bg, 0) + 1
+        best_lang, best = "en", -1.0
+        for lang, prof in sorted(self.profiles.items()):
+            s = sum(c * prof.get(bg, 0.0) for bg, c in counts.items())
+            if s > best:
+                best, best_lang = s, lang
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+
+def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text", "lang"]).map_batches(
+        LangID, concurrency=(1, 8), batch_size=256, batch_format="pyarrow")
+
+
+def lang_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, pred_lang, n_docs) confusion rollup."""
+    return lang_id(docs).groupby(["lang", "pred_lang"]).count() \
+        .rename_columns({"count()": "n_docs"})
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting: winnowing (Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> set[int]:
+    """Min rolling-hash per window of k-gram hashes (rightmost-min rule)."""
+    n = len(text)
+    if n < k:
+        return {h64(text, seed=5)} if text else set()
+    hs = [h64(text[i:i + k], seed=5) for i in range(n - k + 1)]
+    out: set[int] = set()
+    for w in range(max(1, len(hs) - window + 1)):
+        win = hs[w:w + window]
+        m = min(win)
+        # rightmost occurrence of the min
+        idx = len(win) - 1 - win[::-1].index(m)
+        out.add(hs[w + idx])
+    return out
+
+
+def doc_fingerprints(docs: ray.data.Dataset, k: int = 8,
+                     window: int = 6) -> ray.data.Dataset:
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = [sorted(winnow_fingerprints(t, k, window))
+               for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            "fingerprints": pa.array(fps, pa.list_(pa.uint64())),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _fp, batch_format="pyarrow")
+
+
+def _sha_prefix_batch(batch: pa.Table) -> pa.Table:
+    out = [hashlib.sha256(t.encode()).hexdigest()[:8]
+           for t in batch.column("text").to_pylist()]
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "sha_prefix": pa.array(out, pa.string()),
+    })
+
+
+def sha_prefixes(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _sha_prefix_batch, batch_format="pyarrow")

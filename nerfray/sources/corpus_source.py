@@ -1,0 +1,70 @@
+"""Distributed deterministic corpus source (the BASELINE.json input table).
+
+The corpus is a pure function of the row index (nerfray.corpus), so the
+scalable "reader" is ``ray.data.range(n) -> map_batches(synthesize)``:
+every block materializes only its own rows on a worker, nothing is ever
+resident on the driver. At 100 TB the same shape applies — swap the
+synthesizer for ``read_parquet`` of the real corpus-shaped table; every
+downstream stage is source-agnostic (it only sees the 5-column schema).
+
+Row-count convention (nerfray/corpus.py): n equals the row count of the
+sf dir's ``documents.parquet``, read from parquet *metadata* only (no data
+I/O on the driver).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .. import corpus
+
+CORPUS_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.large_string()),
+])
+
+
+def corpus_rows_for(sf_dir: str) -> int:
+    """n from documents.parquet footer metadata (driver-side, O(1))."""
+    f = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    return f.metadata.num_rows
+
+
+def _synth_batch(batch: pa.Table, *, n: int) -> pa.Table:
+    ids = batch.column("id").to_pylist()
+    cols = corpus.synth_rows(ids, n)
+    return pa.Table.from_pydict(
+        {k: pa.array(cols[k], type=CORPUS_SCHEMA.field(k).type)
+         for k in ("repo", "path", "commit", "lang", "content")},
+        schema=CORPUS_SCHEMA)
+
+
+def corpus_dataset(n: int, *, rows_per_block: int = 2000) -> ray.data.Dataset:
+    """The corpus table as a streaming Dataset of Arrow blocks."""
+    num_blocks = max(1, -(-n // rows_per_block))
+    return ray.data.range(n, override_num_blocks=num_blocks).map_batches(
+        _synth_batch, fn_kwargs={"n": n}, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def corpus_dataset_for(sf_dir: str) -> ray.data.Dataset:
+    return corpus_dataset(corpus_rows_for(sf_dir))
+
+
+def corpus_slice(n: int, lo: int, hi: int,
+                 rows_per_block: int = 2000) -> ray.data.Dataset:
+    """Corpus rows [lo, hi) — the per-shard input of the checkpointed runner
+    (nerfray.state.manifest)."""
+    num_blocks = max(1, -(-(hi - lo) // rows_per_block))
+    ds = ray.data.range(hi, override_num_blocks=max(1, num_blocks))
+    if lo:
+        ds = ds.filter(expr=f"id >= {lo}")
+    return ds.map_batches(_synth_batch, fn_kwargs={"n": n},
+                          batch_format="pyarrow", zero_copy_batch=True)

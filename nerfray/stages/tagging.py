@@ -1,0 +1,83 @@
+"""Stage T: CRF tagging actor pool (the reference's resident-model server,
+/root/reference/src/NLP/Nerf/Server.hs:32-48, re-expressed as
+``map_batches(TagUnits, concurrency=...)`` — SURVEY.md §2.3 ST1/ST2).
+
+The model artifact (CRF weights + vocab + SchemaConf) is put in the object
+store ONCE (``ray.put``) and each actor deserializes it ONCE in
+``__init__`` — never per batch. ``__call__`` fuses
+tokenize -> schematize -> Viterbi -> IOB-decode per unit, so the wide
+observation intermediate never leaves the worker (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from .. import model as model_mod
+
+SPAN_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("lang", pa.string()),
+    ("content_sha", pa.string()),
+    ("unit_id", pa.int32()),
+    ("label", pa.string()),
+    ("start", pa.int32()),
+    ("end", pa.int32()),
+    ("depth", pa.int32()),
+    ("surface", pa.string()),
+])
+
+CARRY = ("repo", "path", "lang", "content_sha", "unit_id")
+
+
+def spans_to_batch(batch: pa.Table, spans_per_row) -> pa.Table:
+    """Expand per-unit span lists into the flat SPAN_SCHEMA table."""
+    cols: dict[str, list] = {name: [] for name in SPAN_SCHEMA.names}
+    carry = {name: batch.column(name).to_pylist() for name in CARRY}
+    texts = batch.column("text").to_pylist()
+    for r, spans in enumerate(spans_per_row):
+        for sp in spans:
+            for name in CARRY:
+                cols[name].append(carry[name][r])
+            cols["label"].append(sp.label)
+            cols["start"].append(sp.start)
+            cols["end"].append(sp.end)
+            cols["depth"].append(sp.depth)
+            cols["surface"].append(texts[r][sp.start:sp.end])
+    return pa.Table.from_pydict(
+        {n: pa.array(cols[n], SPAN_SCHEMA.field(n).type)
+         for n in SPAN_SCHEMA.names}, schema=SPAN_SCHEMA)
+
+
+class TagUnits:
+    """Actor-pool callable: unit rows -> span rows (char offsets + surface).
+
+    ``model_ref`` may be a ``ray.ObjectRef`` to the artifact bytes (the
+    broadcast path) or raw bytes (tests / driver-side use).
+    """
+
+    def __init__(self, model_ref):
+        blob = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) \
+            else model_ref
+        crf, conf = model_mod.deserialize(blob)
+        self.tagger = model_mod.Tagger(crf, conf)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tag = self.tagger.tag
+        return spans_to_batch(batch,
+                              (tag(t) for t in batch.column("text").to_pylist()))
+
+
+class TagUnitsRule:
+    """Deterministic pattern tagger over the same span schema (distant-
+    supervision baseline; fully SQL-oracled pipeline variant)."""
+
+    def __init__(self):
+        self.tagger = model_mod.RuleTagger()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tag = self.tagger.tag
+        return spans_to_batch(batch,
+                              (tag(t) for t in batch.column("text").to_pylist()))

@@ -1,0 +1,80 @@
+"""Stage E + dedup + partitioned write: triple materialization.
+
+Predicate map (BASELINE.json north_star):
+    library -> (repo,               imports,        canon_id)
+    symbol  -> (repo/path,          defines,        canon_id)
+    api     -> (repo/path,          calls,          canon_id)
+    license -> (repo,               licensed-under, canon_id)
+
+Exact dedup = per-batch combiner (local set) then
+``groupby([subj, pred, obj])`` keep-first — the hash-partition +
+per-group-first pattern (SURVEY.md §2.7). Output is partitioned by
+``subj_bucket = sha1(subj) % n_buckets`` so the write is resumable and
+downstream reads can prune by subject (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+
+TRIPLE_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+])
+
+PRED_BY_LABEL = {
+    "library": ("repo", "imports"),
+    "symbol": ("file", "defines"),
+    "api": ("file", "calls"),
+    "license": ("repo", "licensed-under"),
+}
+
+
+def subj_bucket(subj: str, n_buckets: int) -> int:
+    return int.from_bytes(hashlib.sha1(subj.encode()).digest()[:4],
+                          "big") % n_buckets
+
+
+def emit_triples(batch: pa.Table) -> pa.Table:
+    """Linked spans -> locally-deduped triples (stateless map + combiner)."""
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    labels = batch.column("label").to_pylist()
+    canons = batch.column("canon_id").to_pylist()
+    seen: set[tuple[str, str, str]] = set()
+    for repo, path, lbl, canon in zip(repos, paths, labels, canons):
+        m = PRED_BY_LABEL.get(lbl)
+        if m is None:
+            continue
+        subj = repo if m[0] == "repo" else repo + "/" + path
+        seen.add((subj, m[1], canon))
+    trips = sorted(seen)
+    return pa.Table.from_pydict(
+        {"subj": pa.array([t[0] for t in trips], pa.string()),
+         "pred": pa.array([t[1] for t in trips], pa.string()),
+         "obj": pa.array([t[2] for t in trips], pa.string())},
+        schema=TRIPLE_SCHEMA)
+
+
+def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Global exact dedup: hash-shuffle on (subj,pred,obj), keep first."""
+    return triples.groupby(["subj", "pred", "obj"]).count() \
+        .drop_columns(["count()"])
+
+
+def with_bucket(batch: pa.Table, *, n_buckets: int) -> pa.Table:
+    buckets = [subj_bucket(s, n_buckets)
+               for s in batch.column("subj").to_pylist()]
+    return batch.append_column("subj_bucket", pa.array(buckets, pa.int32()))
+
+
+def write_triples(triples: ray.data.Dataset, out_dir: str,
+                  n_buckets: int = 16) -> None:
+    """Subject-hash-partitioned parquet (resumable layout, never one file)."""
+    triples.map_batches(with_bucket, fn_kwargs={"n_buckets": n_buckets},
+                        batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(out_dir, partition_cols=["subj_bucket"])

@@ -1,0 +1,119 @@
+"""Simulate the driver's correctness gate locally.
+
+Usage: python tools/driver_sim.py [sf_dir] [query ...]
+
+Runs each __ray_entry__.queries() callable at sf_dir (default sf0.01),
+compares against oracle_sql() via DuckDB: row count, column names, and
+order-insensitive value comparison (columns sorted by name, rows sorted).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def to_pandas(res):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    raise TypeError(type(res))
+
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = normalize(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: rows-only, {len(mine)} rows  [{dt:.1f}s]")
+            continue
+        try:
+            oracle = normalize(con.sql(sqls[name]).df())
+        except Exception as ex:
+            print(f"FAIL {name}: oracle raised {ex}")
+            n_fail += 1
+            continue
+        if list(mine.columns) != list(oracle.columns):
+            print(f"FAIL {name}: columns {list(mine.columns)} != "
+                  f"{list(oracle.columns)}")
+            n_fail += 1
+            continue
+        if len(mine) != len(oracle):
+            print(f"FAIL {name}: rows {len(mine)} != {len(oracle)}")
+            n_fail += 1
+            continue
+        bad = None
+        for c in mine.columns:
+            a, b = mine[c].values, oracle[c].values
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                eq = np.allclose(a.astype(float), b.astype(float),
+                                 rtol=0, atol=0, equal_nan=True)
+                exact = eq
+            else:
+                exact = (a == b).all()
+            if not exact:
+                bad = c
+                break
+        if bad is not None:
+            print(f"FAIL {name}: column {bad} differs")
+            m = mine[mine[bad].astype(str) != oracle[bad].astype(str)]
+            print(mine.loc[m.index[:3]])
+            print(oracle.loc[m.index[:3]])
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(mine)} rows == oracle  [{dt:.1f}s]")
+    ray.shutdown()
+    print("FAILURES:", n_fail)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
