@@ -56,9 +56,10 @@ def q_kg_units(sf_dir: str):
 
 def q_kg_triples(sf_dir: str):
     """Full CRF pipeline: unitize -> CRF actor pool -> link -> canonical
-    triples, exact-deduped."""
+    triples, exact-deduped (shuffle-free partitioned dedup: the corpus is
+    repo-partitioned, so per-block dedup is globally exact)."""
     from nerfray.pipelines import kg
-    return kg.run_for(sf_dir, tagger="crf")
+    return kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
 
 
 def q_kg_triples_rule(sf_dir: str):
@@ -82,6 +83,16 @@ def q_kg_pred_counts(sf_dir: str):
         {"count()": "n_triples"})
 
 
+def q_kg_ox(sf_dir: str):
+    """Observation-extraction introspection (reference ``ox`` debug mode):
+    per-token observation counts rolled up per token surface."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import ox
+    units = kg.units_of(_corpus(sf_dir))
+    return ox.ox_of(units).groupby("tok").max("n_obs").rename_columns(
+        {"max(n_obs)": "max_n_obs"})
+
+
 def q_kg_eval_prf(sf_dir: str):
     """Distributed compare (reference Compare.hs semantics): per-label
     tp/fp/fn of the CRF tagger vs gold spans."""
@@ -99,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": q_kg_nodes,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_eval_prf": q_kg_eval_prf,
+        "kg_ox": q_kg_ox,
     }
     q.update(entrypoints.ops_queries())
     return q

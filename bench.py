@@ -1,0 +1,157 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+--scaling: run the headline KG pipeline in TWO fresh subprocesses
+(num_cpus=8 then 32) on the same input and report both throughputs plus
+scaling efficiency = thr(32) / (4 * thr(8))  (sandbox stand-in for the
+north_rule's N vs 4N node clusters).
+
+The bench corpus is the deterministic corpus generator at
+BENCH_MULT x the sf dir's documents row count (same input at every
+parallelism level; generation is distributed and part of the measured
+pipeline, playing the role of the parquet scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_MULT = int(os.environ.get("NERFRAY_BENCH_MULT", "20"))
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from nerfray import model
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+
+    model.model_artifact()  # train/load outside the timed region
+
+    n = corpus_source.corpus_rows_for(sf_dir) * BENCH_MULT
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    trips = kg.kg_pipeline(corpus_source.corpus_dataset_by_repo(n),
+                           tagger="crf", dedup="partitioned")
+    n_triples = trips.count()
+    kg_sec = time.time() - t0
+    queries["kg_triples"] = round(kg_sec, 3)
+
+    # generic-input variant (all-to-all dedup shuffle) for comparison
+    t0 = time.time()
+    kg.kg_pipeline(corpus_source.corpus_dataset(n), tagger="crf").count()
+    queries["kg_triples_shuffle_dedup"] = round(time.time() - t0, 3)
+
+    # secondary pipelines at native sf scale
+    import __ray_entry__ as e
+    qs = e.queries()
+    for name in ("kg_nodes", "dedup_exact", "dedup_minhash", "sim_topk",
+                 "text_stats", "events_sessionize"):
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "kg_triples_wall_sec",
+        "value": kg_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "corpus_rows": n,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+SCALING_MULT = int(os.environ.get("NERFRAY_SCALING_MULT", "400"))
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, fresh process per parallelism level. Uses a larger corpus
+    multiple than the headline run so parallel work dominates fixed
+    per-run overhead (driver setup, actor ramp-up, shuffle barriers) —
+    i.e. the measurement reflects scaling of the pipeline, not of Ray's
+    constant startup cost."""
+    levels = (8, 32)
+    results = {}
+    for cpus in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   NERFRAY_BENCH_MULT=str(SCALING_MULT))
+        p = subprocess.run(
+            [sys.executable, __file__, "--single-kg"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["triples_per_sec"]
+    thr32 = results[32]["triples_per_sec"]
+    eff = thr32 / (4 * thr8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {"kg_triples@8": results[8]["value"],
+                    "kg_triples@32": results[32]["value"]},
+        "sf": sf_dir,
+        "num_cpus": [8, 32],
+        "triples_per_sec": {"8": thr8, "32": thr32},
+    }
+
+
+def run_single_kg(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from nerfray import model
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+
+    model.model_artifact()
+    n = corpus_source.corpus_rows_for(sf_dir) * BENCH_MULT
+    t0 = time.time()
+    trips = kg.kg_pipeline(corpus_source.corpus_dataset_by_repo(n),
+                           tagger="crf", dedup="partitioned")
+    n_triples = trips.count()
+    sec = time.time() - t0
+    out = {"metric": "kg_triples_wall_sec", "value": round(sec, 3),
+           "unit": "sec", "num_cpus": num_cpus, "corpus_rows": n,
+           "n_triples": n_triples,
+           "triples_per_sec": round(n_triples / sec, 1)}
+    ray.shutdown()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        out = run_scaling(sf_dir)
+    elif "--single-kg" in sys.argv:
+        out = run_single_kg(sf_dir, num_cpus)
+    else:
+        out = run_headline(sf_dir, num_cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -169,17 +169,12 @@ def _logsumexp_rows(mat: np.ndarray) -> np.ndarray:
     return m + np.log(np.sum(np.exp(mat - m[:, None]), axis=1))
 
 
-def train(sentences: list[list[set[str]]], labels: list[list[str]],
-          args: SgdArgs | None = None) -> Crf:
-    """Train from (observation-set sentences, per-token label strings).
-
-    Vocabulary construction and minibatch shuffling are fully seeded, so
-    training is reproducible across processes and parallelism levels.
-    """
-    args = args or SgdArgs()
+def encode_training(sentences: list[list[set[str]]],
+                    labels: list[list[str]]):
+    """Build sorted vocabularies, encode sentences, compute presentFeats
+    masks (Nerf.hs:90), and return a zero-weight model + encoded data.
+    Deterministic (sorted vocab) regardless of input sharding."""
     assert len(sentences) == len(labels)
-    n_sents = len(sentences)
-
     obs_vocab: dict[str, int] = {}
     for s in sorted({o for sent in sentences for obs in sent for o in obs}):
         obs_vocab[s] = len(obs_vocab)
@@ -211,41 +206,70 @@ def train(sentences: list[list[set[str]]], labels: list[list[str]],
     model = Crf(obs_vocab, label_vocab,
                 np.zeros((nobs, L)), np.zeros((L, L)), np.zeros(L),
                 m_obs, m_trans, m_start)
+    return model, enc_x, enc_y
 
+
+def batch_gradient(model: Crf, enc_x, enc_y, batch) -> tuple:
+    """Log-likelihood gradient (empirical - expected feature counts via
+    forward-backward) summed over the sentences indexed by ``batch``."""
+    nobs, L = model.w_obs.shape
+    g_obs = np.zeros((nobs, L))
+    g_trans = np.zeros((L, L))
+    g_start = np.zeros(L)
+    for si in batch:
+        xs, ys = enc_x[si], enc_y[si]
+        T = len(xs)
+        if T == 0:
+            continue
+        E = model.emissions(xs)
+        alpha = model._alpha(E)
+        beta = model._beta(E)
+        logZ = _logsumexp(alpha[-1])
+        # empirical - expected
+        g_start[ys[0]] += 1.0
+        g_start -= np.exp(alpha[0] + beta[0] - logZ)
+        for t in range(T):
+            marg = np.exp(alpha[t] + beta[t] - logZ)
+            ids = xs[t]
+            if len(ids):
+                g_obs[ids, ys[t]] += 1.0
+                g_obs[ids] -= marg[None, :]
+        for t in range(1, T):
+            g_trans[ys[t - 1], ys[t]] += 1.0
+            pair = (alpha[t - 1][:, None] + model.w_trans
+                    + (E[t] + beta[t])[None, :] - logZ)
+            g_trans -= np.exp(pair)
+    return g_obs, g_trans, g_start
+
+
+def apply_update(model: Crf, grads, gain: float, batch_len: int,
+                 n_sents: int, reg_var: float) -> None:
+    """SGD step with L2 regularization scaled by batch fraction
+    (pinned sgd-0.2.3 rule, SURVEY.md §8.3)."""
+    g_obs, g_trans, g_start = grads
+    reg = batch_len / (n_sents * reg_var)
+    model.w_obs += gain * ((g_obs - reg * model.w_obs) * model.m_obs)
+    model.w_trans += gain * ((g_trans - reg * model.w_trans) * model.m_trans)
+    model.w_start += gain * ((g_start - reg * model.w_start) * model.m_start)
+
+
+def train(sentences: list[list[set[str]]], labels: list[list[str]],
+          args: SgdArgs | None = None) -> Crf:
+    """Train from (observation-set sentences, per-token label strings).
+
+    Vocabulary construction and minibatch shuffling are fully seeded, so
+    training is reproducible across processes and parallelism levels.
+    """
+    args = args or SgdArgs()
+    model, enc_x, enc_y = encode_training(sentences, labels)
+    n_sents = len(sentences)
     rng = np.random.default_rng(args.seed)
     for it in range(args.iter_num):
         gain = args.gain0 * args.tau / (args.tau + it)
         perm = rng.permutation(n_sents)
         for lo in range(0, n_sents, args.batch_size):
             batch = perm[lo:lo + args.batch_size]
-            g_obs = np.zeros((nobs, L))
-            g_trans = np.zeros((L, L))
-            g_start = np.zeros(L)
-            for si in batch:
-                xs, ys = enc_x[si], enc_y[si]
-                T = len(xs)
-                if T == 0:
-                    continue
-                E = model.emissions(xs)
-                alpha = model._alpha(E)
-                beta = model._beta(E)
-                logZ = _logsumexp(alpha[-1])
-                # empirical - expected
-                g_start[ys[0]] += 1.0
-                g_start -= np.exp(alpha[0] + beta[0] - logZ)
-                for t in range(T):
-                    marg = np.exp(alpha[t] + beta[t] - logZ)
-                    ids = xs[t]
-                    if len(ids):
-                        g_obs[ids, ys[t]] += 1.0
-                        g_obs[ids] -= marg[None, :]
-                for t in range(1, T):
-                    g_trans[ys[t - 1], ys[t]] += 1.0
-                    pair = (alpha[t - 1][:, None] + model.w_trans
-                            + (E[t] + beta[t])[None, :] - logZ)
-                    g_trans -= np.exp(pair)
-            reg = len(batch) / (n_sents * args.reg_var)
-            model.w_obs += gain * ((g_obs - reg * model.w_obs) * m_obs)
-            model.w_trans += gain * ((g_trans - reg * model.w_trans) * m_trans)
-            model.w_start += gain * ((g_start - reg * model.w_start) * m_start)
+            grads = batch_gradient(model, enc_x, enc_y, batch)
+            apply_update(model, grads, gain, len(batch), n_sents,
+                         args.reg_var)
     return model

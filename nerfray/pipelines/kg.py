@@ -20,9 +20,17 @@ from ..sources import corpus_source
 from ..stages import canonical, linking, tagging, triples, unitize
 
 # Actor-pool sizing: each tagging actor is single-threaded numpy/python;
-# scale the pool with the cluster, let Ray autoscale between min and max.
+# scale the pool with the cluster (max = cluster CPUs so the dominant
+# stage can saturate every core), let Ray autoscale between min and max.
 TAG_BATCH = 512
 LINK_BATCH = 4096
+
+
+def _cluster_cpus() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
 
 
 def units_of(corpus_ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -31,7 +39,9 @@ def units_of(corpus_ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def spans_of(units: ray.data.Dataset, tagger: str = "crf",
-             concurrency=(1, 8)) -> ray.data.Dataset:
+             concurrency=None) -> ray.data.Dataset:
+    if concurrency is None:
+        concurrency = (1, _cluster_cpus())
     if tagger == "rule":
         return units.map_batches(tagging.TagUnitsRule,
                                  concurrency=concurrency,
@@ -45,8 +55,10 @@ def spans_of(units: ray.data.Dataset, tagger: str = "crf",
                              batch_format="pyarrow", zero_copy_batch=True)
 
 
-def linked_of(spans: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+def linked_of(spans: ray.data.Dataset, concurrency=None) -> ray.data.Dataset:
     from .. import dicts
+    if concurrency is None:
+        concurrency = (1, max(2, _cluster_cpus() // 4))
     aliases_ref = ray.put(dicts.alias_table())
     return spans.map_batches(linking.LinkSpans,
                              fn_constructor_kwargs={"aliases_ref": aliases_ref},
@@ -54,16 +66,26 @@ def linked_of(spans: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
                              batch_format="pyarrow", zero_copy_batch=True)
 
 
-def triples_of(linked: ray.data.Dataset) -> ray.data.Dataset:
+def triples_of(linked: ray.data.Dataset,
+               dedup: str = "shuffle") -> ray.data.Dataset:
     emitted = linked.map_batches(triples.emit_triples, batch_format="pyarrow",
                                  zero_copy_batch=True)
+    if dedup == "partitioned":
+        return triples.dedup_triples_local(emitted)
     return triples.dedup_triples(emitted)
 
 
-def kg_pipeline(corpus_ds: ray.data.Dataset,
-                tagger: str = "crf") -> ray.data.Dataset:
-    """corpus Dataset -> deduped triple Dataset (lazy)."""
-    return triples_of(linked_of(spans_of(units_of(corpus_ds), tagger)))
+def kg_pipeline(corpus_ds: ray.data.Dataset, tagger: str = "crf",
+                dedup: str = "shuffle") -> ray.data.Dataset:
+    """corpus Dataset -> deduped triple Dataset (lazy).
+
+    ``dedup="shuffle"`` is the generic all-to-all exact dedup;
+    ``dedup="partitioned"`` requires subject-partitioned input blocks
+    (corpus_dataset_by_repo) and eliminates the shuffle entirely — map
+    stages preserve block boundaries (bundles only merge whole blocks),
+    so repo containment survives to the dedup stage."""
+    return triples_of(linked_of(spans_of(units_of(corpus_ds), tagger)),
+                      dedup=dedup)
 
 
 def kg_nodes(corpus_ds: ray.data.Dataset, tagger: str = "crf",
@@ -74,5 +96,10 @@ def kg_nodes(corpus_ds: ray.data.Dataset, tagger: str = "crf",
         linked_of(spans_of(units_of(corpus_ds), tagger)), n_salts=n_salts)
 
 
-def run_for(sf_dir: str, tagger: str = "crf") -> ray.data.Dataset:
-    return kg_pipeline(corpus_source.corpus_dataset_for(sf_dir), tagger)
+def run_for(sf_dir: str, tagger: str = "crf",
+            dedup: str = "shuffle") -> ray.data.Dataset:
+    n = corpus_source.corpus_rows_for(sf_dir)
+    if dedup == "partitioned":
+        return kg_pipeline(corpus_source.corpus_dataset_by_repo(n), tagger,
+                           dedup="partitioned")
+    return kg_pipeline(corpus_source.corpus_dataset(n), tagger)

@@ -46,7 +46,7 @@ def _synth_batch(batch: pa.Table, *, n: int) -> pa.Table:
         schema=CORPUS_SCHEMA)
 
 
-def corpus_dataset(n: int, *, rows_per_block: int = 2000) -> ray.data.Dataset:
+def corpus_dataset(n: int, *, rows_per_block: int = 500) -> ray.data.Dataset:
     """The corpus table as a streaming Dataset of Arrow blocks."""
     num_blocks = max(1, -(-n // rows_per_block))
     return ray.data.range(n, override_num_blocks=num_blocks).map_batches(
@@ -56,6 +56,34 @@ def corpus_dataset(n: int, *, rows_per_block: int = 2000) -> ray.data.Dataset:
 
 def corpus_dataset_for(sf_dir: str) -> ray.data.Dataset:
     return corpus_dataset(corpus_rows_for(sf_dir))
+
+
+def _synth_repo_batch(batch: pa.Table, *, n: int) -> pa.Table:
+    """Generate all rows of the repos whose ids are in the batch."""
+    nrep = corpus.n_repos(n)
+    ids = []
+    for r in batch.column("id").to_pylist():
+        ids.extend(range(int(r), n, nrep))  # rows of repo r: i % nrep == r
+    cols = corpus.synth_rows(ids, n)
+    return pa.Table.from_pydict(
+        {k: pa.array(cols[k], type=CORPUS_SCHEMA.field(k).type)
+         for k in ("repo", "path", "commit", "lang", "content")},
+        schema=CORPUS_SCHEMA)
+
+
+def corpus_dataset_by_repo(n: int, *,
+                           repos_per_block: int = 64) -> ray.data.Dataset:
+    """The same corpus table, blocked REPO-MAJOR: every block contains
+    complete repos. This mirrors how a real repo-scale corpus is stored
+    (files of a repository co-located) and is the partitioning key the
+    whole pipeline reuses (SURVEY.md §7.3): with subjects repo-scoped,
+    per-block triple dedup is globally exact and the dedup shuffle
+    disappears (see pipelines.kg dedup='partitioned')."""
+    nrep = corpus.n_repos(n)
+    num_blocks = max(1, -(-nrep // repos_per_block))
+    return ray.data.range(nrep, override_num_blocks=num_blocks).map_batches(
+        _synth_repo_batch, fn_kwargs={"n": n}, batch_format="pyarrow",
+        zero_copy_batch=True)
 
 
 def corpus_slice(n: int, lo: int, hi: int,

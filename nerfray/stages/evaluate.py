@@ -56,11 +56,14 @@ class EvalUnits:
         })
 
 
-def span_prf(n: int, concurrency=(1, 8)) -> ray.data.Dataset:
+def span_prf(n: int, concurrency=None) -> ray.data.Dataset:
     """Per-label stats over the whole corpus: Dataset of
     (label, tp, fp, fn)."""
+    if concurrency is None:
+        from ..pipelines.kg import _cluster_cpus
+        concurrency = (1, _cluster_cpus())
     model_ref = ray.put(model_mod.model_artifact())
-    num_blocks = max(1, n // 500)
+    num_blocks = max(1, n // 250)
     stats = ray.data.range(n, override_num_blocks=num_blocks).map_batches(
         EvalUnits, fn_constructor_kwargs={"model_ref": model_ref, "n": n},
         concurrency=concurrency, batch_format="pyarrow")

@@ -56,18 +56,36 @@ class TagUnits:
 
     ``model_ref`` may be a ``ray.ObjectRef`` to the artifact bytes (the
     broadcast path) or raw bytes (tests / driver-side use).
+
+    Source-code unit texts are massively repetitive (the same ``import x``
+    line occurs across thousands of files), so each actor memoizes
+    tag(text) in a bounded content-addressed cache — the streaming,
+    shuffle-free form of "dedup units before tagging". The cache resets
+    when full, keeping memory bounded regardless of corpus size; results
+    are identical with or without it (pure function of text).
     """
+
+    CACHE_MAX = 200_000
 
     def __init__(self, model_ref):
         blob = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) \
             else model_ref
         crf, conf = model_mod.deserialize(blob)
         self.tagger = model_mod.Tagger(crf, conf)
+        self._cache: dict[str, list] = {}
+
+    def _tag(self, text: str) -> list:
+        spans = self._cache.get(text)
+        if spans is None:
+            if len(self._cache) >= self.CACHE_MAX:
+                self._cache.clear()
+            spans = self.tagger.tag(text)
+            self._cache[text] = spans
+        return spans
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tag = self.tagger.tag
-        return spans_to_batch(batch,
-                              (tag(t) for t in batch.column("text").to_pylist()))
+        return spans_to_batch(
+            batch, (self._tag(t) for t in batch.column("text").to_pylist()))
 
 
 class TagUnitsRule:

@@ -61,9 +61,27 @@ def emit_triples(batch: pa.Table) -> pa.Table:
 
 
 def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
-    """Global exact dedup: hash-shuffle on (subj,pred,obj), keep first."""
+    """Global exact dedup: hash-shuffle on (subj,pred,obj), keep first.
+
+    The generic path for arbitrarily-partitioned input. When the input is
+    subject-partitioned (blocks contain whole repos), use
+    ``dedup_triples_local`` instead — per-block dedup is then globally
+    exact and the all-to-all disappears (SURVEY.md §7.3)."""
     return triples.groupby(["subj", "pred", "obj"]).count() \
         .drop_columns(["count()"])
+
+
+def _block_distinct(batch: pa.Table) -> pa.Table:
+    return batch.group_by(["subj", "pred", "obj"]).aggregate([])
+
+
+def dedup_triples_local(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-block exact dedup (Arrow hash group-by, no shuffle). Globally
+    exact iff every subject's rows are confined to one block — guaranteed
+    by repo-major corpus blocking (corpus_source.corpus_dataset_by_repo)
+    because subj is always the repo or a file of it."""
+    return triples.map_batches(_block_distinct, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
 
 
 def with_bucket(batch: pa.Table, *, n_buckets: int) -> pa.Table:

@@ -1,0 +1,56 @@
+"""Checkpoint-manifest resume semantics (FIXTURES.md F7; north_star)."""
+
+import json
+import os
+import shutil
+
+from nerfray import corpus
+from nerfray.state import manifest
+
+
+N = 90
+
+
+def _triples(ray_session, out_dir):
+    return {(r["subj"], r["pred"], r["obj"])
+            for r in manifest.read_triples(out_dir).take_all()}
+
+
+def test_checkpointed_run_and_resume(ray_session, tmp_path):
+    out = str(tmp_path / "run")
+    s1 = manifest.run_checkpointed(N, out, n_shards=3, tagger="rule")
+    assert s1["n_cached"] == 0 and s1["n_shards"] == 3
+    gold = corpus.gold_triples_all(N)
+    assert _triples(ray_session, out) == gold
+
+    # full re-run: everything cached, nothing recomputed
+    s2 = manifest.run_checkpointed(N, out, n_shards=3, tagger="rule")
+    assert s2["n_cached"] == 3
+    assert _triples(ray_session, out) == gold
+
+    # crash simulation: shard 1 lost its manifest (data may be partial)
+    os.remove(manifest._manifest_path(out, 1))
+    shutil.rmtree(os.path.join(out, "shard=1"))
+    s3 = manifest.run_checkpointed(N, out, n_shards=3, tagger="rule")
+    assert s3["shards"] == {0: "cached", 1: "ran", 2: "cached"}
+    assert _triples(ray_session, out) == gold  # idempotent: no dupes, no loss
+
+    # counters merge at read time
+    c = manifest.counters(out)
+    assert c["n_shards"] == 3 and c["n_input_rows"] == N
+    assert c["n_triples_pre_dedup"] >= len(gold)
+
+
+def test_input_fingerprint_invalidates(ray_session, tmp_path):
+    out = str(tmp_path / "run")
+    manifest.run_checkpointed(N, out, n_shards=2, tagger="rule")
+    # tamper: pretend shard 0 was built from different input
+    p = manifest._manifest_path(out, 0)
+    with open(p) as f:
+        m = json.load(f)
+    m["input_fp"] = "stale"
+    with open(p, "w") as f:
+        json.dump(m, f)
+    s = manifest.run_checkpointed(N, out, n_shards=2, tagger="rule")
+    assert s["shards"][0] == "ran" and s["shards"][1] == "cached"
+    assert _triples(ray_session, out) == corpus.gold_triples_all(N)

@@ -1,0 +1,152 @@
+"""Tests for the data-pipeline operators (dedup / similarity / text /
+multimodal) against brute-force oracles on planted fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nerfray.ops import dedup as dd
+from nerfray.ops import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_table(texts):
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    """Corpus with planted exact dups and near-dups."""
+    import ray.data
+    base = [f"the quick brown fox jumps over dog number {i} "
+            f"with padding words alpha beta gamma delta epsilon {i * 7}"
+            for i in range(30)]
+    texts = list(base)
+    texts.append(base[3])                       # exact dup of 3 -> id 30
+    texts.append(base[5] + " zeta")             # near dup of 5  -> id 31
+    texts.append(base[7].replace("alpha", "ALPHA"))  # near dup of 7 -> 32
+    return ray.data.from_arrow(_docs_table(texts)), texts
+
+
+def test_exact_dedup(ray_session, planted_docs):
+    docs, texts = planted_docs
+    rows = dd.exact_dedup(docs).take_all()
+    assert len(rows) == len(texts) - 1  # one exact dup collapsed
+    survivors = {r["doc_id"] for r in rows}
+    assert 3 in survivors and 30 not in survivors  # min doc_id survives
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session, planted_docs):
+    docs, texts = planted_docs
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dd.minhash_dedup_pairs(docs, threshold=0.5).take_all()}
+    assert (3, 30) in pairs and pairs[(3, 30)] == 1.0
+    assert (5, 31) in pairs
+    assert (7, 32) in pairs
+    # verified jaccard matches brute force exactly
+    for (a, b), j in pairs.items():
+        sa, sb = dd.shingles(texts[a]), dd.shingles(texts[b])
+        assert j == len(sa & sb) / len(sa | sb)
+
+
+def test_simhash_exact_dups_collide(ray_session, planted_docs):
+    docs, texts = planted_docs
+    rows = dd.simhash_signatures(docs).take_all()
+    sig = {r["doc_id"]: r["simhash"] for r in rows}
+    assert sig[3] == sig[30]          # identical docs -> identical signature
+    assert len(set(sig.values())) < len(texts)
+    groups = dd.simhash_dup_groups(docs).take_all()
+    assert any(g["n_docs"] >= 2 for g in groups)
+    # near-dup differs in few bits (hamming distance small)
+    ham = bin(sig[5] ^ sig[31]).count("1")
+    assert ham <= 12
+
+
+def test_simhash_deterministic():
+    a = dd.simhash64("hello world foo")
+    assert a == dd.simhash64("hello world foo")
+    assert a != dd.simhash64("hello world bar")
+    assert 0 <= a < 2**64
+
+
+def test_lsh_topk_recall(ray_session):
+    """ANN recall vs brute force on the real embeddings table."""
+    import os
+    import ray.data
+    from nerfray.ops import similarity as sim
+    emb = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    exact = sim.cosine_topk(emb, k=10)
+    approx = sim.lsh_topk(emb, k=10, bits=4)
+    ex = {}
+    for r in exact.take_all():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.take_all():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # each query's own vector must be its top hit in both
+    for q in ex:
+        assert q in ex[q]
+    for q, hits in ap.items():
+        assert q in hits  # the query's own bucket always contains itself
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    # 4-bit probe visits ~1/16 of a near-random space: recall is modest by
+    # design; the property under test is correct plumbing, not quality
+    assert sum(recalls) / len(recalls) >= 0.1
+
+
+def test_langid_plumbing(ray_session):
+    """The driver's documents.lang column is synthetic metadata unrelated
+    to the text (all docs share one vocabulary), so accuracy-vs-column is
+    not a meaningful gate; this checks determinism and schema, plus
+    correct classification of genuinely language-distinct probes."""
+    import os
+    import ray.data
+    docs = ray.data.read_parquet(os.path.join(SF, "documents.parquet"))
+    a = sorted((r["doc_id"], r["pred_lang"]) for r in tx.lang_id(docs).take_all())
+    b = sorted((r["doc_id"], r["pred_lang"]) for r in tx.lang_id(docs).take_all())
+    assert a == b and len(a) == docs.count()
+    assert {p for _, p in a} <= set(tx.LangID.PRIORS)
+    clf = tx.LangID()
+    assert clf.classify("the cat sat on the mat with the hat") == "en"
+    assert clf.classify("le chat est sur la table avec les livres") == "fr"
+    assert clf.classify("der Hund ist mit einem Ball auf der Wiese und") == "de"
+    assert clf.classify("这 是 一个 中文 的 测试 文本 我们 在 这里") == "zh"
+
+
+def test_winnow_fingerprints_properties():
+    text = "abcdefghijklmnopqrstuvwxyz" * 4
+    fp = tx.winnow_fingerprints(text)
+    assert fp == tx.winnow_fingerprints(text)  # deterministic
+    # containment: fingerprints of a substring mostly survive in superstring
+    sub = tx.winnow_fingerprints(text[:60])
+    assert len(sub & fp) / len(sub) > 0.5
+    assert tx.winnow_fingerprints("") == set()
+    assert len(tx.winnow_fingerprints("abc")) == 1  # shorter than k
+
+
+def test_media_decoder_stub(ray_session, planted_docs):
+    from nerfray.ops import multimodal as mm
+    docs, texts = planted_docs
+    feats = mm.media_features(docs).take_all()
+    assert len(feats) == len(texts)
+    for r in feats[:5]:
+        assert len(r["features"]) == mm.FakeDecoder.FEATURE_DIM
+        assert r["n_bytes"] == len(texts[r["doc_id"]].encode())
+    # strict mode models the missing-codec path
+    dec = mm.FakeDecoder(strict=True)
+    with pytest.raises(NotImplementedError):
+        dec.decode(b"x", "image/fake")
+
+
+def test_text_stats_vs_python(ray_session, planted_docs):
+    docs, texts = planted_docs
+    rows = {r["doc_id"]: r for r in tx.text_stats(docs).take_all()}
+    for i, t in enumerate(texts):
+        r = rows[i]
+        assert r["n_words"] == len(t.split(" "))
+        assert r["n_uniq_words"] == len(set(t.split(" ")))
+        assert r["n_chars"] == len(t)

@@ -55,6 +55,25 @@ def test_kg_triples_match_gold(ray_session, corpus_ds, tagger):
     assert got == gold  # the synthetic corpus is learned exactly
 
 
+def test_partitioned_dedup_equals_shuffle_dedup(ray_session):
+    """Repo-major blocking makes per-block dedup globally exact: both
+    paths produce the identical triple set."""
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+    shuffle = {(r["subj"], r["pred"], r["obj"]) for r in kg.kg_pipeline(
+        corpus_source.corpus_dataset(N, rows_per_block=40),
+        tagger="rule").take_all()}
+    part = {(r["subj"], r["pred"], r["obj"]) for r in kg.kg_pipeline(
+        corpus_source.corpus_dataset_by_repo(N, repos_per_block=3),
+        tagger="rule", dedup="partitioned").take_all()}
+    assert part == shuffle == corpus.gold_triples_all(N)
+    # and truly deduped: no repeated triple rows in the partitioned output
+    rows = kg.kg_pipeline(
+        corpus_source.corpus_dataset_by_repo(N, repos_per_block=3),
+        tagger="rule", dedup="partitioned").take_all()
+    assert len(rows) == len(part)
+
+
 def test_canonical_nodes_salted_equals_unsalted(ray_session, corpus_ds):
     from nerfray.pipelines import kg
     a = {(r["canon_id"], r["n_mentions"], r["n_surfaces"])
