@@ -51,6 +51,11 @@ def q_sim_lsh(sf_dir: str):
     return similarity.lsh_topk(_emb(sf_dir), k=10)
 
 
+def q_dedup_embedding(sf_dir: str):
+    from . import similarity
+    return similarity.embedding_dup_pairs(_emb(sf_dir), threshold=0.9)
+
+
 def q_sim_jaccard(sf_dir: str):
     from . import similarity
     return similarity.jaccard_vs_queries(_docs(sf_dir), n_queries=3)
@@ -96,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
         "sim_jaccard": q_sim_jaccard,

@@ -91,11 +91,19 @@ def cosine_topk(emb: ray.data.Dataset, *, k: int = 10,
 
 
 class HyperplaneSigner:
-    def __init__(self, dim: int = 64, bits: int = 8, seed: int = 11):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((bits, dim))
+    def __init__(self, dim: int | None = None, bits: int = 8, seed: int = 11):
+        self._dim = dim
+        self._bits = bits
+        self._seed = seed
+        self.planes = None if dim is None else self._mk(dim)
+
+    def _mk(self, dim: int) -> np.ndarray:
+        return np.random.default_rng(self._seed).standard_normal(
+            (self._bits, dim))
 
     def sign(self, vecs: np.ndarray) -> np.ndarray:
+        if self.planes is None or self.planes.shape[1] != vecs.shape[1]:
+            self.planes = self._mk(vecs.shape[1])  # dim inferred from data
         bits = (vecs @ self.planes.T) > 0
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
 
@@ -167,6 +175,71 @@ def lsh_topk(emb: ray.data.Dataset, *, k: int = 10, bits: int = 6,
         concurrency=(1, 4), batch_size=2048, batch_format="pyarrow")
     return partials.groupby("query_id").map_groups(
         _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (LSH candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(emb: ray.data.Dataset, *, threshold: float = 0.95,
+                        bits: int = 6, n_tables: int = 4
+                        ) -> ray.data.Dataset:
+    """Near-duplicate vector pairs: multi-table hyperplane LSH generates
+    candidates (vectors sharing a bucket in ANY table), exact cosine
+    verifies. Only (bucket, vec_id) pairs shuffle; vectors for the verify
+    stage ride along inside the bucket groups."""
+    signers = [HyperplaneSigner(bits=bits, seed=11 + t)
+               for t in range(n_tables)]
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        ids = batch.column("vec_id").to_pylist()
+        out_t, out_b, out_i, out_v = [], [], [], []
+        for t, s in enumerate(signers):
+            sig = s.sign(vecs)
+            out_t.extend([t] * len(ids))
+            out_b.extend(int(x) for x in sig)
+            out_i.extend(ids)
+            out_v.extend(vecs.tolist())
+        return pa.Table.from_pydict({
+            "table": pa.array(out_t, pa.int32()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "vec_id": pa.array(out_i, pa.int64()),
+            "embedding": pa.array(out_v, pa.list_(pa.float64())),
+        })
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_pylist()
+        vecs = np.array(group.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        vecs = vecs[order]
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vecs @ vecs.T
+        a, b, s = [], [], []
+        cap = 500  # degenerate-bucket guard (documented loss if hit)
+        for i in range(min(len(ids), cap)):
+            for j in range(i + 1, min(len(ids), cap)):
+                if ids[i] != ids[j] and sims[i, j] >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    s.append(float(sims[i, j]))
+        return pa.Table.from_pydict({
+            "vec_a": pa.array(a, pa.int64()),
+            "vec_b": pa.array(b, pa.int64()),
+            "cosine": pa.array(s, pa.float64()),
+        })
+
+    bucketed = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _bucketize, batch_format="pyarrow")
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow")
+    # a pair can surface from several tables: keep max-cosine once
+    return pairs.groupby(["vec_a", "vec_b"]).max("cosine") \
+        .rename_columns({"max(cosine)": "cosine"})
 
 
 # ---------------------------------------------------------------------------

@@ -72,7 +72,8 @@ def _synth_repo_batch(batch: pa.Table, *, n: int) -> pa.Table:
 
 
 def corpus_dataset_by_repo(n: int, *,
-                           repos_per_block: int = 64) -> ray.data.Dataset:
+                           repos_per_block: int | None = None
+                           ) -> ray.data.Dataset:
     """The same corpus table, blocked REPO-MAJOR: every block contains
     complete repos. This mirrors how a real repo-scale corpus is stored
     (files of a repository co-located) and is the partitioning key the
@@ -80,6 +81,11 @@ def corpus_dataset_by_repo(n: int, *,
     per-block triple dedup is globally exact and the dedup shuffle
     disappears (see pipelines.kg dedup='partitioned')."""
     nrep = corpus.n_repos(n)
+    if repos_per_block is None:
+        # bound total block count (~768) so driver-side task scheduling
+        # stays O(1k) tasks per stage regardless of corpus size, while
+        # keeping >= 64 repos per block for parallelism at small n
+        repos_per_block = max(64, -(-nrep // 768))
     num_blocks = max(1, -(-nrep // repos_per_block))
     return ray.data.range(nrep, override_num_blocks=num_blocks).map_batches(
         _synth_repo_batch, fn_kwargs={"n": n}, batch_format="pyarrow",

@@ -98,6 +98,30 @@ def test_lsh_topk_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.1
 
 
+def test_embedding_dup_pairs(ray_session):
+    """Planted near-identical vectors are found; reported cosine matches
+    brute force; no pair below threshold is reported."""
+    import ray.data
+    from nerfray.ops import similarity as sim
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 16))
+    vecs = np.vstack([base, base[3] + 1e-4 * rng.standard_normal(16),
+                      base[7]])  # ids 40 (near-dup of 3), 41 (exact of 7)
+    emb = ray.data.from_arrow(pa.Table.from_pydict({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    }))
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in sim.embedding_dup_pairs(emb, threshold=0.95,
+                                              bits=4).take_all()}
+    assert (3, 40) in pairs and pairs[(3, 40)] > 0.999
+    assert (7, 41) in pairs and pairs[(7, 41)] > 0.999999
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for (a, b), c in pairs.items():
+        assert abs(float(norm[a] @ norm[b]) - c) < 1e-12
+        assert c >= 0.95
+
+
 def test_langid_plumbing(ray_session):
     """The driver's documents.lang column is synthetic metadata unrelated
     to the text (all docs share one vocabulary), so accuracy-vs-column is
