@@ -47,11 +47,15 @@ def q_corpus_files(sf_dir: str):
 
 
 def q_kg_units(sf_dir: str):
-    """Stage U output grain: per-file unit/char accounting (M-map +
-    flat-map); content never leaves the stage."""
+    """Stage U output grain: per-file unit accounting (map + flat-map);
+    content never leaves the stage. Unit counts are deterministic
+    arithmetic of the row index, so this carries a full SQL oracle;
+    sha256(content) equality is enforced separately in
+    tests/test_ray_pipeline.py (not SQL-derivable)."""
     from nerfray.stages import unitize
     return _corpus(sf_dir).map_batches(
-        unitize.unit_counts, batch_format="pyarrow", zero_copy_batch=True)
+        unitize.unit_counts, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["repo", "path", "n_units"])
 
 
 def q_kg_triples(sf_dir: str):
@@ -125,8 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": corpus.nodes_sql(),
         "kg_pred_counts": corpus.pred_counts_sql(),
         "kg_eval_prf": corpus.eval_prf_sql(),
-        # kg_units: content text is not SQL-derivable -> rows-only check;
-        # sha256(content) equality is enforced in tests/test_ray_pipeline.py
+        "kg_units": corpus.unit_counts_sql(),
     }
     sql.update(entrypoints.ops_oracles())
     return sql

@@ -293,6 +293,22 @@ ORDER BY subj, pred, obj
 """
 
 
+def unit_counts_sql() -> str:
+    """Mirror of per-file unit (line) counts: 3 fixed lines (license,
+    filler, first def) + imports + calls + returns-block + optional second
+    def block — pure arithmetic of (i, lang), see row_lines."""
+    return f"""
+WITH {ROWS_CTE}
+SELECT repo, path,
+       (3 + (1 + i % 3) + (1 + i % 2)
+          + CASE WHEN lang = 'python' THEN 1 ELSE 2 END
+          + CASE WHEN i % 2 = 0
+                 THEN CASE WHEN lang = 'python' THEN 2 ELSE 3 END
+                 ELSE 0 END)::BIGINT AS n_units
+FROM rows ORDER BY repo, path
+"""
+
+
 def pred_counts_sql() -> str:
     """Deduped gold triples per predicate."""
     return f"""

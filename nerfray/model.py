@@ -130,6 +130,45 @@ def deserialize(blob: bytes) -> tuple[crf.Crf, schema.SchemaConf]:
     return model, conf
 
 
+def cross_validate(k: int = 3, n_train: int = 300,
+                   args: crf.SgdArgs | None = None) -> list[dict]:
+    """K-fold cross validation (the reference's ``cv`` mode,
+    /root/reference/app/Main.hs:251-271): partition the gold units into k
+    folds; for each, train on the other k-1 and score the held-out fold
+    with the reference's span-matching semantics. Returns per-fold
+    {fold, n_eval, tp, fp, fn, precision, recall}."""
+    from .core import compare
+    units = training_corpus(n_train)
+    conf = make_schema_conf()
+    folds = [units[f::k] for f in range(k)]
+    out = []
+    for f in range(k):
+        train_units = [u for g in range(k) if g != f for u in folds[g]]
+        sents, labels = [], []
+        for text, gspans in train_units:
+            toks = tokenize(text)
+            tspans = char_spans_to_token_spans(toks, gspans)
+            stacks = iob.encode(tspans, len(toks))
+            sents.append(schema.schematize(conf, [t.text for t in toks]))
+            labels.append([iob.stack_to_str(s) for s in stacks])
+        m = crf.train(sents, labels, args or crf.SgdArgs(iter_num=4))
+        tagger = Tagger(m, conf)
+        stats = []
+        for text, gspans in folds[f]:
+            pred = tagger.tag(text)
+            stats.append(compare.unit_stats(
+                text, [(s.label, s.start, s.end) for s in gspans],
+                [(s.label, s.start, s.end) for s in pred]))
+        merged = compare.merge(stats)
+        tp = sum(v[0] for v in merged.values())
+        fp = sum(v[1] for v in merged.values())
+        fn = sum(v[2] for v in merged.values())
+        p, r, _ = compare.prf(tp, fp, fn)
+        out.append({"fold": f, "n_eval": len(folds[f]), "tp": tp, "fp": fp,
+                    "fn": fn, "precision": p, "recall": r})
+    return out
+
+
 class Tagger:
     """tokenize -> schematize -> Viterbi -> IOB-decode, one unit at a time
     (the reference's ``ner`` composition, Nerf.hs:94-99). The schema is

@@ -49,7 +49,6 @@ def _hourly_partial(batch: pa.Table) -> pa.Table:
     """Pre-aggregate inside the batch (combiner) before the tiny groupby."""
     hours = pc.strftime(batch.column("ts"), format="%Y-%m-%d %H")
     et = batch.column("event_type")
-    t = pa.Table.from_pydict({"hour": hours, "event_type": et})
     import collections
     cnt = collections.Counter(zip(hours.to_pylist(), et.to_pylist()))
     ks = sorted(cnt)

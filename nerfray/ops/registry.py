@@ -52,8 +52,12 @@ def q_sim_lsh(sf_dir: str):
 
 
 def q_dedup_embedding(sf_dir: str):
+    # threshold sits at the top of the driver embeddings' actual cosine
+    # distribution (random vectors: max ~0.51) so the op surfaces real
+    # near-pairs; recall is partial by LSH design (rows-only check)
     from . import similarity
-    return similarity.embedding_dup_pairs(_emb(sf_dir), threshold=0.9)
+    return similarity.embedding_dup_pairs(_emb(sf_dir), threshold=0.4,
+                                          bits=4)
 
 
 def q_sim_jaccard(sf_dir: str):

@@ -40,8 +40,8 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     ds = _read(sf_dir, "orders", ["o_custkey"])
     counts = ds.groupby("o_custkey").count() \
         .rename_columns({"count()": "n_orders"})
-    return counts.sort([("n_orders", "descending"),
-                        ("o_custkey", "ascending")]).limit(k)
+    return counts.sort(["n_orders", "o_custkey"],
+                       descending=[True, False]).limit(k)
 
 
 def customers_per_region(sf_dir: str) -> ray.data.Dataset:

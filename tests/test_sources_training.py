@@ -76,6 +76,16 @@ def test_train_distributed_quality(ray_session):
         assert fp == 0 and fn == 0, (lbl, tp, fp, fn)
 
 
+def test_cross_validate():
+    """Reference cv mode analog: every fold of the synthetic gold corpus
+    is tagged near-perfectly by a model trained on the others."""
+    folds = model.cross_validate(k=2, n_train=80)
+    assert len(folds) == 2
+    for f in folds:
+        assert f["n_eval"] > 0
+        assert f["precision"] >= 0.95 and f["recall"] >= 0.95, f
+
+
 def test_kernel_train_unchanged_by_refactor():
     """encode/batch_gradient/apply_update refactor preserves the exact
     training trajectory (bitwise weight equality on a small fixture)."""
