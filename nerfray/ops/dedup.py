@@ -35,11 +35,21 @@ def h64(s: str, seed: int = 0) -> int:
     return int.from_bytes(d, "little")
 
 
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime; uint64 wraparound hash
+
+
 def shingles(text: str, k: int = 8) -> set[int]:
-    """Hashed char k-gram shingle set."""
-    if len(text) < k:
+    """Hashed char k-gram shingle set — one vectorized polynomial hash
+    over the utf-8 bytes (deterministic uint64 wraparound), no Python
+    loop over positions."""
+    data = text.encode()
+    if len(data) < k:
         return {h64(text)} if text else set()
-    return {h64(text[i:i + k]) for i in range(len(text) - k + 1)}
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    powers = _POLY_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(c, k)
+    hs = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return set(np.unique(hs).tolist())
 
 
 def word_set(text: str) -> set[str]:
