@@ -56,6 +56,17 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     kg.kg_pipeline(corpus_source.corpus_dataset(n), tagger="crf").count()
     queries["kg_triples_shuffle_dedup"] = round(time.time() - t0, 3)
 
+    # full sink path: checkpointed, manifested, subject-partitioned write
+    import shutil
+    import tempfile
+    from nerfray.state import manifest as mf
+    out_dir = tempfile.mkdtemp(prefix="nerfray_bench_write_")
+    n_write = corpus_source.corpus_rows_for(sf_dir)
+    t0 = time.time()
+    mf.run_checkpointed(n_write, out_dir, n_shards=4, tagger="crf")
+    queries["kg_write_checkpointed"] = round(time.time() - t0, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     # secondary pipelines at native sf scale
     import __ray_entry__ as e
     qs = e.queries()

@@ -97,6 +97,23 @@ def test_eval_prf_perfect_on_synthetic(ray_session):
         assert r["fp"] == 0 and r["fn"] == 0 and r["tp"] > 0
 
 
+def test_determinism_across_parallelism(ray_session):
+    """North-rule: identical output regardless of block structure and
+    actor-pool width (the sandbox stand-in for N vs 4N nodes)."""
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+
+    def run(rows_per_block, conc):
+        ds = corpus_source.corpus_dataset(N, rows_per_block=rows_per_block)
+        trips = kg.triples_of(kg.linked_of(
+            kg.spans_of(kg.units_of(ds), "crf", concurrency=conc)))
+        return {(r["subj"], r["pred"], r["obj"]) for r in trips.take_all()}
+
+    a = run(20, (1, 1))
+    b = run(55, (1, 4))
+    assert a == b == corpus.gold_triples_all(N)
+
+
 def test_write_triples_partitioned(ray_session, corpus_ds, tmp_path):
     from nerfray.pipelines import kg
     from nerfray.stages import triples as tr
