@@ -51,6 +51,11 @@ def q_sim_lsh(sf_dir: str):
     return similarity.lsh_topk(_emb(sf_dir), k=10)
 
 
+def q_sim_ivf(sf_dir: str):
+    from . import similarity
+    return similarity.ivf_topk(_emb(sf_dir), k=10)
+
+
 def q_dedup_embedding(sf_dir: str):
     # threshold sits at the top of the driver embeddings' actual cosine
     # distribution (random vectors: max ~0.51) so the op surfaces real
@@ -108,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
+        "sim_ivf": q_sim_ivf,
         "sim_jaccard": q_sim_jaccard,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,

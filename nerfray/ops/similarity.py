@@ -178,6 +178,92 @@ def lsh_topk(emb: ray.data.Dataset, *, k: int = 10, bits: int = 6,
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN: k-means coarse quantizer, probe n nearest inverted lists
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 13) -> np.ndarray:
+    """Seeded spherical k-means (deterministic; driver-side on a sample)."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(emb: ray.data.Dataset, *, k: int = 10, n_lists: int = 16,
+             n_probe: int = 4, sample_size: int = 2048,
+             n_queries: int = N_QUERIES) -> ray.data.Dataset:
+    """IVF scale path: vectors are assigned to their nearest of
+    ``n_lists`` k-means centroids (trained on a driver-side sample,
+    broadcast once); each query scores only the vectors in its
+    ``n_probe`` nearest lists. Returns (query_id, rank, vec_id)."""
+    sample_rows = emb.select_columns(["embedding"]).limit(sample_size) \
+        .take_all()
+    cents = _kmeans(np.array([r["embedding"] for r in sample_rows],
+                             dtype=np.float64), n_lists)
+    q = _query_matrix(emb, n_queries)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    wanted_lists = sorted({int(c) for row in probes for c in row})
+    cents_ref = ray.put(cents)
+    q_ref = ray.put(q)
+
+    class IvfScores:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+            qm = ray.get(q_ref)
+            self.q = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            self.probes = probes
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.array(batch.column("embedding").to_pylist(),
+                            dtype=np.float64)
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            assign = np.argmax(vn @ self.cents.T, axis=1)
+            keep = np.isin(assign, wanted_lists)
+            vn, ids, assign = vn[keep], ids[keep], assign[keep]
+            out = []
+            for qi in range(len(self.q)):
+                mask = np.isin(assign, self.probes[qi])
+                if not mask.any():
+                    continue
+                row = self.q[qi] @ vn[mask].T
+                sub_ids = ids[mask]
+                idx = np.lexsort((sub_ids, -row))[:self.k]
+                out.append(pa.Table.from_pydict({
+                    "query_id": pa.array([qi] * len(idx), pa.int64()),
+                    "vec_id": pa.array(sub_ids[idx], pa.int64()),
+                    "score": pa.array(row[idx], pa.float64()),
+                }))
+            if not out:
+                return pa.Table.from_pydict({
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                })
+            return pa.concat_tables(out)
+
+    partials = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        IvfScores, concurrency=(1, 4), batch_size=2048,
+        batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _final_topk, fn_kwargs={"k": k}, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs (LSH candidates + exact verify)
 # ---------------------------------------------------------------------------
 

@@ -98,6 +98,25 @@ def test_lsh_topk_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.1
 
 
+def test_ivf_topk_recall(ray_session):
+    """IVF ANN vs brute force: self-hit guaranteed, recall measured."""
+    import os
+    import ray.data
+    from nerfray.ops import similarity as sim
+    emb = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    exact, approx = {}, {}
+    for r in sim.cosine_topk(emb, k=10).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in sim.ivf_topk(emb, k=10, n_lists=8, n_probe=4).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, hits in approx.items():
+        assert q in hits  # a query's own vector shares its own list
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    # probing half the lists of a near-random space: recall ~n_probe/n_lists
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
 def test_embedding_dup_pairs(ray_session):
     """Planted near-identical vectors are found; reported cosine matches
     brute force; no pair below threshold is reported."""
