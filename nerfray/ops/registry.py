@@ -83,6 +83,11 @@ def q_text_quality(sf_dir: str):
     return text.quality_scores(_docs(sf_dir))
 
 
+def q_docs_curated(sf_dir: str):
+    from . import text
+    return text.curate(_docs(sf_dir), min_words=30, min_ttr_pct=25)
+
+
 def q_lang_confusion(sf_dir: str):
     from . import text
     return text.lang_confusion(_docs(sf_dir))
@@ -117,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_jaccard": q_sim_jaccard,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "docs_curated": q_docs_curated,
         "lang_confusion": q_lang_confusion,
         "doc_fingerprints": q_doc_fingerprints,
         "media_meta": q_media_meta,
@@ -192,6 +198,13 @@ SELECT d.doc_id, q.query_doc,
 FROM d, q ORDER BY doc_id, query_doc
 """
 
+DOCS_CURATED_SQL = f"""
+WITH s AS ({TEXT_STATS_SQL})
+SELECT * FROM s
+WHERE n_words >= 30 AND n_uniq_words * 100 >= n_words * 25
+ORDER BY doc_id
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS text_sha, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1 ORDER BY 1
@@ -214,6 +227,7 @@ def oracles() -> dict[str, str]:
         "sim_jaccard": SIM_JACCARD_SQL,
         "text_stats": TEXT_STATS_SQL,
         "text_quality": TEXT_QUALITY_SQL,
+        "docs_curated": DOCS_CURATED_SQL,
         "media_meta": MEDIA_META_SQL,
         # dedup_minhash / dedup_simhash / sim_lsh / lang_confusion /
         # doc_fingerprints: sketch/model ops, not SQL-expressible ->

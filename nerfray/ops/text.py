@@ -71,6 +71,33 @@ def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
     return text_stats(docs).map_batches(_q, batch_format="pyarrow")
 
 
+def curate(docs: ray.data.Dataset, *, min_words: int = 20,
+           min_ttr_pct: int = 20, min_stop_pct: int = 0
+           ) -> ray.data.Dataset:
+    """Training-data curation: quality-gate documents on their counters
+    (the composed stats -> filter flow a 100 TB curation pipeline runs).
+    Thresholds are integer-ratio predicates (ttr >= min_ttr_pct/100) so
+    the filter is bit-exact against the SQL mirror."""
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        n_words = batch.column("n_words")
+        keep = pc.and_(
+            pc.greater_equal(n_words, min_words),
+            pc.greater_equal(
+                pc.multiply(pc.cast(batch.column("n_uniq_words"),
+                                    pa.int64()), 100),
+                pc.multiply(pc.cast(n_words, pa.int64()), min_ttr_pct)))
+        if min_stop_pct:
+            keep = pc.and_(keep, pc.greater_equal(
+                pc.multiply(pc.cast(batch.column("n_stopwords"),
+                                    pa.int64()), 100),
+                pc.multiply(pc.cast(n_words, pa.int64()), min_stop_pct)))
+        return batch.filter(keep)
+
+    return text_stats(docs).map_batches(_gate, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # language ID: char-bigram profile nearest-centroid
 # ---------------------------------------------------------------------------
