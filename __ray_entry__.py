@@ -87,6 +87,14 @@ def q_kg_pred_counts(sf_dir: str):
         {"count()": "n_triples"})
 
 
+def q_kg_degrees(sf_dir: str):
+    """Graph materialization rollup: out-degree per subject node."""
+    from nerfray.pipelines import kg
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return trips.groupby("subj").count().rename_columns(
+        {"count()": "out_degree"})
+
+
 def q_kg_ox(sf_dir: str):
     """Observation-extraction introspection (reference ``ox`` debug mode):
     per-token observation counts rolled up per token surface."""
@@ -115,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_counts": q_kg_pred_counts,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_ox": q_kg_ox,
+        "kg_degrees": q_kg_degrees,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -130,6 +139,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_counts": corpus.pred_counts_sql(),
         "kg_eval_prf": corpus.eval_prf_sql(),
         "kg_units": corpus.unit_counts_sql(),
+        "kg_degrees": f"""
+SELECT subj, count(*)::BIGINT AS out_degree
+FROM ({corpus.gold_triples_sql()})
+GROUP BY subj ORDER BY subj
+""",
     }
     sql.update(entrypoints.ops_oracles())
     return sql
