@@ -87,12 +87,38 @@ def q_kg_pred_counts(sf_dir: str):
         {"count()": "n_triples"})
 
 
+def q_kg_triples_checkpointed(sf_dir: str):
+    """The full checkpoint-manifest runner: shard the corpus, write
+    subject-partitioned parquet + manifests, read back merged+deduped.
+    Must equal the in-memory pipeline exactly (same oracle)."""
+    import shutil
+    import tempfile
+    from nerfray.state import manifest
+    out = tempfile.mkdtemp(prefix="nerfray_ckpt_")
+    try:
+        manifest.run_checkpointed(_n(sf_dir), out, n_shards=4,
+                                  tagger="crf")
+        return manifest.read_triples(out).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_kg_degrees(sf_dir: str):
     """Graph materialization rollup: out-degree per subject node."""
     from nerfray.pipelines import kg
     trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
     return trips.groupby("subj").count().rename_columns(
         {"count()": "out_degree"})
+
+
+def q_kg_xces(sf_dir: str):
+    """XCES annotation stage: per-file count of emitted <group> elements
+    (= planted mentions incl. the nested vendor group)."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import xces_stage
+    ann = xces_stage.annotate_xces(kg.units_of(_corpus(sf_dir)))
+    return ann.groupby(["repo", "path"]).sum("n_groups").rename_columns(
+        {"sum(n_groups)": "n_groups"})
 
 
 def q_kg_ox(sf_dir: str):
@@ -124,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eval_prf": q_kg_eval_prf,
         "kg_ox": q_kg_ox,
         "kg_degrees": q_kg_degrees,
+        "kg_triples_checkpointed": q_kg_triples_checkpointed,
+        "kg_xces": q_kg_xces,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -135,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_files": corpus.files_sql(),
         "kg_triples": corpus.gold_triples_sql(),
         "kg_triples_rule": corpus.gold_triples_sql(),
+        "kg_triples_checkpointed": corpus.gold_triples_sql(),
         "kg_nodes": corpus.nodes_sql(),
         "kg_pred_counts": corpus.pred_counts_sql(),
         "kg_eval_prf": corpus.eval_prf_sql(),
@@ -143,6 +172,14 @@ def oracle_sql() -> dict[str, str]:
 SELECT subj, count(*)::BIGINT AS out_degree
 FROM ({corpus.gold_triples_sql()})
 GROUP BY subj ORDER BY subj
+""",
+        # groups per file = license + nested vendor + libs + syms + apis
+        "kg_xces": f"""
+WITH {corpus.ROWS_CTE}
+SELECT repo, path,
+       (5 + i % 3 + i % 2
+          + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_groups
+FROM rows ORDER BY repo, path
 """,
     }
     sql.update(entrypoints.ops_oracles())
