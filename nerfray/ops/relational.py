@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 

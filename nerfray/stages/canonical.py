@@ -52,7 +52,6 @@ def canonical_nodes(linked: ray.data.Dataset, *, key: str = "canon_id",
         .rename_columns({"sum(cnt)": "n_mentions"})
 
     def _node_partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         return pa.Table.from_pydict({
             key: batch.column(key),
             "n_mentions": batch.column("n_mentions"),

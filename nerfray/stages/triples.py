@@ -84,6 +84,28 @@ def dedup_triples_local(triples: ray.data.Dataset) -> ray.data.Dataset:
                                batch_size=None, zero_copy_batch=True)
 
 
+def validate_repo_partitioning(corpus_ds: ray.data.Dataset) -> bool:
+    """Check the precondition of ``dedup_triples_local``: no repo appears
+    in more than one block. Runs one cheap map (per-block distinct repo
+    list — a few hundred strings per block) + a driver-side set check.
+    Use before trusting ``dedup="partitioned"`` on an unknown source."""
+
+    def _repos(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uniq = pc.unique(batch.column("repo"))
+        return pa.Table.from_pydict({"repos": pa.array(
+            [[str(x) for x in uniq]], pa.list_(pa.string()))})
+
+    seen: set[str] = set()
+    for row in corpus_ds.map_batches(_repos, batch_format="pyarrow",
+                                     batch_size=None).take_all():
+        block_repos = set(row["repos"])
+        if seen & block_repos:
+            return False
+        seen |= block_repos
+    return True
+
+
 def with_bucket(batch: pa.Table, *, n_buckets: int) -> pa.Table:
     buckets = [subj_bucket(s, n_buckets)
                for s in batch.column("subj").to_pylist()]

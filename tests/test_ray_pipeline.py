@@ -74,6 +74,16 @@ def test_partitioned_dedup_equals_shuffle_dedup(ray_session):
     assert len(rows) == len(part)
 
 
+def test_validate_repo_partitioning(ray_session):
+    from nerfray.sources import corpus_source
+    from nerfray.stages import triples as tr
+    good = corpus_source.corpus_dataset_by_repo(N, repos_per_block=3)
+    assert tr.validate_repo_partitioning(good)
+    # round-robin index blocking scatters each repo across blocks
+    bad = corpus_source.corpus_dataset(N, rows_per_block=30)
+    assert not tr.validate_repo_partitioning(bad)
+
+
 def test_canonical_nodes_salted_equals_unsalted(ray_session, corpus_ds):
     from nerfray.pipelines import kg
     a = {(r["canon_id"], r["n_mentions"], r["n_surfaces"])
