@@ -39,13 +39,24 @@ class LinkSpans:
             self.aliases = ray.get(aliases_ref) \
                 if isinstance(aliases_ref, ray.ObjectRef) else aliases_ref
 
+    CACHE_MAX = 500_000
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         labels = batch.column("label").to_pylist()
         surfaces = batch.column("surface").to_pylist()
         keep, canons, scores = [], [], []
         link, aliases = dicts.link, self.aliases
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            cache = self._cache = {}
         for i, (lbl, surf) in enumerate(zip(labels, surfaces)):
-            canon, score = link(surf, lbl, aliases)
+            key = (surf, lbl)
+            hit = cache.get(key)
+            if hit is None:
+                if len(cache) >= self.CACHE_MAX:
+                    cache.clear()
+                hit = cache[key] = link(surf, lbl, aliases)
+            canon, score = hit
             if canon is not None:
                 keep.append(i)
                 canons.append(canon)
