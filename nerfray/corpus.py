@@ -45,7 +45,7 @@ FILLERS = ["TODO: handle edge cases", "NOTE: see the docs for details",
            "FIXME: refactor once stable"]
 
 TRAIN_OFFSET = 1_000_000  # training rows come from a disjoint index range
-CORPUS_VERSION = 1
+CORPUS_VERSION = 2
 
 
 def n_repos(n: int) -> int:
@@ -130,6 +130,13 @@ def row_lines(i: int, n: int) -> list[tuple[str, list[Span]]]:
                                 (";", None, 0)]))
 
     lines.append((f"{c} {FILLERS[i % 3]}", []))
+
+    # distractor: trigger words and a library name INSIDE a comment — gold
+    # has no spans here; the CRF must use context (comment marker at
+    # offset -2/-1) to suppress, i.e. it does contextual disambiguation,
+    # not surface-form memorization
+    dlib = LIBS[(i * 11 + 5) % 17]
+    lines.append((f"{c} import the {dlib} helper before use", []))
 
     def def_line(sym: str) -> tuple[str, list[Span]]:
         if lang == "python":
@@ -294,13 +301,14 @@ ORDER BY subj, pred, obj
 
 
 def unit_counts_sql() -> str:
-    """Mirror of per-file unit (line) counts: 3 fixed lines (license,
-    filler, first def) + imports + calls + returns-block + optional second
-    def block — pure arithmetic of (i, lang), see row_lines."""
+    """Mirror of per-file unit (line) counts: 4 fixed lines (license,
+    filler, distractor comment, first def) + imports + calls +
+    returns-block + optional second def block — arithmetic of (i, lang),
+    see row_lines."""
     return f"""
 WITH {ROWS_CTE}
 SELECT repo, path,
-       (3 + (1 + i % 3) + (1 + i % 2)
+       (4 + (1 + i % 3) + (1 + i % 2)
           + CASE WHEN lang = 'python' THEN 1 ELSE 2 END
           + CASE WHEN i % 2 = 0
                  THEN CASE WHEN lang = 'python' THEN 2 ELSE 3 END

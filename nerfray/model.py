@@ -29,7 +29,7 @@ from . import corpus, dicts
 from .core import crf, iob, schema
 from .core.tokenize import Token, tokenize
 
-MODEL_VERSION = 3
+MODEL_VERSION = 4
 N_TRAIN = 1200
 CACHE_DIR = os.environ.get("NERFRAY_CACHE", "/tmp/nerfray_cache")
 
