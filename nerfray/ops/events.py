@@ -68,7 +68,75 @@ def hourly_counts(sf_dir: str) -> ray.data.Dataset:
         .rename_columns({"sum(cnt)": "n_events"})
 
 
+def _asof_group(group: pa.Table) -> pa.Table:
+    """Per-key as-of sweep: events matched to the latest order at or
+    before their timestamp (ties on date broken by highest order key)."""
+    kind = np.asarray(group.column("kind").to_pylist())
+    ts = pc.cast(group.column("ats"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    ids = np.asarray(group.column("id").to_pylist(), dtype=np.int64)
+    ev = kind == "e"
+    e_ts, e_id = ts[ev], ids[ev]
+    o_ts, o_id = ts[~ev], ids[~ev]
+    # sort orders by (date, orderkey) so the rightmost match is the winner
+    o_order = np.lexsort((o_id, o_ts))
+    o_ts, o_id = o_ts[o_order], o_id[o_order]
+    # last order with o_ts <= e_ts
+    if len(o_id) == 0:
+        last = np.full(len(e_id), -1, dtype=np.int64)
+    else:
+        idx = np.searchsorted(o_ts, e_ts, side="right") - 1
+        last = np.where(idx >= 0, o_id[np.clip(idx, 0, None)], -1)
+    return pa.Table.from_pydict({
+        "event_id": pa.array(e_id, pa.int64()),
+        "last_order": pa.array(last, pa.int64()),
+    })
+
+
+def asof_last_order(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (custom operator — Ray Data has no native one): each
+    event joined to the user's most recent order at or before the event
+    time. Both sides are re-keyed to a common (key, kind, ats, id) shape,
+    unioned, hash-co-located by key, and swept per group — the standard
+    partition-both-sides-by-key pattern; at scale the groupby is the one
+    bounded shuffle and each group holds one user's history."""
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _ev(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": pc.cast(batch.column("user_id"), pa.int64()),
+            "kind": pa.array(["e"] * len(batch), pa.string()),
+            "ats": pc.cast(batch.column("ts"), pa.timestamp("us")),
+            "id": pc.cast(batch.column("event_id"), pa.int64()),
+        })
+
+    def _od(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "kind": pa.array(["o"] * len(batch), pa.string()),
+            "ats": pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+            "id": pc.cast(batch.column("o_orderkey"), pa.int64()),
+        })
+
+    both = events.map_batches(_ev, batch_format="pyarrow").union(
+        orders.map_batches(_od, batch_format="pyarrow"))
+    return both.groupby("key").map_groups(_asof_group,
+                                          batch_format="pyarrow")
+
+
 ORACLES = {
+    "events_asof_order": """
+SELECT e.event_id,
+       coalesce((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
+                -1)::BIGINT AS last_order
+FROM events e ORDER BY e.event_id
+""",
     "events_sessionize": f"""
 WITH ordered AS (
   SELECT user_id, ts,

@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": relational.customers_per_region,
         "part_type_sizes": relational.part_type_sizes,
         "events_sessionize": events.sessionize,
+        "events_asof_order": events.asof_last_order,
         "events_hourly": events.hourly_counts,
     }
     return q
