@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,
         "part_type_sizes": relational.part_type_sizes,
+        "lineitem_by_flag": relational.lineitem_by_flag,
         "events_sessionize": events.sessionize,
         "events_asof_order": events.asof_last_order,
         "events_hourly": events.hourly_counts,

@@ -71,6 +71,29 @@ def customers_per_region(sf_dir: str) -> ray.data.Dataset:
         .rename_columns({"count()": "n_customers"})
 
 
+def lineitem_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped rollup restricted to exactness-safe aggregates:
+    l_quantity is integer-valued, so its float sum is exact (< 2^53) and
+    order-independent; it is cast to int64 to match the oracle's BIGINT."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_items"),
+        ray.data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
+        ray.data.aggregate.Min("l_quantity", alias_name="min_qty"),
+        ray.data.aggregate.Max("l_quantity", alias_name="max_qty"))
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for col in ("sum_qty", "min_qty", "max_qty"):
+            i = batch.column_names.index(col)
+            batch = batch.set_column(
+                i, col, pc.cast(pc.round(batch.column(col)), pa.int64()))
+        return batch
+
+    return agg.map_batches(_cast, batch_format="pyarrow")
+
+
 def part_type_sizes(sf_dir: str) -> ray.data.Dataset:
     """Filter + groupby with int-sum (exact) aggregates."""
     ds = _read(sf_dir, "part", ["p_type", "p_size"])
@@ -96,6 +119,13 @@ SELECT r.r_name, count(*)::BIGINT AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name ORDER BY r.r_name
+""",
+    "lineitem_by_flag": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       min(l_quantity)::BIGINT AS min_qty,
+       max(l_quantity)::BIGINT AS max_qty
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "part_type_sizes": """
 SELECT p_type, count(*)::BIGINT AS n_parts, sum(p_size)::BIGINT AS sum_size

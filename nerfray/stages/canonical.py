@@ -45,21 +45,22 @@ def canonical_nodes(linked: ray.data.Dataset, *, key: str = "canon_id",
         _partial_counts, fn_kwargs={"key": key, "n_salts": n_salts},
         batch_format="pyarrow", zero_copy_batch=True)
     if n_salts > 1:
+        # salted mid-combine: hot (key, surface) pairs split over n_salts
+        # reducers before the final per-key reduction
         mid = partial.groupby([key, "surface", "salt"]).sum("cnt")
         partial = mid.drop_columns(["salt"]).rename_columns(
             {"sum(cnt)": "cnt"})
-    per_surface = partial.groupby([key, "surface"]).sum("cnt") \
-        .rename_columns({"sum(cnt)": "n_mentions"})
 
-    def _node_partial(batch: pa.Table) -> pa.Table:
+    def _node_group(group: pa.Table) -> pa.Table:
+        cnts = group.column("cnt").to_pylist()
+        surfaces = group.column("surface").to_pylist()
         return pa.Table.from_pydict({
-            key: batch.column(key),
-            "n_mentions": batch.column("n_mentions"),
-            "n_surfaces": pa.array([1] * len(batch), pa.int64()),
+            key: group.column(key).slice(0, 1),
+            "n_mentions": pa.array([sum(cnts)], pa.int64()),
+            "n_surfaces": pa.array([len(set(surfaces))], pa.int64()),
         })
 
-    nodes = per_surface.map_batches(_node_partial, batch_format="pyarrow") \
-        .groupby(key).sum(["n_mentions", "n_surfaces"]) \
-        .rename_columns({"sum(n_mentions)": "n_mentions",
-                         "sum(n_surfaces)": "n_surfaces"})
-    return nodes
+    # single final shuffle: block-combined partials are tiny, so one
+    # groupby(key).map_groups computes both rollups at once
+    return partial.groupby(key).map_groups(_node_group,
+                                           batch_format="pyarrow")
