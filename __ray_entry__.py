@@ -103,6 +103,17 @@ def q_kg_triples_checkpointed(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_kg_triples_prov(sf_dir: str):
+    """F5-schema output: triples carrying (repo, path, content_sha,
+    src span) provenance; sha/span invariants are pytest-verified
+    (tests/test_ray_pipeline.py::test_triples_with_provenance)."""
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+    n = corpus_source.corpus_rows_for(sf_dir)
+    return kg.triples_with_provenance(
+        corpus_source.corpus_dataset_by_repo(n), tagger="crf")
+
+
 def q_kg_degrees(sf_dir: str):
     """Graph materialization rollup: out-degree per subject node."""
     from nerfray.pipelines import kg
@@ -152,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q_kg_degrees,
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_xces": q_kg_xces,
+        "kg_triples_prov": q_kg_triples_prov,
     }
     q.update(entrypoints.ops_queries())
     return q

@@ -75,6 +75,21 @@ def triples_of(linked: ray.data.Dataset,
     return triples.dedup_triples(emitted)
 
 
+def triples_with_provenance(corpus_ds: ray.data.Dataset,
+                            tagger: str = "crf") -> ray.data.Dataset:
+    """Provenance-carrying flagship output (FIXTURES.md F5 schema): each
+    deduped triple keeps its minimal source span (repo, path,
+    content_sha, unit_id, src char range). Requires repo-partitioned
+    input blocks like the partitioned dedup path."""
+    linked = linked_of(spans_of(units_of(corpus_ds), tagger))
+    emitted = linked.map_batches(triples.emit_triples_with_provenance,
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return emitted.map_batches(triples._block_distinct_prov,
+                               batch_format="pyarrow", batch_size=None,
+                               zero_copy_batch=True)
+
+
 def kg_pipeline(corpus_ds: ray.data.Dataset, tagger: str = "crf",
                 dedup: str = "shuffle") -> ray.data.Dataset:
     """corpus Dataset -> deduped triple Dataset (lazy).

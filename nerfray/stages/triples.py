@@ -60,6 +60,75 @@ def emit_triples(batch: pa.Table) -> pa.Table:
         schema=TRIPLE_SCHEMA)
 
 
+PROV_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("content_sha", pa.string()),
+    ("unit_id", pa.int32()),
+    ("src_start", pa.int32()),
+    ("src_end", pa.int32()),
+])
+
+
+def emit_triples_with_provenance(batch: pa.Table) -> pa.Table:
+    """Linked spans -> triples carrying source provenance (FIXTURES.md F5:
+    repo, path, content_sha, src span). Per-batch dedup keeps the MINIMAL
+    provenance tuple per triple — a deterministic choice independent of
+    row order, so retries and different block orders agree."""
+    cols = {n: batch.column(n).to_pylist()
+            for n in ("repo", "path", "content_sha", "unit_id", "label",
+                      "canon_id", "start", "end")}
+    best: dict[tuple, tuple] = {}
+    for repo, path, sha, uid, lbl, canon, a, b in zip(
+            cols["repo"], cols["path"], cols["content_sha"],
+            cols["unit_id"], cols["label"], cols["canon_id"],
+            cols["start"], cols["end"]):
+        m = PRED_BY_LABEL.get(lbl)
+        if m is None:
+            continue
+        subj = repo if m[0] == "repo" else repo + "/" + path
+        key = (subj, m[1], canon)
+        prov = (path, int(uid), int(a), int(b), repo, sha)
+        if key not in best or prov < best[key]:
+            best[key] = prov
+    keys = sorted(best)
+    return pa.Table.from_pydict({
+        "subj": pa.array([k[0] for k in keys], pa.string()),
+        "pred": pa.array([k[1] for k in keys], pa.string()),
+        "obj": pa.array([k[2] for k in keys], pa.string()),
+        "repo": pa.array([best[k][4] for k in keys], pa.string()),
+        "path": pa.array([best[k][0] for k in keys], pa.string()),
+        "content_sha": pa.array([best[k][5] for k in keys], pa.string()),
+        "unit_id": pa.array([best[k][1] for k in keys], pa.int32()),
+        "src_start": pa.array([best[k][2] for k in keys], pa.int32()),
+        "src_end": pa.array([best[k][3] for k in keys], pa.int32()),
+    }, schema=PROV_SCHEMA)
+
+
+def _block_distinct_prov(batch: pa.Table) -> pa.Table:
+    """Keep the min-provenance row per (subj,pred,obj) within a block."""
+    rows = list(zip(*(batch.column(n).to_pylist()
+                      for n in PROV_SCHEMA.names)))
+
+    def prov_key(r):
+        return (r[4], r[6], r[7], r[8])  # path, unit_id, src_start, src_end
+
+    best: dict[tuple, tuple] = {}
+    for r in rows:
+        key = r[:3]
+        if key not in best or prov_key(r) < prov_key(best[key]):
+            best[key] = r
+    keys = sorted(best)
+    out = list(zip(*(best[k] for k in keys))) if keys else \
+        [[] for _ in PROV_SCHEMA.names]
+    return pa.Table.from_pydict(
+        {n: pa.array(list(v), PROV_SCHEMA.field(n).type)
+         for n, v in zip(PROV_SCHEMA.names, out)}, schema=PROV_SCHEMA)
+
+
 def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
     """Global exact dedup: hash-shuffle on (subj,pred,obj), keep first.
 

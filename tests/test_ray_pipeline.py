@@ -74,6 +74,45 @@ def test_partitioned_dedup_equals_shuffle_dedup(ray_session):
     assert len(rows) == len(part)
 
 
+def test_triples_with_provenance(ray_session):
+    """F5 schema: provenance rows point at a real source span whose file
+    sha equals the end-to-end carried content_sha, and the provenance
+    choice is deterministic across block structures."""
+    import hashlib
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+
+    def run(rpb):
+        ds = corpus_source.corpus_dataset_by_repo(N, repos_per_block=rpb)
+        return {tuple(r[k] for k in ("subj", "pred", "obj", "repo", "path",
+                                     "content_sha", "unit_id", "src_start",
+                                     "src_end")): r
+                for r in kg.triples_with_provenance(ds, "rule").take_all()}
+
+    a = run(3)
+    b = run(7)
+    assert set(a) == set(b)  # provenance deterministic across blocking
+    assert {k[:3] for k in a} == corpus.gold_triples_all(N)
+    # verify sha + span against the actual source content
+    by_file = {}
+    for i in range(N):
+        f = corpus.row_fields(i, N)
+        by_file[(f["repo"], f["path"])] = corpus.row_content(i, N)
+    for k, r in a.items():
+        content = by_file[(r["repo"], r["path"])]
+        assert hashlib.sha256(content.encode()).hexdigest() \
+            == r["content_sha"]
+        line = content.split("\n")[r["unit_id"]]
+        assert 0 <= r["src_start"] < r["src_end"] <= len(line)
+        surface = line[r["src_start"]:r["src_end"]]
+        if r["pred"] == "imports":      # surface IS the canonical object
+            assert r["obj"] == f"lib:{surface}"
+        elif r["pred"] == "calls":
+            assert r["obj"] == f"api:{surface}"
+        elif r["pred"] == "defines":
+            assert r["obj"] == f"sym:{surface}"
+
+
 def test_validate_repo_partitioning(ray_session):
     from nerfray.sources import corpus_source
     from nerfray.stages import triples as tr
