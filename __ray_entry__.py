@@ -114,6 +114,15 @@ def q_kg_triples_prov(sf_dir: str):
         corpus_source.corpus_dataset_by_repo(n), tagger="crf")
 
 
+def q_kg_components(sf_dir: str):
+    """Connected components of the KG (iterative broadcast label
+    propagation; the label map is the aggregate-to-small side)."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return graph.connected_components(trips)
+
+
 def q_kg_degrees(sf_dir: str):
     """Graph materialization rollup: out-degree per subject node."""
     from nerfray.pipelines import kg
@@ -164,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_xces": q_kg_xces,
         "kg_triples_prov": q_kg_triples_prov,
+        "kg_components": q_kg_components,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -184,6 +194,18 @@ def oracle_sql() -> dict[str, str]:
 SELECT subj, count(*)::BIGINT AS out_degree
 FROM ({corpus.gold_triples_sql()})
 GROUP BY subj ORDER BY subj
+""",
+        "kg_components": f"""
+WITH RECURSIVE gold AS ({corpus.gold_triples_sql()}),
+e AS (SELECT subj AS a, obj AS b FROM gold
+      UNION SELECT obj, subj FROM gold),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, lbl) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node ORDER BY node
 """,
         # groups per file = license + nested vendor + libs + syms + apis
         "kg_xces": f"""
