@@ -28,12 +28,26 @@ NE-dicts@[-1,0]; internal-triggers@[0]; external-triggers@[-1].
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from . import ox
 
 # A lexical dictionary for dictB-style blocks: surface form -> sorted labels.
 DictTable = dict[str, tuple[str, ...]]
+
+# User-extension surface (reference Block/Schema combinator API,
+# Schema.hs:66-103; SURVEY.md §2.10): a custom block is a named callable
+# (words, j) -> [(subkey, value)] registered at import time in every
+# process (the reference likewise requires block code to exist at both
+# train and tag time); SchemaConf references blocks by name only.
+BlockFn = Callable[[list[str], int], list[tuple[str, str]]]
+CUSTOM_BLOCKS: dict[str, BlockFn] = {}
+
+
+def register_block(name: str, fn: BlockFn) -> None:
+    """Register (or replace) a custom feature block."""
+    CUSTOM_BLOCKS[name] = fn
 
 
 @dataclass
@@ -54,6 +68,7 @@ class SchemaConf:
     shape_pair: list[int] | None = None
     packed_pair: list[int] | None = None
     dicts: list[tuple[str, DictTable, list[int]]] = field(default_factory=list)
+    custom: list[tuple[str, list[int]]] = field(default_factory=list)
 
     def to_config(self) -> dict:
         """JSON-serializable form (dict tables included)."""
@@ -69,6 +84,7 @@ class SchemaConf:
             "packed_pair": self.packed_pair,
             "dicts": [[name, {k: list(v) for k, v in table.items()}, offs]
                       for name, table, offs in self.dicts],
+            "custom": [[name, offs] for name, offs in self.custom],
         }
 
     @classmethod
@@ -87,6 +103,7 @@ class SchemaConf:
             packed_pair=cfg.get("packed_pair"),
             dicts=[(name, {k: tuple(v) for k, v in table.items()}, offs)
                    for name, table, offs in cfg.get("dicts", [])],
+            custom=[(name, offs) for name, offs in cfg.get("custom", [])],
         )
 
 
@@ -188,5 +205,14 @@ def schematize(conf: SchemaConf, words: list[str]) -> list[set[str]]:
             if labels:
                 for lbl in labels:  # Ox `saves`: one index, many values
                     save(k, f"{bi}.{name}@{o}", lbl)
+        bi += 1
+    for name, offsets in conf.custom:
+        fn = CUSTOM_BLOCKS.get(name)
+        if fn is None:
+            raise KeyError(f"custom block {name!r} is not registered "
+                           f"(register_block before schematize)")
+        for k, o, j in each(offsets):
+            for sub, val in fn(words, j):
+                save(k, f"{bi}.{name}.{sub}@{o}", val)
         bi += 1
     return obs

@@ -71,3 +71,42 @@ def test_conf_json_roundtrip():
     conf2 = schema.SchemaConf.from_config(conf.to_config())
     ws = ["import", "os", "the", "Apache"]
     assert schema.schematize(conf, ws) == schema.schematize(conf2, ws)
+
+
+def test_custom_block_registry():
+    """§2.10 extension surface: a user-registered block participates in
+    extraction, survives config round-trip, and a model trained with it
+    tags correctly."""
+    import pytest
+    from nerfray.core import crf
+
+    def digit_flags(words, j):
+        w = words[j]
+        return [("hasdig", "y" if any(c.isdigit() for c in w) else "n")]
+
+    schema.register_block("digit_flags", digit_flags)
+    conf = schema.SchemaConf(orth=[0], custom=[("digit_flags", [0])])
+    obs = schema.schematize(conf, ["abc", "a1"])
+    assert any("digit_flags.hasdig@0=n" in o for o in obs[0])
+    assert any("digit_flags.hasdig@0=y" in o for o in obs[1])
+
+    # config round-trip references the block by name
+    conf2 = schema.SchemaConf.from_config(conf.to_config())
+    assert schema.schematize(conf2, ["abc", "a1"]) == obs
+
+    # unregistered name fails loudly
+    bad = schema.SchemaConf(custom=[("nope", [0])])
+    with pytest.raises(KeyError):
+        schema.schematize(bad, ["x"])
+
+    # end-to-end: a model whose only generalizing signal is the custom
+    # block must separate digit tokens from letter tokens
+    sents, labels = [], []
+    for ws, ys in [(["abc", "12"], ["O", "B:num"]),
+                   (["7", "zz"], ["B:num", "O"]),
+                   (["x9", "qq"], ["B:num", "O"])]:
+        sents.append(schema.schematize(conf, ws))
+        labels.append(ys)
+    m = crf.train(sents, labels, crf.SgdArgs(iter_num=8))
+    got = m.viterbi(schema.schematize(conf, ["hello", "42"]))
+    assert got == ["O", "B:num"]
