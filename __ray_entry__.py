@@ -123,6 +123,17 @@ def q_kg_components(sf_dir: str):
     return graph.connected_components(trips)
 
 
+def q_kg_pagerank(sf_dir: str):
+    """PageRank over the KG (edges stream to bounded adjacency counts;
+    power iteration on the aggregate-to-small node set). Rows-only:
+    float ranks have no stable SQL mirror; pytest verifies against a
+    dense reference implementation."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph
+    return graph.pagerank(kg.run_for(sf_dir, tagger="crf",
+                                     dedup="partitioned"))
+
+
 def q_kg_degrees(sf_dir: str):
     """Graph materialization rollup: out-degree per subject node."""
     from nerfray.pipelines import kg
@@ -174,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_xces": q_kg_xces,
         "kg_triples_prov": q_kg_triples_prov,
         "kg_components": q_kg_components,
+        "kg_pagerank": q_kg_pagerank,
     }
     q.update(entrypoints.ops_queries())
     return q
