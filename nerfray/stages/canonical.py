@@ -17,6 +17,8 @@ from collections import Counter
 import pyarrow as pa
 import ray.data
 
+from nerfray.ops.dedup import h64
+
 
 def _partial_counts(batch: pa.Table, *, key: str, n_salts: int) -> pa.Table:
     keys = batch.column(key).to_pylist()
@@ -34,7 +36,10 @@ def _partial_counts(batch: pa.Table, *, key: str, n_salts: int) -> pa.Table:
         "cnt": pa.array(ns, pa.int64()),
     }
     if n_salts > 1:
-        out["salt"] = pa.array([hash(s) % n_salts for s in ss], pa.int32())
+        # h64, not builtin hash: salt choice must be PYTHONHASHSEED-
+        # independent so retried/re-partitioned runs shuffle identically
+        out["salt"] = pa.array([h64(s, seed=11) % n_salts for s in ss],
+                               pa.int32())
     return pa.Table.from_pydict(out)
 
 

@@ -1,111 +1,256 @@
-"""Graph analytics over the materialized triple table.
+"""Distributed graph analytics over the materialized triple table.
 
-Connected components via iterative min-label propagation: the label map
-is the aggregate-to-small side (canonical nodes are bounded — 10^6-ish at
-100 TB — while the corpus is not), so each iteration is one broadcast
-(``ray.put`` of the label dict) + one ``map_batches`` over the edge
-Dataset emitting per-block label improvements + a driver-side merge.
-Converges in O(graph diameter) passes; every step is deterministic, so
-the result is independent of edge partitioning.
+Both algorithms keep the edge set resident in the object store as a
+Dataset — the driver never holds an edge-proportional container
+(tests/test_graph.py::test_no_edge_proportional_driver_state pins this):
+
+- **PageRank** — the rank vector is the aggregate-to-small side (node-
+  sized); edges are integer-encoded once, then every iteration is
+  broadcast(rank) -> per-block ``np.bincount`` partial sums inside
+  ``map_batches`` -> one small ``groupby(node).sum`` reduce.  Driver
+  memory is O(nodes) (the rank/out-degree vectors), never O(edges).
+- **Connected components** — the alternating large-star / small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14): each round is two ``groupby(node).map_groups``
+  passes over the edge Dataset; convergence is detected with an
+  order-independent per-block checksum (block-count-sized driver fetch).
+  Driver memory is O(num_blocks) scalars — no node or edge map at all.
+  Converges in O(log n) rounds to edges (v, min-of-component), which is
+  exactly the recursive-CTE oracle's (node, component=min node) answer.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
 
+from nerfray.ops.dedup import h64
 
-def _improvements(batch: pa.Table, labels_ref) -> pa.Table:
-    labels = ray.get(labels_ref) if isinstance(labels_ref, ray.ObjectRef) \
-        else labels_ref
-    out: dict[str, str] = {}
-    for a, b in zip(batch.column("subj").to_pylist(),
-                    batch.column("obj").to_pylist()):
-        la, lb = labels[a], labels[b]
-        if la < lb:
-            cur = out.get(b)
-            if cur is None or la < cur:
-                out[b] = la
-        elif lb < la:
-            cur = out.get(a)
-            if cur is None or lb < cur:
-                out[a] = lb
-    ks = sorted(out)
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _degree_partial(batch: pa.Table) -> pa.Table:
+    """Block combiner: per-node out-degree partials (+0 rows for targets,
+    so the node table is complete after one groupby)."""
+    from collections import Counter
+    cnt: Counter = Counter(batch.column("subj").to_pylist())
+    for o in batch.column("obj").to_pylist():
+        cnt.setdefault(o, 0)
+    ks = sorted(cnt)
     return pa.Table.from_pydict({
         "node": pa.array(ks, pa.string()),
-        "lbl": pa.array([out[k] for k in ks], pa.string()),
+        "outp": pa.array([cnt[k] for k in ks], pa.int64()),
+    })
+
+
+def _encode_edges(batch: pa.Table, *, idx_ref) -> pa.Table:
+    idx = ray.get(idx_ref) if isinstance(idx_ref, ray.ObjectRef) else idx_ref
+    src = [idx[s] for s in batch.column("subj").to_pylist()]
+    dst = [idx[o] for o in batch.column("obj").to_pylist()]
+    return pa.Table.from_pydict({
+        "src": pa.array(src, pa.int32()),
+        "dst": pa.array(dst, pa.int32()),
+    })
+
+
+def _contrib_partial(batch: pa.Table, *, contrib_ref) -> pa.Table:
+    """Sparse per-block partial sums of damped contributions per target."""
+    contrib = ray.get(contrib_ref) \
+        if isinstance(contrib_ref, ray.ObjectRef) else contrib_ref
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    sums = np.bincount(dst, weights=contrib[src])
+    nz = np.nonzero(sums)[0]
+    return pa.Table.from_pydict({
+        "i": pa.array(nz, pa.int32()),
+        "p": pa.array(sums[nz], pa.float64()),
     })
 
 
 def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
              iters: int = 20) -> ray.data.Dataset:
-    """PageRank over the (directed) triple graph. The node set is the
-    aggregate-to-small side: edges stream once into per-source adjacency
-    counts (a bounded dict), then power iteration runs driver-side on the
-    dense vector — the honest 100 TB shape, since canonical nodes are
-    10^6-ish while the corpus is not. Deterministic (fixed iteration
-    count, sorted node order)."""
-    import numpy as np
+    """PageRank over the (directed) triple graph, multi-edges counted.
 
-    out_counts: dict[str, int] = {}
-    in_edges: dict[str, list] = {}
-    nodes: set[str] = set()
-    for batch in triples.select_columns(["subj", "obj"]) \
-            .iter_batches(batch_format="pyarrow"):
-        for a, b in zip(batch.column("subj").to_pylist(),
-                        batch.column("obj").to_pylist()):
-            nodes.add(a)
-            nodes.add(b)
-            out_counts[a] = out_counts.get(a, 0) + 1
-            in_edges.setdefault(b, []).append(a)
+    Edges stay a Dataset end to end: one ``groupby(node).sum`` builds the
+    node/out-degree table (node-sized, collected to the driver — the rank
+    vector is by construction the aggregate-to-small side), edges are
+    integer-encoded once against a broadcast node index, and each power
+    iteration broadcasts the damped-contribution vector, computes sparse
+    per-target partial sums per block (vectorized ``np.bincount``), and
+    reduces them with ``groupby(i).sum`` — the same aggregate-to-small
+    pattern as canonicalization.  Deterministic up to float-summation
+    order (fixed iteration count; partial-sum order depends on block
+    boundaries, so agreement with a dense reference is ~1e-12-ish, not
+    bit-exact)."""
+    edges = triples.select_columns(["subj", "obj"])
+    deg = edges.map_batches(_degree_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("node").sum("outp")
 
-    order = sorted(nodes)
-    idx = {n: i for i, n in enumerate(order)}
-    n = len(order)
+    # node-sized driver state: node order + out-degree + rank vector
+    names: list[str] = []
+    outs_l: list[int] = []
+    for b in deg.iter_batches(batch_format="pyarrow"):
+        names.extend(b.column("node").to_pylist())
+        outs_l.extend(b.column("sum(outp)").to_pylist())
+    order = np.argsort(np.array(names, dtype=object), kind="stable")
+    nodes = [names[i] for i in order]
+    outs = np.array([outs_l[i] for i in order], dtype=np.float64)
+    n = len(nodes)
+    if n == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {"node": pa.array([], pa.string()),
+             "rank": pa.array([], pa.float64())}))
+
+    idx_ref = ray.put({node: i for i, node in enumerate(nodes)})
+    iedges = edges.map_batches(
+        _encode_edges, fn_kwargs={"idx_ref": idx_ref},
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
     rank = np.full(n, 1.0 / n)
-    outs = np.array([out_counts.get(nd, 0) for nd in order], dtype=np.float64)
+    dangling = outs == 0
     for _ in range(iters):
-        contrib = np.where(outs > 0, rank / np.maximum(outs, 1), 0.0)
+        contrib = np.where(outs > 0, rank / np.maximum(outs, 1.0), 0.0)
+        contrib_ref = ray.put(contrib)
+        red = iedges.map_batches(
+            _contrib_partial, fn_kwargs={"contrib_ref": contrib_ref},
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("i").sum("p")
         nxt = np.full(n, (1.0 - damping) / n)
-        # dangling mass redistributed uniformly
-        nxt += damping * rank[outs == 0].sum() / n
-        for b, srcs in in_edges.items():
-            nxt[idx[b]] += damping * sum(contrib[idx[a]] for a in srcs)
+        nxt += damping * rank[dangling].sum() / n
+        for b in red.iter_batches(batch_format="pyarrow"):  # node-sized
+            ii = b.column("i").to_numpy(zero_copy_only=False)
+            pp = b.column("sum(p)").to_numpy(zero_copy_only=False)
+            nxt[ii] += damping * pp
         rank = nxt
 
     return ray.data.from_arrow(pa.Table.from_pydict({
-        "node": pa.array(order, pa.string()),
+        "node": pa.array(nodes, pa.string()),
         "rank": pa.array(rank, pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (alternating large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _init_edges(batch: pa.Table) -> pa.Table:
+    """Triples -> per-block-distinct undirected edge pairs (a != b)."""
+    seen = {(a, b)
+            for a, b in zip(batch.column("subj").to_pylist(),
+                            batch.column("obj").to_pylist()) if a != b}
+    es = sorted(seen)
+    return pa.Table.from_pydict({
+        "a": pa.array([e[0] for e in es], pa.string()),
+        "b": pa.array([e[1] for e in es], pa.string()),
+    })
+
+
+def _symmetrize(batch: pa.Table) -> pa.Table:
+    fwd = batch.select(["a", "b"]).rename_columns(["u", "v"])
+    rev = batch.select(["b", "a"]).rename_columns(["u", "v"])
+    return pa.concat_tables([fwd, rev])
+
+
+def _orient_max_first(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    a, b = batch.column("a"), batch.column("b")
+    hi = pc.if_else(pc.greater(a, b), a, b)
+    lo = pc.if_else(pc.greater(a, b), b, a)
+    return pa.Table.from_pydict({"u": hi, "v": lo})
+
+
+def _large_star_group(group: pa.Table) -> pa.Table:
+    u = group.column("u")[0].as_py()
+    nbrs = set(group.column("v").to_pylist())
+    m = min(min(nbrs), u)
+    vs = sorted(x for x in nbrs if x > u)
+    return pa.Table.from_pydict({
+        "a": pa.array(vs, pa.string()),
+        "b": pa.array([m] * len(vs), pa.string()),
+    })
+
+
+def _small_star_group(group: pa.Table) -> pa.Table:
+    u = group.column("u")[0].as_py()
+    nbrs = set(group.column("v").to_pylist())  # all < u by orientation
+    m = min(nbrs)
+    vs = sorted((nbrs | {u}) - {m})
+    return pa.Table.from_pydict({
+        "a": pa.array(vs, pa.string()),
+        "b": pa.array([m] * len(vs), pa.string()),
+    })
+
+
+def _sig_partial(batch: pa.Table) -> pa.Table:
+    """Order-independent per-block edge-set checksum (count, hash-sum)."""
+    hv = sum(h64(a + "\x1f" + b, seed=9)
+             for a, b in zip(batch.column("a").to_pylist(),
+                             batch.column("b").to_pylist()))
+    return pa.Table.from_pydict({
+        "cnt": pa.array([batch.num_rows], pa.int64()),
+        "hv": pa.array([str(hv)], pa.string()),  # unbounded int as string
+    })
+
+
+def _signature(edges: ray.data.Dataset) -> tuple[int, int]:
+    cnt = hv = 0
+    for row in edges.map_batches(_sig_partial, batch_format="pyarrow",
+                                 batch_size=None).take_all():
+        cnt += row["cnt"]
+        hv += int(row["hv"])
+    return cnt, hv
+
+
+def _round(edges: ray.data.Dataset) -> ray.data.Dataset:
+    large = edges.map_batches(_symmetrize, batch_format="pyarrow") \
+        .groupby("u").map_groups(_large_star_group, batch_format="pyarrow")
+    return large.map_batches(_orient_max_first, batch_format="pyarrow") \
+        .groupby("u").map_groups(_small_star_group, batch_format="pyarrow")
 
 
 def connected_components(triples: ray.data.Dataset,
                          max_iters: int = 50) -> ray.data.Dataset:
     """(node, component) for every subject/object; component = min node
-    string in the connected component (edges undirected)."""
-    edges = triples.select_columns(["subj", "obj"]).materialize()
-    nodes: set[str] = set()
-    for batch in edges.iter_batches(batch_format="pyarrow"):
-        nodes.update(batch.column("subj").to_pylist())
-        nodes.update(batch.column("obj").to_pylist())
-    labels = {n: n for n in nodes}
+    string in the connected component (edges undirected).
 
+    Fully distributed: per round the edge Dataset goes through a
+    large-star then a small-star ``groupby(u).map_groups`` (each group =
+    one node's neighborhood), converging in O(log n) rounds to the star
+    forest {(v, component-min)}.  The driver sees only per-block
+    (count, checksum) partials — no label map, no node set, no edges."""
+    edges = triples.map_batches(_init_edges, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    sig = _signature(edges)
     for _ in range(max_iters):
-        ref = ray.put(labels)
-        changed = False
-        improved = edges.map_batches(
-            _improvements, fn_kwargs={"labels_ref": ref},
-            batch_format="pyarrow").take_all()
-        for row in improved:
-            if row["lbl"] < labels[row["node"]]:
-                labels[row["node"]] = row["lbl"]
-                changed = True
-        if not changed:
+        nxt = _round(edges).materialize()
+        nsig = _signature(nxt)
+        edges = nxt
+        if nsig == sig:
             break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds")
 
-    ks = sorted(labels)
-    return ray.data.from_arrow(pa.Table.from_pydict({
-        "node": pa.array(ks, pa.string()),
-        "component": pa.array([labels[k] for k in ks], pa.string()),
-    }))
+    # star forest -> result rows. Children: (v, m) edges as-is (min(b)
+    # per a is a no-op at convergence but keeps the op deterministic);
+    # roots: every distinct m gets (m, m). At convergence no root appears
+    # on the left, so the union is disjoint.
+    children = edges.groupby("a").min("b").rename_columns(
+        {"a": "node", "min(b)": "component"})
+
+    def _root_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        roots = pc.unique(batch.column("component"))
+        return pa.Table.from_pydict({"node": roots, "component": roots})
+
+    roots = children.map_batches(_root_rows, batch_format="pyarrow") \
+        .groupby("node").min("component").rename_columns(
+            {"min(component)": "component"})
+    return children.union(roots)
