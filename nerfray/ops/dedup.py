@@ -129,10 +129,17 @@ def _bands(batch: pa.Table, *, n_bands: int, rows_per_band: int) -> pa.Table:
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one (band, band_key) bucket (cap guards a
-    degenerate hot bucket — documented loss, logged via counter column)."""
+    """Candidate pairs within one (band, band_key) bucket. A degenerate
+    hot bucket is capped at 200 ids (pairs beyond the cap are DROPPED —
+    a documented recall loss; each overflow is logged with the drop
+    count from the worker that saw it)."""
     ids = sorted(group.column("doc_id").to_pylist())
     cap = 200
+    if len(ids) > cap:
+        import logging
+        logging.getLogger(__name__).warning(
+            "minhash LSH bucket overflow: %d ids in one bucket, "
+            "dropping %d beyond cap=%d", len(ids), len(ids) - cap, cap)
     ids = ids[:cap]
     a, b = [], []
     for i in range(len(ids)):
@@ -161,54 +168,139 @@ def minhash_candidates(docs: ray.data.Dataset, *, k: int = 64,
         .drop_columns(["count()"])
 
 
-class JaccardVerify:
-    """Exact Jaccard check of candidate pairs. The doc texts needed per
-    pair are fetched via a broadcast id->text map (fine when the candidate
-    side is small; at 100 TB this becomes a hash-join of pairs against the
-    docs table on doc_id, both sides already id-partitioned)."""
+# -- distributed exact-Jaccard verification ---------------------------------
+#
+# Candidate pairs are verified WITHOUT any driver-side materialization:
+# the shingle table (doc_id -> sorted shingle array) is a Dataset, and
+# each pair picks up its two shingle sets through two co-group passes —
+# a hash join of pairs against the shingle table on doc_a, then on
+# doc_b. Exact Jaccard (same shingles() as before, so values are
+# unchanged); both joins shuffle only (id, shingles) rows, never text.
 
-    def __init__(self, texts_ref, shingle_k: int = 8, threshold: float = 0.6):
-        self.texts = ray.get(texts_ref) \
-            if isinstance(texts_ref, ray.ObjectRef) else texts_ref
-        self.shingle_k = shingle_k
-        self.threshold = threshold
+_JOIN_SCHEMA = pa.schema([
+    ("key", pa.int64()),
+    ("doc_a", pa.int64()),
+    ("doc_b", pa.int64()),
+    ("sh_a", pa.list_(pa.uint64())),
+    ("sh", pa.list_(pa.uint64())),
+])
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("doc_a").to_pylist()
-        b_ids = batch.column("doc_b").to_pylist()
-        keep_a, keep_b, jac = [], [], []
-        for a, b in zip(a_ids, b_ids):
-            sa = shingles(self.texts[a], self.shingle_k)
-            sb = shingles(self.texts[b], self.shingle_k)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
+
+def _shingle_batch(batch: pa.Table, *, shingle_k: int) -> pa.Table:
+    sh = [sorted(shingles(t, shingle_k))
+          for t in batch.column("text").to_pylist()]
+    return pa.Table.from_pydict({
+        "key": batch.column("doc_id"),
+        "sh": pa.array(sh, pa.list_(pa.uint64())),
+    })
+
+
+def _nulls(n: int, typ) -> pa.Array:
+    return pa.array([None] * n, typ)
+
+
+def _pairs_as_join_left(batch: pa.Table, *, side: str) -> pa.Table:
+    n = batch.num_rows
+    sh_a = batch.column("sh_a") if "sh_a" in batch.column_names \
+        else _nulls(n, pa.list_(pa.uint64()))
+    return pa.Table.from_pydict({
+        "key": batch.column(side),
+        "doc_a": batch.column("doc_a"),
+        "doc_b": batch.column("doc_b"),
+        "sh_a": sh_a,
+        "sh": _nulls(n, pa.list_(pa.uint64())),
+    }, schema=_JOIN_SCHEMA)
+
+
+def _shingles_as_join_right(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.Table.from_pydict({
+        "key": batch.column("key"),
+        "doc_a": _nulls(n, pa.int64()),
+        "doc_b": _nulls(n, pa.int64()),
+        "sh_a": _nulls(n, pa.list_(pa.uint64())),
+        "sh": batch.column("sh"),
+    }, schema=_JOIN_SCHEMA)
+
+
+def _split_group(group: pa.Table):
+    """One join group = the key doc's shingle row + its pair rows."""
+    import pyarrow.compute as pc
+    is_pair = pc.is_valid(group.column("doc_a"))
+    pairs = group.filter(is_pair)
+    sh_rows = group.filter(pc.invert(is_pair))
+    sh = None
+    if sh_rows.num_rows:
+        sh = np.asarray(sh_rows.column("sh")[0].as_py(), dtype=np.uint64)
+    return pairs, sh
+
+
+def _attach_a(group: pa.Table) -> pa.Table:
+    pairs, sh = _split_group(group)
+    if pairs.num_rows == 0 or sh is None:
+        return _JOIN_SCHEMA.empty_table()
+    n = pairs.num_rows
+    return pa.Table.from_pydict({
+        "key": pairs.column("doc_b"),
+        "doc_a": pairs.column("doc_a"),
+        "doc_b": pairs.column("doc_b"),
+        "sh_a": pa.array([sh.tolist()] * n, pa.list_(pa.uint64())),
+        "sh": _nulls(n, pa.list_(pa.uint64())),
+    }, schema=_JOIN_SCHEMA)
+
+
+def _verify_b(group: pa.Table, *, threshold: float) -> pa.Table:
+    pairs, sh_b = _split_group(group)
+    keep_a, keep_b, jac = [], [], []
+    if pairs.num_rows and sh_b is not None:
+        nb = len(sh_b)
+        for a, b, sh_a in zip(pairs.column("doc_a").to_pylist(),
+                              pairs.column("doc_b").to_pylist(),
+                              pairs.column("sh_a").to_pylist()):
+            sa = np.asarray(sh_a, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sh_b, assume_unique=True))
+            union = len(sa) + nb - inter
             j = inter / union if union else 1.0
-            if j >= self.threshold:
+            if j >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
                 jac.append(j)
-        return pa.Table.from_pydict({
-            "doc_a": pa.array(keep_a, pa.int64()),
-            "doc_b": pa.array(keep_b, pa.int64()),
-            "jaccard": pa.array(jac, pa.float64()),
-        })
+    return pa.Table.from_pydict({
+        "doc_a": pa.array(keep_a, pa.int64()),
+        "doc_b": pa.array(keep_b, pa.int64()),
+        "jaccard": pa.array(jac, pa.float64()),
+    })
 
 
 def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
                         k: int = 64, n_bands: int = 16,
                         shingle_k: int = 8) -> ray.data.Dataset:
-    """Verified near-duplicate pairs (Jaccard >= threshold)."""
-    texts = {r["doc_id"]: r["text"]
-             for r in docs.select_columns(["doc_id", "text"]).take_all()}
-    texts_ref = ray.put(texts)
+    """Verified near-duplicate pairs (exact Jaccard >= threshold).
+
+    Scale shape: candidates come from the banded LSH groupby; the exact
+    check then joins pairs to a Dataset-resident shingle table on doc_a
+    and then doc_b (groupby(key).map_groups co-groups). The driver never
+    holds doc texts or shingles — contrast the broadcast-map approach,
+    which is a driver OOM at corpus scale."""
     cands = minhash_candidates(docs, k=k, n_bands=n_bands,
                                shingle_k=shingle_k)
-    return cands.map_batches(
-        JaccardVerify,
-        fn_constructor_kwargs={"texts_ref": texts_ref,
-                               "shingle_k": shingle_k,
-                               "threshold": threshold},
-        concurrency=(1, 4), batch_format="pyarrow")
+    sh = docs.select_columns(["doc_id", "text"]).map_batches(
+        _shingle_batch, fn_kwargs={"shingle_k": shingle_k},
+        batch_format="pyarrow").materialize()
+
+    j1 = cands.map_batches(_pairs_as_join_left, fn_kwargs={"side": "doc_a"},
+                           batch_format="pyarrow") \
+        .union(sh.map_batches(_shingles_as_join_right,
+                              batch_format="pyarrow")) \
+        .groupby("key").map_groups(_attach_a, batch_format="pyarrow")
+
+    return j1.map_batches(_pairs_as_join_left, fn_kwargs={"side": "doc_b"},
+                          batch_format="pyarrow") \
+        .union(sh.map_batches(_shingles_as_join_right,
+                              batch_format="pyarrow")) \
+        .groupby("key").map_groups(
+            _verify_b, fn_kwargs={"threshold": threshold},
+            batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

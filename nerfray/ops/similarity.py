@@ -306,7 +306,12 @@ def embedding_dup_pairs(emb: ray.data.Dataset, *, threshold: float = 0.95,
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         sims = vecs @ vecs.T
         a, b, s = [], [], []
-        cap = 500  # degenerate-bucket guard (documented loss if hit)
+        cap = 500  # degenerate-bucket guard (recall loss if hit)
+        if len(ids) > cap:
+            import logging
+            logging.getLogger(__name__).warning(
+                "embedding LSH bucket overflow: %d ids, dropping %d "
+                "beyond cap=%d", len(ids), len(ids) - cap, cap)
         for i in range(min(len(ids), cap)):
             for j in range(i + 1, min(len(ids), cap)):
                 if ids[i] != ids[j] and sims[i, j] >= threshold:

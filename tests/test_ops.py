@@ -53,6 +53,28 @@ def test_minhash_lsh_finds_planted_near_dups(ray_session, planted_docs):
         assert j == len(sa & sb) / len(sa | sb)
 
 
+def test_minhash_verify_never_materializes_on_driver(
+        ray_session, planted_docs, monkeypatch):
+    """The exact-Jaccard verify stage must run inside the band/join
+    groups — building minhash_dedup_pairs' plan and executing it may
+    never pull doc rows to the driver via take_all/iter_batches."""
+    import ray.data
+    docs, _ = planted_docs
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("driver-side materialization inside "
+                             "minhash_dedup_pairs")
+
+    orig_take = ray.data.Dataset.take_all
+    monkeypatch.setattr(ray.data.Dataset, "take_all", forbidden)
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", forbidden)
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", forbidden)
+    pairs_ds = dd.minhash_dedup_pairs(docs, threshold=0.5).materialize()
+    monkeypatch.undo()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in orig_take(pairs_ds)}
+    assert (3, 30) in pairs and (5, 31) in pairs
+
+
 def test_simhash_exact_dups_collide(ray_session, planted_docs):
     docs, texts = planted_docs
     rows = dd.simhash_signatures(docs).take_all()
