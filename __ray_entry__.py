@@ -105,13 +105,28 @@ def q_kg_triples_checkpointed(sf_dir: str):
 
 def q_kg_triples_prov(sf_dir: str):
     """F5-schema output: triples carrying (repo, path, content_sha,
-    src span) provenance; sha/span invariants are pytest-verified
-    (tests/test_ray_pipeline.py::test_triples_with_provenance)."""
+    src span) provenance. Fully oracled: the DuckDB mirror rebuilds the
+    corpus content byte-for-byte (sha256 included) and derives each
+    triple's minimal provenance tuple arithmetically
+    (corpus.prov_triples_sql); sha/span invariants are additionally
+    pytest-verified (tests/test_ray_pipeline.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from nerfray.pipelines import kg
     from nerfray.sources import corpus_source
     n = corpus_source.corpus_rows_for(sf_dir)
-    return kg.triples_with_provenance(
+    prov = kg.triples_with_provenance(
         corpus_source.corpus_dataset_by_repo(n), tagger="crf")
+
+    def _to64(batch: "pa.Table") -> "pa.Table":
+        for c in ("unit_id", "src_start", "src_end"):
+            idx = batch.column_names.index(c)
+            batch = batch.set_column(
+                idx, c, pc.cast(batch.column(c), pa.int64()))
+        return batch
+
+    return prov.map_batches(_to64, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def q_kg_components(sf_dir: str):
@@ -199,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_rule": corpus.gold_triples_sql(),
         "kg_triples_checkpointed": corpus.gold_triples_sql(),
         "kg_nodes": corpus.nodes_sql(),
+        "kg_triples_prov": corpus.prov_triples_sql(),
         "kg_pred_counts": corpus.pred_counts_sql(),
         "kg_eval_prf": corpus.eval_prf_sql(),
         "kg_units": corpus.unit_counts_sql(),

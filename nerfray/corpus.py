@@ -342,6 +342,141 @@ SELECT label, tp, 0::BIGINT AS fp, 0::BIGINT AS fn FROM (
 """
 
 
+def content_cte() -> str:
+    """CTE chain (rows, rc, content) whose ``content`` column rebuilds
+    row_content(i, n) byte-for-byte in DuckDB — every line template above
+    mirrored as SQL string expressions — so sha256(content) (and any
+    span arithmetic over lines) is oracle-expressible."""
+    libs = _sql_list(LIBS)
+    methods = _sql_list(METHODS)
+    lic_names = _sql_list(LICENSE_NAMES)
+    fillers = _sql_list(FILLERS)
+    return f"""
+{ROWS_CTE},
+rc AS (
+  SELECT i, repo, path, lang,
+         CASE WHEN lang = 'python' THEN '#' ELSE '//' END AS c,
+         ({lic_names})[1 + (i % 5)] AS lic_name,
+         [({libs})[1 + ((i * 7 + j * 13) % 17)]
+          FOR j IN generate_series(0, i % 3)] AS libs,
+         [({libs})[1 + ((i * 7) % 17)] || '.' ||
+          ({methods})[1 + ((i + j) % 7)]
+          FOR j IN generate_series(0, i % 2)] AS apis,
+         'func_' || ((i * 31) % 997) AS sym0,
+         'helper_' || ((i * 13) % 997) AS sym1
+  FROM rows
+),
+content AS (
+  SELECT i, repo, path, lang,
+    array_to_string(
+      [c || ' Licensed under the ' || lic_name]
+      || [CASE WHEN lang = 'python' THEN 'import ' || l
+               WHEN lang = 'js'
+                 THEN 'const ' || l || ' = require("' || l || '")'
+               WHEN lang = 'go' THEN 'import "' || l || '"'
+               ELSE 'import ' || l || ';' END FOR l IN libs]
+      || [c || ' ' || ({fillers})[1 + (i % 3)]]
+      || [c || ' import the ' || ({libs})[1 + ((i * 11 + 5) % 17)]
+            || ' helper before use']
+      || [CASE WHEN lang = 'python' THEN 'def ' || sym0 || '():'
+               WHEN lang = 'js' THEN 'function ' || sym0 || '() {{'
+               WHEN lang = 'go' THEN 'func ' || sym0 || '() {{'
+               ELSE 'public void ' || sym0 || '() {{' END]
+      || [CASE WHEN lang = 'python' THEN '    result = ' || a || '()'
+               WHEN lang = 'js' THEN '  const result = ' || a || '();'
+               WHEN lang = 'go' THEN chr(9) || 'result := ' || a || '()'
+               ELSE '    int result = ' || a || '();' END FOR a IN apis]
+      || CASE WHEN lang = 'python' THEN ['    return result']
+              WHEN lang = 'js' THEN ['  return result', '}}']
+              WHEN lang = 'go' THEN [chr(9) || 'return', '}}']
+              ELSE ['    return;', '}}'] END
+      || CASE WHEN i % 2 = 0 THEN
+              [CASE WHEN lang = 'python' THEN 'def ' || sym1 || '():'
+                    WHEN lang = 'js' THEN 'function ' || sym1 || '() {{'
+                    WHEN lang = 'go' THEN 'func ' || sym1 || '() {{'
+                    ELSE 'public void ' || sym1 || '() {{' END]
+              || CASE WHEN lang = 'python' THEN ['    return result']
+                      ELSE ['    return', '}}'] END
+         ELSE []::VARCHAR[] END,
+      chr(10)) AS content
+  FROM rc
+)
+"""
+
+
+def prov_triples_sql() -> str:
+    """Mirror of triples_with_provenance: each gold triple with its
+    MINIMAL provenance tuple — min over (path, unit_id, src_start,
+    src_end), matching emit_triples_with_provenance's deterministic
+    choice — plus content_sha = sha256 of the SQL-reconstructed content.
+
+    Unit ids / char offsets are the row_lines layout as arithmetic:
+    license at unit 0, import j at unit 1+j, the first def at unit
+    4 + i%3, call j at unit 5 + i%3 + j, the optional second def at
+    unit i%3 + i%2 + (7 python / 8 other); offsets are the per-language
+    prefix lengths of the line templates."""
+    libs = _sql_list(LIBS)
+    methods = _sql_list(METHODS)
+    lic_ids = _sql_list(LICENSES)
+    return f"""
+WITH {content_cte()},
+shas AS (SELECT i, repo, path, sha256(content) AS content_sha FROM content),
+m AS (
+  SELECT repo AS subj, 'licensed-under' AS pred,
+         'license:' || ({lic_ids})[1 + (i % 5)] AS obj,
+         repo, path, i, 0 AS unit_id,
+         CASE WHEN lang = 'python' THEN 21 ELSE 22 END AS src_start,
+         CASE WHEN lang = 'python' THEN 21 ELSE 22 END
+           + length(lic_name) AS src_end
+  FROM rc
+  UNION ALL
+  SELECT repo, 'imports', 'lib:' || lib, repo, path, i, 1 + j,
+         CASE lang WHEN 'python' THEN 7 WHEN 'js' THEN 6
+                   WHEN 'go' THEN 8 ELSE 7 END,
+         CASE lang WHEN 'python' THEN 7 WHEN 'js' THEN 6
+                   WHEN 'go' THEN 8 ELSE 7 END + length(lib)
+  FROM (SELECT i, repo, path, lang, j,
+               ({libs})[1 + ((i * 7 + j * 13) % 17)] AS lib
+        FROM rows, unnest(generate_series(0, i % 3)) AS t(j))
+  UNION ALL
+  SELECT repo || '/' || path, 'defines', 'sym:' || sym, repo, path, i,
+         CASE WHEN nth = 0 THEN 4 + (i % 3)
+              ELSE (i % 3) + (i % 2)
+                   + CASE WHEN lang = 'python' THEN 7 ELSE 8 END END,
+         CASE lang WHEN 'python' THEN 4 WHEN 'js' THEN 9
+                   WHEN 'go' THEN 5 ELSE 12 END,
+         CASE lang WHEN 'python' THEN 4 WHEN 'js' THEN 9
+                   WHEN 'go' THEN 5 ELSE 12 END + length(sym)
+  FROM (SELECT i, repo, path, lang, 0 AS nth, sym0 AS sym FROM rc
+        UNION ALL
+        SELECT i, repo, path, lang, 1, sym1 FROM rc WHERE i % 2 = 0)
+  UNION ALL
+  SELECT repo || '/' || path, 'calls', 'api:' || api, repo, path, i,
+         5 + (i % 3) + j,
+         CASE lang WHEN 'python' THEN 13 WHEN 'js' THEN 17
+                   WHEN 'go' THEN 11 ELSE 17 END,
+         CASE lang WHEN 'python' THEN 13 WHEN 'js' THEN 17
+                   WHEN 'go' THEN 11 ELSE 17 END + length(api)
+  FROM (SELECT i, repo, path, lang, j,
+               ({libs})[1 + ((i * 7) % 17)] || '.' ||
+               ({methods})[1 + ((i + j) % 7)] AS api
+        FROM rows, unnest(generate_series(0, i % 2)) AS t(j))
+),
+picked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY subj, pred, obj
+      ORDER BY path, unit_id, src_start, src_end) AS rn
+  FROM m
+)
+SELECT p.subj, p.pred, p.obj, p.repo, p.path, s.content_sha,
+       p.unit_id::BIGINT AS unit_id, p.src_start::BIGINT AS src_start,
+       p.src_end::BIGINT AS src_end
+FROM picked p JOIN shas s ON s.i = p.i
+WHERE p.rn = 1
+ORDER BY p.subj, p.pred, p.obj
+"""
+
+
 def nodes_sql() -> str:
     """Mirror of the canonicalized node table: canonical id + mention count
     (every planted span mention counts once, vendor spans excluded)."""

@@ -89,8 +89,10 @@ def q_docs_curated(sf_dir: str):
 
 
 def q_lang_confusion(sf_dir: str):
+    # planted-signal variant: SQL-oracled end-to-end classifier check
+    # (raw-text classification stays available as text.lang_confusion)
     from . import text
-    return text.lang_confusion(_docs(sf_dir))
+    return text.planted_lang_confusion(_docs(sf_dir))
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -222,6 +224,16 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _lang_sql() -> str:
+    from .text import PLANTED_LANG_SQL
+    return PLANTED_LANG_SQL
+
+
+def _winnow_sql() -> str:
+    from .text import WINNOW_COUNT_SQL
+    return WINNOW_COUNT_SQL
+
+
 def oracles() -> dict[str, str]:
     sql = {
         "dedup_exact": DEDUP_EXACT_SQL,
@@ -231,8 +243,10 @@ def oracles() -> dict[str, str]:
         "text_quality": TEXT_QUALITY_SQL,
         "docs_curated": DOCS_CURATED_SQL,
         "media_meta": MEDIA_META_SQL,
-        # dedup_minhash / dedup_simhash / sim_lsh / lang_confusion /
-        # doc_fingerprints: sketch/model ops, not SQL-expressible ->
+        "lang_confusion": _lang_sql(),
+        "doc_fingerprints": _winnow_sql(),
+        # dedup_minhash / dedup_simhash / sim_lsh / sim_ivf /
+        # dedup_embedding: sketch/float ops, not SQL-expressible ->
         # rows-only check; pytest verifies them against brute force.
     }
     sql.update(relational.ORACLES)

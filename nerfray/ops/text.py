@@ -156,9 +156,51 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def lang_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """(lang, pred_lang, n_docs) confusion rollup."""
+    """(lang, pred_lang, n_docs) confusion rollup over the raw docs.
+    Rows-only surface: the documents table's ``lang`` column is metadata
+    unrelated to the text, so this measures the classifier's behavior,
+    not an accuracy oracle."""
     return lang_id(docs).groupby(["lang", "pred_lang"]).count() \
         .rename_columns({"count()": "n_docs"})
+
+
+LANGS_SORTED = sorted(LangID.PRIORS)  # de, en, es, fr, zh
+
+
+def planted_lang_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """End-to-end language-ID check with a SQL-derivable planted signal:
+    doc i gets a deterministic text in lang = LANGS_SORTED[doc_id % 5]
+    (three repetitions of that language's seed phrase), runs through the
+    REAL actor-pool classifier, and the confusion rollup must be the
+    diagonal — which DuckDB can state as pure doc_id arithmetic.
+    tests/test_ops.py pins per-language recovery so the oracle equality
+    is a classifier property, not an assumption."""
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = [LANGS_SORTED[i % 5] for i in ids]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "lang": pa.array(langs, pa.string()),
+            "text": pa.array([(LangID.PRIORS[lg] + " ") * 3
+                              for lg in langs], pa.string()),
+        })
+
+    planted = docs.select_columns(["doc_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True)
+    return planted.map_batches(
+        LangID, concurrency=(1, 8), batch_size=256,
+        batch_format="pyarrow") \
+        .groupby(["lang", "pred_lang"]).count() \
+        .rename_columns({"count()": "n_docs"})
+
+
+PLANTED_LANG_SQL = """
+SELECT (['de', 'en', 'es', 'fr', 'zh'])[1 + doc_id % 5] AS lang,
+       (['de', 'en', 'es', 'fr', 'zh'])[1 + doc_id % 5] AS pred_lang,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -166,12 +208,23 @@ def lang_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def sha64(s: str) -> int:
+    """uint64 = first 8 bytes (big-endian) of sha256 — chosen over the
+    faster h64/poly hashes because DuckDB's sha256() makes the same
+    value (as a 16-hex-char prefix) oracle-computable; at extreme scale
+    swap in the polynomial hash (same winnowing structure, no oracle)."""
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
 def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> set[int]:
-    """Min rolling-hash per window of k-gram hashes (rightmost-min rule)."""
+    """Min k-gram hash per window (rightmost-min tie rule, Schleimer et
+    al. SIGMOD'03). The selected VALUE per window is the window min, so
+    the fingerprint-set size is count(DISTINCT window-min) — which is
+    how the DuckDB mirror (WINNOW_COUNT_SQL) states it."""
     n = len(text)
     if n < k:
-        return {h64(text, seed=5)} if text else set()
-    hs = [h64(text[i:i + k], seed=5) for i in range(n - k + 1)]
+        return {sha64(text)} if text else set()
+    hs = [sha64(text[i:i + k]) for i in range(n - k + 1)]
     out: set[int] = set()
     for w in range(max(1, len(hs) - window + 1)):
         win = hs[w:w + window]
@@ -180,6 +233,32 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> set[int]:
         idx = len(win) - 1 - win[::-1].index(m)
         out.add(hs[w + idx])
     return out
+
+
+# (doc_id, n_fingerprints) mirror: hashes compare equal as 16-hex-char
+# sha256 prefixes; windows are min() over 6 consecutive k-gram hashes,
+# truncated-last-window semantics matching winnow_fingerprints.
+WINNOW_COUNT_SQL = """
+WITH grams AS (
+  SELECT doc_id, j AS pos,
+         substr(sha256(substr(text, j + 1, 8)), 1, 16) AS h,
+         length(text) - 7 AS n_grams
+  FROM documents, unnest(generate_series(0, length(text) - 8)) AS t(j)
+  WHERE length(text) >= 8
+),
+wmins AS (
+  SELECT doc_id, pos, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS wm
+  FROM grams
+)
+SELECT doc_id, count(DISTINCT wm)::BIGINT AS n_fingerprints
+FROM wmins WHERE pos <= greatest(0, n_grams - 6) GROUP BY doc_id
+UNION ALL
+SELECT doc_id, (CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)::BIGINT
+FROM documents WHERE length(text) < 8
+ORDER BY doc_id
+"""
 
 
 def doc_fingerprints(docs: ray.data.Dataset, k: int = 8,

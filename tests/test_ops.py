@@ -182,6 +182,33 @@ def test_langid_plumbing(ray_session):
     assert clf.classify("这 是 一个 中文 的 测试 文本 我们 在 这里") == "zh"
 
 
+def test_planted_lang_recovery():
+    """The oracle equality of the lang_confusion query rests on this:
+    the classifier recovers every planted seed-phrase language."""
+    clf = tx.LangID()
+    for lang, seed in tx.LangID.PRIORS.items():
+        assert clf.classify((seed + " ") * 3) == lang
+
+
+def test_winnow_count_matches_duckdb_mirror():
+    """n_fingerprints (sha256-based winnowing) equals WINNOW_COUNT_SQL
+    on texts covering the short-text, truncated-window and generic
+    cases."""
+    import duckdb
+    texts = ["", "ab", "abcdefg", "abcdefgh", "abcdefghij",
+             "the quick brown fox jumps over the lazy dog " * 3,
+             "aaaaaaaaaaaaaaaaaaaa", "abc\ndef\nghi jkl mno pqr stu vwx"]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+            ", ".join(f"({i}, '{t}')" for i, t in enumerate(
+                t.replace("'", "''") for t in texts)) +
+            ") AS v(doc_id, text)")
+    sql_counts = dict(con.sql(tx.WINNOW_COUNT_SQL).fetchall())
+    for i, t in enumerate(texts):
+        assert sql_counts.get(i, 0) == len(tx.winnow_fingerprints(t)), \
+            (i, t)
+
+
 def test_winnow_fingerprints_properties():
     text = "abcdefghijklmnopqrstuvwxyz" * 4
     fp = tx.winnow_fingerprints(text)
