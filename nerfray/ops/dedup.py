@@ -339,3 +339,91 @@ def simhash_dup_groups(docs: ray.data.Dataset) -> ray.data.Dataset:
     return sigs.groupby("simhash").count() \
         .rename_columns({"count()": "n_docs"}) \
         .filter(expr="n_docs > 1")
+
+
+# -- hamming-k SimHash near-dup (banded rotation) ---------------------------
+
+
+def _simhash_bands(batch: pa.Table, *, n_bands: int) -> pa.Table:
+    """One row per (doc, band): band value = 64/n_bands-bit slice of the
+    signature. Pigeonhole: hamming(a, b) < n_bands => some band equal,
+    so bucketing on (band, value) has full recall for k <= n_bands - 1."""
+    sig = batch.column("simhash").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    ids, sigs_out, bands, vals = [], [], [], []
+    doc_ids = batch.column("doc_id").to_pylist()
+    for b in range(n_bands):
+        v = (sig >> np.uint64(b * width)) & mask
+        ids.extend(doc_ids)
+        sigs_out.extend(sig.tolist())
+        bands.extend([b] * len(doc_ids))
+        vals.extend(v.tolist())
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(ids, pa.int64()),
+        "simhash": pa.array(sigs_out, pa.uint64()),
+        "band": pa.array(bands, pa.int32()),
+        "band_val": pa.array(vals, pa.uint64()),
+    })
+
+
+def _simhash_bucket_pairs(group: pa.Table, *, max_hamming: int) -> pa.Table:
+    """Exact hamming verification inside the band bucket (signatures
+    ride with the rows, so no second lookup is needed)."""
+    rows = sorted(zip(group.column("doc_id").to_pylist(),
+                      group.column("simhash").to_pylist()))
+    cap = 500
+    if len(rows) > cap:
+        import logging
+        logging.getLogger(__name__).warning(
+            "simhash band bucket overflow: %d ids, dropping %d beyond "
+            "cap=%d", len(rows), len(rows) - cap, cap)
+        rows = rows[:cap]
+    a, b, h = [], [], []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][0] == rows[j][0]:
+                continue
+            ham = (rows[i][1] ^ rows[j][1]).bit_count()
+            if ham <= max_hamming:
+                a.append(rows[i][0])
+                b.append(rows[j][0])
+                h.append(ham)
+    return pa.Table.from_pydict({
+        "doc_a": pa.array(a, pa.int64()),
+        "doc_b": pa.array(b, pa.int64()),
+        "hamming": pa.array(h, pa.int64()),
+    })
+
+
+def simhash_pairs_from_signatures(sigs: ray.data.Dataset, *,
+                                  max_hamming: int = 3,
+                                  n_bands: int = 4) -> ray.data.Dataset:
+    """(doc_a, doc_b, hamming) pairs with hamming <= max_hamming from a
+    (doc_id, simhash) Dataset. Full recall for max_hamming < n_bands;
+    one band-bucket groupby, verification co-located with the bucket."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < n_bands "
+            f"(got k={max_hamming}, bands={n_bands})")
+    bands = sigs.map_batches(_simhash_bands,
+                             fn_kwargs={"n_bands": n_bands},
+                             batch_format="pyarrow")
+    pairs = bands.groupby(["band", "band_val"]).map_groups(
+        _simhash_bucket_pairs, fn_kwargs={"max_hamming": max_hamming},
+        batch_format="pyarrow")
+    # a pair can surface from several equal bands -> one distinct row
+    return pairs.groupby(["doc_a", "doc_b"]).min("hamming") \
+        .rename_columns({"min(hamming)": "hamming"})
+
+
+def simhash_near_dup_pairs(docs: ray.data.Dataset, *,
+                           max_hamming: int = 3,
+                           n_bands: int = 4) -> ray.data.Dataset:
+    """Near-duplicate doc pairs by SimHash hamming distance <= k (banded
+    rotation: guaranteed recall for k < n_bands, unlike the hamming-0
+    signature-bucket view in simhash_dup_groups)."""
+    return simhash_pairs_from_signatures(
+        simhash_signatures(docs), max_hamming=max_hamming,
+        n_bands=n_bands)

@@ -38,6 +38,11 @@ def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_signatures(_docs(sf_dir))
 
 
+def q_dedup_simhash_pairs(sf_dir: str):
+    from . import dedup
+    return dedup.simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3)
+
+
 # -- similarity -------------------------------------------------------------
 
 
@@ -117,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,

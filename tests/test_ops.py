@@ -88,6 +88,44 @@ def test_simhash_exact_dups_collide(ray_session, planted_docs):
     assert ham <= 12
 
 
+def test_simhash_banded_hamming_k(ray_session):
+    """Banded rotation recovers ALL planted pairs within hamming 3 (the
+    pigeonhole guarantee) and never reports a pair beyond it."""
+    import ray.data
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 2**63, size=20, dtype=np.uint64)
+    sigs = list(base)
+    flips = {}
+    for n_flip, bits in [(1, (5,)), (2, (3, 40)), (3, (0, 17, 63))]:
+        v = base[n_flip]
+        for b in bits:
+            v = v ^ np.uint64(1 << b)
+        flips[(n_flip, 20 + n_flip - 1)] = len(bits)
+        sigs.append(v)
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(sigs)), pa.int64()),
+        "simhash": pa.array([int(s) for s in sigs], pa.uint64()),
+    }))
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dd.simhash_pairs_from_signatures(
+                 ds, max_hamming=3).take_all()}
+    for (a, b), ham in flips.items():
+        assert pairs.get((a, b)) == ham, (a, b, ham, pairs)
+    assert all(h <= 3 for h in pairs.values())
+    # exact verification: every reported pair's true distance matches
+    for (a, b), h in pairs.items():
+        assert (int(sigs[a]) ^ int(sigs[b])).bit_count() == h
+    with pytest.raises(ValueError):
+        dd.simhash_pairs_from_signatures(ds, max_hamming=4, n_bands=4)
+
+
+def test_simhash_near_dup_pairs_text(ray_session, planted_docs):
+    docs, _ = planted_docs
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dd.simhash_near_dup_pairs(docs).take_all()}
+    assert pairs.get((3, 30)) == 0  # exact dup -> hamming 0
+
+
 def test_simhash_deterministic():
     a = dd.simhash64("hello world foo")
     assert a == dd.simhash64("hello world foo")
