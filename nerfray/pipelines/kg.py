@@ -72,6 +72,8 @@ def triples_of(linked: ray.data.Dataset,
                                  zero_copy_batch=True)
     if dedup == "partitioned":
         return triples.dedup_triples_local(emitted)
+    if dedup == "partitioned_checked":
+        return triples.dedup_triples_checked(emitted)
     return triples.dedup_triples(emitted)
 
 

@@ -165,11 +165,64 @@ def _block_distinct(batch: pa.Table) -> pa.Table:
 
 def dedup_triples_local(triples: ray.data.Dataset) -> ray.data.Dataset:
     """Per-block exact dedup (Arrow hash group-by, no shuffle). Globally
-    exact iff every subject's rows are confined to one block — guaranteed
-    by repo-major corpus blocking (corpus_source.corpus_dataset_by_repo)
-    because subj is always the repo or a file of it."""
+    exact IFF every subject's rows are confined to one block. Repo-major
+    corpus blocking (corpus_source.corpus_dataset_by_repo) makes that
+    hold through the map stages — with one caveat: Ray Data dynamically
+    splits a task's output at ``target_max_block_size`` (128 MiB), and a
+    split can bisect a repo. That bounds the claim to per-repo triple
+    output below the split threshold (comfortably true here: a repo's
+    emitted triples are KBs). When the bound can't be assumed, use
+    ``dedup_triples_checked`` (validates containment on the blocks that
+    actually reach the dedup and falls back to the shuffle path) or
+    ``dedup_triples`` directly."""
     return triples.map_batches(_block_distinct, batch_format="pyarrow",
                                batch_size=None, zero_copy_batch=True)
+
+
+def subject_repo(s: str) -> str:
+    """Repo grain of a subject ('org/repo-x' or 'org/repo-x/<path>')."""
+    return "/".join(s.split("/", 3)[:2])
+
+
+def validate_subject_containment(triples_ds: ray.data.Dataset) -> bool:
+    """Precondition check for ``dedup_triples_local`` on the blocks that
+    ACTUALLY reach the dedup (not the corpus blocks): no repo-grain
+    subject prefix may appear in more than one block. One cheap pass —
+    per-block distinct repo list (a few hundred strings per block) + a
+    driver-side disjointness check. Run it on a MATERIALIZED dataset so
+    the validated block boundaries are the ones the dedup will see."""
+
+    def _repos(batch: pa.Table) -> pa.Table:
+        rs = sorted({subject_repo(s)
+                     for s in batch.column("subj").to_pylist()})
+        return pa.Table.from_pydict(
+            {"repos": pa.array([rs], pa.list_(pa.string()))})
+
+    seen: set[str] = set()
+    for row in triples_ds.map_batches(_repos, batch_format="pyarrow",
+                                      batch_size=None).take_all():
+        block = set(row["repos"])
+        if seen & block:
+            return False
+        seen |= block
+    return True
+
+
+def dedup_triples_checked(emitted: ray.data.Dataset) -> ray.data.Dataset:
+    """Shuffle-free dedup with its precondition VERIFIED: materialize
+    the emitted triples (fixing block boundaries), check repo
+    containment on those exact blocks, then per-block dedup — falling
+    back to the generic shuffle dedup if a dynamic block split (or an
+    unpartitioned source) broke containment. Identical output either
+    way; only the shuffle cost differs."""
+    mat = emitted.materialize()
+    if validate_subject_containment(mat):
+        return dedup_triples_local(mat)
+    import logging
+    logging.getLogger(__name__).warning(
+        "subject containment violated on dedup input blocks; "
+        "falling back to shuffle dedup")
+    return dedup_triples(mat)
 
 
 def validate_repo_partitioning(corpus_ds: ray.data.Dataset) -> bool:

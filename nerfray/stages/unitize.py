@@ -27,6 +27,11 @@ UNIT_SCHEMA = pa.schema([
     ("content_sha", pa.string()),
     ("unit_id", pa.int32()),
     ("text", pa.string()),
+    # True when the unit text was cut at max_unit_chars. content_sha is
+    # ALWAYS the sha of the full content, so the sha<->text
+    # reconstruction invariant holds only for rows with truncated=False
+    # (tests/test_ray_pipeline.py::test_unit_truncation_flag).
+    ("truncated", pa.bool_()),
 ])
 
 MAX_UNIT_CHARS = 4096
@@ -57,13 +62,15 @@ def unitize(batch: pa.Table, *, max_unit_chars: int = MAX_UNIT_CHARS) -> pa.Tabl
 
     flat = pc.list_flatten(lines)
     texts = pc.cast(flat, pa.string())
-    # bound unit length (straggler cap); truncation is deterministic
+    # bound unit length (straggler cap); truncation is deterministic and
+    # flagged so consumers know the sha(content) invariant is scoped
+    truncated = pc.greater(pc.utf8_length(texts), max_unit_chars)
     texts = pc.utf8_slice_codeunits(texts, 0, max_unit_chars)
 
     take = lambda name: pc.take(batch.column(name), pa.array(parent))
     return pa.Table.from_arrays(
         [take("repo"), take("path"), take("lang"), take("content_sha"),
-         pa.array(unit_id, pa.int32()), texts],
+         pa.array(unit_id, pa.int32()), texts, truncated],
         schema=UNIT_SCHEMA)
 
 

@@ -92,12 +92,68 @@ def run_shard(n: int, lo: int, hi: int, shard_dir: str,
             "n_input_rows": hi - lo}
 
 
+def _expected_fps(n: int, n_shards: int, tagger: str) -> dict[int, str]:
+    return {shard_id: _input_fingerprint(n, lo, hi, tagger)
+            for shard_id, lo, hi in shard_bounds(n, n_shards)}
+
+
+def _run_manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, "run.json")
+
+
+def load_run_manifest(out_dir: str) -> dict | None:
+    path = _run_manifest_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _sweep_stale_shards(out_dir: str, expected: dict[int, str]) -> int:
+    """Delete shard manifests (and data) left by a DIFFERENT run
+    configuration — an out_dir reused with a smaller n_shards or a
+    changed corpus would otherwise leak old shards into read_triples.
+    The input fingerprint covers (n, lo, hi, tagger, corpus_version),
+    so config-mismatched shards are exactly the fp-mismatched ones."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return 0
+    swept = 0
+    for name in sorted(os.listdir(mdir)):
+        if not name.startswith("shard-"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        sid = m.get("shard_id")
+        if m.get("input_fp") == expected.get(sid):
+            continue
+        os.remove(os.path.join(mdir, name))
+        shutil.rmtree(os.path.join(out_dir, f"shard={sid}"),
+                      ignore_errors=True)
+        swept += 1
+    return swept
+
+
 def run_checkpointed(n: int, out_dir: str, *, n_shards: int = 8,
                      tagger: str = "crf") -> dict:
     """Run (or resume) the full pipeline; returns run summary with
-    per-shard status ('cached' = skipped via manifest)."""
+    per-shard status ('cached' = skipped via manifest). Reusing an
+    out_dir with a different configuration first sweeps the stale
+    shards, then records the current config in a run manifest so
+    read_triples / counters only see this configuration's shards."""
     os.makedirs(out_dir, exist_ok=True)
-    summary = {"shards": {}, "n_shards": 0, "n_cached": 0}
+    expected = _expected_fps(n, n_shards, tagger)
+    swept = _sweep_stale_shards(out_dir, expected)
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(out_dir, MANIFEST_DIR))
+    with os.fdopen(fd, "w") as f:
+        json.dump({"n": n, "n_shards": n_shards, "tagger": tagger,
+                   "corpus_version": corpus_mod.CORPUS_VERSION,
+                   "expected_fps": {str(k): v for k, v in expected.items()}},
+                  f, indent=1, sort_keys=True)
+    os.replace(tmp, _run_manifest_path(out_dir))
+    summary = {"shards": {}, "n_shards": 0, "n_cached": 0,
+               "n_swept_stale": swept}
     for shard_id, lo, hi in shard_bounds(n, n_shards):
         fp = _input_fingerprint(n, lo, hi, tagger)
         m = load_manifest(out_dir, shard_id)
@@ -120,16 +176,31 @@ def run_checkpointed(n: int, out_dir: str, *, n_shards: int = 8,
     return summary
 
 
-def read_triples(out_dir: str) -> ray.data.Dataset:
-    """Merged, globally-deduped triples of a (possibly resumed) run.
-    Only reads shards with a committed manifest."""
-    shard_ids = []
+def _valid_shard_manifests(out_dir: str):
+    """Committed shard manifests belonging to the CURRENT run config
+    (per the run manifest, when present — stale-config shards are
+    excluded even if a sweep never ran)."""
+    run_m = load_run_manifest(out_dir)
+    expected = run_m.get("expected_fps") if run_m else None
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     for name in sorted(os.listdir(mdir)):
+        if not name.startswith("shard-"):
+            continue
         with open(os.path.join(mdir, name)) as f:
             m = json.load(f)
-        if m.get("complete"):
-            shard_ids.append(m["shard_id"])
+        if not m.get("complete"):
+            continue
+        if expected is not None and \
+                m.get("input_fp") != expected.get(str(m.get("shard_id"))):
+            continue
+        yield m
+
+
+def read_triples(out_dir: str) -> ray.data.Dataset:
+    """Merged, globally-deduped triples of a (possibly resumed) run.
+    Only reads shards with a committed manifest matching the run
+    configuration."""
+    shard_ids = [m["shard_id"] for m in _valid_shard_manifests(out_dir)]
     paths = [os.path.join(out_dir, f"shard={k}", f)
              for k in shard_ids
              for f in sorted(os.listdir(os.path.join(out_dir, f"shard={k}")))
@@ -140,14 +211,11 @@ def read_triples(out_dir: str) -> ray.data.Dataset:
 
 
 def counters(out_dir: str) -> dict:
-    """Merged per-shard counters (read-time merge, SURVEY.md §7.4.5)."""
+    """Merged per-shard counters (read-time merge, SURVEY.md §7.4.5),
+    scoped to the current run configuration's shards."""
     out = {"n_triples_pre_dedup": 0, "n_input_rows": 0, "n_shards": 0}
-    mdir = os.path.join(out_dir, MANIFEST_DIR)
-    for name in sorted(os.listdir(mdir)):
-        with open(os.path.join(mdir, name)) as f:
-            m = json.load(f)
-        if m.get("complete"):
-            out["n_triples_pre_dedup"] += m["n_triples"]
-            out["n_input_rows"] += m["n_input_rows"]
-            out["n_shards"] += 1
+    for m in _valid_shard_manifests(out_dir):
+        out["n_triples_pre_dedup"] += m["n_triples"]
+        out["n_input_rows"] += m["n_input_rows"]
+        out["n_shards"] += 1
     return out

@@ -54,3 +54,31 @@ def test_input_fingerprint_invalidates(ray_session, tmp_path):
     s = manifest.run_checkpointed(N, out, n_shards=2, tagger="rule")
     assert s["shards"][0] == "ran" and s["shards"][1] == "cached"
     assert _triples(ray_session, out) == corpus.gold_triples_all(N)
+
+
+def test_reconfigured_out_dir_sweeps_stale_shards(ray_session, tmp_path):
+    """Reusing an out_dir with a different n_shards (or corpus size) must
+    not leak the old configuration's shards into the merged result."""
+    out = str(tmp_path / "run")
+    manifest.run_checkpointed(N, out, n_shards=4, tagger="rule")
+    # reconfigure: fewer shards AND a smaller corpus
+    n2 = N - 30
+    s = manifest.run_checkpointed(n2, out, n_shards=2, tagger="rule")
+    assert s["n_swept_stale"] == 4  # every old shard invalidated
+    assert s["n_cached"] == 0 and s["n_shards"] == 2
+    assert _triples(ray_session, out) == corpus.gold_triples_all(n2)
+    c = manifest.counters(out)
+    assert c["n_shards"] == 2 and c["n_input_rows"] == n2
+
+    # stale shards are also excluded at READ time even without a sweep:
+    # plant a foreign manifest+data dir and confirm read ignores it
+    import json as _json
+    import os as _os
+    fake = {"complete": True, "shard_id": 9, "lo": 0, "hi": 1,
+            "input_fp": "deadbeef", "tagger": "rule", "n_triples": 0,
+            "n_input_rows": 1, "triples_sha256": "x"}
+    with open(manifest._manifest_path(out, 9), "w") as f:
+        _json.dump(fake, f)
+    _os.makedirs(_os.path.join(out, "shard=9"), exist_ok=True)
+    assert _triples(ray_session, out) == corpus.gold_triples_all(n2)
+    assert manifest.counters(out)["n_shards"] == 2

@@ -179,3 +179,59 @@ def test_write_triples_partitioned(ray_session, corpus_ds, tmp_path):
     for subj, bucket in zip(back.column("subj").to_pylist(),
                             back.column("subj_bucket").to_pylist()):
         assert int(bucket) == tr.subj_bucket(subj, 4)
+
+
+def test_unit_truncation_flag(ray_session):
+    """Units cut at max_unit_chars carry truncated=True; content_sha
+    stays the FULL-content sha (the reconstruction invariant is scoped
+    to truncated=False rows)."""
+    import hashlib
+    import pyarrow as pa
+    from nerfray.stages import unitize
+
+    long_line = "x" * (unitize.MAX_UNIT_CHARS + 500)
+    content = "short line\n" + long_line
+    batch = pa.Table.from_pydict({
+        "repo": ["r"], "path": ["p"], "lang": ["python"],
+        "content": [content]})
+    units = unitize.unitize(batch)
+    rows = {r["unit_id"]: r for r in units.to_pylist()}
+    assert rows[0]["truncated"] is False
+    assert rows[1]["truncated"] is True
+    assert len(rows[1]["text"]) == unitize.MAX_UNIT_CHARS
+    full_sha = hashlib.sha256(content.encode()).hexdigest()
+    assert rows[0]["content_sha"] == full_sha
+    assert rows[1]["content_sha"] == full_sha
+    # non-truncated rows reconstruct their slice of content exactly
+    assert content.split("\n")[0] == rows[0]["text"]
+
+
+def test_subject_containment_validation_and_checked_dedup(ray_session):
+    """validate_subject_containment inspects the blocks that actually
+    reach the dedup; dedup_triples_checked stays exact even when a repo
+    straddles blocks (the fallback shuffle path)."""
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import triples as tr
+
+    def tbl(rows):
+        return pa.Table.from_pydict({
+            "subj": pa.array([r[0] for r in rows]),
+            "pred": pa.array([r[1] for r in rows]),
+            "obj": pa.array([r[2] for r in rows])})
+
+    a = [("org/repo-1", "imports", "lib:os"),
+         ("org/repo-1/src/f.py", "defines", "sym:f")]
+    b = [("org/repo-1", "imports", "lib:os"),      # dup across blocks
+         ("org/repo-2", "imports", "lib:sys")]
+    straddling = ray.data.from_arrow(tbl(a)).union(
+        ray.data.from_arrow(tbl(b))).materialize()
+    assert tr.validate_subject_containment(straddling) is False
+
+    contained = ray.data.from_arrow(tbl(a)).union(
+        ray.data.from_arrow(tbl([b[1]]))).materialize()
+    assert tr.validate_subject_containment(contained) is True
+
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in tr.dedup_triples_checked(straddling).take_all()}
+    assert got == set(a) | set(b)  # exact despite broken containment
