@@ -1,24 +1,34 @@
-"""XCES-style XML corpus: chunk, parse, annotate, render.
+"""XCES-style XML corpus: lex, chunk, parse, annotate, render.
 
 Reference: /root/reference/src/NLP/Nerf/XCES.hs (SURVEY.md §2.1 S4/S5,
 §2.2 M18). Semantics reproduced:
 
-- lex the document into a flat tag/text stream; drop processing noise
-  (whitespace-only text between tags) but PRESERVE foreign markup inside
-  tokens (XCES.hs:76-97)
-- chunk into ``<chunk type="s">`` sentences (XCES.hs:107-130); content
-  outside sentence chunks passes through untouched
-- a token is ``<tok>`` with ``<orth>TEXT</orth>`` plus arbitrary foreign
-  sub-XML (preserved verbatim); ``<ns/>`` before a token means
-  "no preceding space" (XCES.hs:222-249)
-- ``restore_sentence`` rebuilds the raw sentence string honoring ns flags
-  and strips the leading space (XCES.hs:350-356)
+- a tag-soup lexer splits the document into open/close/text/comment
+  pieces with the RAW bytes of every tag preserved (attributes and all),
+  then a tolerant tree parser builds sub-trees — the XmlTree machinery
+  of XCES.hs:258-283
+- sentence chunking scans the FLAT tag stream for ``<chunk type="s">``
+  up to the first ``</chunk>`` (XCES.hs:76-97); everything outside
+  sentence chunks passes through byte-verbatim
+- within a sentence (XCES.hs:153-173 ``joinSent``): a ``<tok>`` element
+  becomes a token carrying its WHOLE sub-tree verbatim (foreign ``<lex>``
+  morphology etc. — ``tagsIn``, XCES.hs:222-227) plus every non-token
+  sibling element/comment seen since the previous token (``tagsBf``);
+  ``<ns/>`` sets the token's no-preceding-space flag AND rides in
+  ``tagsBf`` so it re-renders in place; content after the last token is
+  kept as ``Sent.add`` (the reference drops it — XCES.hs:201-203 TODO —
+  we preserve it, a documented divergence in the reference's intended
+  direction)
+- ``restore_sentence`` rebuilds the raw sentence string honoring ns
+  flags and strips the leading space (XCES.hs:350-356)
 - annotation wraps token ranges in ``<group type="LABEL">`` elements,
   nested per span depth (XCES.hs:186-213)
 
-Fidelity target is fixture scale (SURVEY.md §7.5): a well-formed subset
-of XML (no CDATA/comments/doctype), which covers the reference's own
-rendering output.
+Divergence from the reference renderer: no interspersed newline tags
+(the reference pretty-prints with ``\\n`` between elements); rendering
+here is compact and whitespace-only text inside sentences is dropped on
+parse, mirroring the reference's ``relevant`` filter (XCES.hs:335-338).
+Foreign markup round-trips byte-exactly either way.
 """
 
 from __future__ import annotations
@@ -28,51 +38,131 @@ from dataclasses import dataclass, field
 
 from .iob import Span
 
-_TOK_RE = re.compile(r"<tok>(.*?)</tok>|<ns/>", re.S)
-_ORTH_RE = re.compile(r"<orth>(.*?)</orth>", re.S)
+# kept for compatibility (tests and fixture helpers extract sentence
+# bodies with it); the annotator itself uses the tag-soup path below
 _SENT_RE = re.compile(r'(<chunk type="s">)(.*?)(</chunk>)', re.S)
+
+_ORTH_RE = re.compile(r"<orth>(.*?)</orth>", re.S)
+
+# ---------------------------------------------------------------------------
+# tag-soup lexer (XCES.hs:331 S.parseTags analog)
+# ---------------------------------------------------------------------------
+
+_LEX_RE = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.S)
+_NAME_RE = re.compile(r"</?\s*([A-Za-z_][\w:.-]*)")
+
+
+@dataclass
+class Piece:
+    """One lexed piece: kind in {open, close, text, comment};
+    ``raw`` is the exact source slice (attribute bytes intact);
+    ``name`` set for open/close; ``self_closing`` for ``<ns/>``-style."""
+    kind: str
+    raw: str
+    name: str = ""
+    self_closing: bool = False
+
+
+def lex_tags(xml: str) -> list[Piece]:
+    out: list[Piece] = []
+    for m in _LEX_RE.finditer(xml):
+        raw = m.group(0)
+        if raw.startswith("<!--"):
+            out.append(Piece("comment", raw))
+        elif raw.startswith("</"):
+            nm = _NAME_RE.match(raw)
+            out.append(Piece("close", raw, nm.group(1) if nm else ""))
+        elif raw.startswith("<"):
+            nm = _NAME_RE.match(raw)
+            out.append(Piece("open", raw, nm.group(1) if nm else "",
+                             raw.rstrip(">").rstrip().endswith("/")))
+        else:
+            out.append(Piece("text", raw))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tolerant tree parser (XCES.hs:258-283 XmlTree analog)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class XNode:
+    """Parsed sub-tree. ``kind`` elem|text|comment; for elem, ``raw`` is
+    the verbatim opening tag and ``children`` the sub-forest."""
+    kind: str
+    raw: str
+    name: str = ""
+    children: list["XNode"] = field(default_factory=list)
+    self_closing: bool = False
+
+
+def _parse_forest(pieces: list[Piece], i: int, stop_name: str | None
+                  ) -> tuple[list[XNode], int]:
+    out: list[XNode] = []
+    while i < len(pieces):
+        p = pieces[i]
+        if p.kind == "close":
+            if stop_name is not None:
+                # tolerant: any close ends the current element
+                return out, i
+            i += 1  # stray close at top level: drop
+            continue
+        if p.kind in ("text", "comment"):
+            out.append(XNode(p.kind, p.raw))
+            i += 1
+            continue
+        if p.self_closing:
+            out.append(XNode("elem", p.raw, p.name, [], True))
+            i += 1
+            continue
+        children, j = _parse_forest(pieces, i + 1, p.name)
+        out.append(XNode("elem", p.raw, p.name, children))
+        i = j + 1 if j < len(pieces) else j
+    return out, i
+
+
+def parse_forest(xml: str) -> list[XNode]:
+    forest, _ = _parse_forest(lex_tags(xml), 0, None)
+    return forest
+
+
+def render_node(n: XNode) -> str:
+    """Verbatim re-render: raw tag bytes + recursively rendered children
+    (the enumTree analog, XCES.hs:280-283)."""
+    if n.kind != "elem" or n.self_closing:
+        return n.raw
+    return n.raw + "".join(render_node(c) for c in n.children) \
+        + f"</{n.name}>"
+
+
+def _attr_type_s(raw_open: str) -> bool:
+    return re.search(r"""type\s*=\s*["']s["']""", raw_open) is not None
+
+
+# ---------------------------------------------------------------------------
+# XCES sentence model (XCES.hs:143-173, 222-227)
+# ---------------------------------------------------------------------------
 
 
 @dataclass
 class Tok:
-    """XCES token: surface + no-preceding-space flag + foreign sub-XML
-    (everything inside <tok> other than <orth>), preserved verbatim."""
+    """XCES token: surface + no-preceding-space flag + verbatim sub-tree
+    (``tree`` = tagsIn) + non-token siblings before it (``before`` =
+    tagsBf, including the <ns/> marker itself). ``foreign`` keeps the
+    rendered non-orth inner markup for inspection/back-compat."""
     orth: str
     nps: bool = False
     foreign: str = ""
+    tree: XNode | None = None
+    before: list[XNode] = field(default_factory=list)
 
 
 @dataclass
 class Sent:
     toks: list[Tok] = field(default_factory=list)
     spans: list[Span] = field(default_factory=list)  # token-grain, nested
-
-
-def parse_sent(xml: str) -> Sent:
-    """Parse the inside of one <chunk type="s"> into tokens."""
-    toks: list[Tok] = []
-    pending_ns = False
-    for m in _TOK_RE.finditer(xml):
-        if m.group(0) == "<ns/>":
-            pending_ns = True
-            continue
-        body = m.group(1)
-        om = _ORTH_RE.search(body)
-        orth = unescape_xml(om.group(1)) if om else ""
-        foreign = (body[:om.start()] + body[om.end():]).strip() if om else body.strip()
-        toks.append(Tok(orth=orth, nps=pending_ns, foreign=foreign))
-        pending_ns = False
-    return Sent(toks=toks)
-
-
-def restore_sentence(sent: Sent) -> str:
-    """Raw sentence text honoring nps flags (XCES.hs:350-356)."""
-    out = []
-    for t in sent.toks:
-        if not t.nps:
-            out.append(" ")
-        out.append(t.orth)
-    return "".join(out).lstrip(" ")
+    add: list[XNode] = field(default_factory=list)   # after last token
 
 
 def escape_xml(s: str) -> str:
@@ -85,7 +175,68 @@ def unescape_xml(s: str) -> str:
             .replace("&lt;", "<").replace("&amp;", "&"))
 
 
+def _orth_of(tok_tree: XNode) -> str:
+    """First direct <orth> child's text (tokOrthP, XCES.hs:234-235)."""
+    for c in tok_tree.children:
+        if c.kind == "elem" and c.name == "orth":
+            return unescape_xml(
+                "".join(g.raw for g in c.children if g.kind == "text"))
+    return ""
+
+
+def _is_blank_text(n: XNode) -> bool:
+    return n.kind == "text" and n.raw.strip() == ""
+
+
+def _join_sent(forest: list[XNode]) -> Sent:
+    """joinSent (XCES.hs:153-173): fold the sentence forest into tokens
+    with their before-tags; <ns/> both flags the next token and stays in
+    the before-list so it round-trips in place."""
+    toks: list[Tok] = []
+    acc: list[XNode] = []
+    has_ns = False
+    for node in forest:
+        if _is_blank_text(node):
+            continue  # the `relevant` filter, XCES.hs:335-338
+        if node.kind == "elem" and node.name == "tok":
+            foreign = "".join(
+                render_node(c) for c in node.children
+                if not (c.kind == "elem" and c.name == "orth")).strip()
+            toks.append(Tok(orth=_orth_of(node), nps=has_ns,
+                            foreign=foreign, tree=node, before=acc))
+            acc = []
+            has_ns = False
+        elif node.kind == "elem" and node.name == "ns":
+            acc.append(node)
+            has_ns = True
+        else:
+            acc.append(node)
+    return Sent(toks=toks, add=acc)
+
+
+def parse_sent(xml: str) -> Sent:
+    """Parse the inside of one <chunk type="s"> into tokens (foreign
+    markup, attributes and comments preserved verbatim)."""
+    return _join_sent(parse_forest(xml))
+
+
+def restore_sentence(sent: Sent) -> str:
+    """Raw sentence text honoring nps flags (XCES.hs:350-356)."""
+    out = []
+    for t in sent.toks:
+        if not t.nps:
+            out.append(" ")
+        out.append(t.orth)
+    return "".join(out).lstrip(" ")
+
+
 def render_tok(t: Tok) -> str:
+    """Verbatim when the token has a parsed tree (before-tags included,
+    so <ns/> re-renders in position); template form for writer-built
+    tokens (sent_to_xces)."""
+    if t.tree is not None:
+        return "".join(render_node(b) for b in t.before) \
+            + render_node(t.tree)
     ns = "<ns/>" if t.nps else ""
     foreign = t.foreign if t.foreign else ""
     return f"{ns}<tok><orth>{escape_xml(t.orth)}</orth>{foreign}</tok>"
@@ -93,7 +244,8 @@ def render_tok(t: Tok) -> str:
 
 def render_sent(sent: Sent) -> str:
     """Render tokens, wrapping annotated spans in nested <group> elements
-    (outermost opens first — XCES.hs:186-213)."""
+    (outermost opens first — XCES.hs:186-213); sentence-trailing
+    non-token content (sent.add) is preserved after the last token."""
     n = len(sent.toks)
     opens: list[list[str]] = [[] for _ in range(n)]
     closes: list[list[str]] = [[] for _ in range(n)]
@@ -105,7 +257,39 @@ def render_sent(sent: Sent) -> str:
         parts.append("".join(opens[k]))
         parts.append(render_tok(t))
         parts.append("".join(closes[k]))
+    parts.extend(render_node(x) for x in sent.add)
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# NER over a whole document (nerXCES, XCES.hs:320-338)
+# ---------------------------------------------------------------------------
+
+
+def _annotate_sent_xml(inner_xml: str, span_fn) -> str:
+    sent = parse_sent(inner_xml)
+    text = restore_sentence(sent)
+    char_spans = span_fn(text)
+    # token char intervals in the restored text (Tok.sync analog)
+    bounds = []
+    pos = 0
+    for i, t in enumerate(sent.toks):
+        if i > 0 and not t.nps:
+            pos += 1
+        bounds.append((pos, pos + len(t.orth)))
+        pos += len(t.orth)
+    tok_spans = []
+    for sp in char_spans:
+        lo = hi = None
+        for i, (a, b) in enumerate(bounds):
+            if a < sp.end and b > sp.start:
+                if lo is None:
+                    lo = i
+                hi = i + 1
+        if lo is not None:
+            tok_spans.append(Span(sp.label, lo, hi, sp.depth))
+    sent.spans = tok_spans
+    return render_sent(sent)
 
 
 def ner_xces(doc: str, span_fn) -> str:
@@ -115,34 +299,30 @@ def ner_xces(doc: str, span_fn) -> str:
 
     ``span_fn(text) -> list[Span]`` returns char-offset spans over the
     restored sentence; they are mapped onto XCES tokens by char-interval
-    intersection (Tok.sync analog, XCES.hs:343-347).
-    """
-    def annotate(m: re.Match) -> str:
-        sent = parse_sent(m.group(2))
-        text = restore_sentence(sent)
-        char_spans = span_fn(text)
-        # token char intervals in the restored text
-        bounds = []
-        pos = 0
-        for i, t in enumerate(sent.toks):
-            if i > 0 and not t.nps:
-                pos += 1
-            bounds.append((pos, pos + len(t.orth)))
-            pos += len(t.orth)
-        tok_spans = []
-        for sp in char_spans:
-            lo = hi = None
-            for i, (a, b) in enumerate(bounds):
-                if a < sp.end and b > sp.start:
-                    if lo is None:
-                        lo = i
-                    hi = i + 1
-            if lo is not None:
-                tok_spans.append(Span(sp.label, lo, hi, sp.depth))
-        sent.spans = tok_spans
-        return m.group(1) + render_sent(sent) + m.group(3)
-
-    return _SENT_RE.sub(annotate, doc)
+    intersection (Tok.sync analog, XCES.hs:343-347). The flat tag
+    stream is scanned like the reference's ``chunk`` (XCES.hs:76-97):
+    a sentence runs from ``<chunk type="s">`` to the FIRST ``</chunk>``;
+    everything outside sentences passes through byte-verbatim."""
+    pieces = lex_tags(doc)
+    out: list[str] = []
+    i = 0
+    while i < len(pieces):
+        p = pieces[i]
+        if p.kind == "open" and p.name == "chunk" and not p.self_closing \
+                and _attr_type_s(p.raw):
+            j = i + 1
+            while j < len(pieces) and not (pieces[j].kind == "close"
+                                           and pieces[j].name == "chunk"):
+                j += 1
+            inner = "".join(q.raw for q in pieces[i + 1:j])
+            out.append(p.raw)
+            out.append(_annotate_sent_xml(inner, span_fn))
+            out.append(pieces[j].raw if j < len(pieces) else "</chunk>")
+            i = j + 1
+        else:
+            out.append(p.raw)
+            i += 1
+    return "".join(out)
 
 
 def sent_to_xces(text: str, tokenizer) -> str:
