@@ -66,6 +66,59 @@ def sift(pred, d: DictTable) -> DictTable:
 
 
 # ---------------------------------------------------------------------------
+# dict artifacts (reference Dict/Base.hs:77-83 saveDict/loadDict — S12)
+# ---------------------------------------------------------------------------
+
+
+def save_dict(d: DictTable, path: str) -> None:
+    """Persist a dict as a parquet artifact (form, labels) sorted by
+    form — the columnar analog of the reference's DAWG file. Atomic-ish
+    for single writers (parquet write then visible at path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    forms = sorted(d)
+    pq.write_table(pa.Table.from_pydict({
+        "form": pa.array(forms, pa.string()),
+        "labels": pa.array([list(d[f]) for f in forms],
+                           pa.list_(pa.string())),
+    }), path)
+
+
+def load_dict(path: str) -> DictTable:
+    """Load a dict artifact written by ``save_dict`` (round-trip exact:
+    tests/test_dicts_lexicons.py::test_dict_artifact_round_trip)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(path)
+    return {f: tuple(ls)
+            for f, ls in zip(t.column("form").to_pylist(),
+                             t.column("labels").to_pylist())}
+
+
+def user_dict_from_file(path: str, fmt: str = "auto",
+                        atomic: bool = True) -> DictTable:
+    """Load a USER-SUPPLIED lexicon file into a DictTable, ready to wire
+    into ``schema.default_conf(ne_dicts=[...])`` (the reference's
+    ``Dict.hs`` CLI path: resource file -> dict -> schema).
+
+    ``fmt``: 'parquet' (a save_dict artifact), 'polimorf', 'nelexicon',
+    'prolexbase', or 'auto' (by extension: .parquet else tab-separated
+    polimorf)."""
+    from .sources import lexicons
+    if fmt == "auto":
+        fmt = "parquet" if path.endswith(".parquet") else "polimorf"
+    if fmt == "parquet":
+        return load_dict(path)
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    pairs = {
+        "polimorf": lexicons.parse_polimorf,
+        "nelexicon": lexicons.parse_nelexicon,
+        "prolexbase": lexicons.parse_prolexbase,
+    }[fmt](text)
+    return build_dict(pairs, atomic=atomic)
+
+
+# ---------------------------------------------------------------------------
 # the engine's NE dictionaries (synthetic lexical resources)
 # ---------------------------------------------------------------------------
 

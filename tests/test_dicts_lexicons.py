@@ -71,3 +71,36 @@ def test_pneg():
     </LexicalResource>"""
     assert sorted(lexicons.parse_pneg(xml)) == \
         [("ONZ", "organization"), ("ONZ-u", "organization")]
+
+
+def test_dict_artifact_round_trip(tmp_path):
+    """S12 parity (Dict/Base.hs:77-83): save/load a dict artifact."""
+    from nerfray import dicts
+    d = dicts.build_dict([("numpy", "library"), ("numpy", "module"),
+                          ("os.load", "api"), ("MIT", "vendor")])
+    p = str(tmp_path / "lex.parquet")
+    dicts.save_dict(d, p)
+    assert dicts.load_dict(p) == d
+
+
+def test_user_lexicon_file_into_schema(tmp_path):
+    """A user-supplied lexicon file flows file -> dict -> schema conf ->
+    observations (the reference Dict.hs CLI path)."""
+    from nerfray import dicts
+    from nerfray.core import schema
+
+    lex = tmp_path / "user.tsv"
+    lex.write_text("leftpad\tleftpad\tsubst\tcustomlib\n"
+                   "mit license\tmit\tsubst\tlicensey\n",  # multiword: drop
+                   encoding="utf-8")
+    d = dicts.user_dict_from_file(str(lex))
+    assert d == {"leftpad": ("customlib",)}
+
+    # parquet artifact path works identically
+    p = str(tmp_path / "user.parquet")
+    dicts.save_dict(d, p)
+    assert dicts.user_dict_from_file(p) == d
+
+    conf = schema.default_conf(ne_dicts=[("user", d)])
+    obs = schema.schematize(conf, ["import", "leftpad"])
+    assert any("user" in o and "customlib" in o for o in obs[1]), obs[1]
