@@ -39,8 +39,9 @@ def _sessions(group: pa.Table, *, gap_min: int) -> pa.Table:
 
 
 def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id", "ts"])
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
     return ds.groupby("user_id").map_groups(
         _sessions, fn_kwargs={"gap_min": gap_min}, batch_format="pyarrow")
 
@@ -61,8 +62,9 @@ def _hourly_partial(batch: pa.Table) -> pa.Table:
 
 def hourly_counts(sf_dir: str) -> ray.data.Dataset:
     """Tumbling-window (1h) count per event type."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["ts", "event_type"])
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type"])
     return ds.map_batches(_hourly_partial, batch_format="pyarrow") \
         .groupby(["hour", "event_type"]).sum("cnt") \
         .rename_columns({"sum(cnt)": "n_events"})
@@ -100,9 +102,10 @@ def asof_last_order(sf_dir: str) -> ray.data.Dataset:
     unioned, hash-co-located by key, and swept per group — the standard
     partition-both-sides-by-key pattern; at scale the groupby is the one
     bounded shuffle and each group holds one user's history."""
-    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                                   columns=["event_id", "user_id", "ts"])
-    orders = ray.data.read_parquet(
+    from nerfray.sources.parquet import read_parquet_clean
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                                columns=["event_id", "user_id", "ts"])
+    orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 

@@ -13,11 +13,13 @@ from .text import TOKEN_RE_SRC, STOPWORDS
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    from nerfray.sources.parquet import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from nerfray.sources.parquet import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 # -- dedup ------------------------------------------------------------------

@@ -18,8 +18,9 @@ import ray.data
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
     """Column-pruned parquet read (prune at the read, not after)."""
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+    from nerfray.sources.parquet import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
+                              columns=columns)
 
 
 def orders_by_status(sf_dir: str) -> ray.data.Dataset:

@@ -1,0 +1,29 @@
+"""Schema-clean parquet reading.
+
+pandas-written parquet embeds a ``b'pandas'`` schema-metadata blob, and
+a ``pa.Schema`` that carries metadata is UNHASHABLE (``hash(schema)``
+raises ``unhashable type: 'dict'``). Ray Data's shuffle-reduce path
+dedupes block schemas with ``set(schemas)`` and logs ``Failed to hash
+the schemas (for deduplication)`` per reduce task when that fails — a
+cosmetic but noisy warning on every groupby over parquet-sourced data.
+``read_parquet_clean`` strips the metadata with a zero-copy map right
+after the read so every downstream shuffle sees hashable schemas.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    if batch.schema.metadata is None:
+        return batch
+    return batch.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` + schema-metadata strip (zero-copy)."""
+    return ray.data.read_parquet(path, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow",
+        zero_copy_batch=True)

@@ -205,7 +205,8 @@ def read_triples(out_dir: str) -> ray.data.Dataset:
              for k in shard_ids
              for f in sorted(os.listdir(os.path.join(out_dir, f"shard={k}")))
              if f.endswith(".parquet")]
-    ds = ray.data.read_parquet(paths)
+    from ..sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(paths)
     from ..stages import triples as tr
     return tr.dedup_triples(ds)
 
