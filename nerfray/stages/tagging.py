@@ -33,22 +33,29 @@ CARRY = ("repo", "path", "lang", "content_sha", "unit_id")
 
 
 def spans_to_batch(batch: pa.Table, spans_per_row) -> pa.Table:
-    """Expand per-unit span lists into the flat SPAN_SCHEMA table."""
-    cols: dict[str, list] = {name: [] for name in SPAN_SCHEMA.names}
-    carry = {name: batch.column(name).to_pylist() for name in CARRY}
+    """Expand per-unit span lists into the flat SPAN_SCHEMA table.
+    Carry columns replicate via one vectorized ``pc.take`` over a
+    repeat-index (the list-flatten emit pattern) instead of per-span
+    Python appends; only the ragged span fields remain comprehensions."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    spans_list = [list(s) for s in spans_per_row]
+    counts = np.fromiter((len(s) for s in spans_list), dtype=np.int64,
+                         count=len(spans_list))
+    parent = pa.array(np.repeat(np.arange(len(spans_list)), counts))
     texts = batch.column("text").to_pylist()
-    for r, spans in enumerate(spans_per_row):
-        for sp in spans:
-            for name in CARRY:
-                cols[name].append(carry[name][r])
-            cols["label"].append(sp.label)
-            cols["start"].append(sp.start)
-            cols["end"].append(sp.end)
-            cols["depth"].append(sp.depth)
-            cols["surface"].append(texts[r][sp.start:sp.end])
-    return pa.Table.from_pydict(
-        {n: pa.array(cols[n], SPAN_SCHEMA.field(n).type)
-         for n in SPAN_SCHEMA.names}, schema=SPAN_SCHEMA)
+    flat = [(sp, texts[r]) for r, spans in enumerate(spans_list)
+            for sp in spans]
+    arrays = [pc.take(batch.column(name), parent) for name in CARRY]
+    arrays += [
+        pa.array([sp.label for sp, _ in flat], pa.string()),
+        pa.array([sp.start for sp, _ in flat], pa.int32()),
+        pa.array([sp.end for sp, _ in flat], pa.int32()),
+        pa.array([sp.depth for sp, _ in flat], pa.int32()),
+        pa.array([t[sp.start:sp.end] for sp, t in flat], pa.string()),
+    ]
+    return pa.Table.from_arrays(arrays, schema=SPAN_SCHEMA)
 
 
 class TagUnits:

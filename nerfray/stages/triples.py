@@ -39,25 +39,35 @@ def subj_bucket(subj: str, n_buckets: int) -> int:
                           "big") % n_buckets
 
 
+_EMIT_LABELS = pa.array(sorted(PRED_BY_LABEL))
+_EMIT_PREDS = pa.array([PRED_BY_LABEL[lb][1] for lb in sorted(PRED_BY_LABEL)])
+_EMIT_IS_REPO = pa.array([PRED_BY_LABEL[lb][0] == "repo"
+                          for lb in sorted(PRED_BY_LABEL)])
+
+
 def emit_triples(batch: pa.Table) -> pa.Table:
-    """Linked spans -> locally-deduped triples (stateless map + combiner)."""
-    repos = batch.column("repo").to_pylist()
-    paths = batch.column("path").to_pylist()
-    labels = batch.column("label").to_pylist()
-    canons = batch.column("canon_id").to_pylist()
-    seen: set[tuple[str, str, str]] = set()
-    for repo, path, lbl, canon in zip(repos, paths, labels, canons):
-        m = PRED_BY_LABEL.get(lbl)
-        if m is None:
-            continue
-        subj = repo if m[0] == "repo" else repo + "/" + path
-        seen.add((subj, m[1], canon))
-    trips = sorted(seen)
-    return pa.Table.from_pydict(
-        {"subj": pa.array([t[0] for t in trips], pa.string()),
-         "pred": pa.array([t[1] for t in trips], pa.string()),
-         "obj": pa.array([t[2] for t in trips], pa.string())},
-        schema=TRIPLE_SCHEMA)
+    """Linked spans -> locally-deduped triples. Fully vectorized:
+    label -> (pred, subject grain) via ``pc.index_in`` + ``pc.take``
+    against the fixed predicate map, subject built with element-wise
+    binary join, and the per-batch combiner is one Arrow hash
+    ``group_by`` — no Python loop over rows."""
+    import pyarrow.compute as pc
+
+    idx = pc.index_in(batch.column("label"), value_set=_EMIT_LABELS)
+    keep = pc.is_valid(idx)
+    idx = pc.filter(idx, keep)
+    repo = pc.filter(batch.column("repo"), keep)
+    path = pc.filter(batch.column("path"), keep)
+    canon = pc.filter(batch.column("canon_id"), keep)
+
+    is_repo = pc.take(_EMIT_IS_REPO, idx)
+    file_subj = pc.binary_join_element_wise(repo, path, "/")
+    subj = pc.if_else(is_repo, repo, file_subj)
+    pred = pc.take(_EMIT_PREDS, idx)
+    t = pa.Table.from_arrays(
+        [pc.cast(subj, pa.string()), pc.cast(pred, pa.string()),
+         pc.cast(canon, pa.string())], schema=TRIPLE_SCHEMA)
+    return t.group_by(["subj", "pred", "obj"]).aggregate([])
 
 
 PROV_SCHEMA = pa.schema([
