@@ -35,6 +35,14 @@ def h64(s: str, seed: int = 0) -> int:
     return int.from_bytes(d, "little")
 
 
+def sha64(s: str) -> int:
+    """uint64 = first 8 bytes (big-endian) of sha256 — slower than h64
+    but ORACLE-COMPUTABLE: DuckDB's sha256() yields the same value as a
+    16-hex-char prefix, which is how the winnowing and simhash mirrors
+    restate equality/bit tests in SQL."""
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
 _POLY_BASE = np.uint64(1099511628211)  # FNV prime; uint64 wraparound hash
 
 
@@ -309,12 +317,15 @@ def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
 
 
 def simhash64(text: str) -> int:
-    """Token-hash majority vote per bit."""
+    """Token-hash majority vote per bit. Token hashes are sha256
+    prefixes (sha64) so the whole signature is DuckDB-computable —
+    SIMHASH_HEX_SQL in registry.py restates the per-bit vote and
+    reassembles the 16-hex-char signature in SQL."""
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     one = np.uint64(1)
     for w in text.split(" "):
-        hv = np.uint64(h64(w, seed=3))
+        hv = np.uint64(sha64(w))
         bits = (hv >> shifts) & one
         acc += np.where(bits == one, 1, -1)
     return int(sum(1 << i for i in range(64) if acc[i] > 0))
@@ -331,6 +342,22 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _simhash_batch, batch_format="pyarrow")
+
+
+def _simhash_hex(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "simhash_hex": pa.array(
+            [format(v, "016x")
+             for v in batch.column("simhash").to_pylist()], pa.string()),
+    })
+
+
+def simhash_signatures_hex(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, simhash_hex): the oracle-comparable signature surface
+    (uint64 exceeds SQL BIGINT, hex strings compare exactly)."""
+    return simhash_signatures(docs).map_batches(
+        _simhash_hex, batch_format="pyarrow")
 
 
 def simhash_dup_groups(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -36,8 +36,10 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
+    # hex signature surface: uint64 exceeds SQL BIGINT, hex strings
+    # hash-compare exactly against SIMHASH_HEX_SQL
     from . import dedup
-    return dedup.simhash_signatures(_docs(sf_dir))
+    return dedup.simhash_signatures_hex(_docs(sf_dir))
 
 
 def q_dedup_simhash_pairs(sf_dir: str):
@@ -217,6 +219,35 @@ WHERE n_words >= 30 AND n_uniq_words * 100 >= n_words * 25
 ORDER BY doc_id
 """
 
+# per-bit majority vote over sha256-prefix token hashes, reassembled as
+# the 16-hex-char signature; bit b of a hex uint64 lives in hex char
+# 16 - b//4 (big-endian), at in-digit position b%4
+SIMHASH_HEX_SQL = """
+WITH toks AS (
+  SELECT doc_id, substr(sha256(w), 1, 16) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(h, 16 - (b // 4), 1)) - 1)
+                    >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM toks, unnest(generate_series(0, 63)) AS t(b)
+),
+acc AS (
+  SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+  FROM bits GROUP BY doc_id, b
+),
+digits AS (
+  SELECT doc_id, b // 4 AS d, sum(bit << (b % 4))::BIGINT AS dv
+  FROM acc GROUP BY doc_id, b // 4
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', dv + 1, 1), ''
+                  ORDER BY d DESC) AS simhash_hex
+FROM digits GROUP BY doc_id ORDER BY doc_id
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS text_sha, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1 ORDER BY 1
@@ -253,7 +284,8 @@ def oracles() -> dict[str, str]:
         "media_meta": MEDIA_META_SQL,
         "lang_confusion": _lang_sql(),
         "doc_fingerprints": _winnow_sql(),
-        # dedup_minhash / dedup_simhash / sim_lsh / sim_ivf /
+        "dedup_simhash": SIMHASH_HEX_SQL,
+        # dedup_minhash / dedup_simhash_pairs / sim_lsh / sim_ivf /
         # dedup_embedding: sketch/float ops, not SQL-expressible ->
         # rows-only check; pytest verifies them against brute force.
     }

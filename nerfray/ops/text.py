@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .dedup import h64
+from .dedup import h64, sha64  # noqa: F401  (sha64 re-exported; winnow + tests)
 
 # token regex shared verbatim with the DuckDB oracle (RE2-compatible)
 TOKEN_RE_SRC = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -206,14 +206,6 @@ FROM documents GROUP BY 1, 2 ORDER BY 1
 # ---------------------------------------------------------------------------
 # document fingerprinting: winnowing (Schleimer et al., SIGMOD 2003)
 # ---------------------------------------------------------------------------
-
-
-def sha64(s: str) -> int:
-    """uint64 = first 8 bytes (big-endian) of sha256 — chosen over the
-    faster h64/poly hashes because DuckDB's sha256() makes the same
-    value (as a 16-hex-char prefix) oracle-computable; at extreme scale
-    swap in the polynomial hash (same winnowing structure, no oracle)."""
-    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
 
 
 def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> set[int]:
