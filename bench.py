@@ -167,6 +167,35 @@ def run_single_kg(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def run_scale_probe(sf_dir: str, num_cpus: int) -> dict:
+    """10x-headline corpus (default 1M files) in one fresh session: the
+    evidence that the partitioned path's per-row cost stays flat past
+    object-store-spill territory (blocks stay bounded; nothing driver-
+    side grows with n). Compare triples_per_sec with the headline run."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from nerfray import model
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+
+    model.model_artifact()
+    n = corpus_source.corpus_rows_for(sf_dir) * BENCH_MULT * 10
+    t0 = time.time()
+    trips = kg.kg_pipeline(corpus_source.corpus_dataset_by_repo(n),
+                           tagger="crf", dedup="partitioned")
+    n_triples = trips.count()
+    sec = time.time() - t0
+    out = {"metric": "kg_triples_scale_probe_sec", "value": round(sec, 3),
+           "unit": "sec", "num_cpus": num_cpus, "corpus_rows": n,
+           "n_triples": n_triples,
+           "triples_per_sec": round(n_triples / sec, 1)}
+    ray.shutdown()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -174,6 +203,8 @@ def main() -> None:
         out = run_scaling(sf_dir)
     elif "--single-kg" in sys.argv:
         out = run_single_kg(sf_dir, num_cpus)
+    elif "--scale-probe" in sys.argv:
+        out = run_scale_probe(sf_dir, num_cpus)
     else:
         out = run_headline(sf_dir, num_cpus)
     print(json.dumps(out))
