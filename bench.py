@@ -101,7 +101,12 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-SCALING_MULT = int(os.environ.get("NERFRAY_SCALING_MULT", "400"))
+# 800 × sf0.1 rows = 4M files: large enough that steady-state pipeline
+# throughput dominates fixed ramp (actor-pool spin-up, memo-cache
+# warm-up) at BOTH parallelism levels — at 2M files the 32-cpu run was
+# still ramp-bound (~0.79 measured eff); at 4M both levels sit on their
+# steady rates (measured 0.955, see BASELINE.md)
+SCALING_MULT = int(os.environ.get("NERFRAY_SCALING_MULT", "800"))
 
 
 def run_scaling(sf_dir: str) -> dict:

@@ -41,12 +41,14 @@ def units_of(corpus_ds: ray.data.Dataset) -> ray.data.Dataset:
 def spans_of(units: ray.data.Dataset, tagger: str = "crf",
              concurrency=None) -> ray.data.Dataset:
     if concurrency is None:
-        # min > 1 only on big clusters: pre-warming a quarter of the pool
-        # cuts the autoscale ramp that dominates short runs at high CPU
-        # counts, while small (pytest, 4-cpu) sessions keep min=1 so actor
-        # reservation can never starve upstream tasks
+        # min > 1 only on big clusters: pre-warming half the pool cuts
+        # the autoscale ramp that dominates short runs at high CPU
+        # counts (A/B at 2M files, 32 cpus: min=1 310k, min=8 344k,
+        # min=16 373k triples/s), while small (pytest, 4-cpu) sessions
+        # keep min=1 so actor reservation can never starve upstream
+        # tasks
         cpus = _cluster_cpus()
-        concurrency = (max(1, cpus // 4) if cpus >= 16 else 1, cpus)
+        concurrency = (max(1, cpus // 2) if cpus >= 16 else 1, cpus)
     if tagger == "rule":
         return units.map_batches(tagging.TagUnitsRule,
                                  concurrency=concurrency,
