@@ -70,6 +70,48 @@ def hourly_counts(sf_dir: str) -> ray.data.Dataset:
         .rename_columns({"sum(cnt)": "n_events"})
 
 
+SLIDE_HOURS = 3
+
+
+def _sliding_partial(batch: pa.Table, *, window_hours: int) -> pa.Table:
+    """Combiner + window replication: per-batch (hour, type) counts, each
+    emitted into every sliding window it contributes to (the classic
+    replicate-into-windows shape — shuffle volume = hourly partials ×
+    window span, never raw events)."""
+    import collections
+    import datetime
+    trunc = pc.floor_temporal(batch.column("ts"), unit="hour")
+    cnt = collections.Counter(zip(trunc.to_pylist(),
+                                  batch.column("event_type").to_pylist()))
+    wins, types, cs = [], [], []
+    for (h, et), c in sorted(cnt.items()):
+        for k in range(window_hours):
+            wins.append(f"{h + datetime.timedelta(hours=k):%Y-%m-%d %H}")
+            types.append(et)
+            cs.append(c)
+    return pa.Table.from_pydict({
+        "win_end": pa.array(wins, pa.string()),
+        "event_type": pa.array(types, pa.string()),
+        "cnt": pa.array(cs, pa.int64()),
+    })
+
+
+def sliding_counts(sf_dir: str,
+                   window_hours: int = SLIDE_HOURS) -> ray.data.Dataset:
+    """Sliding-window (window_hours, 1h hop) count per event type: row
+    (win_end, type, n) counts events in (win_end - window, win_end].
+    Windows that received no contribution are absent (same convention as
+    the SQL mirror)."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type"])
+    return ds.map_batches(_sliding_partial,
+                          fn_kwargs={"window_hours": window_hours},
+                          batch_format="pyarrow") \
+        .groupby(["win_end", "event_type"]).sum("cnt") \
+        .rename_columns({"sum(cnt)": "n_events"})
+
+
 def _asof_group(group: pa.Table) -> pa.Table:
     """Per-key as-of sweep: events matched to the latest order at or
     before their timestamp (ties on date broken by highest order key)."""
@@ -167,5 +209,18 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "events_sliding": f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+wins AS (
+  SELECT h + k * INTERVAL 1 HOUR AS we, event_type, c
+  FROM hourly, unnest(generate_series(0, {SLIDE_HOURS - 1})) AS t(k)
+)
+SELECT strftime(we, '%Y-%m-%d %H') AS win_end, event_type,
+       sum(c)::BIGINT AS n_events
+FROM wins GROUP BY 1, 2 ORDER BY 1, 2
 """,
 }

@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events.sessionize,
         "events_asof_order": events.asof_last_order,
         "events_hourly": events.hourly_counts,
+        "events_sliding": events.sliding_counts,
     }
     return q
 

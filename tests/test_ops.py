@@ -280,3 +280,24 @@ def test_text_stats_vs_python(ray_session, planted_docs):
         assert r["n_words"] == len(t.split(" "))
         assert r["n_uniq_words"] == len(set(t.split(" ")))
         assert r["n_chars"] == len(t)
+
+
+def test_sliding_window_partial_semantics():
+    """Each hourly count contributes to exactly window_hours windows;
+    (win_end - window, win_end] semantics."""
+    import datetime
+    from nerfray.ops import events as ev
+    ts = [datetime.datetime(2024, 1, 1, 10, 5),
+          datetime.datetime(2024, 1, 1, 10, 55),
+          datetime.datetime(2024, 1, 1, 12, 0)]
+    batch = pa.Table.from_pydict({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "a"]),
+    })
+    out = ev._sliding_partial(batch, window_hours=3)
+    rows = sorted(zip(out.column("win_end").to_pylist(),
+                      out.column("cnt").to_pylist()))
+    # hour 10 (2 events) -> windows 10,11,12; hour 12 (1) -> 12,13,14
+    assert rows == [("2024-01-01 10", 2), ("2024-01-01 11", 2),
+                    ("2024-01-01 12", 1), ("2024-01-01 12", 2),
+                    ("2024-01-01 13", 1), ("2024-01-01 14", 1)]
