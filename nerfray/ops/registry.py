@@ -97,6 +97,12 @@ def q_docs_curated(sf_dir: str):
     return text.curate(_docs(sf_dir), min_words=30, min_ttr_pct=25)
 
 
+def q_docs_pipeline(sf_dir: str):
+    from . import text
+    return text.curation_pipeline(_docs(sf_dir), min_words=30,
+                                  min_ttr_pct=25)
+
+
 def q_lang_confusion(sf_dir: str):
     # planted-signal variant: SQL-oracled end-to-end classifier check
     # (raw-text classification stays available as text.lang_confusion)
@@ -135,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "docs_curated": q_docs_curated,
+        "docs_pipeline": q_docs_pipeline,
         "lang_confusion": q_lang_confusion,
         "doc_fingerprints": q_doc_fingerprints,
         "media_meta": q_media_meta,
@@ -249,6 +256,32 @@ SELECT doc_id,
 FROM digits GROUP BY doc_id ORDER BY doc_id
 """
 
+# composed curation: stats+sha in one scan, min-doc survivor per exact-
+# duplicate class, then the integer-ratio quality gate
+DOCS_PIPELINE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, sha256(text) AS text_sha,
+         length(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_words,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq_words,
+         len(regexp_extract_all(text, '{TOKEN_RE_SRC}'))::BIGINT AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_STOP_SQL})))::BIGINT AS n_stopwords
+  FROM documents
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text_sha
+                                 ORDER BY doc_id) AS rn FROM s)
+  WHERE rn = 1
+)
+SELECT doc_id, n_chars, n_words, n_uniq_words, n_tokens, n_stopwords,
+       text_sha
+FROM surv
+WHERE n_words >= 30 AND n_uniq_words * 100 >= n_words * 25
+ORDER BY doc_id
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS text_sha, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1 ORDER BY 1
@@ -282,6 +315,7 @@ def oracles() -> dict[str, str]:
         "text_stats": TEXT_STATS_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "docs_curated": DOCS_CURATED_SQL,
+        "docs_pipeline": DOCS_PIPELINE_SQL,
         "media_meta": MEDIA_META_SQL,
         "lang_confusion": _lang_sql(),
         "doc_fingerprints": _winnow_sql(),

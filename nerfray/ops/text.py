@@ -25,31 +25,33 @@ _TOKEN_RE = re.compile(TOKEN_RE_SRC)
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
+_STOPSET = set(STOPWORDS)
+
+
+def text_stats_table(batch: pa.Table) -> pa.Table:
+    """Per-doc counter table for one batch (Arrow kernels)."""
+    text = batch.column("text")
+    words = pc.split_pattern(text, " ")
+    n_words = pc.list_value_length(words)
+    wl = words.to_pylist()
+    uniq = [len(set(ws)) for ws in wl]
+    stop_counts = [sum(1 for w in ws if w in _STOPSET) for ws in wl]
+    # regex token count via Python re (RE2-identical for this pattern)
+    n_toks = [len(_TOKEN_RE.findall(t)) for t in text.to_pylist()]
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "n_words": pc.cast(n_words, pa.int64()),
+        "n_uniq_words": pa.array(uniq, pa.int64()),
+        "n_tokens": pa.array(n_toks, pa.int64()),
+        "n_stopwords": pa.array(stop_counts, pa.int64()),
+    })
+
+
 def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc counters, fully vectorized in Arrow kernels."""
-
-    stopset = set(STOPWORDS)
-
-    def _stats(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        words = pc.split_pattern(text, " ")
-        n_words = pc.list_value_length(words)
-        wl = words.to_pylist()
-        uniq = [len(set(ws)) for ws in wl]
-        stop_counts = [sum(1 for w in ws if w in stopset) for ws in wl]
-        # regex token count via Python re (RE2-identical for this pattern)
-        n_toks = [len(_TOKEN_RE.findall(t)) for t in text.to_pylist()]
-        return pa.Table.from_pydict({
-            "doc_id": batch.column("doc_id"),
-            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
-            "n_words": pc.cast(n_words, pa.int64()),
-            "n_uniq_words": pa.array(uniq, pa.int64()),
-            "n_tokens": pa.array(n_toks, pa.int64()),
-            "n_stopwords": pa.array(stop_counts, pa.int64()),
-        })
-
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        _stats, batch_format="pyarrow", zero_copy_batch=True)
+        text_stats_table, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -96,6 +98,43 @@ def curate(docs: ray.data.Dataset, *, min_words: int = 20,
 
     return text_stats(docs).map_batches(_gate, batch_format="pyarrow",
                                         zero_copy_batch=True)
+
+
+def curation_pipeline(docs: ray.data.Dataset, *, min_words: int = 30,
+                      min_ttr_pct: int = 25) -> ray.data.Dataset:
+    """The composed curation flow a 100 TB run would execute: ONE pass
+    computes sha256 + counters per doc, ONE groupby(text_sha) keeps the
+    min-doc_id survivor per exact-duplicate class, then the integer-
+    ratio quality gate filters — dedup and quality in a single shuffle
+    of narrow (sha, counters) rows; text never moves."""
+    import hashlib as _hl
+
+    def _sha_stats(batch: pa.Table) -> pa.Table:
+        t = text_stats_table(batch)
+        shas = [_hl.sha256(x.encode()).hexdigest()
+                for x in batch.column("text").to_pylist()]
+        return t.append_column("text_sha", pa.array(shas, pa.string()))
+
+    def _survivor(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id")
+        import pyarrow.compute as _pc
+        i = _pc.index(ids, _pc.min(ids).as_py()).as_py()
+        return group.slice(i, 1)
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        n_words = batch.column("n_words")
+        keep = pc.and_(
+            pc.greater_equal(n_words, min_words),
+            pc.greater_equal(
+                pc.multiply(batch.column("n_uniq_words"), 100),
+                pc.multiply(n_words, min_ttr_pct)))
+        return batch.filter(keep)
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_sha_stats, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("text_sha").map_groups(_survivor, batch_format="pyarrow") \
+        .map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

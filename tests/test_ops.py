@@ -301,3 +301,19 @@ def test_sliding_window_partial_semantics():
     assert rows == [("2024-01-01 10", 2), ("2024-01-01 11", 2),
                     ("2024-01-01 12", 1), ("2024-01-01 12", 2),
                     ("2024-01-01 13", 1), ("2024-01-01 14", 1)]
+
+
+def test_curation_pipeline_dedups_then_gates(ray_session, planted_docs):
+    """Composed curation: the exact-dup survivor (min doc_id) passes,
+    its duplicate is dropped, and the quality gate filters low-word
+    docs. (The sf tables have no exact dups, so the oracle alone
+    doesn't exercise the survivor branch — this does.)"""
+    docs, texts = planted_docs
+    rows = {r["doc_id"]: r
+            for r in tx.curation_pipeline(docs, min_words=5,
+                                          min_ttr_pct=10).take_all()}
+    assert 3 in rows and 30 not in rows  # survivor per sha = min doc_id
+    assert all(r["n_words"] >= 5 for r in rows.values())
+    import hashlib
+    assert rows[3]["text_sha"] == hashlib.sha256(
+        texts[3].encode()).hexdigest()
