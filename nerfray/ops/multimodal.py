@@ -96,3 +96,58 @@ def media_meta(docs: ray.data.Dataset) -> ray.data.Dataset:
     """SQL-oracled metadata projection of the decode output."""
     return media_features(docs).select_columns(
         ["doc_id", "media_type", "n_bytes", "sha_prefix"])
+
+
+FRAME_BYTES = 256
+
+
+class FrameSampler:
+    """STUB frame extraction + resize (no ffmpeg/PIL in this container):
+    a payload is treated as contiguous FRAME_BYTES-sized frames; every
+    ``stride``-th frame is sampled and "resized" to a ``thumb_bytes``
+    prefix slice. The Ray-side plumbing is the real thing — flat-map
+    expansion (one output row per sampled frame), small batches because
+    payloads are wide, per-actor init, ``large_binary`` thumbnails —
+    and frame accounting (count, offsets, thumb sizes) is deterministic
+    byte arithmetic, so it carries a full SQL oracle. A real deployment
+    replaces only the two slice expressions with codec calls."""
+
+    def __init__(self, stride: int = 4, thumb_bytes: int = 64):
+        self.stride = stride
+        self.thumb_bytes = thumb_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, offs, thumbs = [], [], [], []
+        for doc, payload in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            n = len(payload)
+            n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, self.stride):
+                off = idx * FRAME_BYTES
+                frame = payload[off:off + FRAME_BYTES]
+                ids.append(doc)
+                frames.append(idx)
+                offs.append(off)
+                thumbs.append(frame[:self.thumb_bytes])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_id": pa.array(frames, pa.int64()),
+            "frame_off": pa.array(offs, pa.int64()),
+            "thumb": pa.array(thumbs, pa.large_binary()),
+            "thumb_n_bytes": pa.array([len(t) for t in thumbs], pa.int64()),
+        })
+
+
+def media_frames(docs: ray.data.Dataset, *, stride: int = 4,
+                 thumb_bytes: int = 64) -> ray.data.Dataset:
+    """Sampled-frame table with thumbnails (actor-pool stage)."""
+    return to_media(docs).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride, "thumb_bytes": thumb_bytes},
+        concurrency=(1, 4), batch_size=64, batch_format="pyarrow")
+
+
+def media_frames_meta(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """SQL-oracled frame-accounting projection (thumbnails dropped)."""
+    return media_frames(docs).select_columns(
+        ["doc_id", "frame_id", "frame_off", "thumb_n_bytes"])

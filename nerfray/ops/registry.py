@@ -124,6 +124,11 @@ def q_media_meta(sf_dir: str):
     return multimodal.media_meta(_docs(sf_dir))
 
 
+def q_media_frames(sf_dir: str):
+    from . import multimodal
+    return multimodal.media_frames_meta(_docs(sf_dir))
+
+
 # -- assembly ---------------------------------------------------------------
 
 
@@ -145,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q_lang_confusion,
         "doc_fingerprints": q_doc_fingerprints,
         "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
         "orders_by_status": relational.orders_by_status,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,
@@ -287,6 +293,20 @@ SELECT sha256(text) AS text_sha, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1 ORDER BY 1
 """
 
+# frame accounting is pure byte arithmetic over strlen(text) (payload =
+# utf-8 bytes of text): frames of 256 bytes, every 4th sampled, thumbs
+# capped at 64 bytes
+MEDIA_FRAMES_SQL = """
+WITH m AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents),
+f AS (SELECT doc_id, n_bytes,
+             (n_bytes + 255) // 256 AS n_frames FROM m WHERE n_bytes > 0),
+s AS (SELECT doc_id, n_bytes, 4 * k AS frame_id
+      FROM f, unnest(generate_series(0, (n_frames - 1) // 4)) AS t(k))
+SELECT doc_id, frame_id, (frame_id * 256)::BIGINT AS frame_off,
+       least(64, n_bytes - frame_id * 256)::BIGINT AS thumb_n_bytes
+FROM s ORDER BY doc_id, frame_id
+"""
+
 MEDIA_META_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END
@@ -317,6 +337,7 @@ def oracles() -> dict[str, str]:
         "docs_curated": DOCS_CURATED_SQL,
         "docs_pipeline": DOCS_PIPELINE_SQL,
         "media_meta": MEDIA_META_SQL,
+        "media_frames": MEDIA_FRAMES_SQL,
         "lang_confusion": _lang_sql(),
         "doc_fingerprints": _winnow_sql(),
         "dedup_simhash": SIMHASH_HEX_SQL,

@@ -317,3 +317,25 @@ def test_curation_pipeline_dedups_then_gates(ray_session, planted_docs):
     import hashlib
     assert rows[3]["text_sha"] == hashlib.sha256(
         texts[3].encode()).hexdigest()
+
+
+def test_frame_sampler_stride_and_thumbs(ray_session):
+    """Multi-frame payloads: every stride-th 256-byte frame sampled,
+    offsets exact, thumbnails are 64-byte prefixes (short tail frame
+    yields a short thumb). sf docs are single-frame, so this plants a
+    long payload to exercise the stride path the oracle can't."""
+    import ray.data
+    from nerfray.ops import multimodal as mm
+    text = "z" * (256 * 9 + 10)   # 10 frames, last one 10 bytes
+    docs = ray.data.from_arrow(_docs_table([text, "tiny"]))
+    rows = [r for r in mm.media_frames(docs).take_all()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    f0 = sorted(by_doc[0], key=lambda r: r["frame_id"])
+    assert [r["frame_id"] for r in f0] == [0, 4, 8]
+    assert [r["frame_off"] for r in f0] == [0, 1024, 2048]
+    assert [len(r["thumb"]) for r in f0] == [64, 64, 64]
+    assert all(r["thumb"] == b"z" * 64 for r in f0)
+    t = by_doc[1][0]
+    assert t["frame_id"] == 0 and t["thumb_n_bytes"] == 4
