@@ -72,6 +72,18 @@ def q_kg_triples_rule(sf_dir: str):
     return kg.run_for(sf_dir, tagger="rule")
 
 
+def q_kg_triples_checked(sf_dir: str):
+    """The containment-CHECKED shuffle-free dedup path: materialize
+    emitted triples, validate repo containment on the exact blocks the
+    dedup sees, per-block dedup (or shuffle fallback). Same oracle as
+    kg_triples — the check must never change the answer."""
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+    n = corpus_source.corpus_rows_for(sf_dir)
+    return kg.kg_pipeline(corpus_source.corpus_dataset_by_repo(n),
+                          tagger="crf", dedup="partitioned_checked")
+
+
 def q_kg_nodes(sf_dir: str):
     """Canonicalization (salted two-phase groupby): node mention counts."""
     from nerfray.pipelines import kg
@@ -191,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_units": q_kg_units,
         "kg_triples": q_kg_triples,
         "kg_triples_rule": q_kg_triples_rule,
+        "kg_triples_checked": q_kg_triples_checked,
         "kg_nodes": q_kg_nodes,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_eval_prf": q_kg_eval_prf,
@@ -212,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_files": corpus.files_sql(),
         "kg_triples": corpus.gold_triples_sql(),
         "kg_triples_rule": corpus.gold_triples_sql(),
+        "kg_triples_checked": corpus.gold_triples_sql(),
         "kg_triples_checkpointed": corpus.gold_triples_sql(),
         "kg_nodes": corpus.nodes_sql(),
         "kg_triples_prov": corpus.prov_triples_sql(),

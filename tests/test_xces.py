@@ -174,3 +174,36 @@ def test_restore_with_foreign_markup():
         '<!-- noise -->'
         '<ns/><tok><orth>1</orth></tok>')
     assert xces.restore_sentence(sent) == "x=1"
+
+
+def test_xces_fuzz_never_crashes_and_preserves_outside_bytes():
+    """Tag-soup robustness: on arbitrary fragment soup (unclosed tags,
+    stray closes, empty tags, weird text) ner_xces must not raise, and
+    every byte outside <chunk type="s"> regions must pass through
+    verbatim."""
+    import itertools
+    frags = ['<a>', '</a>', '</zzz>', 'text & more', '<ns/>',
+             '<tok><orth>w</orth>', '</tok>', '<!-- c -->', '<empty/>',
+             '<x y="1">', '<chunk type="p">', '</chunk>', '<orth>', '>',
+             '"quoted"']
+    # deterministic pseudo-random docs from fragment combinations
+    for i, combo in enumerate(itertools.islice(
+            itertools.permutations(frags, 4), 0, 120, 7)):
+        doc = "".join(combo)
+        out = xces.ner_xces(doc, lambda text: [])
+        if '<chunk type="s">' not in doc:
+            assert out == doc, (doc, out)  # byte-verbatim pass-through
+
+
+def test_xces_fuzz_sentences_with_garbage_inside():
+    """Sentences containing malformed sub-XML still annotate: tokens
+    with orth are found, garbage elements survive as before-tags."""
+    doc = ('<chunk type="s">'
+           '<junk><tok><orth>lost</orth></tok>'  # tok swallowed by junk?
+           '</junk>'
+           '<tok><orth>ok</orth></tok>'
+           '<broken'  # not even a tag
+           '</chunk>')
+    out = xces.ner_xces(doc, lambda text: [])
+    assert '<tok><orth>ok</orth></tok>' in out
+    assert xces.parse_sent('<tok><orth>a</orth>').toks[0].orth == "a"
