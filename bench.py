@@ -72,11 +72,13 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     except Exception:
         queries["kg_write_checkpointed"] = -1.0
 
-    # secondary pipelines at native sf scale
+    # secondary pipelines at native sf scale (incl. the distributed
+    # graph ops, so the recorded bench evidences them beyond gate scale)
     import __ray_entry__ as e
     qs = e.queries()
-    for name in ("kg_nodes", "dedup_exact", "dedup_minhash", "sim_topk",
-                 "text_stats", "events_sessionize"):
+    for name in ("kg_nodes", "kg_components", "kg_pagerank", "dedup_exact",
+                 "dedup_minhash", "sim_topk", "text_stats",
+                 "events_sessionize", "events_sliding", "docs_pipeline"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
@@ -85,6 +87,21 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
             queries[name] = round(time.time() - t0, 3)
         except Exception:
             queries[name] = -1.0
+
+    # 10x scale probe inside the recorded bench: per-row cost must stay
+    # flat an order of magnitude past the headline input
+    try:
+        t0 = time.time()
+        n10 = n * 10
+        trips10 = kg.kg_pipeline(corpus_source.corpus_dataset_by_repo(n10),
+                                 tagger="crf", dedup="partitioned")
+        n_triples10 = trips10.count()
+        probe_sec = time.time() - t0
+        queries["kg_scale_probe_10x"] = round(probe_sec, 3)
+        out_probe = round(n_triples10 / probe_sec, 1)
+    except Exception:
+        queries["kg_scale_probe_10x"] = -1.0
+        out_probe = -1.0
 
     out = {
         "metric": "kg_triples_wall_sec",
@@ -96,6 +113,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         "corpus_rows": n,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / kg_sec, 1),
+        "scale_probe_triples_per_sec": out_probe,
     }
     ray.shutdown()
     return out

@@ -26,8 +26,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from nerfray.ops.dedup import h64
-
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
@@ -165,33 +163,81 @@ def _orient_max_first(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict({"u": hi, "v": lo})
 
 
-def _large_star_group(group: pa.Table) -> pa.Table:
-    u = group.column("u")[0].as_py()
-    nbrs = set(group.column("v").to_pylist())
-    m = min(min(nbrs), u)
-    vs = sorted(x for x in nbrs if x > u)
+# Star rounds are vectorized per HASH BUCKET, not per node: grouping by
+# a 64-way hash of u co-locates every node's neighborhood while keeping
+# the per-round Python dispatch count at O(buckets); inside a bucket the
+# per-node mins/emissions are numpy (sorted codes + minimum.reduceat).
+N_STAR_BUCKETS = 64
+
+
+def _hash_bucket(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    arr = np.asarray(batch.column("u").to_pylist(), dtype=object)
+    b = (pd.util.hash_array(arr) % N_STAR_BUCKETS).astype(np.int32)
+    return batch.append_column("bucket", pa.array(b))
+
+
+def _grouped_codes(group: pa.Table):
+    """(sorted-by-u codes, group starts, counts, per-group m, vals) where
+    codes are order-isomorphic to the node strings."""
+    u_obj = np.asarray(group.column("u").to_pylist(), dtype=object)
+    v_obj = np.asarray(group.column("v").to_pylist(), dtype=object)
+    vals = np.unique(np.concatenate([u_obj, v_obj]))
+    ucode = np.searchsorted(vals, u_obj)
+    vcode = np.searchsorted(vals, v_obj)
+    order = np.argsort(ucode, kind="stable")
+    u_s, v_s = ucode[order], vcode[order]
+    starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+    counts = np.diff(np.r_[starts, len(u_s)])
+    gmin_v = np.minimum.reduceat(v_s, starts) if len(u_s) else \
+        np.array([], dtype=np.int64)
+    return u_s, v_s, starts, counts, gmin_v, vals
+
+
+def _emit(a_codes, b_codes, vals) -> pa.Table:
+    """Distinct (a, b) pairs decoded back to strings."""
+    if len(a_codes):
+        key = a_codes.astype(np.int64) * len(vals) + b_codes
+        uniq = np.unique(key)
+        a_codes, b_codes = uniq // len(vals), uniq % len(vals)
     return pa.Table.from_pydict({
-        "a": pa.array(vs, pa.string()),
-        "b": pa.array([m] * len(vs), pa.string()),
+        "a": pa.array(vals[a_codes].tolist() if len(a_codes) else [],
+                      pa.string()),
+        "b": pa.array(vals[b_codes].tolist() if len(b_codes) else [],
+                      pa.string()),
     })
 
 
-def _small_star_group(group: pa.Table) -> pa.Table:
-    u = group.column("u")[0].as_py()
-    nbrs = set(group.column("v").to_pylist())  # all < u by orientation
-    m = min(nbrs)
-    vs = sorted((nbrs | {u}) - {m})
-    return pa.Table.from_pydict({
-        "a": pa.array(vs, pa.string()),
-        "b": pa.array([m] * len(vs), pa.string()),
-    })
+def _large_star_bucket(group: pa.Table) -> pa.Table:
+    """Per u: m = min(nbrs ∪ {u}); emit (v, m) for v > u."""
+    u_s, v_s, starts, counts, gmin_v, vals = _grouped_codes(group)
+    m = np.minimum(gmin_v, u_s[starts])
+    m_rep = np.repeat(m, counts)
+    mask = v_s > u_s
+    return _emit(v_s[mask], m_rep[mask], vals)
+
+
+def _small_star_bucket(group: pa.Table) -> pa.Table:
+    """Per u (v all < u by orientation): m = min(nbrs); emit (v, m) for
+    v in nbrs \\ {m} plus (u, m)."""
+    u_s, v_s, starts, counts, gmin_v, vals = _grouped_codes(group)
+    m_rep = np.repeat(gmin_v, counts)
+    mask = v_s != m_rep
+    a = np.concatenate([v_s[mask], u_s[starts]])
+    b = np.concatenate([m_rep[mask], gmin_v])
+    return _emit(a, b, vals)
 
 
 def _sig_partial(batch: pa.Table) -> pa.Table:
-    """Order-independent per-block edge-set checksum (count, hash-sum)."""
-    hv = sum(h64(a + "\x1f" + b, seed=9)
-             for a, b in zip(batch.column("a").to_pylist(),
-                             batch.column("b").to_pylist()))
+    """Order-independent per-block edge-set checksum (count, hash-sum).
+    Vectorized pair hash: siphash of each endpoint (pandas hash_array,
+    fixed key => process-independent) combined asymmetrically."""
+    import pandas as pd
+    a = np.asarray(batch.column("a").to_pylist(), dtype=object)
+    b = np.asarray(batch.column("b").to_pylist(), dtype=object)
+    ha, hb = pd.util.hash_array(a), pd.util.hash_array(b)
+    pair = ha * np.uint64(1099511628211) ^ hb
+    hv = int(pair.sum(dtype=np.uint64))
     return pa.Table.from_pydict({
         "cnt": pa.array([batch.num_rows], pa.int64()),
         "hv": pa.array([str(hv)], pa.string()),  # unbounded int as string
@@ -209,9 +255,13 @@ def _signature(edges: ray.data.Dataset) -> tuple[int, int]:
 
 def _round(edges: ray.data.Dataset) -> ray.data.Dataset:
     large = edges.map_batches(_symmetrize, batch_format="pyarrow") \
-        .groupby("u").map_groups(_large_star_group, batch_format="pyarrow")
+        .map_batches(_hash_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_large_star_bucket,
+                                      batch_format="pyarrow")
     return large.map_batches(_orient_max_first, batch_format="pyarrow") \
-        .groupby("u").map_groups(_small_star_group, batch_format="pyarrow")
+        .map_batches(_hash_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_small_star_bucket,
+                                      batch_format="pyarrow")
 
 
 def connected_components(triples: ray.data.Dataset,
