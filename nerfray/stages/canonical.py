@@ -4,10 +4,12 @@ Skew-safe two-phase aggregation (SURVEY.md §7.3): canonical keys are
 power-law hot (ubiquitous stdlib symbols land on one reducer in a naive
 groupby). Phase 1 pre-aggregates INSIDE ``map_batches`` (a combiner: each
 block of M mention rows shrinks to <= distinct-keys rows before any data
-moves); phase 2 is a small ``groupby(key).sum`` over the partials. With an
-optional salt the phase-2 shuffle itself is split over ``n_salts``
-reducers per key and finished by a third, tiny reduction — at 100 TB the
-combiner alone removes ~all volume, the salt bounds the worst key.
+moves); phase 2 reduces to one row per (key, surface) and finishes with
+pure ``Sum``/``Count`` aggregates per key (never ``map_groups`` — a
+per-key Python dispatch would be 10^6 calls at corpus scale). With an
+optional salt the (key, surface) shuffle itself is split over
+``n_salts`` reducers per hot pair first — at 100 TB the combiner alone
+removes ~all volume, the salt bounds the worst key.
 """
 
 from __future__ import annotations
@@ -46,26 +48,25 @@ def _partial_counts(batch: pa.Table, *, key: str, n_salts: int) -> pa.Table:
 def canonical_nodes(linked: ray.data.Dataset, *, key: str = "canon_id",
                     n_salts: int = 1) -> ray.data.Dataset:
     """Linked spans -> (canon_id, n_mentions, n_surfaces) node table."""
+    from ray.data.aggregate import Count, Sum
+
     partial = linked.map_batches(
         _partial_counts, fn_kwargs={"key": key, "n_salts": n_salts},
         batch_format="pyarrow", zero_copy_batch=True)
     if n_salts > 1:
         # salted mid-combine: hot (key, surface) pairs split over n_salts
-        # reducers before the final per-key reduction
+        # reducers before the (key, surface) reduction
         mid = partial.groupby([key, "surface", "salt"]).sum("cnt")
         partial = mid.drop_columns(["salt"]).rename_columns(
             {"sum(cnt)": "cnt"})
 
-    def _node_group(group: pa.Table) -> pa.Table:
-        cnts = group.column("cnt").to_pylist()
-        surfaces = group.column("surface").to_pylist()
-        return pa.Table.from_pydict({
-            key: group.column(key).slice(0, 1),
-            "n_mentions": pa.array([sum(cnts)], pa.int64()),
-            "n_surfaces": pa.array([len(set(surfaces))], pa.int64()),
-        })
-
-    # single final shuffle: block-combined partials are tiny, so one
-    # groupby(key).map_groups computes both rollups at once
-    return partial.groupby(key).map_groups(_node_group,
-                                           batch_format="pyarrow")
+    # reduce to one row per (key, surface) — after this, n_surfaces is a
+    # plain row count — then pure aggregates per key. No map_groups: a
+    # per-key Python dispatch would be 10^6 calls at corpus scale (the
+    # same lesson as the graph star rounds); Sum/Count aggregates stay
+    # vectorized end to end.
+    per_surface = partial.groupby([key, "surface"]).sum("cnt") \
+        .rename_columns({"sum(cnt)": "cnt"})
+    return per_surface.groupby(key).aggregate(Sum("cnt"), Count()) \
+        .rename_columns({"sum(cnt)": "n_mentions",
+                         "count()": "n_surfaces"})
