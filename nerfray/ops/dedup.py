@@ -136,26 +136,57 @@ def _bands(batch: pa.Table, *, n_bands: int, rows_per_band: int) -> pa.Table:
     })
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one (band, band_key) bucket. A degenerate
-    hot bucket is capped at 200 ids (pairs beyond the cap are DROPPED —
-    a documented recall loss; each overflow is logged with the drop
-    count from the worker that saw it)."""
-    ids = sorted(group.column("doc_id").to_pylist())
+# Bucket-vectorized grouping: one map_groups dispatch per HASH BUCKET
+# (not per LSH bucket / per doc id) — per-group Python-call overhead
+# dominated wall time with ~n_docs tiny groups; inside a hash bucket the
+# sub-groups are swept with sorted-run boundaries.
+N_HASH_BUCKETS = 64
+
+
+def _pairs_in_run(ids: list, a: list, b: list) -> None:
+    """Capped all-pairs within one LSH bucket, appended to a/b."""
     cap = 200
     if len(ids) > cap:
         import logging
         logging.getLogger(__name__).warning(
             "minhash LSH bucket overflow: %d ids in one bucket, "
             "dropping %d beyond cap=%d", len(ids), len(ids) - cap, cap)
-    ids = ids[:cap]
-    a, b = [], []
+        ids = ids[:cap]
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a.append(ids[i])
             b.append(ids[j])
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs for every (band, band_key) LSH bucket inside one
+    hash bucket. A degenerate hot LSH bucket is capped at 200 ids (pairs
+    beyond the cap are DROPPED — a documented recall loss, logged with
+    the drop count)."""
+    rows = sorted(zip(group.column("band").to_pylist(),
+                      group.column("band_key").to_pylist(),
+                      group.column("doc_id").to_pylist()))
+    a: list = []
+    b: list = []
+    run_key = None
+    run_ids: list = []
+    for band, key, doc in rows:
+        if (band, key) != run_key:
+            if run_ids:
+                _pairs_in_run(run_ids, a, b)
+            run_key, run_ids = (band, key), []
+        run_ids.append(doc)
+    if run_ids:
+        _pairs_in_run(run_ids, a, b)
     return pa.Table.from_pydict({"doc_a": pa.array(a, pa.int64()),
                                  "doc_b": pa.array(b, pa.int64())})
+
+
+def _band_hash_bucket(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    arr = np.asarray(batch.column("band_key").to_pylist(), dtype=object)
+    hb = (pd.util.hash_array(arr) % N_HASH_BUCKETS).astype(np.int32)
+    return batch.append_column("hb", pa.array(hb))
 
 
 def minhash_candidates(docs: ray.data.Dataset, *, k: int = 64,
@@ -170,8 +201,8 @@ def minhash_candidates(docs: ray.data.Dataset, *, k: int = 64,
         _bands, fn_kwargs={"n_bands": n_bands,
                            "rows_per_band": rows_per_band},
         batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow")
+    pairs = bands.map_batches(_band_hash_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["doc_a", "doc_b"]).count() \
         .drop_columns(["count()"])
 
@@ -232,42 +263,46 @@ def _shingles_as_join_right(batch: pa.Table) -> pa.Table:
 
 
 def _split_group(group: pa.Table):
-    """One join group = the key doc's shingle row + its pair rows."""
+    """One join hash-bucket = shingle rows for MANY key docs + the pair
+    rows keyed to them. Returns (pair rows, key -> shingle array)."""
     import pyarrow.compute as pc
     is_pair = pc.is_valid(group.column("doc_a"))
     pairs = group.filter(is_pair)
     sh_rows = group.filter(pc.invert(is_pair))
-    sh = None
-    if sh_rows.num_rows:
-        sh = np.asarray(sh_rows.column("sh")[0].as_py(), dtype=np.uint64)
-    return pairs, sh
+    sh_map = {k: np.asarray(s, dtype=np.uint64)
+              for k, s in zip(sh_rows.column("key").to_pylist(),
+                              sh_rows.column("sh").to_pylist())}
+    return pairs, sh_map
 
 
 def _attach_a(group: pa.Table) -> pa.Table:
-    pairs, sh = _split_group(group)
-    if pairs.num_rows == 0 or sh is None:
+    pairs, sh_map = _split_group(group)
+    if pairs.num_rows == 0:
         return _JOIN_SCHEMA.empty_table()
+    sh_a = [sh_map[k].tolist()
+            for k in pairs.column("key").to_pylist()]
     n = pairs.num_rows
     return pa.Table.from_pydict({
         "key": pairs.column("doc_b"),
         "doc_a": pairs.column("doc_a"),
         "doc_b": pairs.column("doc_b"),
-        "sh_a": pa.array([sh.tolist()] * n, pa.list_(pa.uint64())),
+        "sh_a": pa.array(sh_a, pa.list_(pa.uint64())),
         "sh": _nulls(n, pa.list_(pa.uint64())),
     }, schema=_JOIN_SCHEMA)
 
 
 def _verify_b(group: pa.Table, *, threshold: float) -> pa.Table:
-    pairs, sh_b = _split_group(group)
+    pairs, sh_map = _split_group(group)
     keep_a, keep_b, jac = [], [], []
-    if pairs.num_rows and sh_b is not None:
-        nb = len(sh_b)
-        for a, b, sh_a in zip(pairs.column("doc_a").to_pylist(),
-                              pairs.column("doc_b").to_pylist(),
-                              pairs.column("sh_a").to_pylist()):
+    if pairs.num_rows:
+        for key, a, b, sh_a in zip(pairs.column("key").to_pylist(),
+                                   pairs.column("doc_a").to_pylist(),
+                                   pairs.column("doc_b").to_pylist(),
+                                   pairs.column("sh_a").to_pylist()):
+            sh_b = sh_map[key]
             sa = np.asarray(sh_a, dtype=np.uint64)
             inter = len(np.intersect1d(sa, sh_b, assume_unique=True))
-            union = len(sa) + nb - inter
+            union = len(sa) + len(sh_b) - inter
             j = inter / union if union else 1.0
             if j >= threshold:
                 keep_a.append(a)
@@ -278,6 +313,13 @@ def _verify_b(group: pa.Table, *, threshold: float) -> pa.Table:
         "doc_b": pa.array(keep_b, pa.int64()),
         "jaccard": pa.array(jac, pa.float64()),
     })
+
+
+def _key_bucket(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    hb = pc.cast(pc.bit_wise_and(batch.column("key"),
+                                 N_HASH_BUCKETS - 1), pa.int32())
+    return batch.append_column("hb", hb)
 
 
 def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
@@ -296,17 +338,21 @@ def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
         _shingle_batch, fn_kwargs={"shingle_k": shingle_k},
         batch_format="pyarrow").materialize()
 
+    # co-group by hash bucket of the key (one dispatch per bucket, the
+    # per-key lookups swept inside), not per key
     j1 = cands.map_batches(_pairs_as_join_left, fn_kwargs={"side": "doc_a"},
                            batch_format="pyarrow") \
         .union(sh.map_batches(_shingles_as_join_right,
                               batch_format="pyarrow")) \
-        .groupby("key").map_groups(_attach_a, batch_format="pyarrow")
+        .map_batches(_key_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_attach_a, batch_format="pyarrow")
 
     return j1.map_batches(_pairs_as_join_left, fn_kwargs={"side": "doc_b"},
                           batch_format="pyarrow") \
         .union(sh.map_batches(_shingles_as_join_right,
                               batch_format="pyarrow")) \
-        .groupby("key").map_groups(
+        .map_batches(_key_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
             _verify_b, fn_kwargs={"threshold": threshold},
             batch_format="pyarrow")
 
@@ -395,11 +441,7 @@ def _simhash_bands(batch: pa.Table, *, n_bands: int) -> pa.Table:
     })
 
 
-def _simhash_bucket_pairs(group: pa.Table, *, max_hamming: int) -> pa.Table:
-    """Exact hamming verification inside the band bucket (signatures
-    ride with the rows, so no second lookup is needed)."""
-    rows = sorted(zip(group.column("doc_id").to_pylist(),
-                      group.column("simhash").to_pylist()))
+def _simhash_run_pairs(rows: list, max_hamming: int, a, b, h) -> None:
     cap = 500
     if len(rows) > cap:
         import logging
@@ -407,7 +449,6 @@ def _simhash_bucket_pairs(group: pa.Table, *, max_hamming: int) -> pa.Table:
             "simhash band bucket overflow: %d ids, dropping %d beyond "
             "cap=%d", len(rows), len(rows) - cap, cap)
         rows = rows[:cap]
-    a, b, h = [], [], []
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):
             if rows[i][0] == rows[j][0]:
@@ -417,6 +458,36 @@ def _simhash_bucket_pairs(group: pa.Table, *, max_hamming: int) -> pa.Table:
                 a.append(rows[i][0])
                 b.append(rows[j][0])
                 h.append(ham)
+
+
+def _simhash_hb(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    hb = pc.cast(pc.bit_wise_and(batch.column("band_val"),
+                                 np.uint64(N_HASH_BUCKETS - 1)), pa.int32())
+    return batch.append_column("hb", hb)
+
+
+def _simhash_bucket_pairs(group: pa.Table, *, max_hamming: int) -> pa.Table:
+    """Exact hamming verification for every (band, band_val) bucket in
+    one hash bucket (signatures ride with the rows — no second lookup;
+    one Python dispatch per hash bucket, runs swept inside)."""
+    rows = sorted(zip(group.column("band").to_pylist(),
+                      group.column("band_val").to_pylist(),
+                      group.column("doc_id").to_pylist(),
+                      group.column("simhash").to_pylist()))
+    a: list = []
+    b: list = []
+    h: list = []
+    run_key = None
+    run: list = []
+    for band, bval, doc, sig in rows:
+        if (band, bval) != run_key:
+            if run:
+                _simhash_run_pairs(run, max_hamming, a, b, h)
+            run_key, run = (band, bval), []
+        run.append((doc, sig))
+    if run:
+        _simhash_run_pairs(run, max_hamming, a, b, h)
     return pa.Table.from_pydict({
         "doc_a": pa.array(a, pa.int64()),
         "doc_b": pa.array(b, pa.int64()),
@@ -437,7 +508,8 @@ def simhash_pairs_from_signatures(sigs: ray.data.Dataset, *,
     bands = sigs.map_batches(_simhash_bands,
                              fn_kwargs={"n_bands": n_bands},
                              batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_val"]).map_groups(
+    pairs = bands.map_batches(_simhash_hb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
         _simhash_bucket_pairs, fn_kwargs={"max_hamming": max_hamming},
         batch_format="pyarrow")
     # a pair can surface from several equal bands -> one distinct row
