@@ -1,10 +1,12 @@
 """Windowed / sessionized aggregates over the ``events`` stream table —
 the custom operator class Ray Data lacks natively (SURVEY.md §2.9 notes
 the reference is batch-only; this is the engine's streaming-shaped
-extension). Implemented as groupby(user).map_groups with a per-group
-timestamp sort: the partitioning assumption is documented — all events of
-one user fit one group (true at any scale where per-user history is
-bounded; hot users would be range-split by day first).
+extension). Keyed ops group by a 64-way HASH BUCKET of the user/key
+(one Python dispatch per bucket; the per-key sweeps run vectorized over
+sorted runs inside). The partitioning assumption is documented — all
+events of one user land in one bucket group (true at any scale where
+per-user history is bounded; hot users would be range-split by day
+first).
 """
 
 from __future__ import annotations
@@ -17,24 +19,48 @@ import pyarrow.compute as pc
 import ray.data
 
 SESSION_GAP_MIN = 30
+N_KEY_BUCKETS = 64
 
 
-def _sessions(group: pa.Table, *, gap_min: int) -> pa.Table:
-    ts = pc.cast(group.column("ts"), pa.int64()).to_numpy()  # microseconds
-    order = np.argsort(ts, kind="stable")
-    ts = ts[order]
-    gaps = np.diff(ts) > gap_min * 60_000_000
-    n_sessions = 1 + int(gaps.sum()) if len(ts) else 0
-    # longest session length in events
-    bounds = np.flatnonzero(gaps)
-    sizes = np.diff(np.concatenate([[0], bounds + 1, [len(ts)]]))
-    user = group.column("user_id").to_pylist()[0]
+def _user_bucket(batch: pa.Table) -> pa.Table:
+    hb = pc.cast(pc.bit_wise_and(batch.column("user_id"),
+                                 N_KEY_BUCKETS - 1), pa.int32())
+    return batch.append_column("hb", hb)
+
+
+def _sessions_bucket(group: pa.Table, *, gap_min: int) -> pa.Table:
+    """Sessionize EVERY user in one hash bucket, fully vectorized:
+    sort by (user, ts); a session starts at a user change or a gap;
+    per-user rollups via reduceat over the sorted runs. One Python
+    dispatch per bucket instead of per user."""
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)  # microseconds
+    if len(us) == 0:
+        return pa.Table.from_pydict({
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "max_session_events": pa.array([], pa.int64())})
+    order = np.lexsort((ts, us))
+    u, t = us[order], ts[order]
+    user_change = np.r_[True, u[1:] != u[:-1]]
+    sess_start = user_change | np.r_[
+        True, (t[1:] - t[:-1]) > gap_min * 60_000_000]
+    ustarts = np.flatnonzero(user_change)
+    n_events = np.diff(np.r_[ustarts, len(u)])
+    n_sessions = np.add.reduceat(sess_start.astype(np.int64), ustarts)
+    sstarts = np.flatnonzero(sess_start)
+    sizes = np.diff(np.r_[sstarts, len(u)])
+    # every user start is also a session start, so per-user session runs
+    # begin at searchsorted positions in the session-start array
+    first_sess = np.searchsorted(sstarts, ustarts)
+    max_sess = np.maximum.reduceat(sizes, first_sess)
     return pa.Table.from_pydict({
-        "user_id": pa.array([user], pa.int64()),
-        "n_events": pa.array([len(ts)], pa.int64()),
-        "n_sessions": pa.array([n_sessions], pa.int64()),
-        "max_session_events": pa.array([int(sizes.max()) if len(sizes) else 0],
-                                       pa.int64()),
+        "user_id": pa.array(u[ustarts], pa.int64()),
+        "n_events": pa.array(n_events, pa.int64()),
+        "n_sessions": pa.array(n_sessions, pa.int64()),
+        "max_session_events": pa.array(max_sess, pa.int64()),
     })
 
 
@@ -42,8 +68,10 @@ def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> ray.data.Dataset:
     from nerfray.sources.parquet import read_parquet_clean
     ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                             columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(
-        _sessions, fn_kwargs={"gap_min": gap_min}, batch_format="pyarrow")
+    return ds.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+        _sessions_bucket, fn_kwargs={"gap_min": gap_min},
+        batch_format="pyarrow")
 
 
 def _hourly_partial(batch: pa.Table) -> pa.Table:
@@ -112,28 +140,47 @@ def sliding_counts(sf_dir: str,
         .rename_columns({"sum(cnt)": "n_events"})
 
 
-def _asof_group(group: pa.Table) -> pa.Table:
-    """Per-key as-of sweep: events matched to the latest order at or
-    before their timestamp (ties on date broken by highest order key)."""
-    kind = np.asarray(group.column("kind").to_pylist())
-    ts = pc.cast(group.column("ats"), pa.int64()).to_numpy(
-        zero_copy_only=False)
-    ids = np.asarray(group.column("id").to_pylist(), dtype=np.int64)
-    ev = kind == "e"
-    e_ts, e_id = ts[ev], ids[ev]
-    o_ts, o_id = ts[~ev], ids[~ev]
+def _asof_one_key(ts, ids, kind_is_event):
+    """Numpy as-of sweep for ONE key's rows (already co-located)."""
+    e_ts, e_id = ts[kind_is_event], ids[kind_is_event]
+    o_ts, o_id = ts[~kind_is_event], ids[~kind_is_event]
     # sort orders by (date, orderkey) so the rightmost match is the winner
     o_order = np.lexsort((o_id, o_ts))
     o_ts, o_id = o_ts[o_order], o_id[o_order]
-    # last order with o_ts <= e_ts
     if len(o_id) == 0:
         last = np.full(len(e_id), -1, dtype=np.int64)
     else:
         idx = np.searchsorted(o_ts, e_ts, side="right") - 1
         last = np.where(idx >= 0, o_id[np.clip(idx, 0, None)], -1)
+    return e_id, last
+
+
+def _asof_bucket(group: pa.Table) -> pa.Table:
+    """As-of sweep for EVERY key in one hash bucket: sort rows by key,
+    run the vectorized per-key sweep over each contiguous run (one
+    Python dispatch per bucket, numpy inside)."""
+    keys = group.column("key").to_numpy(zero_copy_only=False)
+    kind = np.asarray(group.column("kind").to_pylist())
+    ts = pc.cast(group.column("ats"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    ids = np.asarray(group.column("id").to_pylist(), dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys, kind, ts, ids = keys[order], kind[order], ts[order], ids[order]
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]) \
+        if len(keys) else np.array([], dtype=np.int64)
+    out_e, out_l = [], []
+    bounds = np.r_[starts, len(keys)]
+    for i in range(len(starts)):
+        lo, hi = bounds[i], bounds[i + 1]
+        e_id, last = _asof_one_key(ts[lo:hi], ids[lo:hi],
+                                   kind[lo:hi] == "e")
+        out_e.append(e_id)
+        out_l.append(last)
+    e_all = np.concatenate(out_e) if out_e else np.array([], dtype=np.int64)
+    l_all = np.concatenate(out_l) if out_l else np.array([], dtype=np.int64)
     return pa.Table.from_pydict({
-        "event_id": pa.array(e_id, pa.int64()),
-        "last_order": pa.array(last, pa.int64()),
+        "event_id": pa.array(e_all, pa.int64()),
+        "last_order": pa.array(l_all, pa.int64()),
     })
 
 
@@ -167,10 +214,15 @@ def asof_last_order(sf_dir: str) -> ray.data.Dataset:
             "id": pc.cast(batch.column("o_orderkey"), pa.int64()),
         })
 
+    def _kb(batch: pa.Table) -> pa.Table:
+        hb = pc.cast(pc.bit_wise_and(batch.column("key"),
+                                     N_KEY_BUCKETS - 1), pa.int32())
+        return batch.append_column("hb", hb)
+
     both = events.map_batches(_ev, batch_format="pyarrow").union(
         orders.map_batches(_od, batch_format="pyarrow"))
-    return both.groupby("key").map_groups(_asof_group,
-                                          batch_format="pyarrow")
+    return both.map_batches(_kb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_asof_bucket, batch_format="pyarrow")
 
 
 ORACLES = {
