@@ -115,11 +115,24 @@ def curation_pipeline(docs: ray.data.Dataset, *, min_words: int = 30,
                 for x in batch.column("text").to_pylist()]
         return t.append_column("text_sha", pa.array(shas, pa.string()))
 
-    def _survivor(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id")
-        import pyarrow.compute as _pc
-        i = _pc.index(ids, _pc.min(ids).as_py()).as_py()
-        return group.slice(i, 1)
+    def _sha_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import numpy as _np
+        arr = _np.asarray(batch.column("text_sha").to_pylist(),
+                          dtype=object)
+        hb = (pd.util.hash_array(arr) % 64).astype(_np.int32)
+        return batch.append_column("hb", pa.array(hb))
+
+    def _survivors_bucket(group: pa.Table) -> pa.Table:
+        """Min-doc_id row per sha for EVERY sha in the hash bucket (one
+        dispatch per bucket; per-sha argmin via sorted-run boundaries)."""
+        import numpy as _np
+        shas = _np.asarray(group.column("text_sha").to_pylist(),
+                           dtype=object)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = _np.lexsort((ids, shas))
+        first = _np.r_[True, shas[order][1:] != shas[order][:-1]]
+        return group.take(pa.array(order[first])).drop_columns(["hb"])
 
     def _gate(batch: pa.Table) -> pa.Table:
         n_words = batch.column("n_words")
@@ -133,7 +146,9 @@ def curation_pipeline(docs: ray.data.Dataset, *, min_words: int = 30,
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(_sha_stats, batch_format="pyarrow",
                      zero_copy_batch=True) \
-        .groupby("text_sha").map_groups(_survivor, batch_format="pyarrow") \
+        .map_batches(_sha_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_survivors_bucket,
+                                  batch_format="pyarrow") \
         .map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)
 
 

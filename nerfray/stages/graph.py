@@ -270,9 +270,10 @@ def connected_components(triples: ray.data.Dataset,
     string in the connected component (edges undirected).
 
     Fully distributed: per round the edge Dataset goes through a
-    large-star then a small-star ``groupby(u).map_groups`` (each group =
-    one node's neighborhood), converging in O(log n) rounds to the star
-    forest {(v, component-min)}.  The driver sees only per-block
+    large-star then a small-star pass, each a hash-bucket
+    ``groupby.map_groups`` with the per-node logic vectorized inside
+    the bucket, converging in O(log n) rounds to the star forest
+    {(v, component-min)}.  The driver sees only per-block
     (count, checksum) partials — no label map, no node set, no edges."""
     edges = triples.map_batches(_init_edges, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
