@@ -111,3 +111,52 @@ def test_no_edge_proportional_driver_state(ray_session, monkeypatch):
     assert fetches, "guards never fired"
     assert max(fetches) <= n_nodes, \
         f"driver fetched {max(fetches)} rows in one call (> {n_nodes} nodes)"
+
+
+def _uf_components(edges):
+    """Union-find reference: node -> min-node-of-component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups = {}
+    for n in list(parent):
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in groups.values() for n in ms}
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    """Star-algorithm CC equals a union-find reference on random sparse
+    graphs and on a long path (worst-case diameter for propagation
+    algorithms; the star rounds must still converge in O(log n))."""
+    import ray.data
+    from nerfray.stages import graph
+    rng = np.random.default_rng(7)
+
+    cases = []
+    for trial in range(3):
+        n = 60
+        m = 45 + 10 * trial
+        edges = [(f"v{int(a):03d}", f"v{int(b):03d}")
+                 for a, b in rng.integers(0, n, size=(m, 2)) if a != b]
+        cases.append(edges)
+    cases.append([(f"p{i:03d}", f"p{i + 1:03d}") for i in range(80)])  # path
+
+    for edges in cases:
+        ds = ray.data.from_arrow(pa.Table.from_pydict({
+            "subj": pa.array([e[0] for e in edges]),
+            "pred": pa.array(["p"] * len(edges)),
+            "obj": pa.array([e[1] for e in edges]),
+        })).repartition(4)
+        got = {r["node"]: r["component"]
+               for r in graph.connected_components(ds).take_all()}
+        assert got == _uf_components(edges)
