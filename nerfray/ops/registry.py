@@ -103,6 +103,11 @@ def q_docs_pipeline(sf_dir: str):
                                   min_ttr_pct=25)
 
 
+def q_docs_word_df(sf_dir: str):
+    from . import text
+    return text.word_df_stats(_docs(sf_dir))
+
+
 def q_lang_confusion(sf_dir: str):
     # planted-signal variant: SQL-oracled end-to-end classifier check
     # (raw-text classification stays available as text.lang_confusion)
@@ -147,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "docs_curated": q_docs_curated,
         "docs_pipeline": q_docs_pipeline,
+        "docs_word_df": q_docs_word_df,
         "lang_confusion": q_lang_confusion,
         "doc_fingerprints": q_doc_fingerprints,
         "media_meta": q_media_meta,
@@ -327,6 +333,11 @@ def _winnow_sql() -> str:
     return WINNOW_COUNT_SQL
 
 
+def _word_df_sql() -> str:
+    from .text import WORD_DF_SQL
+    return WORD_DF_SQL
+
+
 def oracles() -> dict[str, str]:
     sql = {
         "dedup_exact": DEDUP_EXACT_SQL,
@@ -336,6 +347,7 @@ def oracles() -> dict[str, str]:
         "text_quality": TEXT_QUALITY_SQL,
         "docs_curated": DOCS_CURATED_SQL,
         "docs_pipeline": DOCS_PIPELINE_SQL,
+        "docs_word_df": _word_df_sql(),
         "media_meta": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
         "lang_confusion": _lang_sql(),

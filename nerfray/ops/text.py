@@ -152,6 +152,100 @@ def curation_pipeline(docs: ray.data.Dataset, *, min_words: int = 30,
         .map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def word_df_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_uniq_words, sum_df, min_df): per-doc rollup of
+    corpus-wide DOCUMENT FREQUENCIES — the TF-IDF-shaped TWO-PASS over
+    the corpus (global vocabulary statistic, then a join back to the
+    per-doc grain). ``min_df`` is the rarity/novelty signal (how rare
+    is the doc's rarest word); ``sum_df`` the common-word mass. All
+    integers, so the mirror (WORD_DF_SQL) is hash-exact.
+
+    Scale shape: pass 1 is distinct (word, doc) pairs -> groupby(word)
+    document frequencies; pass 2 co-groups the df table with the pair
+    table by a 64-way word hash bucket (no broadcast — the vocabulary
+    is unbounded in general), pre-aggregates per doc inside the bucket,
+    and finishes with a tiny groupby(doc_id)."""
+    from ray.data.aggregate import Min, Sum
+
+    def _word_doc(batch: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for w in set(t.split(" ")):
+                ids.append(d)
+                ws.append(w)
+        return pa.Table.from_pydict({
+            "word": pa.array(ws, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "df": pa.array([None] * len(ids), pa.int64()),
+        })
+
+    def _word_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import numpy as np
+        arr = np.asarray(batch.column("word").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(arr) % 64).astype(np.int32)
+        return batch.append_column("hb", pa.array(hb))
+
+    def _df_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict({
+            "word": batch.column("word"),
+            "doc_id": pa.array([None] * n, pa.int64()),
+            "df": batch.column("df"),
+        })
+
+    def _doc_partials(group: pa.Table) -> pa.Table:
+        dfs: dict[str, int] = {}
+        pair_rows = []
+        for w, d, f in zip(group.column("word").to_pylist(),
+                           group.column("doc_id").to_pylist(),
+                           group.column("df").to_pylist()):
+            if d is None:
+                dfs[w] = f
+            else:
+                pair_rows.append((w, d))
+        acc: dict[int, list] = {}
+        for w, d in pair_rows:
+            f = dfs[w]
+            a = acc.setdefault(d, [0, 0, f])
+            a[0] += 1
+            a[1] += f
+            a[2] = min(a[2], f)
+        ks = sorted(acc)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ks, pa.int64()),
+            "cnt": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "sdf": pa.array([acc[k][1] for k in ks], pa.int64()),
+            "mdf": pa.array([acc[k][2] for k in ks], pa.int64()),
+        })
+
+    pairs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _word_doc, batch_format="pyarrow", zero_copy_batch=True)
+    df = pairs.groupby("word").count() \
+        .rename_columns({"count()": "df"}) \
+        .map_batches(_df_rows, batch_format="pyarrow")
+    return pairs.union(df) \
+        .map_batches(_word_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_doc_partials, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("cnt"), Sum("sdf"), Min("mdf")) \
+        .rename_columns({"sum(cnt)": "n_uniq_words",
+                         "sum(sdf)": "sum_df", "min(mdf)": "min_df"})
+
+
+WORD_DF_SQL = """
+WITH wd AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+df AS (SELECT w, count(*) AS ndocs FROM wd GROUP BY w)
+SELECT wd.doc_id, count(*)::BIGINT AS n_uniq_words,
+       sum(ndocs)::BIGINT AS sum_df, min(ndocs)::BIGINT AS min_df
+FROM wd JOIN df USING (w)
+GROUP BY wd.doc_id ORDER BY wd.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # language ID: char-bigram profile nearest-centroid
 # ---------------------------------------------------------------------------

@@ -339,3 +339,22 @@ def test_frame_sampler_stride_and_thumbs(ray_session):
     assert all(r["thumb"] == b"z" * 64 for r in f0)
     t = by_doc[1][0]
     assert t["frame_id"] == 0 and t["thumb_n_bytes"] == 4
+
+
+def test_word_df_stats_rarity_signal(ray_session):
+    """Corpus-global document frequencies joined back per doc: a word
+    planted in exactly one doc drives that doc's min_df to 1; words in
+    every doc contribute df = n_docs to sum_df."""
+    import ray.data
+    texts = ["common alpha", "common beta", "common alpha beta",
+             "common uniqueword"]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    rows = {r["doc_id"]: r for r in tx.word_df_stats(docs).take_all()}
+    assert len(rows) == 4
+    # df: common=4, alpha=2, beta=2, uniqueword=1
+    assert rows[3]["min_df"] == 1          # the planted rare word
+    assert rows[0]["min_df"] == 2          # alpha
+    assert rows[0]["n_uniq_words"] == 2
+    assert rows[0]["sum_df"] == 4 + 2      # common + alpha
+    assert rows[2]["sum_df"] == 4 + 2 + 2
+    assert rows[3]["sum_df"] == 4 + 1
