@@ -48,7 +48,11 @@ _ORTH_RE = re.compile(r"<orth>(.*?)</orth>", re.S)
 # tag-soup lexer (XCES.hs:331 S.parseTags analog)
 # ---------------------------------------------------------------------------
 
-_LEX_RE = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.S)
+# final lone-"<" alternative: an unterminated "<" (no subsequent ">")
+# matches neither the tag nor the text branch, so without it the byte
+# would be silently dropped — it must pass through as a text piece to
+# keep the byte-verbatim guarantee on malformed input
+_LEX_RE = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+|<", re.S)
 _NAME_RE = re.compile(r"</?\s*([A-Za-z_][\w:.-]*)")
 
 
@@ -67,7 +71,9 @@ def lex_tags(xml: str) -> list[Piece]:
     out: list[Piece] = []
     for m in _LEX_RE.finditer(xml):
         raw = m.group(0)
-        if raw.startswith("<!--"):
+        if raw == "<":
+            out.append(Piece("text", raw))
+        elif raw.startswith("<!--"):
             out.append(Piece("comment", raw))
         elif raw.startswith("</"):
             nm = _NAME_RE.match(raw)

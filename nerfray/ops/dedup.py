@@ -118,21 +118,31 @@ class MinHasher:
 
 
 def _bands(batch: pa.Table, *, n_bands: int, rows_per_band: int) -> pa.Table:
-    doc_ids, band_ids, keys = [], [], []
-    for doc, sig in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("sig").to_pylist()):
-        for b in range(n_bands):
-            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            key = hashlib.blake2b(
-                np.asarray(chunk, dtype=np.uint64).tobytes(),
-                digest_size=8).hexdigest()
-            doc_ids.append(doc)
-            band_ids.append(b)
-            keys.append(key)
+    """One row per (doc, band); band_key = uint64 Horner fold of the
+    band's minhash rows (vectorized over the whole batch — the only
+    Python loop is rows_per_band iterations). Key collisions between
+    different bands only create spurious candidates, which the exact
+    Jaccard verify removes, so the fold replaces the old per-chunk
+    blake2b without changing verified output."""
+    sigs = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
+    n = len(sigs)
+    if n == 0:
+        return pa.Table.from_pydict({
+            "doc_id": pa.array([], pa.int64()),
+            "band": pa.array([], pa.int32()),
+            "band_key": pa.array([], pa.uint64())})
+    chunks = sigs.reshape(n, n_bands, rows_per_band)
+    keys = np.full((n, n_bands), np.uint64(0xcbf29ce484222325))
+    for r in range(rows_per_band):
+        keys = keys * _POLY_BASE ^ chunks[:, :, r]
+    doc_ids = np.repeat(
+        np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64),
+        n_bands)
+    bands = np.tile(np.arange(n_bands, dtype=np.int32), n)
     return pa.Table.from_pydict({
         "doc_id": pa.array(doc_ids, pa.int64()),
-        "band": pa.array(band_ids, pa.int32()),
-        "band_key": pa.array(keys, pa.string()),
+        "band": pa.array(bands, pa.int32()),
+        "band_key": pa.array(keys.reshape(-1), pa.uint64()),
     })
 
 
@@ -183,10 +193,10 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 
 
 def _band_hash_bucket(batch: pa.Table) -> pa.Table:
-    import pandas as pd
-    arr = np.asarray(batch.column("band_key").to_pylist(), dtype=object)
-    hb = (pd.util.hash_array(arr) % N_HASH_BUCKETS).astype(np.int32)
-    return batch.append_column("hb", pa.array(hb))
+    import pyarrow.compute as pc
+    hb = pc.cast(pc.bit_wise_and(batch.column("band_key"),
+                                 np.uint64(N_HASH_BUCKETS - 1)), pa.int32())
+    return batch.append_column("hb", hb)
 
 
 def minhash_candidates(docs: ray.data.Dataset, *, k: int = 64,
@@ -362,23 +372,40 @@ def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
 # ---------------------------------------------------------------------------
 
 
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+
+
+def simhash_many(texts: list[str]) -> np.ndarray:
+    """Vectorized SimHash for a whole batch: one sha64 per *unique*
+    token across the batch (token vocabularies repeat heavily), then the
+    per-bit majority vote runs as two numpy reductions over the flat
+    (token, bit) matrix — no per-token Python arithmetic. Token hashes
+    are sha256 prefixes (sha64) so the signature is DuckDB-computable:
+    SIMHASH_HEX_SQL restates the vote and reassembles the hex string."""
+    toks_per_doc = [t.split(" ") for t in texts]
+    counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+    if counts.sum() == 0:
+        return np.zeros(0, dtype=np.uint64)
+    flat = np.asarray([w for ts in toks_per_doc for w in ts], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.fromiter((sha64(w) for w in uniq.tolist()),
+                     dtype=np.uint64, count=len(uniq))
+    hv = uh[inv]
+    votes = (((hv[:, None] >> _SHIFTS64[None, :]) & np.uint64(1))
+             .astype(np.int32) * 2 - 1)
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    acc = np.add.reduceat(votes, starts, axis=0)  # (n_docs, 64)
+    bits = (acc > 0).astype(np.uint64)
+    return (bits << _SHIFTS64[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """Token-hash majority vote per bit. Token hashes are sha256
-    prefixes (sha64) so the whole signature is DuckDB-computable —
-    SIMHASH_HEX_SQL in registry.py restates the per-bit vote and
-    reassembles the 16-hex-char signature in SQL."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for w in text.split(" "):
-        hv = np.uint64(sha64(w))
-        bits = (hv >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
-    return int(sum(1 << i for i in range(64) if acc[i] > 0))
+    """Single-text SimHash (delegates to the batched kernel)."""
+    return int(simhash_many([text])[0])
 
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
-    sh = [simhash64(t) for t in batch.column("text").to_pylist()]
+    sh = simhash_many(batch.column("text").to_pylist())
     return pa.Table.from_pydict({
         "doc_id": batch.column("doc_id"),
         "simhash": pa.array(sh, pa.uint64()),

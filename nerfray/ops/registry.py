@@ -109,8 +109,18 @@ def q_docs_word_df(sf_dir: str):
 
 
 def q_lang_confusion(sf_dir: str):
-    # planted-signal variant: SQL-oracled end-to-end classifier check
-    # (raw-text classification stays available as text.lang_confusion)
+    # raw-doc classification: rows-only by design (documents.lang is
+    # synthetic metadata unrelated to the text, so there is no accuracy
+    # oracle to state in SQL — this measures classifier behavior)
+    from . import text
+    return text.lang_confusion(_docs(sf_dir))
+
+
+def q_lang_confusion_planted(sf_dir: str):
+    # planted-signal variant: doc_id-derived texts make the confusion
+    # rollup SQL-derivable, so the REAL actor-pool classifier gets an
+    # end-to-end hash-green check (registered separately from the raw
+    # query so the catalog stays honest about what each row verifies)
     from . import text
     return text.planted_lang_confusion(_docs(sf_dir))
 
@@ -154,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pipeline": q_docs_pipeline,
         "docs_word_df": q_docs_word_df,
         "lang_confusion": q_lang_confusion,
+        "lang_confusion_planted": q_lang_confusion_planted,
         "doc_fingerprints": q_doc_fingerprints,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
@@ -350,7 +361,9 @@ def oracles() -> dict[str, str]:
         "docs_word_df": _word_df_sql(),
         "media_meta": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
-        "lang_confusion": _lang_sql(),
+        "lang_confusion_planted": _lang_sql(),
+        # lang_confusion (raw docs): rows-only — documents.lang is
+        # synthetic metadata, there is no SQL-stateable truth.
         "doc_fingerprints": _winnow_sql(),
         "dedup_simhash": SIMHASH_HEX_SQL,
         # dedup_minhash / dedup_simhash_pairs / sim_lsh / sim_ivf /

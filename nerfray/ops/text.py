@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -264,27 +265,40 @@ class LangID:
         "zh": "的 是 在 了 有 和 人 这 中 大 为 上 个 国 我 以 要 他",
     }
 
+    MAX_BIGRAMS = 4000  # per-doc classification cap (cost bound)
+
+    @staticmethod
+    def _codes(s: str) -> "np.ndarray":
+        """Bigram uint64 codes of a string: utf-32 decode (one C call),
+        adjacent codepoints packed (hi << 32 | lo)."""
+        c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        return (c[:-1].astype(np.uint64) << np.uint64(32)) | c[1:]
+
     def __init__(self):
-        self.profiles = {}
+        self.profiles = {}   # lang -> (sorted codes, weights)
         for lang, seed in self.PRIORS.items():
-            prof: dict[str, float] = {}
+            prof: dict[int, float] = {}
             for w in seed.split(" "):
-                token = f" {w} "
-                for i in range(len(token) - 1):
-                    bg = token[i:i + 2]
+                for bg in self._codes(f" {w} ").tolist():
                     prof[bg] = prof.get(bg, 0.0) + 1.0
             norm = sum(v * v for v in prof.values()) ** 0.5
-            self.profiles[lang] = {k: v / norm for k, v in prof.items()}
+            codes = np.array(sorted(prof), dtype=np.uint64)
+            wts = np.array([prof[c] / norm for c in codes.tolist()])
+            self.profiles[lang] = (codes, wts)
 
     def classify(self, text: str) -> str:
-        counts: dict[str, int] = {}
-        t = f" {text} "
-        for i in range(min(len(t) - 1, 4000)):
-            bg = t[i:i + 2]
-            counts[bg] = counts.get(bg, 0) + 1
+        """Nearest-profile by sparse dot product; fully vectorized (the
+        old per-char Python loop is now one utf-32 decode + np.unique +
+        searchsorted per language)."""
+        bg = self._codes(f" {text} ")[:self.MAX_BIGRAMS]
+        ubg, cnt = np.unique(bg, return_counts=True)
         best_lang, best = "en", -1.0
-        for lang, prof in sorted(self.profiles.items()):
-            s = sum(c * prof.get(bg, 0.0) for bg, c in counts.items())
+        for lang in sorted(self.profiles):
+            codes, wts = self.profiles[lang]
+            idx = np.searchsorted(codes, ubg)
+            idx_c = np.minimum(idx, len(codes) - 1)
+            hit = codes[idx_c] == ubg
+            s = float((cnt[hit] * wts[idx_c[hit]]).sum())
             if s > best:
                 best, best_lang = s, lang
         return best_lang

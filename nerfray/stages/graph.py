@@ -138,10 +138,12 @@ def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
 
 
 def _init_edges(batch: pa.Table) -> pa.Table:
-    """Triples -> per-block-distinct undirected edge pairs (a != b)."""
-    seen = {(a, b)
-            for a, b in zip(batch.column("subj").to_pylist(),
-                            batch.column("obj").to_pylist()) if a != b}
+    """Triples -> per-block-distinct undirected edge pairs, self-loops
+    (subj == obj) kept as (a, a) rows so self-loop-only nodes don't
+    vanish from the output (they are split off before the star rounds
+    and re-unioned as (node, node) results)."""
+    seen = set(zip(batch.column("subj").to_pylist(),
+                   batch.column("obj").to_pylist()))
     es = sorted(seen)
     return pa.Table.from_pydict({
         "a": pa.array([e[0] for e in es], pa.string()),
@@ -180,6 +182,9 @@ def _hash_bucket(batch: pa.Table) -> pa.Table:
 def _grouped_codes(group: pa.Table):
     """(sorted-by-u codes, group starts, counts, per-group m, vals) where
     codes are order-isomorphic to the node strings."""
+    if group.num_rows == 0:  # np.r_[True, ...] on empties yields starts=[0]
+        e = np.array([], dtype=np.int64)
+        return e, e, e, e, e, np.array([], dtype=object)
     u_obj = np.asarray(group.column("u").to_pylist(), dtype=object)
     v_obj = np.asarray(group.column("v").to_pylist(), dtype=object)
     vals = np.unique(np.concatenate([u_obj, v_obj]))
@@ -275,8 +280,15 @@ def connected_components(triples: ray.data.Dataset,
     the bucket, converging in O(log n) rounds to the star forest
     {(v, component-min)}.  The driver sees only per-block
     (count, checksum) partials — no label map, no node set, no edges."""
-    edges = triples.map_batches(_init_edges, batch_format="pyarrow",
-                                zero_copy_batch=True).materialize()
+    init = triples.map_batches(_init_edges, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    # self-loop rows contribute no connectivity but their nodes must
+    # appear in the output: keep them aside as (node, node) candidates
+    # (the final min-groupby picks the real component when the node also
+    # has proper edges, since component <= node for any member).
+    selfloops = init.filter(expr="a == b").groupby("a").min("b") \
+        .rename_columns({"a": "node", "min(b)": "component"})
+    edges = init.filter(expr="a != b").materialize()
     sig = _signature(edges)
     for _ in range(max_iters):
         nxt = _round(edges).materialize()
@@ -304,4 +316,8 @@ def connected_components(triples: ray.data.Dataset,
     roots = children.map_batches(_root_rows, batch_format="pyarrow") \
         .groupby("node").min("component").rename_columns(
             {"min(component)": "component"})
-    return children.union(roots)
+    # self-loop candidates may duplicate nodes already present; one
+    # node-sized min-groupby restores disjointness (component <= node).
+    return children.union(roots).union(selfloops) \
+        .groupby("node").min("component") \
+        .rename_columns({"min(component)": "component"})

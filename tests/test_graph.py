@@ -160,3 +160,21 @@ def test_connected_components_random_vs_union_find(ray_session):
         got = {r["node"]: r["component"]
                for r in graph.connected_components(ds).take_all()}
         assert got == _uf_components(edges)
+
+
+def test_connected_components_self_loops_and_isolates(ray_session):
+    """Self-loop-only nodes (subj == obj) must appear as (node, node)
+    rows — exactly what the recursive-CTE oracle emits — and a self-loop
+    on a connected node must not perturb its component."""
+    import ray.data
+    from nerfray.stages import graph
+    edges = [("a", "b"), ("z", "z"),       # z: self-loop-only isolate
+             ("b", "b"), ("c", "d")]       # b: self-loop + real edge
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "subj": pa.array([e[0] for e in edges]),
+        "pred": pa.array(["p"] * len(edges)),
+        "obj": pa.array([e[1] for e in edges]),
+    }))
+    got = {r["node"]: r["component"]
+           for r in graph.connected_components(ds).take_all()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "z": "z"}

@@ -358,3 +358,24 @@ def test_word_df_stats_rarity_signal(ray_session):
     assert rows[0]["sum_df"] == 4 + 2      # common + alpha
     assert rows[2]["sum_df"] == 4 + 2 + 2
     assert rows[3]["sum_df"] == 4 + 1
+
+
+def test_simhash_vectorized_matches_naive():
+    """The batched simhash kernel must equal the per-token definition
+    (majority vote over sha64 token hashes) — this is what keeps
+    SIMHASH_HEX_SQL a valid oracle."""
+    from nerfray.ops import dedup as dd
+
+    def naive(text):
+        acc = [0] * 64
+        for w in text.split(" "):
+            hv = dd.sha64(w)
+            for i in range(64):
+                acc[i] += 1 if (hv >> i) & 1 else -1
+        return sum(1 << i for i in range(64) if acc[i] > 0)
+
+    texts = ["", "a", "hello world", "the quick brown fox " * 5,
+             "x y z x y z", "unicode héllo wörld 中文"]
+    got = dd.simhash_many(texts)
+    for t, g in zip(texts, got.tolist()):
+        assert g == naive(t), t

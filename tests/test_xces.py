@@ -207,3 +207,12 @@ def test_xces_fuzz_sentences_with_garbage_inside():
     out = xces.ner_xces(doc, lambda text: [])
     assert '<tok><orth>ok</orth></tok>' in out
     assert xces.parse_sent('<tok><orth>a</orth>').toks[0].orth == "a"
+
+
+def test_lex_tags_lone_unterminated_angle_bracket():
+    """A bare '<' with no subsequent '>' must pass through as text, not
+    be silently dropped (byte-verbatim guarantee on malformed input)."""
+    from nerfray.core.xces import lex_tags
+    for s in ["a < b", "trailing <", "<", "x<y<z", "<chunk type=\"s\"><"]:
+        pieces = lex_tags(s)
+        assert "".join(p.raw for p in pieces) == s, s
