@@ -45,14 +45,121 @@ def _degree_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def _encode_edges(batch: pa.Table, *, idx_ref) -> pa.Table:
-    idx = ray.get(idx_ref) if isinstance(idx_ref, ray.ObjectRef) else idx_ref
-    src = [idx[s] for s in batch.column("subj").to_pylist()]
-    dst = [idx[o] for o in batch.column("obj").to_pylist()]
+# -- distributed dense node-id assignment -----------------------------------
+#
+# The driver must never hold node STRINGS (at file grain a 100 TB corpus
+# has 10^9+ nodes; a node-string list / {node: i} dict is tens of GB).
+# Dense int ids are assigned distributively by per-bucket offset
+# enumeration: bucket = siphash(node) % B, nodes enumerated (sorted)
+# inside each bucket group, and the driver only ever sees the B
+# per-bucket COUNTS (64 ints) from which it derives the offset vector:
+# id = offset[bucket] + local_index.  Deterministic across runs and
+# parallelism levels (fixed-key siphash + in-bucket sort).
+
+N_ID_BUCKETS = 64
+
+
+def _node_bucket(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    arr = np.asarray(batch.column("node").to_pylist(), dtype=object)
+    nb = (pd.util.hash_array(arr) % N_ID_BUCKETS).astype(np.int32)
+    return batch.append_column("nb", pa.array(nb))
+
+
+def _enumerate_bucket(group: pa.Table) -> pa.Table:
+    nodes = np.asarray(group.column("node").to_pylist(), dtype=object)
+    order = np.argsort(nodes, kind="stable")
+    li = np.empty(len(nodes), dtype=np.int64)
+    li[order] = np.arange(len(nodes))
+    return group.append_column("li", pa.array(li, pa.int64()))
+
+
+_ENC_SCHEMA = pa.schema([
+    ("key", pa.string()),   # join key: node string
+    ("other", pa.string()),  # edge rows pass 1: the obj endpoint
+    ("src", pa.int64()),    # edge rows pass 2: already-encoded source
+    ("id", pa.int64()),     # id rows: the dense node id
+])
+
+
+def _edges_as_enc_left(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
     return pa.Table.from_pydict({
-        "src": pa.array(src, pa.int32()),
-        "dst": pa.array(dst, pa.int32()),
+        "key": batch.column("subj"),
+        "other": batch.column("obj"),
+        "src": pa.array([None] * n, pa.int64()),
+        "id": pa.array([None] * n, pa.int64()),
+    }, schema=_ENC_SCHEMA)
+
+
+def _ids_as_enc_right(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.Table.from_pydict({
+        "key": batch.column("node"),
+        "other": pa.array([None] * n, pa.string()),
+        "src": pa.array([None] * n, pa.int64()),
+        "id": batch.column("id"),
+    }, schema=_ENC_SCHEMA)
+
+
+def _enc_bucket(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    arr = np.asarray(batch.column("key").to_pylist(), dtype=object)
+    hb = (pd.util.hash_array(arr) % N_ID_BUCKETS).astype(np.int32)
+    return batch.append_column("hb", pa.array(hb))
+
+
+def _enc_join(group: pa.Table, *, pass_no: int) -> pa.Table:
+    """One co-group join bucket: resolve the key endpoint of every edge
+    row against the id rows (vectorized pandas hash-join inside the
+    bucket).  Pass 1 emits (key=other, src=resolved); pass 2 emits the
+    final (src, dst) int edge rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    is_id = pc.is_valid(group.column("id"))
+    ids = group.filter(is_id)
+    edges = group.filter(pc.invert(is_id))
+    if edges.num_rows == 0:
+        if pass_no == 1:
+            return _ENC_SCHEMA.empty_table()
+        return pa.Table.from_pydict({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64())})
+    id_df = pd.DataFrame({
+        "key": ids.column("key").to_pylist(),
+        "nid": ids.column("id").to_pylist()})
+    e_df = pd.DataFrame({"key": edges.column("key").to_pylist()})
+    merged = e_df.merge(id_df, on="key", how="left")
+    nid = merged["nid"].to_numpy(dtype=np.int64)
+    if pass_no == 1:
+        n = edges.num_rows
+        return pa.Table.from_pydict({
+            "key": edges.column("other"),
+            "other": pa.array([None] * n, pa.string()),
+            "src": pa.array(nid, pa.int64()),
+            "id": pa.array([None] * n, pa.int64()),
+        }, schema=_ENC_SCHEMA)
+    return pa.Table.from_pydict({
+        "src": edges.column("src"),
+        "dst": pa.array(nid, pa.int64()),
     })
+
+
+def _encode_edges_distributed(edges: ray.data.Dataset,
+                              ids: ray.data.Dataset) -> ray.data.Dataset:
+    """(subj, obj) string edges -> (src, dst) int edges via two
+    hash-bucket co-group joins against the (node, id) Dataset — the
+    node-id table never leaves the object store."""
+    id_rows = ids.map_batches(_ids_as_enc_right, batch_format="pyarrow")
+    p1 = edges.map_batches(_edges_as_enc_left, batch_format="pyarrow") \
+        .union(id_rows) \
+        .map_batches(_enc_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+            _enc_join, fn_kwargs={"pass_no": 1}, batch_format="pyarrow")
+    return p1.union(id_rows) \
+        .map_batches(_enc_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+            _enc_join, fn_kwargs={"pass_no": 2}, batch_format="pyarrow")
 
 
 def _contrib_partial(batch: pa.Table, *, contrib_ref) -> pa.Table:
@@ -73,41 +180,64 @@ def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
              iters: int = 20) -> ray.data.Dataset:
     """PageRank over the (directed) triple graph, multi-edges counted.
 
-    Edges stay a Dataset end to end: one ``groupby(node).sum`` builds the
-    node/out-degree table (node-sized, collected to the driver — the rank
-    vector is by construction the aggregate-to-small side), edges are
-    integer-encoded once against a broadcast node index, and each power
-    iteration broadcasts the damped-contribution vector, computes sparse
-    per-target partial sums per block (vectorized ``np.bincount``), and
-    reduces them with ``groupby(i).sum`` — the same aggregate-to-small
-    pattern as canonicalization.  Deterministic up to float-summation
-    order (fixed iteration count; partial-sum order depends on block
-    boundaries, so agreement with a dense reference is ~1e-12-ish, not
-    bit-exact)."""
+    Fully distributed encoding: node strings NEVER reach the driver.
+    Dense int ids are assigned by per-bucket offset enumeration (driver
+    sees only the B bucket counts), edges are int-encoded through two
+    hash-bucket co-group joins against the Dataset-resident (node, id)
+    table, and the output decorates that table with the broadcast rank
+    vector.  Driver memory is two dense numeric vectors (out-degree +
+    rank, O(nodes) floats — the aggregate-to-small side by
+    construction); beyond-RAM node counts would shard the rank vector
+    as a Dataset join per iteration (documented ceiling).  Each power
+    iteration broadcasts the damped-contribution vector, computes
+    sparse per-target partial sums per block (``np.bincount``), and
+    reduces with ``groupby(i).sum``.  Deterministic up to
+    float-summation order (fixed iteration count; partial-sum order
+    depends on block boundaries, so agreement with a dense reference is
+    ~1e-12-ish, not bit-exact)."""
     edges = triples.select_columns(["subj", "obj"])
     deg = edges.map_batches(_degree_partial, batch_format="pyarrow",
                             zero_copy_batch=True) \
-        .groupby("node").sum("outp")
+        .groupby("node").sum("outp") \
+        .rename_columns({"sum(outp)": "outp"})
 
-    # node-sized driver state: node order + out-degree + rank vector
-    names: list[str] = []
-    outs_l: list[int] = []
-    for b in deg.iter_batches(batch_format="pyarrow"):
-        names.extend(b.column("node").to_pylist())
-        outs_l.extend(b.column("sum(outp)").to_pylist())
-    order = np.argsort(np.array(names, dtype=object), kind="stable")
-    nodes = [names[i] for i in order]
-    outs = np.array([outs_l[i] for i in order], dtype=np.float64)
-    n = len(nodes)
+    # distributed dense-id assignment: driver sees only B bucket counts
+    local = deg.map_batches(_node_bucket, batch_format="pyarrow") \
+        .groupby("nb").map_groups(_enumerate_bucket,
+                                  batch_format="pyarrow").materialize()
+    counts = np.zeros(N_ID_BUCKETS, dtype=np.int64)
+    for row in local.groupby("nb").count().take_all():  # <= B rows
+        counts[row["nb"]] = row["count()"]
+    offsets = np.r_[0, np.cumsum(counts)[:-1]]
+    n = int(counts.sum())
     if n == 0:
         return ray.data.from_arrow(pa.Table.from_pydict(
             {"node": pa.array([], pa.string()),
              "rank": pa.array([], pa.float64())}))
+    off_ref = ray.put(offsets)
 
-    idx_ref = ray.put({node: i for i, node in enumerate(nodes)})
-    iedges = edges.map_batches(
-        _encode_edges, fn_kwargs={"idx_ref": idx_ref},
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    def _assign(batch: pa.Table) -> pa.Table:
+        off = ray.get(off_ref) if isinstance(off_ref, ray.ObjectRef) \
+            else off_ref
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        li = batch.column("li").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": batch.column("node"),
+            "id": pa.array(off[nb] + li, pa.int64()),
+            "outp": batch.column("outp"),
+        })
+
+    ids = local.map_batches(_assign, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    # numeric-only driver state: out-degree vector indexed by dense id
+    outs = np.zeros(n, dtype=np.float64)
+    for b in ids.select_columns(["id", "outp"]).iter_batches(
+            batch_format="pyarrow"):
+        outs[b.column("id").to_numpy(zero_copy_only=False)] = \
+            b.column("outp").to_numpy(zero_copy_only=False)
+
+    iedges = _encode_edges_distributed(edges, ids).materialize()
 
     rank = np.full(n, 1.0 / n)
     dangling = outs == 0
@@ -120,16 +250,28 @@ def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
             .groupby("i").sum("p")
         nxt = np.full(n, (1.0 - damping) / n)
         nxt += damping * rank[dangling].sum() / n
-        for b in red.iter_batches(batch_format="pyarrow"):  # node-sized
+        for b in red.iter_batches(batch_format="pyarrow"):  # numeric only
             ii = b.column("i").to_numpy(zero_copy_only=False)
             pp = b.column("sum(p)").to_numpy(zero_copy_only=False)
             nxt[ii] += damping * pp
         rank = nxt
 
-    return ray.data.from_arrow(pa.Table.from_pydict({
-        "node": pa.array(nodes, pa.string()),
-        "rank": pa.array(rank, pa.float64()),
-    }))
+    # distributed output join: broadcast the dense rank vector once and
+    # decorate the Dataset-resident (node, id) table — node strings
+    # never reach the driver.
+    rank_ref = ray.put(rank)
+
+    def _attach_rank(batch: pa.Table) -> pa.Table:
+        rv = ray.get(rank_ref) if isinstance(rank_ref, ray.ObjectRef) \
+            else rank_ref
+        ii = batch.column("id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": batch.column("node"),
+            "rank": pa.array(rv[ii], pa.float64()),
+        })
+
+    return ids.map_batches(_attach_rank, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -178,3 +178,51 @@ def test_connected_components_self_loops_and_isolates(ray_session):
     got = {r["node"]: r["component"]
            for r in graph.connected_components(ds).take_all()}
     assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "z": "z"}
+
+
+def test_pagerank_driver_fetches_no_node_strings(ray_session, monkeypatch):
+    """r2 verdict ceiling, now fixed: PageRank's driver state must be
+    numeric-only (dense out-degree + rank vectors). Every take_all /
+    iter_batches the driver performs during pagerank() must contain ZERO
+    string-typed values — node ids are assigned distributively and the
+    output join happens inside map_batches."""
+    import pyarrow as _pa
+    import ray.data
+    from nerfray.stages import graph
+
+    string_rows: list[int] = []
+    orig_take = ray.data.Dataset.take_all
+    orig_iter = ray.data.Dataset.iter_batches
+
+    def _count_strings(rows_or_batch):
+        if isinstance(rows_or_batch, _pa.Table):
+            return sum(rows_or_batch.num_rows
+                       for f in rows_or_batch.schema
+                       if _pa.types.is_string(f.type)
+                       or _pa.types.is_large_string(f.type))
+        n = 0
+        for r in rows_or_batch:
+            n += sum(1 for v in r.values() if isinstance(v, str))
+        return n
+
+    def guarded_take(self, *a, **k):
+        rows = orig_take(self, *a, **k)
+        string_rows.append(_count_strings(rows))
+        return rows
+
+    def guarded_iter(self, *a, **k):
+        for b in orig_iter(self, *a, **k):
+            if isinstance(b, _pa.Table):
+                string_rows.append(_count_strings(b))
+            yield b
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", guarded_take)
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", guarded_iter)
+
+    triples, names, n_edges = _dense_graph(24)
+    ranks = {r["node"]: r["rank"]
+             for r in orig_take(graph.pagerank(triples, iters=3))}
+    assert len(ranks) == len(names)
+    assert string_rows, "guards never fired"
+    assert sum(string_rows) == 0, \
+        f"driver fetched {sum(string_rows)} string values during pagerank"
