@@ -150,6 +150,19 @@ def q_kg_components(sf_dir: str):
     return graph.connected_components(trips)
 
 
+def q_kg_components_repo(sf_dir: str):
+    """Connected components at REPO grain: file-grain subjects are
+    contracted to their repo before the star rounds — the scale-path
+    pre-step that cuts graph node count ~50x at corpus scale (the
+    cheapest mitigation for any O(nodes) structure). Own recursive-CTE
+    oracle over the contracted gold edges."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph, triples as triples_mod
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return graph.connected_components(
+        triples_mod.contract_subjects_to_repo(trips))
+
+
 def q_kg_pagerank(sf_dir: str):
     """PageRank over the KG (edges stream to bounded adjacency counts;
     power iteration on the aggregate-to-small node set). Rows-only:
@@ -159,6 +172,17 @@ def q_kg_pagerank(sf_dir: str):
     from nerfray.stages import graph
     return graph.pagerank(kg.run_for(sf_dir, tagger="crf",
                                      dedup="partitioned"))
+
+
+def q_kg_pagerank_planted(sf_dir: str):
+    """PageRank with a FULL SQL oracle: a planted 256-node dyadic-exact
+    graph (out-degree 2 everywhere, damping 1/2) makes every float64
+    operation exact under any summation order, so the same distributed
+    operator is bit-equal to an unrolled 20-step SQL power iteration
+    (graph.pagerank_planted_sql) — the float op's regression pin."""
+    from nerfray.stages import graph
+    return graph.pagerank(graph.planted_pagerank_triples(),
+                          damping=0.5, iters=20)
 
 
 def q_kg_degrees(sf_dir: str):
@@ -213,7 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_xces": q_kg_xces,
         "kg_triples_prov": q_kg_triples_prov,
         "kg_components": q_kg_components,
+        "kg_components_repo": q_kg_components_repo,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pagerank_planted": q_kg_pagerank_planted,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -221,7 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from nerfray import corpus, entrypoints
+    from nerfray.stages import graph
     sql = {
+        "kg_pagerank_planted": graph.pagerank_planted_sql(),
         "corpus_files": corpus.files_sql(),
         "kg_triples": corpus.gold_triples_sql(),
         "kg_triples_rule": corpus.gold_triples_sql(),
@@ -241,6 +269,22 @@ GROUP BY subj ORDER BY subj
 WITH RECURSIVE gold AS ({corpus.gold_triples_sql()}),
 e AS (SELECT subj AS a, obj AS b FROM gold
       UNION SELECT obj, subj FROM gold),
+n AS (SELECT DISTINCT a AS node FROM e),
+reach(node, lbl) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node ORDER BY node
+""",
+        # repo-grain contraction mirror: first two '/'-segments of subj
+        "kg_components_repo": f"""
+WITH RECURSIVE gold AS ({corpus.gold_triples_sql()}),
+rg AS (SELECT array_to_string(list_slice(string_split(subj, '/'), 1, 2),
+                              '/') AS subj, obj
+       FROM gold),
+e AS (SELECT subj AS a, obj AS b FROM rg
+      UNION SELECT obj, subj FROM rg),
 n AS (SELECT DISTINCT a AS node FROM e),
 reach(node, lbl) AS (
   SELECT node, node FROM n

@@ -367,6 +367,62 @@ def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
             batch_format="pyarrow")
 
 
+# -- planted near-dup corpus: SQL-oracled end-to-end MinHash check ----------
+#
+# doc i -> group g = i // 4; text = a 32-hex-char group token (sha256 of
+# the group id) repeated 3 + i % 4 times, space-joined.  Any >= 2
+# repeats of the token produce EVERY char-8-gram window, so the four
+# variants of a group have IDENTICAL shingle sets: within-group Jaccard
+# is exactly 1.0, the MinHash signatures are equal, and every LSH band
+# collides — candidate completeness holds by construction, not by
+# probability.  Distinct sha-derived tokens keep cross-group Jaccard
+# far below the 0.5 threshold (pinned by pytest, and any band-collision
+# false candidate is removed by the exact verify).  DuckDB rebuilds the
+# same texts from doc_id arithmetic and computes the same gram-set
+# Jaccard, so the verified-pair output is fully hash-oracled
+# (MINHASH_PLANTED_SQL).
+
+
+def planted_neardup_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [" ".join(
+            [hashlib.sha256(f"g{i // 4}".encode()).hexdigest()[:32]]
+            * (3 + i % 4)) for i in ids]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# real gram-set Jaccard in SQL (not an id-arithmetic shortcut): the
+# texts are rebuilt byte-identically, 8-gram sets extracted, and the
+# 0.5 threshold stated in exact integer form (2*|inter| >= |union|).
+MINHASH_PLANTED_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         substr(sha256('g' || (doc_id // 4)::VARCHAR), 1, 32) AS tok
+  FROM documents),
+txt AS (SELECT doc_id, rtrim(repeat(tok || ' ', 3 + doc_id % 4)) AS text
+        FROM toks),
+grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, length(text) - 7),
+           j -> substr(text, j, 8))) AS gs
+  FROM txt),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.gs, b.gs)) AS i,
+         len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS u
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, i / CAST(u AS DOUBLE) AS jaccard
+FROM pairs WHERE 2 * i >= u ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -47,6 +47,15 @@ def q_dedup_simhash_pairs(sf_dir: str):
     return dedup.simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def q_dedup_minhash_planted(sf_dir: str):
+    # planted near-dup corpus (identical shingle sets within a group):
+    # the SAME banded-LSH + exact-verify operator, with candidate
+    # completeness guaranteed by construction -> full SQL oracle
+    from . import dedup
+    return dedup.minhash_dedup_pairs(
+        dedup.planted_neardup_docs(_docs(sf_dir)), threshold=0.5)
+
+
 # -- similarity -------------------------------------------------------------
 
 
@@ -77,6 +86,32 @@ def q_dedup_embedding(sf_dir: str):
 def q_sim_jaccard(sf_dir: str):
     from . import similarity
     return similarity.jaccard_vs_queries(_docs(sf_dir), n_queries=3)
+
+
+def q_dedup_embedding_planted(sf_dir: str):
+    # identical-vector pairs: LSH co-location is certain, exact cosine
+    # verify keeps only the planted pairs -> full SQL oracle (no float
+    # columns: cosine of identical vectors is ~1.0 up to normalization
+    # noise, so the score is dropped from the oracle surface)
+    from . import similarity
+    pairs = similarity.embedding_dup_pairs(
+        similarity.planted_group_embeddings(_emb(sf_dir), mode="pairs"),
+        threshold=0.95, bits=6)
+    return pairs.select_columns(["vec_a", "vec_b"])
+
+
+def q_sim_lsh_planted(sf_dir: str):
+    from . import similarity
+    return similarity.lsh_topk(
+        similarity.planted_group_embeddings(_emb(sf_dir), mode="mod"),
+        k=10)
+
+
+def q_sim_ivf_planted(sf_dir: str):
+    from . import similarity
+    return similarity.ivf_topk(
+        similarity.planted_group_embeddings(_emb(sf_dir), mode="mod"),
+        k=10)
 
 
 # -- text analysis ----------------------------------------------------------
@@ -153,10 +188,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_minhash_planted": q_dedup_minhash_planted,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_planted": q_dedup_embedding_planted,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
+        "sim_lsh_planted": q_sim_lsh_planted,
         "sim_ivf": q_sim_ivf,
+        "sim_ivf_planted": q_sim_ivf_planted,
         "sim_jaccard": q_sim_jaccard,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -279,6 +318,27 @@ SELECT doc_id,
 FROM digits GROUP BY doc_id ORDER BY doc_id
 """
 
+# hamming-k pairs brute-forced from the SQL-computable signatures: the
+# banded-rotation op is pigeonhole-complete for k < n_bands, so its
+# answer equals brute force whenever no (band, band_val) bucket exceeds
+# the 500-row cap — impossible at the 500-doc gate scale (a bucket
+# holds at most one row per doc), so the oracle is exact there; at
+# larger corpora cap drops are surfaced by the drop-count side channel.
+SIMHASH_PAIRS_SQL = f"""
+WITH sigs AS ({SIMHASH_HEX_SQL}),
+ham AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         (SELECT sum(bit_count(xor(
+              strpos('0123456789abcdef', substr(a.simhash_hex, i, 1)) - 1,
+              strpos('0123456789abcdef', substr(b.simhash_hex, i, 1)) - 1)))
+          FROM unnest(generate_series(1, 16)) AS t(i)) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming::BIGINT AS hamming
+FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b
+"""
+
+
 # composed curation: stats+sha in one scan, min-doc survivor per exact-
 # duplicate class, then the integer-ratio quality gate
 DOCS_PIPELINE_SQL = f"""
@@ -350,8 +410,14 @@ def _word_df_sql() -> str:
 
 
 def oracles() -> dict[str, str]:
+    from .dedup import MINHASH_PLANTED_SQL
+    from .similarity import EMBEDDING_PLANTED_SQL, TOPK_PLANTED_SQL
     sql = {
         "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_minhash_planted": MINHASH_PLANTED_SQL,
+        "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
+        "sim_lsh_planted": TOPK_PLANTED_SQL,
+        "sim_ivf_planted": TOPK_PLANTED_SQL,
         "sim_topk": SIM_TOPK_SQL,
         "sim_jaccard": SIM_JACCARD_SQL,
         "text_stats": TEXT_STATS_SQL,
@@ -366,9 +432,12 @@ def oracles() -> dict[str, str]:
         # synthetic metadata, there is no SQL-stateable truth.
         "doc_fingerprints": _winnow_sql(),
         "dedup_simhash": SIMHASH_HEX_SQL,
-        # dedup_minhash / dedup_simhash_pairs / sim_lsh / sim_ivf /
-        # dedup_embedding: sketch/float ops, not SQL-expressible ->
-        # rows-only check; pytest verifies them against brute force.
+        "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
+        # dedup_minhash / sim_lsh / sim_ivf / dedup_embedding /
+        # lang_confusion (raw docs): sketch/float/LSH-recall ops with no
+        # exact SQL statement -> rows-only check; pytest verifies them
+        # against brute force, and each has a *_planted sibling whose
+        # construction makes the same operator fully SQL-oracled.
     }
     sql.update(relational.ORACLES)
     sql.update(events.ORACLES)

@@ -334,6 +334,74 @@ def embedding_dup_pairs(emb: ray.data.Dataset, *, threshold: float = 0.95,
 
 
 # ---------------------------------------------------------------------------
+# planted-structure embeddings: SQL-oracled end-to-end ANN / near-dup
+# ---------------------------------------------------------------------------
+#
+# Every vector in a planted group is BYTE-IDENTICAL (the group's seeded
+# random SIGN PATTERN, entries +-1/8 over 64 dims), so any LSH table /
+# IVF list co-locates the whole group with certainty — recall of the
+# planted structure is guaranteed by construction, not probability.
+# The +-1/8 design makes every inner product EXACT-DYADIC (partial sums
+# are integer multiples of 1/64 <= 64, exact in float64 under ANY
+# summation order, so BLAS blocking / batch boundaries cannot perturb
+# ties), the norm exactly 1.0 (normalization is a no-op), within-group
+# scores exactly 1.0, and cross-group cosine (64 - 2*hamming)/64 <=
+# 0.9375 < the 0.95 threshold whenever sign patterns differ in >= 2
+# positions (pinned by pytest).  Rank order is therefore the
+# deterministic vec_id tie-break and the output (no float columns) is
+# pure id arithmetic for DuckDB.
+
+PLANTED_DIM = 64
+PLANTED_TOPK_GROUPS = 50  # group = vec_id % 50; queries (vec_id < 5) hit groups 0..4
+
+
+def _planted_direction(g: int) -> np.ndarray:
+    bits = np.random.default_rng(1000 + g).integers(0, 2, PLANTED_DIM)
+    return (bits * 2 - 1) / 8.0
+
+
+def planted_group_embeddings(emb: ray.data.Dataset, *,
+                             mode: str) -> ray.data.Dataset:
+    """mode 'pairs': group = vec_id // 2 (near-dup pairs);
+    mode 'mod': group = vec_id % PLANTED_TOPK_GROUPS (top-k groups)."""
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        gs = ids // 2 if mode == "pairs" else ids % PLANTED_TOPK_GROUPS
+        vecs = np.empty((len(ids), PLANTED_DIM), dtype=np.float64)
+        for g in np.unique(gs).tolist():
+            vecs[gs == g] = _planted_direction(g)
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+        })
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# expected verified near-dup pairs: exactly the (2k, 2k+1) planted pairs
+EMBEDDING_PLANTED_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 2 = 0 ORDER BY vec_a
+"""
+
+# expected ANN top-10 per query group: the 10 smallest vec_ids sharing
+# the query's direction (ties broken by vec_id — scores are exactly
+# equal doubles within a group)
+TOPK_PLANTED_SQL = f"""
+WITH m AS (
+  SELECT (vec_id % {PLANTED_TOPK_GROUPS})::BIGINT AS query_id, vec_id,
+         row_number() OVER (PARTITION BY vec_id % {PLANTED_TOPK_GROUPS}
+                            ORDER BY vec_id) AS rank
+  FROM embeddings WHERE vec_id % {PLANTED_TOPK_GROUPS} < {N_QUERIES})
+SELECT query_id, rank::BIGINT AS rank, vec_id
+FROM m WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard of documents vs broadcast query docs (SQL-oracled)
 # ---------------------------------------------------------------------------
 

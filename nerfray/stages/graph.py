@@ -463,3 +463,62 @@ def connected_components(triples: ray.data.Dataset,
     return children.union(roots).union(selfloops) \
         .groupby("node").min("component") \
         .rename_columns({"min(component)": "component"})
+
+
+# ---------------------------------------------------------------------------
+# planted dyadic-exact PageRank: a full SQL oracle for the float op
+# ---------------------------------------------------------------------------
+#
+# Float PageRank normally has no stable SQL mirror (partial-sum order
+# perturbs the last ulp).  This planted graph removes the float freedom
+# entirely: n = 256 (power of two) nodes, out-degree exactly 2
+# everywhere, damping 1/2 — so every intermediate value is a dyadic
+# rational m * 2^-k with k <= 9 + 2*iters <= 49 and m < 2^49 < 2^53,
+# meaning EVERY float64 addition/multiplication is exact under ANY
+# summation order (numpy bincount partials, Ray groupby reduce order,
+# DuckDB aggregation order all agree bit-for-bit).  The oracle is a
+# genuinely computed, unrolled 20-step SQL power iteration over the
+# same id-arithmetic edge set — not a pasted constant.
+
+PLANTED_PR_N = 256
+PLANTED_PR_ITERS = 20
+
+
+def planted_pagerank_edges(n: int = PLANTED_PR_N):
+    """Edges: i -> (i+1) % n for all i; i -> i // 2 for i >= 1; 0 -> 3.
+    Out-degree 2 for every node (no dangling mass), no self-loops, no
+    duplicate edges; in-degree varies (1..3) so ranks are non-uniform."""
+    subj = [f"n{i:03d}" for i in range(n)] * 2
+    obj = [f"n{(i + 1) % n:03d}" for i in range(n)]
+    obj += [f"n{i // 2:03d}" if i >= 1 else "n003" for i in range(n)]
+    return subj, obj
+
+
+def planted_pagerank_triples(n: int = PLANTED_PR_N) -> ray.data.Dataset:
+    subj, obj = planted_pagerank_edges(n)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "subj": pa.array(subj, pa.string()),
+        "pred": pa.array(["p"] * len(subj), pa.string()),
+        "obj": pa.array(obj, pa.string()),
+    })).repartition(8)
+
+
+def pagerank_planted_sql(n: int = PLANTED_PR_N,
+                         iters: int = PLANTED_PR_ITERS) -> str:
+    layers = [f"pr0 AS (SELECT i, 1.0/{n} AS r FROM nodes)"]
+    for t in range(1, iters + 1):
+        layers.append(
+            f"pr{t} AS (SELECT nd.i AS i, 0.5/{n} + 0.5 * "
+            f"coalesce(sum(p.r / 2.0), 0.0) AS r "
+            f"FROM nodes nd LEFT JOIN edges e ON e.d = nd.i "
+            f"LEFT JOIN pr{t - 1} p ON p.i = e.s GROUP BY nd.i)")
+    return (
+        f"WITH nodes AS (SELECT i FROM generate_series(0, {n - 1}) AS t(i)),\n"
+        f"edges AS (\n"
+        f"  SELECT i AS s, (i + 1) % {n} AS d FROM nodes\n"
+        f"  UNION ALL SELECT i, i // 2 FROM nodes WHERE i >= 1\n"
+        f"  UNION ALL SELECT 0, 3),\n"
+        + ",\n".join(layers) + "\n"
+        f"SELECT 'n' || lpad(i::VARCHAR, 3, '0') AS node, r AS rank\n"
+        f"FROM pr{iters} ORDER BY node"
+    )

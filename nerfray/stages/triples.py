@@ -194,6 +194,24 @@ def subject_repo(s: str) -> str:
     return "/".join(s.split("/", 3)[:2])
 
 
+def contract_subjects_to_repo(triples: ray.data.Dataset
+                              ) -> ray.data.Dataset:
+    """Contract file-grain subjects to repo grain (Arrow kernels; the
+    vectorized ``subject_repo``).  Cuts graph node count ~50x at corpus
+    scale — the cheapest mitigation for any O(nodes) structure before
+    graph ops (components / pagerank at 100 TB run on this grain)."""
+
+    def _contract(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        parts = pc.split_pattern(batch.column("subj"), "/")
+        repo = pc.binary_join(pc.list_slice(parts, 0, 2), "/")
+        return batch.set_column(
+            batch.column_names.index("subj"), "subj", repo)
+
+    return triples.map_batches(_contract, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def validate_subject_containment(triples_ds: ray.data.Dataset) -> bool:
     """Precondition check for ``dedup_triples_local`` on the blocks that
     ACTUALLY reach the dedup (not the corpus blocks): no repo-grain

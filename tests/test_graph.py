@@ -226,3 +226,17 @@ def test_pagerank_driver_fetches_no_node_strings(ray_session, monkeypatch):
     assert string_rows, "guards never fired"
     assert sum(string_rows) == 0, \
         f"driver fetched {sum(string_rows)} string values during pagerank"
+
+
+def test_pagerank_planted_bit_equals_sql(ray_session):
+    """The dyadic-exact planted graph: the distributed pagerank operator
+    must be BIT-equal to the unrolled DuckDB power iteration (every
+    float64 op exact under any summation order by construction)."""
+    import duckdb
+    from nerfray.stages import graph
+    got = {r["node"]: r["rank"] for r in graph.pagerank(
+        graph.planted_pagerank_triples(), damping=0.5, iters=20).take_all()}
+    sql = dict(duckdb.sql(graph.pagerank_planted_sql()).fetchall())
+    assert got == sql
+    assert sum(got.values()) == 1.0           # exact mass conservation
+    assert len(set(got.values())) > 10        # genuinely non-uniform

@@ -379,3 +379,53 @@ def test_simhash_vectorized_matches_naive():
     got = dd.simhash_many(texts)
     for t, g in zip(texts, got.tolist()):
         assert g == naive(t), t
+
+
+def test_planted_neardup_construction():
+    """Pins the two properties the dedup_minhash_planted oracle rests
+    on: (a) within a group, every repeat count >= 2 yields the IDENTICAL
+    shingle set (so candidates are complete by construction); (b) cross-
+    group Jaccard stays far below the 0.5 threshold (checked over more
+    groups than the sf0.01 gate uses)."""
+    import hashlib as hl
+    from nerfray.ops import dedup as dd
+
+    def tok(g):
+        return hl.sha256(f"g{g}".encode()).hexdigest()[:32]
+
+    base = dd.shingles(" ".join([tok(0)] * 3))
+    for reps in (4, 5, 6):
+        assert dd.shingles(" ".join([tok(0)] * reps)) == base
+
+    n_groups = 320  # > 125 groups at the 500-doc gate, margin included
+    sets = [dd.shingles(" ".join([tok(g)] * 3)) for g in range(n_groups)]
+    worst = 0.0
+    for i in range(n_groups):
+        for j in range(i + 1, n_groups):
+            inter = len(sets[i] & sets[j])
+            worst = max(worst, inter / (len(sets[i]) + len(sets[j]) - inter))
+    assert worst < 0.25, worst
+
+
+def test_planted_embedding_construction():
+    """Pins the dyadic-sign-vector properties the planted embedding /
+    ANN oracles rest on: exact unit norm (normalization is a no-op),
+    exact within-group score 1.0, and cross-group cosine <= 0.9375
+    (pairwise hamming >= 2) over far more groups than the gate uses."""
+    import numpy as np
+    from nerfray.ops import similarity as sim
+
+    n_groups = 2500
+    pats = np.stack([sim._planted_direction(g) for g in range(n_groups)])
+    norms = np.sqrt((pats * pats).sum(axis=1))
+    assert (norms == 1.0).all()          # exactly representable
+    bits = (pats > 0)
+    # hamming via exact int matmul
+    b = bits.astype(np.int32)
+    agree = b @ b.T + (1 - b) @ (1 - b).T
+    ham = 64 - agree
+    np.fill_diagonal(ham, 64)
+    assert ham.min() >= 2, ham.min()     # max cross cos = (64-4)/64 = 0.9375
+    # dot products of +-1/8 vectors are exact multiples of 1/64
+    d01 = float(pats[0] @ pats[1])
+    assert d01 == (64 - 2 * ham[0, 1]) / 64.0
