@@ -3,10 +3,11 @@ the custom operator class Ray Data lacks natively (SURVEY.md §2.9 notes
 the reference is batch-only; this is the engine's streaming-shaped
 extension). Keyed ops group by a 64-way HASH BUCKET of the user/key
 (one Python dispatch per bucket; the per-key sweeps run vectorized over
-sorted runs inside). The partitioning assumption is documented — all
-events of one user land in one bucket group (true at any scale where
-per-user history is bounded; hot users would be range-split by day
-first).
+sorted runs inside). The plain paths assume a user's history fits one
+group; the ``*_split`` variants (sessionize_split, asof_last_order_split)
+remove that assumption by keying on (user, day) and stitching range
+boundaries — same answers, same SQL oracles, group size bounded by one
+user-day (pinned by tests/test_events_split.py's planted hot user).
 """
 
 from __future__ import annotations
@@ -72,6 +73,160 @@ def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> ray.data.Dataset:
         .groupby("hb").map_groups(
         _sessions_bucket, fn_kwargs={"gap_min": gap_min},
         batch_format="pyarrow")
+
+
+# -- hot-key-safe sessionize: (user, day) range split + boundary stitch ------
+#
+# The plain path co-locates a user's ENTIRE history in one group — fine
+# until one hot user outgrows a worker. The split path keys the first
+# pass by (user, time-range): per-range session runs are computed
+# exactly as before, each range also reporting its first/last event ts
+# and first/last session sizes; a second, RANGE-GRAIN pass per user
+# (rows = user-ranges, tiny) folds consecutive ranges in time order,
+# merging the boundary sessions whenever the cross-range gap is within
+# the threshold. Per-range interior maxima stay valid candidates (any
+# within-range run is a subset of a true session), and every true
+# session's size is recovered as the accumulated tail at close — so the
+# stitched rollup equals the unsplit answer exactly (same SQL oracle).
+
+RANGE_US = 24 * 3600 * 1_000_000  # 1-day split ranges
+
+
+def _range_sessions_bucket(group: pa.Table, *, gap_min: int) -> pa.Table:
+    """Per (user, range) session stats for every key in one hash bucket
+    (vectorized sweep over sorted runs, same math as _sessions_bucket,
+    plus the boundary columns the stitch pass needs)."""
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("rng", pa.int64()),
+        ("n_events", pa.int64()), ("n_sessions", pa.int64()),
+        ("max_session_events", pa.int64()),
+        ("first_ts", pa.int64()), ("last_ts", pa.int64()),
+        ("first_size", pa.int64()), ("last_size", pa.int64())])
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return out_schema.empty_table()
+    rg = group.column("rng").to_numpy(zero_copy_only=False)
+    ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    order = np.lexsort((ts, rg, us))
+    u, g, t = us[order], rg[order], ts[order]
+    key_change = np.r_[True, (u[1:] != u[:-1]) | (g[1:] != g[:-1])]
+    sess_start = key_change | np.r_[
+        True, (t[1:] - t[:-1]) > gap_min * 60_000_000]
+    kstarts = np.flatnonzero(key_change)
+    kends = np.r_[kstarts[1:], len(u)] - 1
+    n_events = np.diff(np.r_[kstarts, len(u)])
+    n_sessions = np.add.reduceat(sess_start.astype(np.int64), kstarts)
+    sstarts = np.flatnonzero(sess_start)
+    sizes = np.diff(np.r_[sstarts, len(u)])
+    first_sess = np.searchsorted(sstarts, kstarts)
+    max_sess = np.maximum.reduceat(sizes, first_sess)
+    # last session of each key = session containing the key's last row
+    last_sess = np.searchsorted(sstarts, kends, side="right") - 1
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u[kstarts], pa.int64()),
+        "rng": pa.array(g[kstarts], pa.int64()),
+        "n_events": pa.array(n_events, pa.int64()),
+        "n_sessions": pa.array(n_sessions, pa.int64()),
+        "max_session_events": pa.array(max_sess, pa.int64()),
+        "first_ts": pa.array(t[kstarts], pa.int64()),
+        "last_ts": pa.array(t[kends], pa.int64()),
+        "first_size": pa.array(sizes[first_sess], pa.int64()),
+        "last_size": pa.array(sizes[last_sess], pa.int64()),
+    }, schema=out_schema)
+
+
+def _stitch_user_ranges(group: pa.Table, *, gap_min: int) -> pa.Table:
+    """Fold each user's per-range stats in time order (range-grain rows,
+    one Python sweep per user over its ranges — tiny by construction)."""
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return pa.Table.from_pydict({
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "max_session_events": pa.array([], pa.int64())})
+    rg = group.column("rng").to_numpy(zero_copy_only=False)
+    cols = {c: group.column(c).to_numpy(zero_copy_only=False)
+            for c in ("n_events", "n_sessions", "max_session_events",
+                      "first_ts", "last_ts", "first_size", "last_size")}
+    order = np.lexsort((rg, us))
+    gap_us = gap_min * 60_000_000
+    out_u, out_e, out_s, out_m = [], [], [], []
+    i = 0
+    idx = order
+    while i < len(idx):
+        j = i
+        user = us[idx[i]]
+        total_e = total_s = best = 0
+        tail = 0
+        prev_last_ts = None
+        while j < len(idx) and us[idx[j]] == user:
+            r = idx[j]
+            k = int(cols["n_sessions"][r])
+            best = max(best, int(cols["max_session_events"][r]))
+            total_e += int(cols["n_events"][r])
+            if prev_last_ts is not None and \
+                    cols["first_ts"][r] - prev_last_ts <= gap_us:
+                # boundary sessions merge
+                total_s += k - 1
+                if k == 1:
+                    tail += int(cols["first_size"][r])
+                else:
+                    best = max(best, tail + int(cols["first_size"][r]))
+                    tail = int(cols["last_size"][r])
+            else:
+                best = max(best, tail)
+                total_s += k
+                tail = int(cols["last_size"][r])
+            prev_last_ts = cols["last_ts"][r]
+            j += 1
+        best = max(best, tail)
+        out_u.append(user)
+        out_e.append(total_e)
+        out_s.append(total_s)
+        out_m.append(best)
+        i = j
+    return pa.Table.from_pydict({
+        "user_id": pa.array(out_u, pa.int64()),
+        "n_events": pa.array(out_e, pa.int64()),
+        "n_sessions": pa.array(out_s, pa.int64()),
+        "max_session_events": pa.array(out_m, pa.int64()),
+    })
+
+
+def sessionize_split(sf_dir: str,
+                     gap_min: int = SESSION_GAP_MIN) -> ray.data.Dataset:
+    """Hot-key-safe sessionize: identical answer to ``sessionize`` (same
+    SQL oracle) with per-group size bounded by a user's single-day
+    volume instead of their lifetime history."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return sessionize_split_ds(ds, gap_min=gap_min)
+
+
+def sessionize_split_ds(ds: ray.data.Dataset,
+                        gap_min: int = SESSION_GAP_MIN) -> ray.data.Dataset:
+    def _rng(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                    pa.int64())
+        rng = pc.divide(t, RANGE_US)
+        hb = pc.cast(pc.bit_wise_and(
+            pc.add(pc.multiply(batch.column("user_id"), 8191), rng),
+            N_KEY_BUCKETS - 1), pa.int32())
+        return pa.Table.from_pydict({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "ts": t, "rng": rng, "hb": hb})
+
+    per_range = ds.map_batches(_rng, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+            _range_sessions_bucket, fn_kwargs={"gap_min": gap_min},
+            batch_format="pyarrow")
+    return per_range.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+            _stitch_user_ranges, fn_kwargs={"gap_min": gap_min},
+            batch_format="pyarrow")
 
 
 def _hourly_partial(batch: pa.Table) -> pa.Table:
@@ -225,7 +380,228 @@ def asof_last_order(sf_dir: str) -> ray.data.Dataset:
         .groupby("hb").map_groups(_asof_bucket, batch_format="pyarrow")
 
 
+# -- hot-key-safe as-of join: (key, day) range split + carry stitch ----------
+#
+# The plain as-of co-locates a user's whole event+order history in one
+# group. The split path bounds groups to a single (user, day) range:
+#   A) per-(key, range) local as-of: events matched by an in-range
+#      order resolve immediately; per range emit a summary row ('w':
+#      the range's latest order) and a request row ('q') if any event
+#      found no in-range order;
+#   B) RANGE-GRAIN carry pass per user (rows = user-days with orders or
+#      requests, tiny): for each requested range, carry = the latest
+#      order of any earlier range (ranges partition time, so the
+#      max-(ts, id) order of the greatest earlier range is the answer);
+#   C) co-group the unmatched events with their (user, range) carry row
+#      and assign it (or -1).  Union of A-matched and C equals the
+#      unsplit operator exactly (same SQL oracle).
+
+_ASOF_A_SCHEMA = pa.schema([
+    ("kind", pa.string()),      # m: matched, u: unmatched, w: range max,
+    ("key", pa.int64()),        # q: carry request
+    ("rng", pa.int64()),
+    ("event_id", pa.int64()),
+    ("val", pa.int64()),        # m: last_order; w: latest order id
+])
+
+
+def _asof_split_bucket(group: pa.Table) -> pa.Table:
+    """Local as-of for EVERY (key, range) run in one hash bucket."""
+    if group.num_rows == 0:
+        return _ASOF_A_SCHEMA.empty_table()
+    keys = group.column("key").to_numpy(zero_copy_only=False)
+    rng = group.column("rng").to_numpy(zero_copy_only=False)
+    kind = np.asarray(group.column("kind").to_pylist())
+    ts = group.column("ats").to_numpy(zero_copy_only=False)
+    ids = group.column("id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((rng, keys))
+    keys, rng, kind, ts, ids = (keys[order], rng[order], kind[order],
+                                ts[order], ids[order])
+    change = np.r_[True, (keys[1:] != keys[:-1]) | (rng[1:] != rng[:-1])]
+    starts = np.flatnonzero(change)
+    bounds = np.r_[starts, len(keys)]
+    kinds: list = []
+    k_arr: list = []
+    r_arr: list = []
+    e_arr: list = []
+    v_arr: list = []
+
+    def _emit(kd: str, k: int, r: int, eids, vals) -> None:
+        n = len(eids)
+        kinds.extend([kd] * n)
+        k_arr.append(np.full(n, k, dtype=np.int64))
+        r_arr.append(np.full(n, r, dtype=np.int64))
+        e_arr.append(np.asarray(eids, dtype=np.int64))
+        v_arr.append(np.asarray(vals, dtype=np.int64))
+
+    for i in range(len(starts)):  # one iteration per (key, range) run
+        lo, hi = bounds[i], bounds[i + 1]
+        is_e = kind[lo:hi] == "e"
+        e_id, last = _asof_one_key(ts[lo:hi], ids[lo:hi], is_e)
+        k, r = int(keys[lo]), int(rng[lo])
+        matched = last >= 0
+        _emit("m", k, r, e_id[matched], last[matched])
+        unmatched = e_id[~matched]
+        _emit("u", k, r, unmatched, np.full(len(unmatched), -1))
+        if len(unmatched):
+            _emit("q", k, r, [-1], [-1])
+        o_ts, o_id_arr = ts[lo:hi][~is_e], ids[lo:hi][~is_e]
+        if len(o_id_arr):
+            w = np.lexsort((o_id_arr, o_ts))[-1]
+            _emit("w", k, r, [-1], [int(o_id_arr[w])])
+    cat = (lambda xs: np.concatenate(xs) if xs
+           else np.array([], dtype=np.int64))
+    return pa.Table.from_pydict({
+        "kind": pa.array(kinds, pa.string()),
+        "key": pa.array(cat(k_arr), pa.int64()),
+        "rng": pa.array(cat(r_arr), pa.int64()),
+        "event_id": pa.array(cat(e_arr), pa.int64()),
+        "val": pa.array(cat(v_arr), pa.int64()),
+    }, schema=_ASOF_A_SCHEMA)
+
+
+def _carry_bucket(group: pa.Table) -> pa.Table:
+    """Resolve each 'q' request to the latest order of any EARLIER range
+    (vectorized searchsorted over the user's 'w' rows)."""
+    if group.num_rows == 0:
+        return pa.Table.from_pydict({
+            "key": pa.array([], pa.int64()),
+            "rng": pa.array([], pa.int64()),
+            "carry": pa.array([], pa.int64())})
+    kind = np.asarray(group.column("kind").to_pylist())
+    keys = group.column("key").to_numpy(zero_copy_only=False)
+    rng = group.column("rng").to_numpy(zero_copy_only=False)
+    val = group.column("val").to_numpy(zero_copy_only=False)
+    is_w = kind == "w"
+    wk = keys[is_w].astype(np.int64) * (1 << 31) + rng[is_w]
+    wv = val[is_w]
+    o = np.argsort(wk, kind="stable")
+    wk, wv = wk[o], wv[o]
+    is_q = kind == "q"
+    qk = keys[is_q].astype(np.int64) * (1 << 31) + rng[is_q]
+    if len(wk) == 0:  # bucket has requests but no order summaries
+        carry = np.full(len(qk), -1, dtype=np.int64)
+    else:
+        idx = np.searchsorted(wk, qk, side="left") - 1
+        same_user = (idx >= 0) & ((wk[np.clip(idx, 0, None)] >> 31)
+                                  == (qk >> 31))
+        carry = np.where(same_user, wv[np.clip(idx, 0, None)], -1)
+    return pa.Table.from_pydict({
+        "key": pa.array(keys[is_q], pa.int64()),
+        "rng": pa.array(rng[is_q], pa.int64()),
+        "carry": pa.array(carry, pa.int64()),
+    })
+
+
+def _assign_carry_bucket(group: pa.Table) -> pa.Table:
+    """Attach each unmatched event's (key, range) carry (vectorized)."""
+    if group.num_rows == 0:
+        return pa.Table.from_pydict({
+            "event_id": pa.array([], pa.int64()),
+            "last_order": pa.array([], pa.int64())})
+    kind = np.asarray(group.column("kind").to_pylist())
+    keys = group.column("key").to_numpy(zero_copy_only=False)
+    rng = group.column("rng").to_numpy(zero_copy_only=False)
+    val = group.column("val").to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    is_c = kind == "c"
+    ck = keys[is_c].astype(np.int64) * (1 << 31) + rng[is_c]
+    cv = val[is_c]
+    o = np.argsort(ck, kind="stable")
+    ck, cv = ck[o], cv[o]
+    is_u = kind == "u"
+    uk = keys[is_u].astype(np.int64) * (1 << 31) + rng[is_u]
+    if len(ck) == 0:  # defensive: every 'u' co-buckets with its 'c'
+        last = np.full(len(uk), -1, dtype=np.int64)
+    else:
+        idx = np.searchsorted(ck, uk)
+        hit = (idx < len(ck)) & (ck[np.clip(idx, 0, len(ck) - 1)] == uk)
+        last = np.where(hit, cv[np.clip(idx, 0, len(ck) - 1)], -1)
+    return pa.Table.from_pydict({
+        "event_id": pa.array(eid[is_u], pa.int64()),
+        "last_order": pa.array(last, pa.int64()),
+    })
+
+
+def asof_last_order_split(sf_dir: str) -> ray.data.Dataset:
+    """Hot-key-safe as-of join: identical answer to ``asof_last_order``
+    (same SQL oracle) with per-group size bounded by one user-day."""
+    from nerfray.sources.parquet import read_parquet_clean
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                                columns=["event_id", "user_id", "ts"])
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _ev(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                    pa.int64())
+        return pa.Table.from_pydict({
+            "key": pc.cast(batch.column("user_id"), pa.int64()),
+            "kind": pa.array(["e"] * len(batch), pa.string()),
+            "ats": t,
+            "rng": pc.divide(t, RANGE_US),
+            "id": pc.cast(batch.column("event_id"), pa.int64()),
+        })
+
+    def _od(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch.column("o_orderdate"),
+                            pa.timestamp("us")), pa.int64())
+        return pa.Table.from_pydict({
+            "key": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "kind": pa.array(["o"] * len(batch), pa.string()),
+            "ats": t,
+            "rng": pc.divide(t, RANGE_US),
+            "id": pc.cast(batch.column("o_orderkey"), pa.int64()),
+        })
+
+    def _kb(batch: pa.Table) -> pa.Table:
+        hb = pc.cast(pc.bit_wise_and(
+            pc.add(pc.multiply(batch.column("key"), 8191),
+                   batch.column("rng")), N_KEY_BUCKETS - 1), pa.int32())
+        return batch.append_column("hb", hb)
+
+    def _ub(batch: pa.Table) -> pa.Table:
+        hb = pc.cast(pc.bit_wise_and(batch.column("key"),
+                                     N_KEY_BUCKETS - 1), pa.int32())
+        return batch.append_column("hb", hb)
+
+    both = events.map_batches(_ev, batch_format="pyarrow").union(
+        orders.map_batches(_od, batch_format="pyarrow"))
+    a = both.map_batches(_kb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_asof_split_bucket,
+                                  batch_format="pyarrow").materialize()
+
+    matched = a.filter(expr="kind == 'm'") \
+        .select_columns(["event_id", "val"]) \
+        .rename_columns({"val": "last_order"})
+
+    wq = a.filter(expr="kind == 'w' or kind == 'q'")
+    carries = wq.map_batches(_ub, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_carry_bucket, batch_format="pyarrow")
+
+    def _carry_as_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict({
+            "kind": pa.array(["c"] * n, pa.string()),
+            "key": batch.column("key"),
+            "rng": batch.column("rng"),
+            "event_id": pa.array([-1] * n, pa.int64()),
+            "val": batch.column("carry"),
+        }, schema=_ASOF_A_SCHEMA)
+
+    assigned = a.filter(expr="kind == 'u'") \
+        .union(carries.map_batches(_carry_as_rows,
+                                   batch_format="pyarrow")) \
+        .map_batches(_kb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_assign_carry_bucket,
+                                  batch_format="pyarrow")
+    return matched.union(assigned)
+
+
 ORACLES = {
+    # the *_split variants are the hot-key-safe implementations of the
+    # SAME operators — they share the unsplit oracles verbatim
     "events_asof_order": """
 SELECT e.event_id,
        coalesce((SELECT o.o_orderkey FROM orders o
@@ -276,3 +652,6 @@ SELECT strftime(we, '%Y-%m-%d %H') AS win_end, event_type,
 FROM wins GROUP BY 1, 2 ORDER BY 1, 2
 """,
 }
+
+ORACLES["events_sessionize_split"] = ORACLES["events_sessionize"]
+ORACLES["events_asof_split"] = ORACLES["events_asof_order"]

@@ -213,7 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_sizes": relational.part_type_sizes,
         "lineitem_by_flag": relational.lineitem_by_flag,
         "events_sessionize": events.sessionize,
+        "events_sessionize_split": events.sessionize_split,
         "events_asof_order": events.asof_last_order,
+        "events_asof_split": events.asof_last_order_split,
         "events_hourly": events.hourly_counts,
         "events_sliding": events.sliding_counts,
     }

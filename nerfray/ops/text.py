@@ -161,72 +161,112 @@ def word_df_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     is the doc's rarest word); ``sum_df`` the common-word mass. All
     integers, so the mirror (WORD_DF_SQL) is hash-exact.
 
-    Scale shape: pass 1 is distinct (word, doc) pairs -> groupby(word)
-    document frequencies; pass 2 co-groups the df table with the pair
-    table by a 64-way word hash bucket (no broadcast — the vocabulary
-    is unbounded in general), pre-aggregates per doc inside the bucket,
-    and finishes with a tiny groupby(doc_id)."""
+    Scale shape (r3 combiner): pass 1 emits ONE ROW PER DISTINCT WORD
+    PER BLOCK — (word, doc-list, block-local df partial) — so neither
+    shuffle ever moves (word, doc) incidence rows: the DF groupby sums
+    word-per-block partials, and the join-back co-groups the df table
+    with the same compacted partials by a 64-way word hash bucket (no
+    vocabulary broadcast), unrolls the doc lists vectorized (Arrow
+    list-flatten + reduceat), and finishes with a tiny
+    groupby(doc_id).  The per-block compaction factor is logged."""
+    import logging
     from ray.data.aggregate import Min, Sum
 
-    def _word_doc(batch: pa.Table) -> pa.Table:
-        ids, ws = [], []
+    _WP_SCHEMA = pa.schema([
+        ("word", pa.string()),
+        ("docs", pa.list_(pa.int64())),  # null on df rows
+        ("df", pa.int64()),              # null on partial rows
+    ])
+
+    def _block_word_partials(batch: pa.Table) -> pa.Table:
+        """Block combiner: (word, docs-in-block, df=null); emit grain is
+        distinct words per block, not (word, doc) incidences."""
+        import pandas as pd
+        flat_w: list = []
+        flat_d: list = []
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            for w in set(t.split(" ")):
-                ids.append(d)
-                ws.append(w)
+            ws = set(t.split(" "))
+            flat_w.extend(ws)
+            flat_d.extend([d] * len(ws))
+        g = pd.Series(flat_d).groupby(
+            pd.Series(flat_w), sort=True).agg(list)
+        logging.getLogger(__name__).debug(
+            "word-df combiner: %d incidences -> %d word rows",
+            len(flat_d), len(g))
         return pa.Table.from_pydict({
-            "word": pa.array(ws, pa.string()),
-            "doc_id": pa.array(ids, pa.int64()),
-            "df": pa.array([None] * len(ids), pa.int64()),
-        })
+            "word": pa.array(g.index.tolist(), pa.string()),
+            "docs": pa.array(g.tolist(), pa.list_(pa.int64())),
+            "df": pa.array([None] * len(g), pa.int64()),
+        }, schema=_WP_SCHEMA)
 
-    def _word_bucket(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        import numpy as np
-        arr = np.asarray(batch.column("word").to_pylist(), dtype=object)
-        hb = (pd.util.hash_array(arr) % 64).astype(np.int32)
-        return batch.append_column("hb", pa.array(hb))
+    def _dfp(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "word": batch.column("word"),
+            "dfp": pc.list_value_length(batch.column("docs")),
+        })
 
     def _df_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.Table.from_pydict({
             "word": batch.column("word"),
-            "doc_id": pa.array([None] * n, pa.int64()),
-            "df": batch.column("df"),
-        })
+            "docs": pa.array([None] * n, pa.list_(pa.int64())),
+            "df": pc.cast(batch.column("df"), pa.int64()),
+        }, schema=_WP_SCHEMA)
+
+    def _word_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        arr = np.asarray(batch.column("word").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(arr) % 64).astype(np.int32)
+        return batch.append_column("hb", pa.array(hb))
 
     def _doc_partials(group: pa.Table) -> pa.Table:
-        dfs: dict[str, int] = {}
-        pair_rows = []
-        for w, d, f in zip(group.column("word").to_pylist(),
-                           group.column("doc_id").to_pylist(),
-                           group.column("df").to_pylist()):
-            if d is None:
-                dfs[w] = f
-            else:
-                pair_rows.append((w, d))
-        acc: dict[int, list] = {}
-        for w, d in pair_rows:
-            f = dfs[w]
-            a = acc.setdefault(d, [0, 0, f])
-            a[0] += 1
-            a[1] += f
-            a[2] = min(a[2], f)
-        ks = sorted(acc)
+        """Join-back inside one word hash bucket, fully vectorized:
+        pandas hash-join maps each partial row's word to its df, Arrow
+        list-flatten unrolls the doc lists, reduceat sweeps the per-doc
+        (count, sum, min) over the doc-sorted incidences."""
+        import pandas as pd
+        empty = pa.Table.from_pydict({
+            "doc_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "sdf": pa.array([], pa.int64()),
+            "mdf": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        is_df = pc.is_valid(group.column("df"))
+        df_rows = group.filter(is_df)
+        pairs = group.filter(pc.invert(is_df))
+        if pairs.num_rows == 0:
+            return empty
+        merged = pd.DataFrame(
+            {"word": pairs.column("word").to_pylist()}).merge(
+            pd.DataFrame({
+                "word": df_rows.column("word").to_pylist(),
+                "f": df_rows.column("df").to_pylist()}),
+            on="word", how="left")
+        f_per_row = merged["f"].to_numpy(dtype=np.int64)
+        docs_col = pairs.column("docs").combine_chunks()
+        d_flat = docs_col.flatten().to_numpy(zero_copy_only=False)
+        f_flat = f_per_row[pc.list_parent_indices(docs_col).to_numpy(
+            zero_copy_only=False)]
+        order = np.argsort(d_flat, kind="stable")
+        d_s, f_s = d_flat[order], f_flat[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
         return pa.Table.from_pydict({
-            "doc_id": pa.array(ks, pa.int64()),
-            "cnt": pa.array([acc[k][0] for k in ks], pa.int64()),
-            "sdf": pa.array([acc[k][1] for k in ks], pa.int64()),
-            "mdf": pa.array([acc[k][2] for k in ks], pa.int64()),
+            "doc_id": pa.array(d_s[starts], pa.int64()),
+            "cnt": pa.array(np.diff(np.r_[starts, len(d_s)]), pa.int64()),
+            "sdf": pa.array(np.add.reduceat(f_s, starts), pa.int64()),
+            "mdf": pa.array(np.minimum.reduceat(f_s, starts), pa.int64()),
         })
 
-    pairs = docs.select_columns(["doc_id", "text"]).map_batches(
-        _word_doc, batch_format="pyarrow", zero_copy_batch=True)
-    df = pairs.groupby("word").count() \
-        .rename_columns({"count()": "df"}) \
+    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+        _block_word_partials, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    df = partials.map_batches(_dfp, batch_format="pyarrow") \
+        .groupby("word").sum("dfp") \
+        .rename_columns({"sum(dfp)": "df"}) \
         .map_batches(_df_rows, batch_format="pyarrow")
-    return pairs.union(df) \
+    return partials.union(df) \
         .map_batches(_word_bucket, batch_format="pyarrow") \
         .groupby("hb").map_groups(_doc_partials, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(Sum("cnt"), Sum("sdf"), Min("mdf")) \

@@ -1,0 +1,104 @@
+"""Hot-key-safe event operators: the (user, day) range-split paths must
+equal the unsplit SQL oracles on a corpus with a PLANTED HOT USER whose
+history spans many days and parquet row groups (the case the split
+exists for), including sessions that straddle midnight boundaries."""
+
+import datetime
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def hot_dir(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    base = datetime.datetime(2024, 3, 1)
+
+    ev_user, ev_ts = [], []
+    # hot user 7: 6000 events over 12 days; gaps drawn so many sessions
+    # cross the midnight range boundary (gap < 30 min across days)
+    t = base
+    for _ in range(6000):
+        # mixture: mostly short gaps, occasional > 30 min session breaks
+        if rng.random() < 0.03:
+            t += datetime.timedelta(minutes=int(rng.integers(31, 600)))
+        else:
+            t += datetime.timedelta(minutes=int(rng.integers(1, 15)))
+        ev_user.append(7)
+        ev_ts.append(t)
+    # 40 normal users, ~25 events each, some with zero orders
+    for u in range(100, 140):
+        t = base + datetime.timedelta(minutes=int(rng.integers(0, 5000)))
+        for _ in range(25):
+            t += datetime.timedelta(minutes=int(rng.integers(1, 120)))
+            ev_user.append(u)
+            ev_ts.append(t)
+
+    n = len(ev_user)
+    events = pa.Table.from_pydict({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(ev_user, pa.int64()),
+        "ts": pa.array(ev_ts, pa.timestamp("us")),
+        "event_type": pa.array(["x"] * n, pa.string()),
+    })
+
+    od_user, od_ts = [], []
+    # hot user gets orders on some days only; half the normal users none
+    for d in (0, 1, 4, 9):
+        od_user.append(7)
+        od_ts.append(base + datetime.timedelta(days=d, hours=13))
+    for u in range(100, 140, 2):
+        od_user.append(u)
+        od_ts.append(base + datetime.timedelta(
+            minutes=int(rng.integers(0, 20000))))
+    # duplicate-date orders to exercise the (ts, id) tie-break
+    od_user += [7, 7]
+    od_ts += [base + datetime.timedelta(days=4, hours=13)] * 2
+    m = len(od_user)
+    orders = pa.Table.from_pydict({
+        "o_orderkey": pa.array(range(1000, 1000 + m), pa.int64()),
+        "o_custkey": pa.array(od_user, pa.int64()),
+        "o_orderdate": pa.array(od_ts, pa.timestamp("us")),
+    })
+
+    d = tmp_path_factory.mktemp("hotuser")
+    pq.write_table(events, str(d / "events.parquet"), row_group_size=500)
+    pq.write_table(orders, str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_sessionize_split_hot_user_matches_oracle(ray_session, hot_dir):
+    from nerfray.ops import events as ev
+    got = sorted(
+        (r["user_id"], r["n_events"], r["n_sessions"],
+         r["max_session_events"])
+        for r in ev.sessionize_split(hot_dir).take_all())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{hot_dir}/events.parquet'")
+    exp = sorted(tuple(r) for r in
+                 con.sql(ev.ORACLES["events_sessionize"]).fetchall())
+    assert got == exp
+    hot = [g for g in got if g[0] == 7][0]
+    assert hot[1] == 6000 and hot[2] > 10  # genuinely multi-day, multi-session
+
+
+def test_asof_split_hot_user_matches_oracle(ray_session, hot_dir):
+    from nerfray.ops import events as ev
+    got = sorted((r["event_id"], r["last_order"])
+                 for r in ev.asof_last_order_split(hot_dir).take_all())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{hot_dir}/events.parquet'")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{hot_dir}/orders.parquet'")
+    exp = sorted(tuple(r) for r in
+                 con.sql(ev.ORACLES["events_asof_order"]).fetchall())
+    assert got == exp
+    # sanity: both carry resolution (-1 before first order / no-order
+    # users) and cross-day carries are exercised
+    lasts = dict(got)
+    assert -1 in lasts.values()
