@@ -155,7 +155,7 @@ N_HASH_BUCKETS = 64
 
 def _pairs_in_run(ids: list, a: list, b: list) -> None:
     """Capped all-pairs within one LSH bucket, appended to a/b."""
-    cap = 200
+    cap = MINHASH_BUCKET_CAP
     if len(ids) > cap:
         import logging
         logging.getLogger(__name__).warning(
@@ -215,6 +215,80 @@ def minhash_candidates(docs: ray.data.Dataset, *, k: int = 64,
         .groupby("hb").map_groups(_bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["doc_a", "doc_b"]).count() \
         .drop_columns(["count()"])
+
+
+# -- measurable LSH drop accounting ------------------------------------------
+#
+# The candidate-pair caps (minhash 200 ids / simhash 500 ids per LSH
+# bucket) DROP pairs on degenerate buckets.  The loss is not just a log
+# line: these side Datasets report, per overflowing bucket, how many
+# ids it held and how many candidate pairs were dropped — a 100 TB run
+# can roll them up to a recall-loss figure.  Zero rows at the bench
+# scale (asserted in tests) means the caps never bit.
+
+MINHASH_BUCKET_CAP = 200
+SIMHASH_BUCKET_CAP = 500
+
+
+def _dropped_pairs(n: int, cap: int) -> int:
+    return n * (n - 1) // 2 - cap * (cap - 1) // 2
+
+
+def _run_sizes(sort_keys: list) -> np.ndarray:
+    """Sizes of consecutive equal-key runs in a sorted key list."""
+    if not sort_keys:
+        return np.array([], dtype=np.int64)
+    arr = np.empty(len(sort_keys), dtype=object)  # 1-D array of tuples
+    arr[:] = sort_keys
+    change = np.r_[True, arr[1:] != arr[:-1]]
+    starts = np.flatnonzero(change)
+    return np.diff(np.r_[starts, len(arr)])
+
+
+def _bucket_drop_rows(group: pa.Table, *, key_cols: list[str],
+                      cap: int) -> pa.Table:
+    keys = sorted(zip(*(group.column(c).to_pylist() for c in key_cols)))
+    sizes = _run_sizes(keys)
+    over = sizes[sizes > cap]
+    return pa.Table.from_pydict({
+        "n_ids": pa.array(over, pa.int64()),
+        "n_dropped_pairs": pa.array(
+            [_dropped_pairs(int(n), cap) for n in over], pa.int64()),
+    })
+
+
+def minhash_drop_counts(docs: ray.data.Dataset, *, k: int = 64,
+                        n_bands: int = 16, shingle_k: int = 8
+                        ) -> ray.data.Dataset:
+    """(n_ids, n_dropped_pairs) per overflowing minhash LSH bucket."""
+    rows_per_band = k // n_bands
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher, fn_constructor_kwargs={"k": k, "shingle_k": shingle_k},
+        concurrency=(1, 8), batch_size=256, batch_format="pyarrow")
+    bands = sigs.map_batches(
+        _bands, fn_kwargs={"n_bands": n_bands,
+                           "rows_per_band": rows_per_band},
+        batch_format="pyarrow")
+    return bands.map_batches(_band_hash_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+            _bucket_drop_rows,
+            fn_kwargs={"key_cols": ["band", "band_key"],
+                       "cap": MINHASH_BUCKET_CAP},
+            batch_format="pyarrow")
+
+
+def simhash_drop_counts(docs: ray.data.Dataset, *,
+                        n_bands: int = 4) -> ray.data.Dataset:
+    """(n_ids, n_dropped_pairs) per overflowing simhash band bucket."""
+    bands = simhash_signatures(docs).map_batches(
+        _simhash_bands, fn_kwargs={"n_bands": n_bands},
+        batch_format="pyarrow")
+    return bands.map_batches(_simhash_hb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+            _bucket_drop_rows,
+            fn_kwargs={"key_cols": ["band", "band_val"],
+                       "cap": SIMHASH_BUCKET_CAP},
+            batch_format="pyarrow")
 
 
 # -- distributed exact-Jaccard verification ---------------------------------
@@ -525,7 +599,7 @@ def _simhash_bands(batch: pa.Table, *, n_bands: int) -> pa.Table:
 
 
 def _simhash_run_pairs(rows: list, max_hamming: int, a, b, h) -> None:
-    cap = 500
+    cap = SIMHASH_BUCKET_CAP
     if len(rows) > cap:
         import logging
         logging.getLogger(__name__).warning(

@@ -47,6 +47,18 @@ def q_dedup_simhash_pairs(sf_dir: str):
     return dedup.simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def q_dedup_minhash_drops(sf_dir: str):
+    # recall-loss side channel: one row per LSH bucket whose candidate
+    # cap dropped pairs (empty = caps never bit at this scale)
+    from . import dedup
+    return dedup.minhash_drop_counts(_docs(sf_dir))
+
+
+def q_dedup_simhash_drops(sf_dir: str):
+    from . import dedup
+    return dedup.simhash_drop_counts(_docs(sf_dir))
+
+
 def q_dedup_minhash_planted(sf_dir: str):
     # planted near-dup corpus (identical shingle sets within a group):
     # the SAME banded-LSH + exact-verify operator, with candidate
@@ -189,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_minhash_planted": q_dedup_minhash_planted,
+        "dedup_minhash_drops": q_dedup_minhash_drops,
+        "dedup_simhash_drops": q_dedup_simhash_drops,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_planted": q_dedup_embedding_planted,
         "sim_topk": q_sim_topk,

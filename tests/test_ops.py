@@ -429,3 +429,27 @@ def test_planted_embedding_construction():
     # dot products of +-1/8 vectors are exact multiples of 1/64
     d01 = float(pats[0] @ pats[1])
     assert d01 == (64 - 2 * ham[0, 1]) / 64.0
+
+
+def test_lsh_drop_accounting(ray_session):
+    """The drop-count side Datasets: zero rows on the real sf corpus
+    (caps never bite), exact combinatorial counts on a planted
+    degenerate corpus that overflows every bucket."""
+    import os
+    import ray.data
+    from nerfray.ops import dedup as dd
+    docs = ray.data.read_parquet(os.path.join(SF, "documents.parquet"))
+    assert dd.minhash_drop_counts(docs).count() == 0
+    assert dd.simhash_drop_counts(docs).count() == 0
+
+    n = dd.MINHASH_BUCKET_CAP + 50  # 250 identical docs, one mega-bucket
+    degenerate = ray.data.from_arrow(__import__("pyarrow").Table.from_pydict({
+        "doc_id": list(range(n)),
+        "text": ["same text for every doc " * 3] * n,
+    }))
+    rows = dd.minhash_drop_counts(degenerate).take_all()
+    assert len(rows) == 16  # every band overflows once
+    expect = n * (n - 1) // 2 - \
+        dd.MINHASH_BUCKET_CAP * (dd.MINHASH_BUCKET_CAP - 1) // 2
+    assert all(r["n_ids"] == n and r["n_dropped_pairs"] == expect
+               for r in rows)
