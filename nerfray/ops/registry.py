@@ -172,6 +172,21 @@ def q_lang_confusion_planted(sf_dir: str):
     return text.planted_lang_confusion(_docs(sf_dir))
 
 
+def q_docs_splits(sf_dir: str):
+    from . import sampling
+    return sampling.assign_splits(_docs(sf_dir))
+
+
+def q_docs_stratified(sf_dir: str):
+    from . import sampling
+    return sampling.stratified_sample(_docs(sf_dir), k=10)
+
+
+def q_docs_chunks(sf_dir: str):
+    from . import sampling
+    return sampling.chunk_docs(_docs(sf_dir))
+
+
 def q_doc_fingerprints(sf_dir: str):
     from . import text
     ds = text.doc_fingerprints(_docs(sf_dir))
@@ -219,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q_lang_confusion,
         "lang_confusion_planted": q_lang_confusion_planted,
         "doc_fingerprints": q_doc_fingerprints,
+        "docs_splits": q_docs_splits,
+        "docs_stratified": q_docs_stratified,
+        "docs_chunks": q_docs_chunks,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
         "orders_by_status": relational.orders_by_status,
@@ -427,8 +445,12 @@ def _word_df_sql() -> str:
 
 def oracles() -> dict[str, str]:
     from .dedup import MINHASH_PLANTED_SQL
+    from .sampling import CHUNKS_SQL, SPLITS_SQL, STRATIFIED_SQL
     from .similarity import EMBEDDING_PLANTED_SQL, TOPK_PLANTED_SQL
     sql = {
+        "docs_splits": SPLITS_SQL,
+        "docs_stratified": STRATIFIED_SQL,
+        "docs_chunks": CHUNKS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_planted": MINHASH_PLANTED_SQL,
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,

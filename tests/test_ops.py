@@ -453,3 +453,39 @@ def test_lsh_drop_accounting(ray_session):
         dd.MINHASH_BUCKET_CAP * (dd.MINHASH_BUCKET_CAP - 1) // 2
     assert all(r["n_ids"] == n and r["n_dropped_pairs"] == expect
                for r in rows)
+
+
+def test_sampling_ops(ray_session):
+    """Splits / stratified sample / chunking edge cases: duplicate texts
+    land in the same split (leakage guard), strata honor the (sha, id)
+    order, chunk windows tile with the configured overlap."""
+    import pyarrow as _pa
+    import ray.data
+    from nerfray.ops import sampling as sp
+
+    docs = ray.data.from_arrow(_pa.Table.from_pydict({
+        "doc_id": list(range(6)),
+        "lang": ["en", "en", "fr", "fr", "en", "fr"],
+        "text": ["dup text here", "dup text here", ("w " * 200).strip(),
+                 "x", "", "sixty four words " + "w " * 70],
+    }))
+    splits = {r["doc_id"]: (r["split"], r["split_bucket"])
+              for r in sp.assign_splits(docs).take_all()}
+    assert splits[0] == splits[1]          # same content, same split
+    assert all(0 <= b < 100 for _, b in splits.values())
+
+    chunks = {}
+    for r in sp.chunk_docs(docs).take_all():
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_word"], r["n_words"]))
+    assert chunks[3] == [(0, 0, 1)]        # single word
+    assert chunks[4] == [(0, 0, 1)]        # "" splits to one empty word
+    big = sorted(chunks[2])                # 200 words, stride 48
+    assert big[0] == (0, 0, 64) and big[1] == (1, 48, 64)
+    assert big[-1][1] + big[-1][2] == 200  # tiles to the end
+    assert all(c[2] >= 1 for c in big)
+
+    sample = sorted((r["lang"], r["rk"], r["doc_id"])
+                    for r in sp.stratified_sample(docs, k=2).take_all())
+    assert len([s for s in sample if s[0] == "en"]) == 2
+    assert len([s for s in sample if s[0] == "fr"]) == 2
