@@ -89,7 +89,12 @@ def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> ray.data.Dataset:
 # session's size is recovered as the accumulated tail at close — so the
 # stitched rollup equals the unsplit answer exactly (same SQL oracle).
 
-RANGE_US = 24 * 3600 * 1_000_000  # 1-day split ranges
+# 7-day split ranges: bounds a hot key's group to one week of its
+# volume while keeping the range-summary row count (segments = active
+# key-weeks) an order of magnitude below the event count — day grain
+# measured 190k segments for 250k rows at sf0.1, mostly singletons,
+# making segment overhead dominate
+RANGE_US = 7 * 24 * 3600 * 1_000_000
 
 
 def _range_sessions_bucket(group: pa.Table, *, gap_min: int) -> pa.Table:
@@ -402,61 +407,85 @@ _ASOF_A_SCHEMA = pa.schema([
     ("rng", pa.int64()),
     ("event_id", pa.int64()),
     ("val", pa.int64()),        # m: last_order; w: latest order id
+    # 'u' rows are COMPACTED: one row per (key, range) carrying the
+    # unmatched event ids as a list — the assign shuffle moves
+    # range-grain rows, not event-grain rows
+    ("event_ids", pa.list_(pa.int64())),
 ])
 
 
 def _asof_split_bucket(group: pa.Table) -> pa.Table:
-    """Local as-of for EVERY (key, range) run in one hash bucket."""
+    """Local as-of for EVERY (key, range) run in one hash bucket —
+    fully vectorized (no per-run Python loop; at day grain a bucket can
+    hold 100k+ tiny runs): rows sort by (key, rng, ats, order-first,
+    id); a segment-reset forward fill (``np.maximum.accumulate`` over
+    order positions) gives each event the position of the latest order
+    at-or-before it within its run."""
     if group.num_rows == 0:
         return _ASOF_A_SCHEMA.empty_table()
     keys = group.column("key").to_numpy(zero_copy_only=False)
     rng = group.column("rng").to_numpy(zero_copy_only=False)
-    kind = np.asarray(group.column("kind").to_pylist())
+    is_e = np.asarray(group.column("kind").to_pylist()) == "e"
     ts = group.column("ats").to_numpy(zero_copy_only=False)
     ids = group.column("id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((rng, keys))
-    keys, rng, kind, ts, ids = (keys[order], rng[order], kind[order],
+    # orders before events at equal ts (as-of is inclusive); among
+    # equal-ts orders ascending id, so the accumulated max position is
+    # the max-id order — the unsplit tie-break
+    order = np.lexsort((ids, is_e, ts, rng, keys))
+    keys, rng, is_e, ts, ids = (keys[order], rng[order], is_e[order],
                                 ts[order], ids[order])
-    change = np.r_[True, (keys[1:] != keys[:-1]) | (rng[1:] != rng[:-1])]
-    starts = np.flatnonzero(change)
-    bounds = np.r_[starts, len(keys)]
-    kinds: list = []
-    k_arr: list = []
-    r_arr: list = []
-    e_arr: list = []
-    v_arr: list = []
+    n = len(keys)
+    pos = np.arange(n)
+    seg_change = np.r_[True, (keys[1:] != keys[:-1]) | (rng[1:] != rng[:-1])]
+    starts = np.flatnonzero(seg_change)
+    counts = np.diff(np.r_[starts, n])
+    seg_start = np.repeat(starts, counts)
+    last_pos = np.maximum.accumulate(np.where(~is_e, pos, -1))
+    valid = last_pos >= seg_start  # the fill must not cross segments
 
-    def _emit(kd: str, k: int, r: int, eids, vals) -> None:
-        n = len(eids)
-        kinds.extend([kd] * n)
-        k_arr.append(np.full(n, k, dtype=np.int64))
-        r_arr.append(np.full(n, r, dtype=np.int64))
-        e_arr.append(np.asarray(eids, dtype=np.int64))
-        v_arr.append(np.asarray(vals, dtype=np.int64))
+    ev_mask = is_e
+    matched = ev_mask & valid
+    unmatched = ev_mask & ~valid
+    m_tab = (keys[matched], rng[matched], ids[matched],
+             ids[last_pos[matched]])
+    # per-segment flags: any unmatched event -> u+q rows; orders -> w
+    n_unm = np.add.reduceat(unmatched.astype(np.int64), starts) \
+        if len(starts) else np.array([], dtype=np.int64)
+    seg_has_u = n_unm > 0
+    seg_has_o = np.add.reduceat((~is_e).astype(np.int64), starts) > 0
+    # last order of the segment = forward fill evaluated at segment end
+    seg_end = np.r_[starts[1:], n] - 1
+    w_pos = last_pos[seg_end]
+    q_k, q_r = keys[starts[seg_has_u]], rng[starts[seg_has_u]]
+    w_k, w_r = keys[starts[seg_has_o]], rng[starts[seg_has_o]]
+    w_v = ids[w_pos[seg_has_o]]
+    # compacted 'u' rows: ListArray of the unmatched ids per segment
+    # (unmatched ids are contiguous per segment after the sort? no —
+    # interleaved with others; gather by sorting (segment, position))
+    u_ids_flat = ids[unmatched]
+    u_seg_offsets = np.r_[0, np.cumsum(n_unm[seg_has_u])]
+    u_list = pa.ListArray.from_arrays(
+        pa.array(u_seg_offsets, pa.int32()),
+        pa.array(u_ids_flat, pa.int64()))
 
-    for i in range(len(starts)):  # one iteration per (key, range) run
-        lo, hi = bounds[i], bounds[i + 1]
-        is_e = kind[lo:hi] == "e"
-        e_id, last = _asof_one_key(ts[lo:hi], ids[lo:hi], is_e)
-        k, r = int(keys[lo]), int(rng[lo])
-        matched = last >= 0
-        _emit("m", k, r, e_id[matched], last[matched])
-        unmatched = e_id[~matched]
-        _emit("u", k, r, unmatched, np.full(len(unmatched), -1))
-        if len(unmatched):
-            _emit("q", k, r, [-1], [-1])
-        o_ts, o_id_arr = ts[lo:hi][~is_e], ids[lo:hi][~is_e]
-        if len(o_id_arr):
-            w = np.lexsort((o_id_arr, o_ts))[-1]
-            _emit("w", k, r, [-1], [int(o_id_arr[w])])
-    cat = (lambda xs: np.concatenate(xs) if xs
-           else np.array([], dtype=np.int64))
+    def _neg(m):
+        return np.full(m, -1, dtype=np.int64)
+
+    n_m, n_u, n_q, n_w = (len(m_tab[0]), len(q_k), len(q_k), len(w_k))
+    kinds = ["m"] * n_m + ["u"] * n_u + ["q"] * n_q + ["w"] * n_w
+    nulls = pa.nulls(n_m, pa.list_(pa.int64()))
     return pa.Table.from_pydict({
         "kind": pa.array(kinds, pa.string()),
-        "key": pa.array(cat(k_arr), pa.int64()),
-        "rng": pa.array(cat(r_arr), pa.int64()),
-        "event_id": pa.array(cat(e_arr), pa.int64()),
-        "val": pa.array(cat(v_arr), pa.int64()),
+        "key": pa.array(np.concatenate(
+            [m_tab[0], q_k, q_k, w_k]), pa.int64()),
+        "rng": pa.array(np.concatenate(
+            [m_tab[1], q_r, q_r, w_r]), pa.int64()),
+        "event_id": pa.array(np.concatenate(
+            [m_tab[2], _neg(n_u), _neg(n_q), _neg(n_w)]), pa.int64()),
+        "val": pa.array(np.concatenate(
+            [m_tab[3], _neg(n_u), _neg(n_q), w_v]), pa.int64()),
+        "event_ids": pa.concat_arrays(
+            [nulls, u_list, pa.nulls(n_q + n_w, pa.list_(pa.int64()))]),
     }, schema=_ASOF_A_SCHEMA)
 
 
@@ -494,7 +523,9 @@ def _carry_bucket(group: pa.Table) -> pa.Table:
 
 
 def _assign_carry_bucket(group: pa.Table) -> pa.Table:
-    """Attach each unmatched event's (key, range) carry (vectorized)."""
+    """Attach each unmatched event's (key, range) carry: the carry is
+    looked up per compacted 'u' ROW (range grain), then replicated over
+    its event-id list with one Arrow flatten."""
     if group.num_rows == 0:
         return pa.Table.from_pydict({
             "event_id": pa.array([], pa.int64()),
@@ -503,7 +534,6 @@ def _assign_carry_bucket(group: pa.Table) -> pa.Table:
     keys = group.column("key").to_numpy(zero_copy_only=False)
     rng = group.column("rng").to_numpy(zero_copy_only=False)
     val = group.column("val").to_numpy(zero_copy_only=False)
-    eid = group.column("event_id").to_numpy(zero_copy_only=False)
     is_c = kind == "c"
     ck = keys[is_c].astype(np.int64) * (1 << 31) + rng[is_c]
     cv = val[is_c]
@@ -512,14 +542,18 @@ def _assign_carry_bucket(group: pa.Table) -> pa.Table:
     is_u = kind == "u"
     uk = keys[is_u].astype(np.int64) * (1 << 31) + rng[is_u]
     if len(ck) == 0:  # defensive: every 'u' co-buckets with its 'c'
-        last = np.full(len(uk), -1, dtype=np.int64)
+        last_per_row = np.full(len(uk), -1, dtype=np.int64)
     else:
         idx = np.searchsorted(ck, uk)
         hit = (idx < len(ck)) & (ck[np.clip(idx, 0, len(ck) - 1)] == uk)
-        last = np.where(hit, cv[np.clip(idx, 0, len(ck) - 1)], -1)
+        last_per_row = np.where(hit, cv[np.clip(idx, 0, len(ck) - 1)], -1)
+    lists = group.filter(pa.array(is_u)).column("event_ids") \
+        .combine_chunks()
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
     return pa.Table.from_pydict({
-        "event_id": pa.array(eid[is_u], pa.int64()),
-        "last_order": pa.array(last, pa.int64()),
+        "event_id": pa.array(flat, pa.int64()),
+        "last_order": pa.array(last_per_row[parent], pa.int64()),
     })
 
 
@@ -588,6 +622,7 @@ def asof_last_order_split(sf_dir: str) -> ray.data.Dataset:
             "rng": batch.column("rng"),
             "event_id": pa.array([-1] * n, pa.int64()),
             "val": batch.column("carry"),
+            "event_ids": pa.nulls(n, pa.list_(pa.int64())),
         }, schema=_ASOF_A_SCHEMA)
 
     assigned = a.filter(expr="kind == 'u'") \
