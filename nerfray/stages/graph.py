@@ -427,9 +427,13 @@ def connected_components(triples: ray.data.Dataset,
     # self-loop rows contribute no connectivity but their nodes must
     # appear in the output: keep them aside as (node, node) candidates
     # (the final min-groupby picks the real component when the node also
-    # has proper edges, since component <= node for any member).
+    # has proper edges, since component <= node for any member).  The
+    # candidate set is materialized up front so the no-self-loop case
+    # (the common one) can skip the final node-sized min-groupby.
     selfloops = init.filter(expr="a == b").groupby("a").min("b") \
-        .rename_columns({"a": "node", "min(b)": "component"})
+        .rename_columns({"a": "node", "min(b)": "component"}) \
+        .materialize()
+    has_selfloops = selfloops.count() > 0
     edges = init.filter(expr="a != b").materialize()
     sig = _signature(edges)
     for _ in range(max_iters):
@@ -458,6 +462,8 @@ def connected_components(triples: ray.data.Dataset,
     roots = children.map_batches(_root_rows, batch_format="pyarrow") \
         .groupby("node").min("component").rename_columns(
             {"min(component)": "component"})
+    if not has_selfloops:
+        return children.union(roots)  # disjoint by convergence
     # self-loop candidates may duplicate nodes already present; one
     # node-sized min-groupby restores disjointness (component <= node).
     return children.union(roots).union(selfloops) \
