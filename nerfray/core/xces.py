@@ -274,6 +274,13 @@ def render_sent(sent: Sent) -> str:
 
 def _annotate_sent_xml(inner_xml: str, span_fn) -> str:
     sent = parse_sent(inner_xml)
+    _attach_spans(sent, span_fn)
+    return render_sent(sent)
+
+
+def _attach_spans(sent: "Sent", span_fn) -> None:
+    """Run span_fn over the restored sentence and map the char spans
+    onto XCES tokens by interval intersection (Tok.sync analog)."""
     text = restore_sentence(sent)
     char_spans = span_fn(text)
     # token char intervals in the restored text (Tok.sync analog)
@@ -295,7 +302,95 @@ def _annotate_sent_xml(inner_xml: str, span_fn) -> str:
         if lo is not None:
             tok_spans.append(Span(sp.label, lo, hi, sp.depth))
     sent.spans = tok_spans
-    return render_sent(sent)
+
+
+# ---------------------------------------------------------------------------
+# pretty rendering (the reference's newline layout, XCES.hs:194-250,296-309)
+# ---------------------------------------------------------------------------
+
+
+def render_tok_pretty(t: Tok) -> str:
+    """renderTok (XCES.hs:237-250): before-tags and the token element
+    intercalated with newlines; the token opening tag, the newline-
+    joined child sub-trees, and the closing tag each on their own line
+    (``between [v, newline] [newline, endFrom v]``)."""
+    if t.tree is not None:
+        before = "\n".join(render_node(b) for b in t.before)
+        kids = "\n".join(render_node(c) for c in t.tree.children)
+        if t.tree.self_closing:
+            inside = t.tree.raw
+        else:
+            inside = f"{t.tree.raw}\n{kids}\n</{t.tree.name}>"
+        return inside if not before else f"{before}\n{inside}"
+    ns = "<ns/>\n" if t.nps else ""
+    foreign = f"\n{t.foreign}" if t.foreign else ""
+    return (f"{ns}<tok>\n<orth>{escape_xml(t.orth)}</orth>"
+            f"{foreign}\n</tok>")
+
+
+def _render_elems_pretty(sent: Sent, lo: int, hi: int,
+                         spans: list[Span]) -> list[str]:
+    """Newline-layout NE forest over tokens [lo, hi): group elements
+    open/close on their own lines, children newline-joined
+    (renderNeTree, XCES.hs:204-211)."""
+    out: list[str] = []
+    k = lo
+    while k < hi:
+        cands = [sp for sp in spans if sp.start == k and sp.end <= hi]
+        if cands:
+            sp = max(cands, key=lambda s: (s.end, -s.depth))
+            inner = [s for s in spans
+                     if s is not sp and s.start >= sp.start
+                     and s.end <= sp.end]
+            kids = _render_elems_pretty(sent, sp.start, sp.end, inner)
+            out.append(f'<group type="{escape_xml(sp.label)}">\n'
+                       + "\n".join(kids) + "\n</group>")
+            k = sp.end
+        else:
+            out.append(render_tok_pretty(sent.toks[k]))
+            k += 1
+    return out
+
+
+def render_sent_pretty(sent: Sent) -> str:
+    """renderAnnSent body (XCES.hs:194-201): sentence elements
+    newline-intercalated, framed by newlines.  Divergence kept from the
+    compact renderer: sentence-trailing content (sent.add) is PRESERVED
+    (the reference drops it behind a TODO, XCES.hs:199-201)."""
+    elems = _render_elems_pretty(sent, 0, len(sent.toks),
+                                 list(sent.spans))
+    elems.extend(render_node(x) for x in sent.add)
+    return "\n" + "\n".join(elems) + "\n"
+
+
+def ner_xces_pretty(doc: str, span_fn) -> str:
+    """``nerXCES`` with the reference's EXACT output layout
+    (XCES.hs:296-338): whitespace-only text dropped (the ``relevant``
+    filter), sentences annotated, and every top-level item — sentences
+    and foreign tags alike — newline-intercalated.  Use ``ner_xces``
+    for the byte-verbatim-outside variant."""
+    pieces = [p for p in lex_tags(doc)
+              if not (p.kind == "text" and p.raw.strip() == "")]
+    items: list[str] = []
+    i = 0
+    while i < len(pieces):
+        p = pieces[i]
+        if p.kind == "open" and p.name == "chunk" and not p.self_closing \
+                and _attr_type_s(p.raw):
+            j = i + 1
+            while j < len(pieces) and not (pieces[j].kind == "close"
+                                           and pieces[j].name == "chunk"):
+                j += 1
+            inner = "".join(q.raw for q in pieces[i + 1:j])
+            sent = parse_sent(inner)
+            _attach_spans(sent, span_fn)
+            close = pieces[j].raw if j < len(pieces) else "</chunk>"
+            items.append(p.raw + render_sent_pretty(sent) + close)
+            i = j + 1
+        else:
+            items.append(p.raw)
+            i += 1
+    return "\n".join(items)
 
 
 def ner_xces(doc: str, span_fn) -> str:

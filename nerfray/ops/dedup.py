@@ -497,6 +497,94 @@ FROM pairs WHERE 2 * i >= u ORDER BY doc_a, doc_b
 """
 
 
+# -- near-dup SURVIVORS: pairs -> duplicate classes -> min-id keeper ---------
+#
+# The operation a curation pipeline actually runs: verified near-dup
+# pairs are connected into duplicate CLASSES with the distributed
+# star-algorithm connected components (transitive closure — A~B, B~C
+# dedups all three even when A~C was never a candidate), and only the
+# min-doc_id member of each class survives; unpaired docs survive
+# unchanged.  Everything stays Dataset-resident: the loser set is
+# anti-joined against the doc ids by hash-bucket co-group.
+
+
+def _doc_node(i: int) -> str:
+    return f"d{i:012d}"  # zero-padded: min-string == min-int
+
+
+def minhash_dedup_survivors(docs: ray.data.Dataset, *,
+                            threshold: float = 0.6, k: int = 64,
+                            n_bands: int = 16,
+                            shingle_k: int = 8) -> ray.data.Dataset:
+    """(doc_id) rows that survive MinHash near-dedup."""
+    from nerfray.stages.graph import connected_components
+
+    pairs = minhash_dedup_pairs(docs, threshold=threshold, k=k,
+                                n_bands=n_bands, shingle_k=shingle_k)
+
+    def _as_triples(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "subj": pa.array([_doc_node(a) for a in
+                              batch.column("doc_a").to_pylist()],
+                             pa.string()),
+            "pred": pa.array(["dup"] * batch.num_rows, pa.string()),
+            "obj": pa.array([_doc_node(b) for b in
+                             batch.column("doc_b").to_pylist()],
+                            pa.string()),
+        })
+
+    comp = connected_components(
+        pairs.map_batches(_as_triples, batch_format="pyarrow"))
+
+    # losers = class members that are not the class min
+    def _losers(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.invert(pc.equal(batch.column("node"),
+                                  batch.column("component")))
+        ids = [int(s[1:]) for s in
+               batch.filter(keep).column("node").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "loser": pa.array([True] * len(ids), pa.bool_()),
+        })
+
+    losers = comp.map_batches(_losers, batch_format="pyarrow")
+
+    def _ids_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        return pa.Table.from_pydict({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "loser": pa.array([False] * n, pa.bool_()),
+        })
+
+    def _survivors_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        loser = group.column("loser").to_numpy(zero_copy_only=False)
+        out = np.setdiff1d(ids[~loser], ids[loser])  # vectorized anti-join
+        return pa.Table.from_pydict({"doc_id": pa.array(out, pa.int64())})
+
+    def _hb(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        hb = pc.cast(pc.bit_wise_and(batch.column("doc_id"),
+                                     N_HASH_BUCKETS - 1), pa.int32())
+        return batch.append_column("hb", hb)
+
+    return docs.select_columns(["doc_id"]) \
+        .map_batches(_ids_only, batch_format="pyarrow") \
+        .union(losers) \
+        .map_batches(_hb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_survivors_bucket,
+                                  batch_format="pyarrow")
+
+
+# survivors on the planted corpus: groups {4g..4g+3} are fully paired,
+# so exactly the 4g members survive
+MINHASH_SURVIVORS_PLANTED_SQL = """
+SELECT doc_id FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -47,6 +47,27 @@ def q_dedup_simhash_pairs(sf_dir: str):
     return dedup.simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def q_dedup_survivors(sf_dir: str):
+    # the composed dedup a curation run executes: pairs -> distributed
+    # connected components -> min-id survivor per duplicate class
+    from . import dedup
+    return dedup.minhash_dedup_survivors(_docs(sf_dir), threshold=0.5)
+
+
+def q_dedup_survivors_planted(sf_dir: str):
+    # planted corpus: classes are {4g..4g+3} fully paired, so the
+    # survivor set is pure id arithmetic -> full SQL oracle for the
+    # whole pairs->components->survivor composition
+    from . import dedup
+    return dedup.minhash_dedup_survivors(
+        dedup.planted_neardup_docs(_docs(sf_dir)), threshold=0.5)
+
+
+def q_docs_top_quality(sf_dir: str):
+    from . import text
+    return text.top_quality(_docs(sf_dir), k=20)
+
+
 def q_dedup_minhash_drops(sf_dir: str):
     # recall-loss side channel: one row per LSH bucket whose candidate
     # cap dropped pairs (empty = caps never bit at this scale)
@@ -218,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_planted": q_dedup_minhash_planted,
         "dedup_minhash_drops": q_dedup_minhash_drops,
         "dedup_simhash_drops": q_dedup_simhash_drops,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_planted": q_dedup_survivors_planted,
+        "docs_top_quality": q_docs_top_quality,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_planted": q_dedup_embedding_planted,
         "sim_topk": q_sim_topk,
@@ -444,10 +468,13 @@ def _word_df_sql() -> str:
 
 
 def oracles() -> dict[str, str]:
-    from .dedup import MINHASH_PLANTED_SQL
+    from .dedup import MINHASH_PLANTED_SQL, MINHASH_SURVIVORS_PLANTED_SQL
     from .sampling import CHUNKS_SQL, SPLITS_SQL, STRATIFIED_SQL
     from .similarity import EMBEDDING_PLANTED_SQL, TOPK_PLANTED_SQL
+    from .text import TOP_QUALITY_SQL
     sql = {
+        "dedup_survivors_planted": MINHASH_SURVIVORS_PLANTED_SQL,
+        "docs_top_quality": TOP_QUALITY_SQL,
         "docs_splits": SPLITS_SQL,
         "docs_stratified": STRATIFIED_SQL,
         "docs_chunks": CHUNKS_SQL,

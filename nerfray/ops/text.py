@@ -288,6 +288,69 @@ GROUP BY wd.doc_id ORDER BY wd.doc_id
 
 
 # ---------------------------------------------------------------------------
+# global top-k by quality (partial top-k combiner, never a full sort)
+# ---------------------------------------------------------------------------
+
+
+def top_quality(docs: ray.data.Dataset, *, k: int = 20) -> ray.data.Dataset:
+    """(rank, doc_id, type_token_ratio): the k highest-TTR docs
+    corpus-wide.  Scale shape: each block emits its LOCAL top-k
+    (narrow rows), a single bounded final merge ranks them — the
+    global-order answer without a global ``ds.sort`` (at most
+    k x n_blocks rows ever co-locate).  TTR is the one float and is a
+    single division of the same ints in both engines, so the oracle is
+    hash-exact."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        n_words = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq = np.array([len(set(ws)) for ws in words.to_pylist()],
+                        dtype=np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ttr = np.where(n_words > 0, uniq / np.maximum(n_words, 1), 0.0)
+        order = np.lexsort((ids, -ttr))[:k]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "ttr": pa.array(ttr[order], pa.float64()),
+            "g": pa.array(np.zeros(len(order), dtype=np.int32),
+                          pa.int32()),
+        })
+
+    def _final(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ttr = group.column("ttr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -ttr))[:k]
+        return pa.Table.from_pydict({
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "type_token_ratio": pa.array(ttr[order], pa.float64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+TOP_QUALITY_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+              ELSE len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) END
+           AS ttr
+  FROM documents
+),
+r AS (SELECT doc_id, ttr,
+             row_number() OVER (ORDER BY ttr DESC, doc_id) AS rank
+      FROM s)
+SELECT rank::BIGINT AS rank, doc_id, ttr AS type_token_ratio
+FROM r WHERE rank <= 20 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # language ID: char-bigram profile nearest-centroid
 # ---------------------------------------------------------------------------
 

@@ -489,3 +489,39 @@ def test_sampling_ops(ray_session):
                     for r in sp.stratified_sample(docs, k=2).take_all())
     assert len([s for s in sample if s[0] == "en"]) == 2
     assert len([s for s in sample if s[0] == "fr"]) == 2
+
+
+def test_minhash_survivors_transitive_closure(ray_session):
+    """Survivors collapse duplicate CLASSES transitively: A~B and B~C
+    dedup all three even when (A, C) is never a verified pair."""
+    import hashlib as hl
+    import pyarrow as _pa
+    import ray.data
+    from nerfray.ops import dedup as dd
+
+    toks = [hl.sha256(f"t{i}".encode()).hexdigest()[:32]
+            for i in range(13)]
+    texts = [" ".join(toks[0:10]),    # A
+             " ".join(toks[1:12]),    # B  (bridges A and C)
+             " ".join(toks[2:13]),    # C
+             " ".join(hl.sha256(f"z{i}".encode()).hexdigest()[:32]
+                      for i in range(4))]  # unrelated
+    # verify the planted geometry: chain links above threshold, ends
+    # below; 2-row bands make candidacy of J>=0.7 links near-certain
+    def jac(x, y):
+        sx, sy = dd.shingles(x), dd.shingles(y)
+        return len(sx & sy) / len(sx | sy)
+    thr = 0.7
+    assert jac(texts[0], texts[1]) >= thr
+    assert jac(texts[1], texts[2]) >= thr
+    assert jac(texts[0], texts[2]) < thr
+
+    docs = ray.data.from_arrow(_pa.Table.from_pydict(
+        {"doc_id": [0, 1, 2, 3], "text": texts}))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dd.minhash_dedup_pairs(docs, threshold=thr,
+                                    n_bands=32).take_all()}
+    assert (0, 1) in pairs and (1, 2) in pairs and (0, 2) not in pairs
+    surv = sorted(r["doc_id"] for r in dd.minhash_dedup_survivors(
+        docs, threshold=thr, n_bands=32).take_all())
+    assert surv == [0, 3]

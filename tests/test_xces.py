@@ -216,3 +216,40 @@ def test_lex_tags_lone_unterminated_angle_bracket():
     for s in ["a < b", "trailing <", "<", "x<y<z", "<chunk type=\"s\"><"]:
         pieces = lex_tags(s)
         assert "".join(p.raw for p in pieces) == s, s
+
+
+def test_ner_xces_pretty_reference_layout():
+    """Opt-in pretty mode reproduces the reference's newline layout
+    (XCES.hs:194-250 renderAnnSent/renderNeTree/renderTok + :296-309
+    intersperse/interMap): every group/tok open+close and every
+    top-level item on its own line; whitespace-only text dropped."""
+    from nerfray.core.xces import Span, ner_xces_pretty
+    doc = ('<doc>\n  <chunk type="s"><tok><orth>Acme</orth></tok>'
+           '<ns/><tok><orth>Corp</orth></tok><tok><orth>rocks</orth>'
+           '</tok></chunk>\n  <extra a="1"/>\n</doc>')
+
+    def fn(text):
+        assert text == "AcmeCorp rocks"
+        return [Span("org", 0, 8, 0), Span("vendor", 0, 4, 1)]
+
+    assert ner_xces_pretty(doc, fn) == "\n".join([
+        "<doc>",
+        '<chunk type="s">',
+        '<group type="org">',
+        '<group type="vendor">',
+        "<tok>",
+        "<orth>Acme</orth>",
+        "</tok>",
+        "</group>",
+        "<ns/>",
+        "<tok>",
+        "<orth>Corp</orth>",
+        "</tok>",
+        "</group>",
+        "<tok>",
+        "<orth>rocks</orth>",
+        "</tok>",
+        "</chunk>",
+        '<extra a="1"/>',
+        "</doc>",
+    ])
