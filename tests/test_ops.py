@@ -525,3 +525,33 @@ def test_minhash_survivors_transitive_closure(ray_session):
     surv = sorted(r["doc_id"] for r in dd.minhash_dedup_survivors(
         docs, threshold=thr, n_bands=32).take_all())
     assert surv == [0, 3]
+
+
+def test_ops_determinism_across_block_structure(ray_session):
+    """North-rule evidence for the r3 operators: identical results
+    regardless of input block structure (the sandbox stand-in for
+    different cluster widths)."""
+    import os
+    import ray.data
+    from nerfray.ops import dedup as ddm
+    from nerfray.ops import sampling as sp
+    from nerfray.ops import text as txm
+
+    path = os.path.join(SF, "documents.parquet")
+
+    def variants():
+        base = ray.data.read_parquet(path)
+        return [base.repartition(1), base.repartition(13)]
+
+    def rows(ds):
+        return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+    for op in (lambda d: txm.word_df_stats(d),
+               lambda d: txm.top_quality(d, k=10),
+               lambda d: sp.stratified_sample(d, k=5),
+               lambda d: ddm.minhash_dedup_pairs(
+                   ddm.planted_neardup_docs(d), threshold=0.5),
+               lambda d: ddm.minhash_dedup_survivors(
+                   ddm.planted_neardup_docs(d), threshold=0.5)):
+        a, b = (rows(op(v)) for v in variants())
+        assert a == b and a, op
