@@ -8,7 +8,7 @@ from typing import Any
 
 import ray.data
 
-from . import events, relational
+from . import events, joins, relational
 from .text import TOKEN_RE_SRC, STOPWORDS
 
 
@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": relational.customers_per_region,
         "part_type_sizes": relational.part_type_sizes,
         "lineitem_by_flag": relational.lineitem_by_flag,
+        "join_orders_lineitem": joins.orders_lineitem_rollup,
+        "join_priority_shipped": joins.priority_shipped_counts,
         "events_sessionize": events.sessionize,
         "events_sessionize_split": events.sessionize_split,
         "events_asof_order": events.asof_last_order,
@@ -505,5 +507,6 @@ def oracles() -> dict[str, str]:
         # construction makes the same operator fully SQL-oracled.
     }
     sql.update(relational.ORACLES)
+    sql.update(joins.ORACLES)
     sql.update(events.ORACLES)
     return sql

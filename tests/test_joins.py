@@ -1,0 +1,88 @@
+"""Generic big-big hash join: semantics pinned against DuckDB and a
+block-structure-invariance check (the co-group join must not depend on
+how rows are split into blocks)."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from nerfray.ops import joins
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _sorted_rows(ds):
+    return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+
+def test_inner_join_matches_duckdb(ray_session):
+    import ray.data
+    orders = joins._read(SF, "orders", ["o_orderkey", "o_orderstatus"])
+    items = joins._read(SF, "lineitem", ["l_orderkey", "l_quantity"])
+    j = joins.hash_join(orders, items, left_on="o_orderkey",
+                        right_on="l_orderkey",
+                        left_cols=["o_orderstatus"],
+                        right_cols=["l_quantity"])
+    mine = sorted((r["__key"], r["o_orderstatus"], r["l_quantity"])
+                  for r in j.take_all())
+    want = _con().execute("""
+        SELECT o.o_orderkey, o.o_orderstatus, l.l_quantity
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ORDER BY 1, 2, 3""").fetchall()
+    assert mine == [tuple(r) for r in want]
+
+
+def test_left_outer_join_keeps_unmatched(ray_session):
+    import ray.data
+    left = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"], pa.string())}))
+    right = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([2, 4, 4], pa.int64()),
+        "rv": pa.array([20, 40, 41], pa.int64())}))
+    j = joins.hash_join(left, right, left_on="k", right_on="k",
+                        left_cols=["lv"], right_cols=["rv"],
+                        how="left outer")
+    rows = sorted((r["__key"], r["lv"], r["rv"]) for r in j.take_all())
+    assert rows == [(1, "a", None), (2, "b", 20), (3, "c", None),
+                    (4, "d", 40), (4, "d", 41)]
+
+
+def test_overlapping_payload_columns_rejected(ray_session):
+    import ray.data
+    t = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        joins.hash_join(t, t, left_on="k", right_on="k",
+                        left_cols=["v"], right_cols=["v"])
+
+
+def test_join_block_structure_invariance(ray_session):
+    import ray.data
+    orders = joins._read(SF, "orders", ["o_orderkey", "o_orderstatus"])
+    items = joins._read(SF, "lineitem", ["l_orderkey", "l_quantity"])
+    results = []
+    for parts in (1, 7):
+        j = joins.hash_join(orders.repartition(parts),
+                            items.repartition(parts * 3),
+                            left_on="o_orderkey", right_on="l_orderkey",
+                            left_cols=["o_orderstatus"],
+                            right_cols=["l_quantity"])
+        results.append(_sorted_rows(j))
+    assert results[0] == results[1] and results[0]
+
+
+def test_semi_join_query_matches_oracle(ray_session):
+    mine = sorted((r["o_orderpriority"], r["n_orders"])
+                  for r in joins.priority_shipped_counts(SF).take_all())
+    want = _con().execute(
+        joins.ORACLES["join_priority_shipped"]).fetchall()
+    assert mine == [tuple(r) for r in want]
