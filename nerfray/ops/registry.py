@@ -8,7 +8,7 @@ from typing import Any
 
 import ray.data
 
-from . import events, joins, relational
+from . import events, joins, relational, sketch
 from .text import TOKEN_RE_SRC, STOPWORDS
 
 
@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_by_flag": relational.lineitem_by_flag,
         "join_orders_lineitem": joins.orders_lineitem_rollup,
         "join_priority_shipped": joins.priority_shipped_counts,
+        "sketch_hll_custkeys": sketch.custkey_registers_by_status,
         "events_sessionize": events.sessionize,
         "events_sessionize_split": events.sessionize_split,
         "events_asof_order": events.asof_last_order,
@@ -508,5 +509,6 @@ def oracles() -> dict[str, str]:
     }
     sql.update(relational.ORACLES)
     sql.update(joins.ORACLES)
+    sql.update(sketch.ORACLES)
     sql.update(events.ORACLES)
     return sql
