@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_lineitem": joins.orders_lineitem_rollup,
         "join_priority_shipped": joins.priority_shipped_counts,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
+        "customer_price_quantiles": relational.customer_price_quantiles,
         "events_sessionize": events.sessionize,
         "events_sessionize_split": events.sessionize_split,
         "events_asof_order": events.asof_last_order,

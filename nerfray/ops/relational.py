@@ -104,7 +104,64 @@ def part_type_sizes(sf_dir: str) -> ray.data.Dataset:
                    ray.data.aggregate.Sum("p_size", alias_name="sum_size"))
 
 
+N_Q_BUCKETS = 64
+
+
+def _quantile_bucket(group: pa.Table) -> pa.Table:
+    """All (key, value) rows of one hash bucket: one lexsort + reduceat
+    sweep computes count/median/p75 for EVERY key in the bucket —
+    dispatch grain is the bucket, never the key (SCALE.md rule)."""
+    import numpy as np
+    keys = group.column("o_custkey").to_numpy(zero_copy_only=False)
+    vals = group.column("o_totalprice").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vals, keys))
+    k, v = keys[order], vals[order]
+    starts = np.r_[0, np.nonzero(k[1:] != k[:-1])[0] + 1]
+    ends = np.r_[starts[1:], len(k)]
+    n = ends - starts
+    # percentile_disc(q): element at ceil(q*n)-1 in sorted order.
+    # q is DYADIC (1/2, 3/4) so q*n is float64-exact for any n and the
+    # picked ELEMENT hash-matches DuckDB (no interpolation anywhere).
+    med = v[starts + np.ceil(0.5 * n).astype(np.int64) - 1]
+    p75 = v[starts + np.ceil(0.75 * n).astype(np.int64) - 1]
+    return pa.Table.from_pydict({
+        "o_custkey": pa.array(k[starts], pa.int64()),
+        "n_orders": pa.array(n, pa.int64()),
+        "median_price": pa.array(med, pa.float64()),
+        "p75_price": pa.array(p75, pa.float64()),
+    })
+
+
+def customer_price_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-customer order-price quantiles (percentile_disc
+    semantics: a picked element, never an interpolation, so float
+    values hash-match the oracle). One 64-way key-hash shuffle of
+    (key, price) pairs; every per-key sweep is vectorized."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        hb = ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(40)) % np.uint64(N_Q_BUCKETS)
+        return batch.append_column(
+            "hb", pa.array(hb.astype(np.int32), pa.int32()))
+
+    return ds.map_batches(_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("hb").map_groups(_quantile_bucket, batch_format="pyarrow")
+
+
 ORACLES = {
+    "customer_price_quantiles": """
+SELECT o_custkey, count(*)::BIGINT AS n_orders,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+         AS median_price,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+         AS p75_price
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
     "orders_by_status": """
 SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

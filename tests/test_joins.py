@@ -86,3 +86,32 @@ def test_semi_join_query_matches_oracle(ray_session):
     want = _con().execute(
         joins.ORACLES["join_priority_shipped"]).fetchall()
     assert mine == [tuple(r) for r in want]
+
+
+def test_customer_quantiles_match_percentile_disc(ray_session):
+    from nerfray.ops import relational
+    mine = sorted(
+        (r["o_custkey"], r["n_orders"], r["median_price"], r["p75_price"])
+        for r in relational.customer_price_quantiles(SF).take_all())
+    want = _con().execute(
+        relational.ORACLES["customer_price_quantiles"]).fetchall()
+    assert mine == [tuple(r) for r in want]
+
+
+def test_quantile_bucket_edge_cases(ray_session):
+    import pyarrow as pa
+    from nerfray.ops.relational import _quantile_bucket
+    # singleton group, duplicate values, two-element group
+    t = pa.Table.from_pydict({
+        "o_custkey": pa.array([1, 2, 2, 2, 3, 3], pa.int64()),
+        "o_totalprice": pa.array([5.0, 9.0, 1.0, 9.0, 4.0, 2.0],
+                                 pa.float64()),
+        "hb": pa.array([0] * 6, pa.int32()),
+    })
+    rows = {r["o_custkey"]: r for r in _quantile_bucket(t).to_pylist()}
+    assert rows[1] == {"o_custkey": 1, "n_orders": 1,
+                       "median_price": 5.0, "p75_price": 5.0}
+    assert rows[2] == {"o_custkey": 2, "n_orders": 3,
+                       "median_price": 9.0, "p75_price": 9.0}
+    assert rows[3] == {"o_custkey": 3, "n_orders": 2,
+                       "median_price": 2.0, "p75_price": 4.0}
