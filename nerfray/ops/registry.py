@@ -272,6 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_shipped": joins.priority_shipped_counts,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
         "customer_price_quantiles": relational.customer_price_quantiles,
+        "distinct_custkeys_by_status":
+            relational.distinct_custkeys_by_status,
+        "top_orders_per_status": relational.top_orders_per_status,
         "events_sessionize": events.sessionize,
         "events_sessionize_split": events.sessionize_split,
         "events_asof_order": events.asof_last_order,

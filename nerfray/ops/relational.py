@@ -153,7 +153,71 @@ def customer_price_quantiles(sf_dir: str) -> ray.data.Dataset:
         .groupby("hb").map_groups(_quantile_bucket, batch_format="pyarrow")
 
 
+def distinct_custkeys_by_status(sf_dir: str) -> ray.data.Dataset:
+    """EXACT distinct customers per order status — the exact-path
+    counterpart of ``ops/sketch.hll_registers``: a block-local dedup
+    combiner shrinks each block to its distinct (status, custkey) pairs
+    BEFORE the shuffle, then one global pair-dedup + tiny rollup."""
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_custkey"])
+
+    def _local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(
+            ["o_orderstatus", "o_custkey"]).aggregate([])
+
+    pairs = ds.map_batches(_local_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["o_orderstatus", "o_custkey"]).count() \
+        .drop_columns(["count()"])
+    return pairs.groupby("o_orderstatus").count() \
+        .rename_columns({"count()": "n_custkeys"})
+
+
+def top_orders_per_status(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Windowed top-N per group (row_number() semantics): block-local
+    per-status top-k combiners (k rows per status per block cross the
+    wire), then a final per-status pick.  Ties broken (price desc,
+    orderkey asc), mirrored in the oracle; prices pass through
+    untouched so floats hash-match."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderkey", "o_totalprice"])
+
+    def _topk(tbl: pa.Table) -> pa.Table:
+        st = np.asarray(tbl.column("o_orderstatus").to_pylist(),
+                        dtype=object)
+        key = tbl.column("o_orderkey").to_numpy(zero_copy_only=False)
+        price = tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keep_idx, ranks = [], []
+        for s in np.unique(st):
+            m = np.nonzero(st == s)[0]
+            order = m[np.lexsort((key[m], -price[m]))[:k]]
+            keep_idx.extend(order.tolist())
+            ranks.extend(range(1, len(order) + 1))
+        out = tbl.take(pa.array(keep_idx, pa.int64()))
+        return out.append_column("rank", pa.array(ranks, pa.int64()))
+
+    partials = ds.map_batches(
+        lambda b: _topk(b).drop_columns(["rank"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("o_orderstatus").map_groups(
+        _topk, batch_format="pyarrow")
+
+
 ORACLES = {
+    "distinct_custkeys_by_status": """
+SELECT o_orderstatus, count(DISTINCT o_custkey)::BIGINT AS n_custkeys
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    "top_orders_per_status": """
+SELECT o_orderstatus, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey)
+           AS rank
+  FROM orders) WHERE rank <= 3 ORDER BY o_orderstatus, rank
+""",
     "customer_price_quantiles": """
 SELECT o_custkey, count(*)::BIGINT AS n_orders,
        percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)

@@ -115,3 +115,23 @@ def test_quantile_bucket_edge_cases(ray_session):
                        "median_price": 9.0, "p75_price": 9.0}
     assert rows[3] == {"o_custkey": 3, "n_orders": 2,
                        "median_price": 2.0, "p75_price": 4.0}
+
+
+def test_top_orders_tie_and_invariance(ray_session):
+    from nerfray.ops import relational
+    want = _con().execute(
+        relational.ORACLES["top_orders_per_status"]).fetchall()
+    mine = sorted(
+        (r["o_orderstatus"], r["rank"], r["o_orderkey"], r["o_totalprice"])
+        for r in relational.top_orders_per_status(SF).take_all())
+    assert mine == sorted((w[0], w[3], w[1], w[2]) for w in want)
+
+
+def test_distinct_by_status_matches_exact(ray_session):
+    from nerfray.ops import relational
+    mine = sorted((r["o_orderstatus"], r["n_custkeys"])
+                  for r in relational.distinct_custkeys_by_status(SF)
+                  .take_all())
+    want = _con().execute(
+        relational.ORACLES["distinct_custkeys_by_status"]).fetchall()
+    assert mine == [tuple(r) for r in want]
