@@ -31,8 +31,13 @@ _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _key_bucket(keys: pa.ChunkedArray, n_buckets: int) -> pa.Array:
-    k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
-    hb = ((k * _HASH_MULT) >> np.uint64(40)) % np.uint64(n_buckets)
+    if pa.types.is_integer(keys.type):
+        k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = ((k * _HASH_MULT) >> np.uint64(40)) % np.uint64(n_buckets)
+    else:  # string / binary keys: stable object hash
+        import pandas as pd
+        arr = np.asarray(keys.to_pylist(), dtype=object)
+        hb = pd.util.hash_array(arr) % np.uint64(n_buckets)
     return pa.array(hb.astype(np.int32), pa.int32())
 
 
@@ -44,7 +49,7 @@ def _widen(batch: pa.Table, *, on: str, side: int, schema: pa.Schema,
     cols = []
     for field in schema:
         if field.name == "__key":
-            cols.append(batch.column(on).cast(pa.int64()))
+            cols.append(batch.column(on).cast(field.type))
         elif field.name == "__hb":
             cols.append(_key_bucket(batch.column(on), n_buckets))
         elif field.name == "__side":
@@ -78,8 +83,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               left_cols: list[str], right_cols: list[str],
               how: str = "inner",
               n_buckets: int = N_JOIN_BUCKETS) -> ray.data.Dataset:
-    """Join two large Datasets on an int64 key; returns a Dataset with
-    ``__key`` (the join key) + ``left_cols`` + ``right_cols``.
+    """Join two large Datasets on an integer or string key; returns a
+    Dataset with ``__key`` (the join key) + ``left_cols`` +
+    ``right_cols``.
 
     ``how`` is "inner" or "left outer" (Acero names). Payload column
     names must be disjoint across sides (TPC-H-style prefixes).
@@ -94,13 +100,16 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return schema.base_schema.field(name) \
             if hasattr(schema, "base_schema") else schema.field(name)
 
-    fields = [pa.field("__key", pa.int64()), pa.field("__hb", pa.int32()),
+    key_type = _f(l_schema, left_on).type
+    if pa.types.is_integer(key_type):
+        key_type = pa.int64()
+    fields = [pa.field("__key", key_type), pa.field("__hb", pa.int32()),
               pa.field("__side", pa.int8())]
     fields += [pa.field(c, _f(l_schema, c).type) for c in left_cols]
     fields += [pa.field(c, _f(r_schema, c).type) for c in right_cols]
     union_schema = pa.schema(fields)
     out_schema = pa.schema(
-        [pa.field("__key", pa.int64())]
+        [pa.field("__key", key_type)]
         + [f for f in fields if f.name not in ("__key", "__hb", "__side")])
 
     lw = left.select_columns([left_on] + left_cols).map_batches(

@@ -135,3 +135,17 @@ def test_distinct_by_status_matches_exact(ray_session):
     want = _con().execute(
         relational.ORACLES["distinct_custkeys_by_status"]).fetchall()
     assert mine == [tuple(r) for r in want]
+
+
+def test_string_key_join(ray_session):
+    import ray.data
+    left = ray.data.from_arrow(pa.Table.from_pydict({
+        "name": pa.array(["ann", "bob", "cid"], pa.string()),
+        "x": pa.array([1, 2, 3], pa.int64())}))
+    right = ray.data.from_arrow(pa.Table.from_pydict({
+        "name": pa.array(["bob", "cid", "cid", "dee"], pa.string()),
+        "y": pa.array([10, 20, 21, 30], pa.int64())}))
+    j = joins.hash_join(left, right, left_on="name", right_on="name",
+                        left_cols=["x"], right_cols=["y"])
+    rows = sorted((r["__key"], r["x"], r["y"]) for r in j.take_all())
+    assert rows == [("bob", 2, 10), ("cid", 3, 20), ("cid", 3, 21)]
