@@ -70,7 +70,8 @@ def _bucket_join(group: pa.Table, *, left_names: list[str],
     lt = group.filter(pc.invert(is_right)) \
         .select(["__key"] + left_names)
     rt = group.filter(is_right).select(["__key"] + right_names)
-    if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
+    if lt.num_rows == 0 or (rt.num_rows == 0
+                            and how in ("inner", "left semi")):
         return out_schema.empty_table()
     joined = lt.join(rt, keys=["__key"], join_type=how)
     # Acero returns columns in an unspecified order; normalize
@@ -87,9 +88,15 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     Dataset with ``__key`` (the join key) + ``left_cols`` +
     ``right_cols``.
 
-    ``how`` is "inner" or "left outer" (Acero names). Payload column
-    names must be disjoint across sides (TPC-H-style prefixes).
+    ``how`` is an Acero join type: "inner", "left outer", "left semi"
+    (= EXISTS — emits each matching left row once regardless of right
+    multiplicity, so the right side needs NO distinct contraction and
+    its payload columns are ignored), "left anti" (= NOT EXISTS).
+    Payload column names must be disjoint across sides (TPC-H-style
+    prefixes).
     """
+    if how in ("left semi", "left anti"):
+        right_cols = []  # Acero semi/anti joins emit no right columns
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload columns must be disjoint: {overlap}")
@@ -169,8 +176,9 @@ def priority_shipped_counts(sf_dir: str,
                             cutoff: str = "1999-01-01") -> ray.data.Dataset:
     """Semi-join: orders with >= 1 lineitem shipped on/after ``cutoff``,
     counted per order priority (TPC-H Q4 shape).  The lineitem side is
-    filtered AT THE READ then contracted to distinct orderkeys (tiny)
-    before the join — the join input shrinks before it shuffles."""
+    filtered AT THE READ and block-locally deduped (no extra shuffle —
+    the semi join itself is duplicate-insensitive), then the single
+    join exchange resolves EXISTS per order."""
     import pyarrow.compute as pc
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
@@ -183,16 +191,17 @@ def priority_shipped_counts(sf_dir: str,
             batch.column("l_shipdate"),
             pa.scalar(cut.astype("datetime64[us]").item(),
                       pa.timestamp("us")))
+        # block-local distinct: cheap combiner, cuts shuffle volume
         return pa.Table.from_pydict(
-            {"l_orderkey": batch.filter(keep).column("l_orderkey")})
+            {"l_orderkey": batch.filter(keep).column("l_orderkey")}) \
+            .group_by(["l_orderkey"]).aggregate([])
 
     shipped = items.map_batches(_filt, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-        .groupby("l_orderkey").count() \
-        .drop_columns(["count()"])
+                                zero_copy_batch=True)
     joined = hash_join(orders, shipped, left_on="o_orderkey",
                        right_on="l_orderkey",
-                       left_cols=["o_orderpriority"], right_cols=[])
+                       left_cols=["o_orderpriority"], right_cols=[],
+                       how="left semi")
     return joined.groupby("o_orderpriority").count() \
         .rename_columns({"count()": "n_orders"})
 

@@ -149,3 +149,19 @@ def test_string_key_join(ray_session):
                         left_cols=["x"], right_cols=["y"])
     rows = sorted((r["__key"], r["x"], r["y"]) for r in j.take_all())
     assert rows == [("bob", 2, 10), ("cid", 3, 20), ("cid", 3, 21)]
+
+
+def test_semi_join_duplicate_insensitive(ray_session):
+    import ray.data
+    left = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array(["a", "b", "c"], pa.string())}))
+    right = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([2, 2, 2], pa.int64())}))
+    j = joins.hash_join(left, right, left_on="k", right_on="k",
+                        left_cols=["lv"], right_cols=[], how="left semi")
+    assert sorted((r["__key"], r["lv"]) for r in j.take_all()) == [(2, "b")]
+    a = joins.hash_join(left, right, left_on="k", right_on="k",
+                        left_cols=["lv"], right_cols=[], how="left anti")
+    assert sorted((r["__key"], r["lv"]) for r in a.take_all()) \
+        == [(1, "a"), (3, "c")]
