@@ -68,6 +68,11 @@ def q_docs_top_quality(sf_dir: str):
     return text.top_quality(_docs(sf_dir), k=20)
 
 
+def q_docs_top_words(sf_dir: str):
+    from . import text
+    return text.top_words(_docs(sf_dir), k=20)
+
+
 def q_dedup_minhash_drops(sf_dir: str):
     # recall-loss side channel: one row per LSH bucket whose candidate
     # cap dropped pairs (empty = caps never bit at this scale)
@@ -242,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_planted": q_dedup_survivors_planted,
         "docs_top_quality": q_docs_top_quality,
+        "docs_top_words": q_docs_top_words,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_planted": q_dedup_embedding_planted,
         "sim_topk": q_sim_topk,
@@ -478,10 +484,11 @@ def oracles() -> dict[str, str]:
     from .dedup import MINHASH_PLANTED_SQL, MINHASH_SURVIVORS_PLANTED_SQL
     from .sampling import CHUNKS_SQL, SPLITS_SQL, STRATIFIED_SQL
     from .similarity import EMBEDDING_PLANTED_SQL, TOPK_PLANTED_SQL
-    from .text import TOP_QUALITY_SQL
+    from .text import TOP_QUALITY_SQL, TOP_WORDS_SQL
     sql = {
         "dedup_survivors_planted": MINHASH_SURVIVORS_PLANTED_SQL,
         "docs_top_quality": TOP_QUALITY_SQL,
+        "docs_top_words": TOP_WORDS_SQL,
         "docs_splits": SPLITS_SQL,
         "docs_stratified": STRATIFIED_SQL,
         "docs_chunks": CHUNKS_SQL,

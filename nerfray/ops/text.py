@@ -274,6 +274,65 @@ def word_df_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
                          "sum(sdf)": "sum_df", "min(mdf)": "min_df"})
 
 
+def top_words(docs: ray.data.Dataset, *, k: int = 20) -> ray.data.Dataset:
+    """(rank, word, df): the k most document-frequent words. Pass 1 is
+    the word-DF block combiner (one row per distinct word per block);
+    after the vocab-grain groupby every block emits its LOCAL top-k, a
+    single bounded merge ranks — never a global sort of the
+    vocabulary. Ties broken by word asc, mirrored in the oracle."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for w in set(t.split(" ")):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.Table.from_pydict({
+            "word": pa.array(list(counts), pa.string()),
+            "dfp": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch.column("word").to_pylist(), dtype=object)
+        df = batch.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((words, -df))[:k]
+        return pa.Table.from_pydict({
+            "word": pa.array(words[order], pa.string()),
+            "df": pa.array(df[order], pa.int64()),
+            "g": pa.array(np.zeros(len(order), np.int32), pa.int32()),
+        })
+
+    def _final(group: pa.Table) -> pa.Table:
+        words = np.asarray(group.column("word").to_pylist(), dtype=object)
+        df = group.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((words, -df))[:k]
+        return pa.Table.from_pydict({
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "word": pa.array(words[order], pa.string()),
+            "df": pa.array(df[order], pa.int64()),
+        })
+
+    return docs.select_columns(["text"]) \
+        .map_batches(_partials, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("word").sum("dfp").rename_columns({"sum(dfp)": "df"}) \
+        .map_batches(_local_topk, batch_format="pyarrow") \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+TOP_WORDS_SQL = """
+WITH wd AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents
+),
+df AS (SELECT word, count(*)::BIGINT AS df FROM wd GROUP BY word),
+r AS (SELECT word, df,
+             row_number() OVER (ORDER BY df DESC, word) AS rank
+      FROM df)
+SELECT rank::BIGINT AS rank, word, df FROM r WHERE rank <= 20
+ORDER BY rank
+"""
+
+
 WORD_DF_SQL = """
 WITH wd AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w

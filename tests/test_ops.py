@@ -548,6 +548,7 @@ def test_ops_determinism_across_block_structure(ray_session):
 
     for op in (lambda d: txm.word_df_stats(d),
                lambda d: txm.top_quality(d, k=10),
+               lambda d: txm.top_words(d, k=10),
                lambda d: sp.stratified_sample(d, k=5),
                lambda d: ddm.minhash_dedup_pairs(
                    ddm.planted_neardup_docs(d), threshold=0.5),
