@@ -73,6 +73,16 @@ def q_docs_top_words(sf_dir: str):
     return text.top_words(_docs(sf_dir), k=20)
 
 
+def q_graph_triangles_planted(sf_dir: str):
+    # join-composed triangle counting on a deterministic offset graph
+    # (7 + 13 = 20 -> exactly two wedge-closures per node), SQL-mirrored
+    # by pure arithmetic over the embeddings ids
+    from nerfray.stages import graph
+    ids = _emb(sf_dir).select_columns(["vec_id"])
+    return graph.triangle_counts(
+        graph.planted_triangle_edges(ids, ids.count()))
+
+
 def q_dedup_minhash_drops(sf_dir: str):
     # recall-loss side channel: one row per LSH bucket whose candidate
     # cap dropped pairs (empty = caps never bit at this scale)
@@ -281,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_custkeys_by_status":
             relational.distinct_custkeys_by_status,
         "top_orders_per_status": relational.top_orders_per_status,
+        "graph_triangles_planted": q_graph_triangles_planted,
         "events_sessionize": events.sessionize,
         "events_sessionize_split": events.sessionize_split,
         "events_asof_order": events.asof_last_order,
@@ -518,6 +529,8 @@ def oracles() -> dict[str, str]:
         # against brute force, and each has a *_planted sibling whose
         # construction makes the same operator fully SQL-oracled.
     }
+    from nerfray.stages.graph import TRIANGLES_PLANTED_SQL
+    sql["graph_triangles_planted"] = TRIANGLES_PLANTED_SQL
     sql.update(relational.ORACLES)
     sql.update(joins.ORACLES)
     sql.update(sketch.ORACLES)

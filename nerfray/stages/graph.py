@@ -528,3 +528,92 @@ def pagerank_planted_sql(n: int = PLANTED_PR_N,
         f"SELECT 'n' || lpad(i::VARCHAR, 3, '0') AS node, r AS rank\n"
         f"FROM pr{iters} ORDER BY node"
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (join-composed: wedges ⋈ closing edges)
+# ---------------------------------------------------------------------------
+
+_TRI_M = 1 << 21  # pair-encoding base; node ids must be < _TRI_M
+
+
+def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source directed triangle count: for each node u, the number
+    of (v, w) with edges u->v, v->w and u->w (wedge closure).  Composed
+    from two ``ops.joins.hash_join`` exchanges — the standard
+    distributed-join formulation (wedges joined back against the edge
+    set) — so cost scales with wedge count, never with a driver-side
+    adjacency.  Input: int64 columns (u, v), node ids < 2^21 per
+    pair-encoding (raise _TRI_M for bigger graphs; at 100 TB swap the
+    encode for a (u, v) composite-key join, same shape)."""
+    import pyarrow.compute as pc
+
+    from nerfray.ops.joins import hash_join
+
+    a = edges.rename_columns({"u": "a_u", "v": "a_v"})
+    # wedge build: a_u -> __key -> w  (join a.v against e.u)
+    wedges = hash_join(a, edges, left_on="a_v", right_on="u",
+                       left_cols=["a_u"], right_cols=["v"])
+
+    def _enc_wedge(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "p": pc.add(pc.multiply(batch.column("a_u"),
+                                    pa.scalar(_TRI_M, pa.int64())),
+                        batch.column("v")),
+            "a_u": batch.column("a_u"),
+        })
+
+    def _enc_edge(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "p": pc.add(pc.multiply(batch.column("u"),
+                                    pa.scalar(_TRI_M, pa.int64())),
+                        batch.column("v")),
+        })
+
+    wp = wedges.map_batches(_enc_wedge, batch_format="pyarrow")
+    ep = edges.map_batches(_enc_edge, batch_format="pyarrow")
+    # closure test: left semi emits each wedge ROW once iff its (u, w)
+    # pair is an edge — wedges sharing (u, w) through different middles
+    # are distinct rows and each count; duplicate EDGES cannot inflate
+    # (semi joins are right-multiplicity-insensitive)
+    closed = hash_join(wp, ep, left_on="p", right_on="p",
+                       left_cols=["a_u"], right_cols=[], how="left semi")
+    return closed.groupby("a_u").count() \
+        .rename_columns({"count()": "n_triangles", "a_u": "u"})
+
+
+TRI_OFFSETS = (7, 13, 20)  # 7 + 13 = 20 -> two triangles per node
+
+
+def planted_triangle_edges(ids: ray.data.Dataset,
+                           n: int) -> ray.data.Dataset:
+    """Deterministic triangle fixture over dense ids 0..n-1: edges
+    (i, (i+o) % n) for o in TRI_OFFSETS — exactly two wedge-closures
+    per source (7+13 and 13+7), SQL-mirrorable by pure arithmetic."""
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        for off in TRI_OFFSETS:
+            us.append(v_ids)
+            vs.append((v_ids + off) % n)
+        return pa.Table.from_pydict({
+            "u": pa.array(np.concatenate(us), pa.int64()),
+            "v": pa.array(np.concatenate(vs), pa.int64()),
+        })
+
+    return ids.map_batches(_mk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+TRIANGLES_PLANTED_SQL = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+e AS (
+  SELECT vec_id AS u, (vec_id + 7) % nn.n AS v FROM embeddings, nn
+  UNION ALL SELECT vec_id, (vec_id + 13) % nn.n FROM embeddings, nn
+  UNION ALL SELECT vec_id, (vec_id + 20) % nn.n FROM embeddings, nn
+)
+SELECT a.u, count(*)::BIGINT AS n_triangles
+FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v
+GROUP BY a.u ORDER BY a.u
+"""

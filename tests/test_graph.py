@@ -240,3 +240,39 @@ def test_pagerank_planted_bit_equals_sql(ray_session):
     assert got == sql
     assert sum(got.values()) == 1.0           # exact mass conservation
     assert len(set(got.values())) > 10        # genuinely non-uniform
+
+
+def test_triangle_counts_random_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import graph as g
+    rng = np.random.default_rng(5)
+    n = 40
+    e = {(int(a), int(b)) for a, b in rng.integers(0, n, (200, 2))
+         if a != b}
+    es = sorted(e)
+    edges = ray.data.from_arrow(pa.Table.from_pydict({
+        "u": pa.array([x[0] for x in es], pa.int64()),
+        "v": pa.array([x[1] for x in es], pa.int64())}))
+    mine = {r["u"]: r["n_triangles"]
+            for r in g.triangle_counts(edges).take_all()}
+    brute = {}
+    for (u, v) in e:
+        for (v2, w) in e:
+            if v2 == v and (u, w) in e:
+                brute[u] = brute.get(u, 0) + 1
+    assert mine == brute and brute
+
+
+def test_planted_triangles_two_per_node(ray_session):
+    import ray.data
+    import pyarrow as pa
+    from nerfray.stages import graph as g
+    n = 60
+    ids = ray.data.from_arrow(pa.Table.from_pydict(
+        {"vec_id": pa.array(range(n), pa.int64())}))
+    rows = g.triangle_counts(
+        g.planted_triangle_edges(ids, n)).take_all()
+    assert len(rows) == n
+    assert all(r["n_triangles"] == 2 for r in rows)
