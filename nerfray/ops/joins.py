@@ -93,7 +93,8 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     multiplicity, so the right side needs NO distinct contraction and
     its payload columns are ignored), "left anti" (= NOT EXISTS).
     Payload column names must be disjoint across sides (TPC-H-style
-    prefixes).
+    prefixes); join keys must be non-null (SQL NULL never equals
+    anything — drop null-key rows before joining).
     """
     if how in ("left semi", "left anti"):
         right_cols = []  # Acero semi/anti joins emit no right columns
