@@ -73,6 +73,13 @@ def q_docs_top_words(sf_dir: str):
     return text.top_words(_docs(sf_dir), k=20)
 
 
+def q_docs_pii_redacted(sf_dir: str):
+    # PII scrub with byte-exact redaction oracle: deterministic emails/
+    # IPv4s planted from doc_id arithmetic, sha256 of the scrubbed text
+    from . import text
+    return text.redact_pii(text.planted_pii_docs(_docs(sf_dir)))
+
+
 def q_graph_triangles_planted(sf_dir: str):
     # join-composed triangle counting on a deterministic offset graph
     # (7 + 13 = 20 -> exactly two wedge-closures per node), SQL-mirrored
@@ -292,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.distinct_custkeys_by_status,
         "top_orders_per_status": relational.top_orders_per_status,
         "graph_triangles_planted": q_graph_triangles_planted,
+        "docs_pii_redacted": q_docs_pii_redacted,
         "events_sessionize": events.sessionize,
         "events_sessionize_split": events.sessionize_split,
         "events_asof_order": events.asof_last_order,
@@ -495,11 +503,12 @@ def oracles() -> dict[str, str]:
     from .dedup import MINHASH_PLANTED_SQL, MINHASH_SURVIVORS_PLANTED_SQL
     from .sampling import CHUNKS_SQL, SPLITS_SQL, STRATIFIED_SQL
     from .similarity import EMBEDDING_PLANTED_SQL, TOPK_PLANTED_SQL
-    from .text import TOP_QUALITY_SQL, TOP_WORDS_SQL
+    from .text import PII_PLANTED_SQL, TOP_QUALITY_SQL, TOP_WORDS_SQL
     sql = {
         "dedup_survivors_planted": MINHASH_SURVIVORS_PLANTED_SQL,
         "docs_top_quality": TOP_QUALITY_SQL,
         "docs_top_words": TOP_WORDS_SQL,
+        "docs_pii_redacted": PII_PLANTED_SQL,
         "docs_splits": SPLITS_SQL,
         "docs_stratified": STRATIFIED_SQL,
         "docs_chunks": CHUNKS_SQL,

@@ -604,3 +604,82 @@ def _sha_prefix_batch(batch: pa.Table) -> pa.Table:
 def sha_prefixes(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _sha_prefix_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (email / IPv4 scrub) — the curation scrub pass
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_SRC = r"[a-z0-9._]+@[a-z0-9.-]+"
+PII_IP_SRC = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+_PII_EMAIL = re.compile(PII_EMAIL_SRC)
+_PII_IP = re.compile(PII_IP_SRC)
+
+
+def redact_pii(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_emails, n_ips, redacted_sha): scrub emails then IPv4
+    addresses to <EMAIL>/<IP> placeholders. Patterns are RE2-compatible
+    (greedy, alternation-free), so Python ``re`` and DuckDB
+    ``regexp_replace(..., 'g')`` produce IDENTICAL output — the oracle
+    hashes the redacted BYTES (sha256), not just counts."""
+    import hashlib
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        n_em, n_ip, shas = [], [], []
+        for t in batch.column("text").to_pylist():
+            n_em.append(len(_PII_EMAIL.findall(t)))
+            no_email = _PII_EMAIL.sub("<EMAIL>", t)
+            # IPs counted AFTER the email scrub: an address inside an
+            # email's host part is scrubbed (and counted) as email
+            n_ip.append(len(_PII_IP.findall(no_email)))
+            red = _PII_IP.sub("<IP>", no_email)
+            shas.append(hashlib.sha256(red.encode()).hexdigest())
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_emails": pa.array(n_em, pa.int64()),
+            "n_ips": pa.array(n_ip, pa.int64()),
+            "redacted_sha": pa.array(shas, pa.string()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def planted_pii_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Append deterministic PII derived from doc_id (pure string
+    arithmetic, mirrored verbatim in PII_PLANTED_SQL) so the scrub has
+    known positives on any corpus."""
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        planted = [
+            f"{t} contact user{d}@ex-{d % 7}.org from 10.{d % 256}.0."
+            f"{d % 100}" for d, t in zip(ids, texts)]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(planted, pa.string()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PII_PLANTED_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex-'
+              || CAST(doc_id % 7 AS VARCHAR) || '.org from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR) AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL_SRC}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(
+           regexp_replace(t, '{PII_EMAIL_SRC}', '<EMAIL>', 'g'),
+           '{PII_IP_SRC}'))::BIGINT AS n_ips,
+       sha256(regexp_replace(
+           regexp_replace(t, '{PII_EMAIL_SRC}', '<EMAIL>', 'g'),
+           '{PII_IP_SRC}', '<IP>', 'g')) AS redacted_sha
+FROM p ORDER BY doc_id
+"""

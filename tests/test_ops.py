@@ -556,3 +556,22 @@ def test_ops_determinism_across_block_structure(ray_session):
                    ddm.planted_neardup_docs(d), threshold=0.5)):
         a, b = (rows(op(v)) for v in variants())
         assert a == b and a, op
+
+
+def test_redact_pii_edge_cases(ray_session):
+    import hashlib
+    import ray.data
+    docs = ray.data.from_arrow(_docs_table([
+        "no pii here at all",
+        "two mails a@b.c and x.y_z@host-1.org in one line",
+        "ip 192.168.0.1 next to mail root@10.0.0.5 tricky",
+        "",
+    ]))
+    rows = {r["doc_id"]: r for r in tx.redact_pii(docs).take_all()}
+    assert (rows[0]["n_emails"], rows[0]["n_ips"]) == (0, 0)
+    assert rows[0]["redacted_sha"] == hashlib.sha256(
+        b"no pii here at all").hexdigest()
+    assert (rows[1]["n_emails"], rows[1]["n_ips"]) == (2, 0)
+    # email regex wins where both could match (scrub order pinned)
+    assert (rows[2]["n_emails"], rows[2]["n_ips"]) == (1, 1)
+    assert rows[3]["redacted_sha"] == hashlib.sha256(b"").hexdigest()
