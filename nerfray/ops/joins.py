@@ -73,7 +73,9 @@ def _bucket_join(group: pa.Table, *, left_names: list[str],
     if lt.num_rows == 0 or (rt.num_rows == 0
                             and how in ("inner", "left semi")):
         return out_schema.empty_table()
-    joined = lt.join(rt, keys=["__key"], join_type=how)
+    # single-threaded Acero: each map_groups task owns ONE cpu slot, so
+    # Acero's own thread pool would oversubscribe the node
+    joined = lt.join(rt, keys=["__key"], join_type=how, use_threads=False)
     # Acero returns columns in an unspecified order; normalize
     return joined.select([f.name for f in out_schema]) \
         .cast(out_schema)
@@ -109,6 +111,11 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             if hasattr(schema, "base_schema") else schema.field(name)
 
     key_type = _f(l_schema, left_on).type
+    r_key_type = _f(r_schema, right_on).type
+    if pa.types.is_integer(key_type) != pa.types.is_integer(r_key_type):
+        raise ValueError(
+            f"join key types disagree: {left_on}={key_type} vs "
+            f"{right_on}={r_key_type}")
     if pa.types.is_integer(key_type):
         key_type = pa.int64()
     fields = [pa.field("__key", key_type), pa.field("__hb", pa.int32()),
