@@ -23,22 +23,9 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ._shuffle import key_bucket as _key_bucket
+
 N_JOIN_BUCKETS = 64
-
-# Knuth multiplicative hash on the int64 key — cheap, stable, and
-# spreads consecutive keys (orderkey runs) across buckets.
-_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _key_bucket(keys: pa.ChunkedArray, n_buckets: int) -> pa.Array:
-    if pa.types.is_integer(keys.type):
-        k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
-        hb = ((k * _HASH_MULT) >> np.uint64(40)) % np.uint64(n_buckets)
-    else:  # string / binary keys: stable object hash
-        import pandas as pd
-        arr = np.asarray(keys.to_pylist(), dtype=object)
-        hb = pd.util.hash_array(arr) % np.uint64(n_buckets)
-    return pa.array(hb.astype(np.int32), pa.int32())
 
 
 def _widen(batch: pa.Table, *, on: str, side: int, schema: pa.Schema,
@@ -112,11 +99,13 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     key_type = _f(l_schema, left_on).type
     r_key_type = _f(r_schema, right_on).type
-    if pa.types.is_integer(key_type) != pa.types.is_integer(r_key_type):
+    both_int = (pa.types.is_integer(key_type)
+                and pa.types.is_integer(r_key_type))
+    if not both_int and key_type != r_key_type:
         raise ValueError(
             f"join key types disagree: {left_on}={key_type} vs "
             f"{right_on}={r_key_type}")
-    if pa.types.is_integer(key_type):
+    if both_int:
         key_type = pa.int64()
     fields = [pa.field("__key", key_type), pa.field("__hb", pa.int32()),
               pa.field("__side", pa.int8())]
@@ -148,11 +137,8 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
-    import os
-
-    from nerfray.sources.parquet import read_parquet_clean
-    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
-                              columns=columns)
+    from .relational import _read as _rel_read
+    return _rel_read(sf_dir, table, columns)
 
 
 def orders_lineitem_rollup(sf_dir: str) -> ray.data.Dataset:

@@ -137,16 +137,12 @@ def customer_price_quantiles(sf_dir: str) -> ray.data.Dataset:
     semantics: a picked element, never an interpolation, so float
     values hash-match the oracle). One 64-way key-hash shuffle of
     (key, price) pairs; every per-key sweep is vectorized."""
-    import numpy as np
-
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        k = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        hb = ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-              >> np.uint64(40)) % np.uint64(N_Q_BUCKETS)
+        from ._shuffle import key_bucket
         return batch.append_column(
-            "hb", pa.array(hb.astype(np.int32), pa.int32()))
+            "hb", key_bucket(batch.column("o_custkey"), N_Q_BUCKETS))
 
     return ds.map_batches(_bucket, batch_format="pyarrow",
                           zero_copy_batch=True) \
@@ -174,15 +170,18 @@ def distinct_custkeys_by_status(sf_dir: str) -> ray.data.Dataset:
 
 
 def top_orders_per_status(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    return top_orders(
+        _read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderkey", "o_totalprice"]), k=k)
+
+
+def top_orders(ds: ray.data.Dataset, *, k: int = 3) -> ray.data.Dataset:
     """Windowed top-N per group (row_number() semantics): block-local
     per-status top-k combiners (k rows per status per block cross the
     wire), then a final per-status pick.  Ties broken (price desc,
     orderkey asc), mirrored in the oracle; prices pass through
     untouched so floats hash-match."""
     import numpy as np
-
-    ds = _read(sf_dir, "orders",
-               ["o_orderstatus", "o_orderkey", "o_totalprice"])
 
     def _topk(tbl: pa.Table) -> pa.Table:
         st = np.asarray(tbl.column("o_orderstatus").to_pylist(),

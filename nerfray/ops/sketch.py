@@ -56,7 +56,10 @@ def _register_partial(batch: pa.Table, *, column: str,
         "rho": pa.array([best[k] for k in keys], pa.int64()),
     }
     if group:
-        out = {group: pa.array([k[0] for k in keys])} | out
+        # explicit type: an empty block must not emit a null-typed
+        # group column (schema mismatch at the downstream groupby)
+        out = {group: pa.array([k[0] for k in keys],
+                               batch.schema.field(group).type)} | out
     return pa.Table.from_pydict(out)
 
 
@@ -80,7 +83,8 @@ def hll_estimate(registers: list[tuple[int, int]]) -> float:
     regs = np.zeros(m, dtype=np.int64)
     for reg, rho in registers:
         regs[reg] = rho
-    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(
+    # small-m constants from Flajolet et al.; asymptotic formula beyond
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1 + 1.079 / m))
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     zeros = int(np.sum(regs == 0))

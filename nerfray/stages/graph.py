@@ -543,9 +543,11 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     from two ``ops.joins.hash_join`` exchanges — the standard
     distributed-join formulation (wedges joined back against the edge
     set) — so cost scales with wedge count, never with a driver-side
-    adjacency.  Input: int64 columns (u, v), node ids < 2^21 per
-    pair-encoding (raise _TRI_M for bigger graphs; at 100 TB swap the
-    encode for a (u, v) composite-key join, same shape)."""
+    adjacency.  Input contract: int64 columns (u, v); edges must be
+    DISTINCT (a duplicated arm edge multiplies wedge rows — only the
+    CLOSING side is duplicate-insensitive); node ids < 2^21 per
+    pair-encoding (checked at runtime; raise _TRI_M for bigger graphs,
+    or at 100 TB swap the encode for a (u, v) composite-key join)."""
     import pyarrow.compute as pc
 
     from nerfray.ops.joins import hash_join
@@ -555,7 +557,16 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     wedges = hash_join(a, edges, left_on="a_v", right_on="u",
                        left_cols=["a_u"], right_cols=["v"])
 
+    def _check_range(tbl: pa.Table, cols: tuple[str, ...]) -> None:
+        for c in cols:
+            mm = pc.min_max(tbl.column(c)).as_py()
+            if tbl.num_rows and (mm["min"] < 0 or mm["max"] >= _TRI_M):
+                raise ValueError(
+                    f"triangle_counts pair-encoding requires "
+                    f"0 <= node id < {_TRI_M}; got {c} range {mm}")
+
     def _enc_wedge(batch: pa.Table) -> pa.Table:
+        _check_range(batch, ("a_u", "v"))
         return pa.Table.from_pydict({
             "p": pc.add(pc.multiply(batch.column("a_u"),
                                     pa.scalar(_TRI_M, pa.int64())),
@@ -564,6 +575,7 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     def _enc_edge(batch: pa.Table) -> pa.Table:
+        _check_range(batch, ("u", "v"))
         return pa.Table.from_pydict({
             "p": pc.add(pc.multiply(batch.column("u"),
                                     pa.scalar(_TRI_M, pa.int64())),
@@ -574,8 +586,9 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     ep = edges.map_batches(_enc_edge, batch_format="pyarrow")
     # closure test: left semi emits each wedge ROW once iff its (u, w)
     # pair is an edge — wedges sharing (u, w) through different middles
-    # are distinct rows and each count; duplicate EDGES cannot inflate
-    # (semi joins are right-multiplicity-insensitive)
+    # are distinct rows and each count; a duplicated CLOSING edge cannot
+    # inflate (semi joins are right-multiplicity-insensitive), which is
+    # why the input contract requires distinct edges only for the arms
     closed = hash_join(wp, ep, left_on="p", right_on="p",
                        left_cols=["a_u"], right_cols=[], how="left semi")
     return closed.groupby("a_u").count() \

@@ -118,13 +118,21 @@ def test_quantile_bucket_edge_cases(ray_session):
 
 
 def test_top_orders_tie_and_invariance(ray_session):
+    import ray.data
     from nerfray.ops import relational
-    want = _con().execute(
-        relational.ORACLES["top_orders_per_status"]).fetchall()
-    mine = sorted(
-        (r["o_orderstatus"], r["rank"], r["o_orderkey"], r["o_totalprice"])
-        for r in relational.top_orders_per_status(SF).take_all())
-    assert mine == sorted((w[0], w[3], w[1], w[2]) for w in want)
+    want = sorted((w[0], w[3], w[1], w[2]) for w in _con().execute(
+        relational.ORACLES["top_orders_per_status"]).fetchall())
+    ds = relational._read(SF, "orders",
+                          ["o_orderstatus", "o_orderkey", "o_totalprice"])
+    # the block-local top-k combiner must give the same answer however
+    # the status's true top rows are scattered across blocks
+    for parts in (1, 13):
+        mine = sorted(
+            (r["o_orderstatus"], r["rank"], r["o_orderkey"],
+             r["o_totalprice"])
+            for r in relational.top_orders(ds.repartition(parts))
+            .take_all())
+        assert mine == want, parts
 
 
 def test_distinct_by_status_matches_exact(ray_session):
@@ -165,3 +173,63 @@ def test_semi_join_duplicate_insensitive(ray_session):
                         left_cols=["lv"], right_cols=[], how="left anti")
     assert sorted((r["__key"], r["lv"]) for r in a.take_all()) \
         == [(1, "a"), (3, "c")]
+
+
+def test_hash_join_fuzz_vs_duckdb(ray_session):
+    """Random small tables, every join mode, compared against DuckDB."""
+    import duckdb
+    import numpy as np
+    import ray.data
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        nl, nr = int(rng.integers(0, 30)), int(rng.integers(0, 30))
+        lk = rng.integers(0, 8, nl)
+        rk = rng.integers(0, 8, nr)
+        lt = pa.Table.from_pydict({
+            "k": pa.array(lk, pa.int64()),
+            "lv": pa.array(rng.integers(0, 100, nl), pa.int64())})
+        rt = pa.Table.from_pydict({
+            "k": pa.array(rk, pa.int64()),
+            "rv": pa.array(rng.integers(0, 100, nr), pa.int64())})
+        con = duckdb.connect()
+        con.register("l", lt)
+        con.register("r", rt)
+        for how, sql in (
+                ("inner", "SELECT l.k, lv, rv FROM l JOIN r USING (k)"),
+                ("left outer",
+                 "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)"),
+                ("left semi",
+                 "SELECT k, lv FROM l WHERE k IN (SELECT k FROM r)"),
+                ("left anti",
+                 "SELECT k, lv FROM l WHERE k NOT IN (SELECT k FROM r)")):
+            j = joins.hash_join(
+                ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                left_on="k", right_on="k", left_cols=["lv"],
+                right_cols=["rv"], how=how, n_buckets=4)
+            mine = sorted(tuple(r[c] for c in
+                                (("__key", "lv") if "semi" in how
+                                 or "anti" in how else ("__key", "lv",
+                                                        "rv")))
+                          for r in j.take_all())
+            want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+            assert mine == want, (trial, how)
+
+
+def test_null_and_mismatched_keys_fail_loudly(ray_session):
+    import ray.data
+    withnull = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([1, None], pa.int64()),
+        "v": pa.array([1, 2], pa.int64())}))
+    clean = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([1], pa.int64()),
+        "w": pa.array([9], pa.int64())}))
+    j = joins.hash_join(withnull, clean, left_on="k", right_on="k",
+                        left_cols=["v"], right_cols=["w"])
+    with pytest.raises(Exception, match="non-null"):
+        j.take_all()
+    strkey = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array(["a"], pa.string()),
+        "w": pa.array([9], pa.int64())}))
+    with pytest.raises(ValueError, match="key types disagree"):
+        joins.hash_join(clean, strkey, left_on="k", right_on="k",
+                        left_cols=["w"], right_cols=[])
