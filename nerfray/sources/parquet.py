@@ -27,3 +27,17 @@ def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(path, **kwargs).map_batches(
         _strip_schema_metadata, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def read_csv_clean(path, **kwargs) -> ray.data.Dataset:
+    """``ray.data.read_csv`` + the same schema-metadata strip."""
+    return ray.data.read_csv(path, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def read_json_clean(path, **kwargs) -> ray.data.Dataset:
+    """``ray.data.read_json`` (JSONL) + schema-metadata strip."""
+    return ray.data.read_json(path, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow",
+        zero_copy_batch=True)

@@ -233,3 +233,39 @@ def test_null_and_mismatched_keys_fail_loudly(ray_session):
     with pytest.raises(ValueError, match="key types disagree"):
         joins.hash_join(clean, strkey, left_on="k", right_on="k",
                         left_cols=["w"], right_cols=[])
+
+
+def test_quantile_fuzz_vs_duckdb(ray_session):
+    """Random grouped tables vs DuckDB percentile_disc (the index-math
+    contract ceil(q*n)-1 under every group size 1..~12)."""
+    import duckdb
+    import numpy as np
+    import ray.data
+    from nerfray.ops.relational import N_Q_BUCKETS, _quantile_bucket
+    from nerfray.ops._shuffle import key_bucket
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(5, 120))
+        t = pa.Table.from_pydict({
+            "o_custkey": pa.array(rng.integers(0, 12, n), pa.int64()),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1, 9e4, n), 2), pa.float64())})
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = ds.map_batches(
+            lambda b: b.append_column(
+                "hb", key_bucket(b.column("o_custkey"), N_Q_BUCKETS)),
+            batch_format="pyarrow") \
+            .groupby("hb").map_groups(_quantile_bucket,
+                                      batch_format="pyarrow")
+        mine = sorted(tuple(sorted(r.items())) for r in got.take_all())
+        con = duckdb.connect()
+        con.register("orders", t)
+        want = sorted(tuple(sorted(r.items())) for r in con.execute("""
+            SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                   percentile_disc(0.5) WITHIN GROUP
+                     (ORDER BY o_totalprice) AS median_price,
+                   percentile_disc(0.75) WITHIN GROUP
+                     (ORDER BY o_totalprice) AS p75_price
+            FROM orders GROUP BY o_custkey""").df()
+            .to_dict("records"))
+        assert mine == want, trial

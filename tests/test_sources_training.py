@@ -97,3 +97,24 @@ def test_kernel_train_unchanged_by_refactor():
     assert np.array_equal(m1.w_obs, m2.w_obs)
     assert np.array_equal(m1.w_trans, m2.w_trans)
     assert m1.viterbi([{"a"}, {"b"}]) == m2.viterbi([{"a"}, {"b"}])
+
+
+def test_csv_and_jsonl_sources_round_trip(ray_session, tmp_path):
+    """CSV / JSONL readers return the same rows as the parquet source
+    (engine-surface beyond the reference's own formats)."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+    import ray.data
+    from nerfray.sources.parquet import read_csv_clean, read_json_clean
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"])
+    pacsv.write_csv(t, str(tmp_path / "docs.csv"))
+    with open(tmp_path / "docs.jsonl", "w") as f:
+        for r in t.to_pylist():
+            import json
+            f.write(json.dumps(r) + "\n")
+    want = sorted(tuple(sorted(r.items())) for r in t.to_pylist())
+    for ds in (read_csv_clean(str(tmp_path / "docs.csv")),
+               read_json_clean(str(tmp_path / "docs.jsonl"))):
+        got = sorted(tuple(sorted(r.items())) for r in ds.take_all())
+        assert got == want
