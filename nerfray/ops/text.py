@@ -161,26 +161,20 @@ def word_df_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     is the doc's rarest word); ``sum_df`` the common-word mass. All
     integers, so the mirror (WORD_DF_SQL) is hash-exact.
 
-    Scale shape (r3 combiner): pass 1 emits ONE ROW PER DISTINCT WORD
-    PER BLOCK — (word, doc-list, block-local df partial) — so neither
-    shuffle ever moves (word, doc) incidence rows: the DF groupby sums
-    word-per-block partials, and the join-back co-groups the df table
-    with the same compacted partials by a 64-way word hash bucket (no
-    vocabulary broadcast), unrolls the doc lists vectorized (Arrow
-    list-flatten + reduceat), and finishes with a tiny
-    groupby(doc_id).  The per-block compaction factor is logged."""
-    import logging
+    Scale shape (r3; single-exchange rewrite): pass 1 emits ONE ROW PER
+    DISTINCT WORD PER BLOCK — (word, doc-list) — so the shuffle never
+    moves (word, doc) incidence rows.  The ONE word-hash-bucket
+    co-group then has every partial of a word in the same group, so the
+    global df (sum of list lengths per word) is computed IN-GROUP via
+    reduceat — no separate vocabulary groupby, no union pass — the doc
+    lists unroll vectorized (Arrow list-flatten) with each incidence
+    carrying its word's df, and a final tiny groupby(doc_id) reduces
+    the <= 64 per-bucket doc partials."""
     from ray.data.aggregate import Min, Sum
 
-    _WP_SCHEMA = pa.schema([
-        ("word", pa.string()),
-        ("docs", pa.list_(pa.int64())),  # null on df rows
-        ("df", pa.int64()),              # null on partial rows
-    ])
-
     def _block_word_partials(batch: pa.Table) -> pa.Table:
-        """Block combiner: (word, docs-in-block, df=null); emit grain is
-        distinct words per block, not (word, doc) incidences."""
+        """Block combiner: (word, docs-in-block); emit grain is distinct
+        words per block, not (word, doc) incidences."""
         import pandas as pd
         flat_w: list = []
         flat_d: list = []
@@ -191,28 +185,10 @@ def word_df_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
             flat_d.extend([d] * len(ws))
         g = pd.Series(flat_d).groupby(
             pd.Series(flat_w), sort=True).agg(list)
-        logging.getLogger(__name__).debug(
-            "word-df combiner: %d incidences -> %d word rows",
-            len(flat_d), len(g))
         return pa.Table.from_pydict({
             "word": pa.array(g.index.tolist(), pa.string()),
             "docs": pa.array(g.tolist(), pa.list_(pa.int64())),
-            "df": pa.array([None] * len(g), pa.int64()),
-        }, schema=_WP_SCHEMA)
-
-    def _dfp(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({
-            "word": batch.column("word"),
-            "dfp": pc.list_value_length(batch.column("docs")),
         })
-
-    def _df_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.Table.from_pydict({
-            "word": batch.column("word"),
-            "docs": pa.array([None] * n, pa.list_(pa.int64())),
-            "df": pc.cast(batch.column("df"), pa.int64()),
-        }, schema=_WP_SCHEMA)
 
     def _word_bucket(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -221,11 +197,10 @@ def word_df_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
         return batch.append_column("hb", pa.array(hb))
 
     def _doc_partials(group: pa.Table) -> pa.Table:
-        """Join-back inside one word hash bucket, fully vectorized:
-        pandas hash-join maps each partial row's word to its df, Arrow
-        list-flatten unrolls the doc lists, reduceat sweeps the per-doc
-        (count, sum, min) over the doc-sorted incidences."""
-        import pandas as pd
+        """One word hash bucket: ALL partials of each word are here, so
+        df(word) = sum of its list lengths (sort + reduceat), then the
+        doc lists unroll (Arrow list-flatten) with per-incidence df and
+        a doc-sorted reduceat sweeps (count, sum, min) per doc."""
         empty = pa.Table.from_pydict({
             "doc_id": pa.array([], pa.int64()),
             "cnt": pa.array([], pa.int64()),
@@ -233,40 +208,33 @@ def word_df_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
             "mdf": pa.array([], pa.int64())})
         if group.num_rows == 0:
             return empty
-        is_df = pc.is_valid(group.column("df"))
-        df_rows = group.filter(is_df)
-        pairs = group.filter(pc.invert(is_df))
-        if pairs.num_rows == 0:
-            return empty
-        merged = pd.DataFrame(
-            {"word": pairs.column("word").to_pylist()}).merge(
-            pd.DataFrame({
-                "word": df_rows.column("word").to_pylist(),
-                "f": df_rows.column("df").to_pylist()}),
-            on="word", how="left")
-        f_per_row = merged["f"].to_numpy(dtype=np.int64)
-        docs_col = pairs.column("docs").combine_chunks()
+        words = np.asarray(group.column("word").to_pylist(), dtype=object)
+        docs_col = group.column("docs").combine_chunks()
+        lens = pc.list_value_length(docs_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(words, kind="stable")
+        w_s, lens_s = words[order], lens[order]
+        starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+        df_per_word = np.add.reduceat(lens_s, starts)
+        gidx = np.cumsum(np.r_[False, w_s[1:] != w_s[:-1]])
+        f_per_row = np.empty(len(words), dtype=np.int64)
+        f_per_row[order] = df_per_word[gidx]
         d_flat = docs_col.flatten().to_numpy(zero_copy_only=False)
         f_flat = f_per_row[pc.list_parent_indices(docs_col).to_numpy(
             zero_copy_only=False)]
-        order = np.argsort(d_flat, kind="stable")
-        d_s, f_s = d_flat[order], f_flat[order]
-        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        order2 = np.argsort(d_flat, kind="stable")
+        d_s, f_s = d_flat[order2], f_flat[order2]
+        starts2 = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
         return pa.Table.from_pydict({
-            "doc_id": pa.array(d_s[starts], pa.int64()),
-            "cnt": pa.array(np.diff(np.r_[starts, len(d_s)]), pa.int64()),
-            "sdf": pa.array(np.add.reduceat(f_s, starts), pa.int64()),
-            "mdf": pa.array(np.minimum.reduceat(f_s, starts), pa.int64()),
+            "doc_id": pa.array(d_s[starts2], pa.int64()),
+            "cnt": pa.array(np.diff(np.r_[starts2, len(d_s)]), pa.int64()),
+            "sdf": pa.array(np.add.reduceat(f_s, starts2), pa.int64()),
+            "mdf": pa.array(np.minimum.reduceat(f_s, starts2), pa.int64()),
         })
 
-    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+    return docs.select_columns(["doc_id", "text"]).map_batches(
         _block_word_partials, batch_format="pyarrow",
-        zero_copy_batch=True).materialize()
-    df = partials.map_batches(_dfp, batch_format="pyarrow") \
-        .groupby("word").sum("dfp") \
-        .rename_columns({"sum(dfp)": "df"}) \
-        .map_batches(_df_rows, batch_format="pyarrow")
-    return partials.union(df) \
+        zero_copy_batch=True) \
         .map_batches(_word_bucket, batch_format="pyarrow") \
         .groupby("hb").map_groups(_doc_partials, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(Sum("cnt"), Sum("sdf"), Min("mdf")) \
