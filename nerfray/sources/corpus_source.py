@@ -95,8 +95,15 @@ def corpus_dataset_by_repo(n: int, *,
 def corpus_slice(n: int, lo: int, hi: int,
                  rows_per_block: int = 2000) -> ray.data.Dataset:
     """Corpus rows [lo, hi) — the per-shard input of the checkpointed runner
-    (nerfray.state.manifest)."""
-    num_blocks = max(1, -(-(hi - lo) // rows_per_block))
+    (nerfray.state.manifest).
+
+    Block count guarantees parallelism on SMALL shards too: at least
+    min(32, rows/64) blocks (a 1250-row shard previously became ONE
+    block → one tagging actor → serial shard), while big shards keep
+    the rows_per_block grain."""
+    rows = hi - lo
+    num_blocks = max(1, min(-(-rows // 64),
+                            max(-(-rows // rows_per_block), 32)))
     ds = ray.data.range(hi, override_num_blocks=max(1, num_blocks))
     if lo:
         ds = ds.filter(expr=f"id >= {lo}")
