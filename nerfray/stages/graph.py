@@ -187,8 +187,10 @@ def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
     table, and the output decorates that table with the broadcast rank
     vector.  Driver memory is two dense numeric vectors (out-degree +
     rank, O(nodes) floats — the aggregate-to-small side by
-    construction); beyond-RAM node counts would shard the rank vector
-    as a Dataset join per iteration (documented ceiling).  Each power
+    construction); for node counts beyond driver RAM use
+    ``pagerank_dataset_rank`` (rank sharded as a Dataset, iterations
+    as hash_join exchanges — bit-equal on the planted graph, ~3
+    fixed-cost exchanges per iteration).  Each power
     iteration broadcasts the damped-contribution vector, computes
     sparse per-target partial sums per block (``np.bincount``), and
     reduces with ``groupby(i).sum``.  Deterministic up to
@@ -272,6 +274,132 @@ def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
 
     return ids.map_batches(_attach_rank, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def pagerank_dataset_rank(triples: ray.data.Dataset, *,
+                          damping: float = 0.85,
+                          iters: int = 20) -> ray.data.Dataset:
+    """The beyond-driver-RAM PageRank path: the rank vector never
+    exists as a driver array — it lives as a Dataset (id, outp, rank)
+    and each power iteration is two ``ops.joins.hash_join`` exchanges
+    (contrib onto edges by src; summed contributions back onto the
+    rank table by id) plus one groupby(dst) reduce.  The driver holds
+    only SCALARS (n, per-iteration dangling mass).  ~3 exchanges ×
+    iters of fixed shuffle cost, so use it when nodes outgrow driver
+    RAM (~10^10 raw-float ranks at repo grain); the broadcast-vector
+    ``pagerank`` is the fast path below that.  On the dyadic-exact
+    planted graph both paths are BIT-equal (pinned by
+    tests/test_graph.py); on irregular graphs they agree to float-
+    summation order like any distributed reduce."""
+    from nerfray.ops.joins import hash_join
+
+    edges = triples.select_columns(["subj", "obj"])
+    deg = edges.map_batches(_degree_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("node").sum("outp") \
+        .rename_columns({"sum(outp)": "outp"})
+    local = deg.map_batches(_node_bucket, batch_format="pyarrow") \
+        .groupby("nb").map_groups(_enumerate_bucket,
+                                  batch_format="pyarrow").materialize()
+    counts = np.zeros(N_ID_BUCKETS, dtype=np.int64)
+    for row in local.groupby("nb").count().take_all():  # <= B rows
+        counts[row["nb"]] = row["count()"]
+    offsets = np.r_[0, np.cumsum(counts)[:-1]]
+    n = int(counts.sum())
+    if n == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {"node": pa.array([], pa.string()),
+             "rank": pa.array([], pa.float64())}))
+    off_ref = ray.put(offsets)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        off = ray.get(off_ref) if isinstance(off_ref, ray.ObjectRef) \
+            else off_ref
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        li = batch.column("li").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": batch.column("node"),
+            "id": pa.array(off[nb] + li, pa.int64()),
+            "outp": batch.column("outp"),
+        })
+
+    ids = local.map_batches(_assign, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    iedges = _encode_edges_distributed(edges, ids).materialize()
+
+    def _init_rank(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.Table.from_pydict({
+            "id": batch.column("id"),
+            "outp": pa.array(batch.column("outp").to_numpy(
+                zero_copy_only=False).astype(np.float64), pa.float64()),
+            "rank": pa.array(np.full(m, 1.0 / n), pa.float64()),
+        })
+
+    rank_ds = ids.select_columns(["id", "outp"]).map_batches(
+        _init_rank, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        outp = batch.column("outp").to_numpy(zero_copy_only=False)
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "id": batch.column("id"),
+            "c": pa.array(np.where(outp > 0, r / np.maximum(outp, 1.0),
+                                   0.0), pa.float64()),
+        })
+
+    def _dst_partial(batch: pa.Table) -> pa.Table:
+        """Block combiner: per-dst partial sums (sort + reduceat — no
+        n-sized array anywhere)."""
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        d_s, c_s = d[order], c[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return pa.Table.from_pydict({
+            "dst": pa.array(d_s[starts], pa.int64()),
+            "p": pa.array(np.add.reduceat(c_s, starts), pa.float64()),
+        })
+
+    for _ in range(iters):
+        # dangling mass: one scalar to the driver
+        mass = rank_ds.map_batches(
+            lambda b: pa.Table.from_pydict({"m": pa.array(
+                [float(b.column("rank").to_numpy(zero_copy_only=False)[
+                    b.column("outp").to_numpy(zero_copy_only=False)
+                    == 0].sum())], pa.float64())}),
+            batch_format="pyarrow").sum("m") or 0.0
+        base = (1.0 - damping) / n + damping * mass / n
+        contrib = rank_ds.map_batches(_contrib, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        joined = hash_join(iedges, contrib, left_on="src", right_on="id",
+                           left_cols=["dst"], right_cols=["c"])
+        sums = joined.select_columns(["dst", "c"]) \
+            .map_batches(_dst_partial, batch_format="pyarrow") \
+            .groupby("dst").sum("p")
+        nxt = hash_join(rank_ds.select_columns(["id", "outp"]), sums,
+                        left_on="id", right_on="dst",
+                        left_cols=["outp"], right_cols=["sum(p)"],
+                        how="left outer")
+
+        def _new_rank(batch: pa.Table, *, base=base) -> pa.Table:
+            s = batch.column("sum(p)").to_numpy(zero_copy_only=False)
+            s = np.nan_to_num(s, nan=0.0)
+            return pa.Table.from_pydict({
+                "id": batch.column("__key"),
+                "outp": batch.column("outp"),
+                "rank": pa.array(base + damping * s, pa.float64()),
+            })
+
+        rank_ds = nxt.map_batches(_new_rank,
+                                  batch_format="pyarrow").materialize()
+
+    # final decoration: co-group join of (node, id) with the rank table
+    out = hash_join(ids.select_columns(["node", "id"]), rank_ds,
+                    left_on="id", right_on="id",
+                    left_cols=["node"], right_cols=["rank"])
+    return out.select_columns(["node", "rank"])
 
 
 # ---------------------------------------------------------------------------

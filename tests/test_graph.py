@@ -276,3 +276,18 @@ def test_planted_triangles_two_per_node(ray_session):
         g.planted_triangle_edges(ids, n)).take_all()
     assert len(rows) == n
     assert all(r["n_triangles"] == 2 for r in rows)
+
+
+def test_pagerank_dataset_rank_bit_equals_broadcast(ray_session):
+    """The beyond-driver-RAM path (rank lives as a Dataset, iterations
+    are hash_join exchanges) must be BIT-equal to the broadcast-vector
+    path on the dyadic-exact planted graph (every float op exact under
+    any summation order, so the two execution shapes cannot diverge)."""
+    from nerfray.stages import graph as g
+    trips = g.planted_pagerank_triples(64)
+    a = {r["node"]: r["rank"]
+         for r in g.pagerank(trips, damping=0.5, iters=2).take_all()}
+    b = {r["node"]: r["rank"]
+         for r in g.pagerank_dataset_rank(trips, damping=0.5,
+                                          iters=2).take_all()}
+    assert a == b and len(a) == 64
