@@ -185,6 +185,19 @@ def q_kg_pagerank_planted(sf_dir: str):
                           damping=0.5, iters=20)
 
 
+def q_kg_pagerank_dataset_planted(sf_dir: str):
+    """The beyond-driver-RAM PageRank path (rank lives as a Dataset,
+    iterations are hash_join exchanges) against the same dyadic-exact
+    SQL power iteration, unrolled to 2 steps — bit-exact, and a
+    separate 20-step pytest pins bit-equality with the broadcast
+    path.  Two iterations keep the gate wall bounded (each iteration
+    costs ~3 fixed-price exchanges by design — it is the fallback
+    beyond ~10^10 nodes, not the fast path)."""
+    from nerfray.stages import graph
+    return graph.pagerank_dataset_rank(graph.planted_pagerank_triples(),
+                                       damping=0.5, iters=2)
+
+
 def q_kg_degrees(sf_dir: str):
     """Graph materialization rollup: out-degree per subject node."""
     from nerfray.pipelines import kg
@@ -240,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components_repo": q_kg_components_repo,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_planted": q_kg_pagerank_planted,
+        "kg_pagerank_dataset_planted": q_kg_pagerank_dataset_planted,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -250,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.stages import graph
     sql = {
         "kg_pagerank_planted": graph.pagerank_planted_sql(),
+        "kg_pagerank_dataset_planted": graph.pagerank_planted_sql(iters=2),
         "corpus_files": corpus.files_sql(),
         "kg_triples": corpus.gold_triples_sql(),
         "kg_triples_rule": corpus.gold_triples_sql(),
