@@ -102,7 +102,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "dedup_minhash", "dedup_simhash_pairs",
                  "dedup_minhash_drops", "sim_topk", "text_stats",
                  "events_sessionize", "events_sessionize_split",
-                 "events_asof_split", "events_sliding", "docs_pipeline",
+                 "events_asof_split", "events_sliding",
+                 "events_window_selfjoin", "docs_pipeline",
                  "docs_word_df", "join_orders_lineitem",
                  "join_priority_shipped", "sketch_hll_custkeys",
                  "customer_price_quantiles", "distinct_custkeys_by_status",

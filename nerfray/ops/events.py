@@ -634,6 +634,96 @@ def asof_last_order_split(sf_dir: str) -> ray.data.Dataset:
     return matched.union(assigned)
 
 
+# -- windowed event self-join ------------------------------------------------
+#
+# The remaining join flavor: events × events per user within a time
+# window ("what follows what, how soon"). Per user: the count of ordered
+# event pairs (a, b) with a.ts < b.ts <= a.ts + W, plus the
+# signup→purchase conversions among them. Runs as one bucketed co-group
+# (no pair rows ever materialize): inside a bucket the per-element
+# window counts are two global searchsorted calls over a run-offset
+# monotonic key, then per-user sums via reduceat — one Python dispatch
+# per bucket, exact tie semantics (strict a.ts < b.ts) matching the SQL
+# self-join oracle.
+
+WINDOW_MIN = 60
+
+
+def _window_pairs_bucket(group: pa.Table, *, window_min: int) -> pa.Table:
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_pairs", pa.int64()),
+        ("n_conv", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ats").to_numpy(zero_copy_only=False)
+    is_su = group.column("is_signup").to_numpy(zero_copy_only=False)
+    is_pu = group.column("is_purchase").to_numpy(zero_copy_only=False)
+    w = window_min * 60_000_000
+    order = np.lexsort((ts, us))
+    u, t = us[order], ts[order]
+    su, pu = is_su[order].astype(bool), is_pu[order].astype(bool)
+    user_change = np.r_[True, u[1:] != u[:-1]]
+    ustarts = np.flatnonzero(user_change)
+    # run-offset monotonic key: shift each user's (sorted) times into a
+    # disjoint band so ONE globally sorted array answers every per-run
+    # range query; band width > span + W keeps queries inside the band
+    span = int(t.max()) - int(t.min())
+    offset = span + w + 1
+    run = np.cumsum(user_change) - 1  # 0-based run index per element
+    if (len(ustarts) + 1) * offset >= 2 ** 62:
+        raise ValueError(
+            "window self-join: run-offset key would overflow int64; "
+            "raise N_KEY_BUCKETS (smaller buckets -> fewer runs each)")
+    t_adj = (t - int(t.min())) + run * offset
+    q = t_adj + w
+    # j in same run with a.ts < b.ts <= a.ts + W  (strict lower edge:
+    # subtracting the 'right' bound at t_adj itself drops ts ties)
+    hi = np.searchsorted(t_adj, q, side="right")
+    lo = np.searchsorted(t_adj, t_adj, side="right")
+    per_elem = hi - lo
+    n_pairs = np.add.reduceat(per_elem, ustarts)
+    # conversions: purchases within (a.ts, a.ts + W] counted only at
+    # signup anchors, via the purchase-only view of the same key
+    t_pu = t_adj[pu]
+    conv = np.where(
+        su,
+        np.searchsorted(t_pu, q, side="right")
+        - np.searchsorted(t_pu, t_adj, side="right"),
+        0)
+    n_conv = np.add.reduceat(conv, ustarts) if len(conv) else conv
+    keep = n_pairs > 0  # inner-join semantics: pairless users drop out
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u[ustarts][keep], pa.int64()),
+        "n_pairs": pa.array(n_pairs[keep], pa.int64()),
+        "n_conv": pa.array(n_conv[keep], pa.int64()),
+    }, schema=out_schema)
+
+
+def window_selfjoin(sf_dir: str,
+                    window_min: int = WINDOW_MIN) -> ray.data.Dataset:
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "event_type"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        return pa.Table.from_pydict({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "ats": pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                           pa.int64()),
+            "is_signup": pc.cast(pc.equal(et, "signup"), pa.int8()),
+            "is_purchase": pc.cast(pc.equal(et, "purchase"), pa.int8()),
+            "hb": pc.cast(pc.bit_wise_and(batch.column("user_id"),
+                                          N_KEY_BUCKETS - 1), pa.int32()),
+        })
+
+    return ds.map_batches(_prep, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+        _window_pairs_bucket, fn_kwargs={"window_min": window_min},
+        batch_format="pyarrow")
+
+
 ORACLES = {
     # the *_split variants are the hot-key-safe implementations of the
     # SAME operators — they share the unsplit oracles verbatim
@@ -687,6 +777,17 @@ SELECT strftime(we, '%Y-%m-%d %H') AS win_end, event_type,
 FROM wins GROUP BY 1, 2 ORDER BY 1, 2
 """,
 }
+
+ORACLES["events_window_selfjoin"] = f"""
+SELECT a.user_id, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN a.event_type = 'signup'
+                 AND b.event_type = 'purchase'
+                THEN 1 ELSE 0 END)::BIGINT AS n_conv
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL {WINDOW_MIN} MINUTE
+GROUP BY a.user_id ORDER BY a.user_id
+"""
 
 ORACLES["events_sessionize_split"] = ORACLES["events_sessionize"]
 ORACLES["events_asof_split"] = ORACLES["events_asof_order"]

@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_split": events.asof_last_order_split,
         "events_hourly": events.hourly_counts,
         "events_sliding": events.sliding_counts,
+        "events_window_selfjoin": events.window_selfjoin,
     }
     return q
 

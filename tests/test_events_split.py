@@ -102,3 +102,58 @@ def test_asof_split_hot_user_matches_oracle(ray_session, hot_dir):
     # users) and cross-day carries are exercised
     lasts = dict(got)
     assert -1 in lasts.values()
+
+
+def test_window_selfjoin_ties_and_edges(ray_session, tmp_path):
+    """Windowed self-join tie semantics: same-ts pairs excluded (strict
+    a.ts < b.ts), the exact-W boundary included (b.ts <= a.ts + W),
+    W+1us excluded, pairless users absent — all vs the SQL oracle."""
+    from nerfray.ops import events as ev
+    base = datetime.datetime(2024, 5, 1)
+    w = datetime.timedelta(minutes=ev.WINDOW_MIN)
+    us_ = datetime.timedelta(microseconds=1)
+    rows = [
+        # user 1: signup then purchase at EXACTLY ts + W (inclusive edge)
+        (1, base, "signup"), (1, base + w, "purchase"),
+        # user 2: follow-up at W + 1us -> no pair at all
+        (2, base, "signup"), (2, base + w + us_, "purchase"),
+        # user 3: two events at the SAME ts -> tie, no pair
+        (3, base, "click"), (3, base, "click"),
+        # user 4: signup with same-ts purchase (tie, not a conversion)
+        #         plus a later purchase inside the window
+        (4, base, "signup"), (4, base, "purchase"),
+        (4, base + datetime.timedelta(minutes=5), "purchase"),
+        # user 5: lone event
+        (5, base, "error"),
+    ]
+    t = pa.Table.from_pydict({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = sorted((r["user_id"], r["n_pairs"], r["n_conv"])
+                 for r in ev.window_selfjoin(str(tmp_path)).take_all())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    exp = sorted(tuple(r) for r in
+                 con.sql(ev.ORACLES["events_window_selfjoin"]).fetchall())
+    assert got == exp
+    # the edges this test exists for, stated directly:
+    assert got == [(1, 1, 1),   # boundary pair IS a conversion
+                   (4, 2, 1)]   # same-ts tie dropped; users 2,3,5 absent
+
+
+def test_window_selfjoin_hot_user_matches_oracle(ray_session, hot_dir):
+    from nerfray.ops import events as ev
+    got = sorted((r["user_id"], r["n_pairs"], r["n_conv"])
+                 for r in ev.window_selfjoin(hot_dir).take_all())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{hot_dir}/events.parquet'")
+    exp = sorted(tuple(r) for r in
+                 con.sql(ev.ORACLES["events_window_selfjoin"]).fetchall())
+    assert got == exp
+    assert any(g[0] == 7 and g[1] > 10_000 for g in got)  # hot user pairs
