@@ -105,7 +105,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "events_asof_split", "events_sliding",
                  "events_window_selfjoin", "docs_pipeline",
                  "docs_word_df", "join_orders_lineitem",
-                 "join_priority_shipped", "sketch_hll_custkeys",
+                 "join_priority_shipped", "join_skew_salted",
+                 "sketch_hll_custkeys",
                  "customer_price_quantiles", "distinct_custkeys_by_status",
                  "top_orders_per_status", "docs_top_words",
                  "graph_triangles_planted", "docs_pii_redacted"):

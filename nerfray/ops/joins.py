@@ -132,6 +132,171 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
 
 # ---------------------------------------------------------------------------
+# skew-aware variant: salt the hot keys
+# ---------------------------------------------------------------------------
+#
+# hash_join's bucket grain absorbs MODERATE skew (a bucket holds many
+# keys; the in-bucket join is C++-vectorized), but one pathological key
+# carrying a large fraction of the fact side still lands every one of
+# its rows in a single bucket — one straggler task, one worker's memory.
+# The salted variant splits each detected hot key across ``n_salts``
+# sub-buckets: fact rows get a round-robin salt, the other side's rows
+# for that key are replicated once per salt (S× volume for hot keys
+# ONLY), and the in-bucket join keys on (key, salt).  The output multiset
+# is identical to hash_join for every Acero join type: each fact row
+# carries exactly one salt and meets exactly one replica of each
+# matching build row.
+
+
+def detect_hot_keys(ds: ray.data.Dataset, *, on: str,
+                    threshold: int) -> list:
+    """Exact global counts per key (per-block combiner first), keys with
+    count > threshold.  The result is driver-bounded by construction:
+    at most total_rows / threshold keys can exceed the threshold."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([on]).group_by([on]).aggregate([([], "count_all")])
+        return t.rename_columns([on, "c"])
+
+    counts = ds.select_columns([on]) \
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(on).sum("c") \
+        .rename_columns({"sum(c)": "csum"})
+    hot = counts.filter(expr=f"csum > {int(threshold)}") \
+        .select_columns([on]).take_all()
+    return [r[on] for r in hot]
+
+
+_SALT_STRIDE = 37  # odd -> distinct buckets per salt at any power-of-two
+
+
+def _widen_salted(batch: pa.Table, *, on: str, side: int,
+                  schema: pa.Schema, n_buckets: int, hot_set: pa.Array,
+                  n_salts: int) -> pa.Table:
+    """_widen plus the salt: fact (side 0) hot rows round-robin over
+    salts; build (side 1) hot rows replicated once per salt."""
+    import pyarrow.compute as pc
+    n = batch.num_rows
+    keys = batch.column(on)
+    is_hot = pc.is_in(keys, value_set=hot_set).to_numpy(
+        zero_copy_only=False) if len(hot_set) else np.zeros(n, bool)
+
+    def _one(tbl: pa.Table, salt: np.ndarray) -> pa.Table:
+        m = tbl.num_rows
+        kb = _key_bucket(tbl.column(on), 1 << 30).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hb = ((kb + salt * _SALT_STRIDE) % n_buckets).astype(np.int32)
+        cols = []
+        for field in schema:
+            if field.name == "__key":
+                cols.append(tbl.column(on).cast(field.type))
+            elif field.name == "__hb":
+                cols.append(pa.array(hb, pa.int32()))
+            elif field.name == "__salt":
+                cols.append(pa.array(salt.astype(np.int32), pa.int32()))
+            elif field.name == "__side":
+                cols.append(pa.array(np.full(m, side, np.int8), pa.int8()))
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(m, field.type))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    if side == 0:  # fact: one salted copy of every row
+        salt = np.where(is_hot, np.arange(n, dtype=np.int64) % n_salts, 0)
+        return _one(batch, salt)
+    # build: cold rows once at salt 0, hot rows once PER salt
+    cold = batch.filter(pa.array(~is_hot))
+    parts = [_one(cold, np.zeros(cold.num_rows, np.int64))]
+    hot_rows = batch.filter(pa.array(is_hot))
+    if hot_rows.num_rows:
+        for s in range(n_salts):
+            parts.append(_one(hot_rows,
+                              np.full(hot_rows.num_rows, s, np.int64)))
+    return pa.concat_tables(parts)
+
+
+def _bucket_join_salted(group: pa.Table, *, left_names: list[str],
+                        right_names: list[str], how: str,
+                        out_schema: pa.Schema) -> pa.Table:
+    import pyarrow.compute as pc
+    is_right = pc.equal(group.column("__side"), pa.scalar(1, pa.int8()))
+    lt = group.filter(pc.invert(is_right)) \
+        .select(["__key", "__salt"] + left_names)
+    rt = group.filter(is_right).select(["__key", "__salt"] + right_names)
+    if lt.num_rows == 0 or (rt.num_rows == 0
+                            and how in ("inner", "left semi")):
+        return out_schema.empty_table()
+    joined = lt.join(rt, keys=["__key", "__salt"], join_type=how,
+                     use_threads=False)
+    return joined.select([f.name for f in out_schema]).cast(out_schema)
+
+
+def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                     left_on: str, right_on: str,
+                     left_cols: list[str], right_cols: list[str],
+                     how: str = "inner", hot_threshold: int = 1_000_000,
+                     n_salts: int = 8,
+                     n_buckets: int = N_JOIN_BUCKETS) -> ray.data.Dataset:
+    """hash_join with hot-key salting; ``left`` is the fact side whose
+    key histogram is measured (one extra pass over the pruned key
+    column).  Same output columns and multiset as hash_join."""
+    if how in ("left semi", "left anti"):
+        right_cols = []
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"payload columns must be disjoint: {overlap}")
+    hot = detect_hot_keys(left, on=left_on, threshold=hot_threshold)
+
+    l_schema, r_schema = left.schema(), right.schema()
+
+    def _f(schema, name):
+        return schema.base_schema.field(name) \
+            if hasattr(schema, "base_schema") else schema.field(name)
+
+    key_type = _f(l_schema, left_on).type
+    r_key_type = _f(r_schema, right_on).type
+    both_int = (pa.types.is_integer(key_type)
+                and pa.types.is_integer(r_key_type))
+    if not both_int and key_type != r_key_type:
+        raise ValueError(
+            f"join key types disagree: {left_on}={key_type} vs "
+            f"{right_on}={r_key_type}")
+    if both_int:
+        key_type = pa.int64()
+    hot_set = pa.array(hot, key_type)
+    fields = [pa.field("__key", key_type), pa.field("__hb", pa.int32()),
+              pa.field("__salt", pa.int32()), pa.field("__side", pa.int8())]
+    fields += [pa.field(c, _f(l_schema, c).type) for c in left_cols]
+    fields += [pa.field(c, _f(r_schema, c).type) for c in right_cols]
+    union_schema = pa.schema(fields)
+    out_schema = pa.schema(
+        [pa.field("__key", key_type)]
+        + [f for f in fields
+           if f.name not in ("__key", "__hb", "__salt", "__side")])
+
+    lw = left.select_columns([left_on] + left_cols).map_batches(
+        _widen_salted,
+        fn_kwargs={"on": left_on, "side": 0, "schema": union_schema,
+                   "n_buckets": n_buckets, "hot_set": hot_set,
+                   "n_salts": n_salts},
+        batch_format="pyarrow", zero_copy_batch=True)
+    rw = right.select_columns([right_on] + right_cols).map_batches(
+        _widen_salted,
+        fn_kwargs={"on": right_on, "side": 1, "schema": union_schema,
+                   "n_buckets": n_buckets, "hot_set": hot_set,
+                   "n_salts": n_salts},
+        batch_format="pyarrow", zero_copy_batch=True)
+    return lw.union(rw).groupby("__hb").map_groups(
+        _bucket_join_salted,
+        fn_kwargs={"left_names": left_cols, "right_names": right_cols,
+                   "how": how, "out_schema": out_schema},
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # query-surface pipelines over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
 
@@ -200,7 +365,65 @@ def priority_shipped_counts(sf_dir: str,
         .rename_columns({"count()": "n_orders"})
 
 
+def skew_salted_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Planted-skew exercise of salted_hash_join: a derived fact key
+    sends ~1/7 of lineitem (every linenumber-7 row) to key 0; the dim
+    side is pure arithmetic (k in 0..999, payload = 7k + 1) so the
+    whole join + rollup has an exact SQL mirror.  hot_threshold=2000
+    puts key 0 (8.6k rows at sf0.01, 86k at sf0.1) far above the
+    ~n/1000 cold keys, so the hot path genuinely salts at gate scale."""
+    import pyarrow.compute as pc
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        k = pc.if_else(pc.equal(batch.column("l_linenumber"), 7),
+                       pa.scalar(0, pa.int64()),
+                       pc.cast(pc.subtract(
+                           batch.column("l_orderkey"),
+                           pc.multiply(pc.divide(batch.column("l_orderkey"),
+                                                 1000), 1000)), pa.int64()))
+        return pa.Table.from_pydict({
+            "k": k,
+            "qty": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+        })
+
+    def _dim(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column("id"), pa.int64())
+        return pa.Table.from_pydict({
+            "k": k, "payload": pc.add(pc.multiply(k, 7), 1)})
+
+    fact = items.map_batches(_fact, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    dim = ray.data.range(1000).map_batches(_dim, batch_format="pyarrow")
+    joined = salted_hash_join(fact, dim, left_on="k", right_on="k",
+                              left_cols=["qty"], right_cols=["payload"],
+                              hot_threshold=2000)
+    return joined.groupby("__key").aggregate(
+        ray.data.aggregate.Count(alias_name="n_rows"),
+        ray.data.aggregate.Sum("qty", alias_name="sum_qty"),
+        ray.data.aggregate.Max("payload", alias_name="payload"),
+    ).rename_columns({"__key": "k"})
+
+
 ORACLES = {
+    "join_skew_salted": """
+WITH dim AS (
+  SELECT k, (7 * k + 1)::BIGINT AS payload
+  FROM unnest(generate_series(0, 999)) AS t(k)
+),
+fact AS (
+  SELECT CASE WHEN l_linenumber = 7 THEN 0
+              ELSE l_orderkey % 1000 END AS k,
+         round(l_quantity)::BIGINT AS qty
+  FROM lineitem
+)
+SELECT f.k::BIGINT AS k, count(*)::BIGINT AS n_rows,
+       sum(f.qty)::BIGINT AS sum_qty, max(d.payload)::BIGINT AS payload
+FROM fact f JOIN dim d ON d.k = f.k
+GROUP BY f.k ORDER BY f.k
+""",
     "join_orders_lineitem": """
 SELECT o.o_orderstatus, count(*)::BIGINT AS n_items,
        sum(l.l_quantity)::BIGINT AS sum_qty

@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_by_flag": relational.lineitem_by_flag,
         "join_orders_lineitem": joins.orders_lineitem_rollup,
         "join_priority_shipped": joins.priority_shipped_counts,
+        "join_skew_salted": joins.skew_salted_rollup,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
         "customer_price_quantiles": relational.customer_price_quantiles,
         "distinct_custkeys_by_status":

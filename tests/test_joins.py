@@ -269,3 +269,65 @@ def test_quantile_fuzz_vs_duckdb(ray_session):
             FROM orders GROUP BY o_custkey""").df()
             .to_dict("records"))
         assert mine == want, trial
+
+
+def test_salted_join_equals_unsalted_all_types(ray_session):
+    """salted_hash_join must produce the exact multiset of hash_join
+    for every Acero join type on a planted-skew input (one key holding
+    half the fact side), with the hot key genuinely detected."""
+    import numpy as np
+    import ray.data
+    rng = np.random.default_rng(7)
+    n = 4000
+    # key 42 takes ~half the fact rows; the rest spread over 1..200
+    keys = np.where(rng.random(n) < 0.5, 42,
+                    rng.integers(1, 201, n)).astype(np.int64)
+    left = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array(keys, pa.int64()),
+        "lv": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })).repartition(8)
+    # right: most keys present (multiplicity 1-3), some missing (0 for
+    # k % 13 == 0) so outer/anti paths have unmatched rows; hot key 42
+    # itself has multiplicity 2 to exercise replica fan-out
+    rk, rv = [], []
+    for k in range(1, 201):
+        for m in range(0 if k % 13 == 0 else 1 + k % 3):
+            rk.append(k)
+            rv.append(k * 10 + m)
+    rk += [42, 42]
+    rv += [4242, 4243]
+    right = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array(rk, pa.int64()),
+        "rv": pa.array(rv, pa.int64())})).repartition(4)
+
+    hot = joins.detect_hot_keys(left, on="k", threshold=500)
+    assert hot == [42]
+
+    for how in ("inner", "left outer", "left semi", "left anti"):
+        plain = joins.hash_join(left, right, left_on="k", right_on="k",
+                                left_cols=["lv"], right_cols=["rv"],
+                                how=how)
+        salted = joins.salted_hash_join(
+            left, right, left_on="k", right_on="k",
+            left_cols=["lv"], right_cols=["rv"], how=how,
+            hot_threshold=500, n_salts=8)
+        assert _sorted_rows(salted) == _sorted_rows(plain), how
+
+
+def test_salted_join_string_keys_no_hot(ray_session):
+    """Below-threshold input: the salt layer must be a no-op (empty hot
+    set, salt 0 everywhere) including for string keys."""
+    import ray.data
+    left = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array(["a", "b", "a", "c"], pa.string()),
+        "lv": pa.array([1, 2, 3, 4], pa.int64())}))
+    right = ray.data.from_arrow(pa.Table.from_pydict({
+        "k": pa.array(["a", "c", "z"], pa.string()),
+        "rv": pa.array([10, 30, 99], pa.int64())}))
+    got = _sorted_rows(joins.salted_hash_join(
+        left, right, left_on="k", right_on="k",
+        left_cols=["lv"], right_cols=["rv"], hot_threshold=100))
+    want = _sorted_rows(joins.hash_join(
+        left, right, left_on="k", right_on="k",
+        left_cols=["lv"], right_cols=["rv"]))
+    assert got == want and len(got) == 3
