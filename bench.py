@@ -104,7 +104,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "events_sessionize", "events_sessionize_split",
                  "events_asof_split", "events_sliding",
                  "events_window_selfjoin", "docs_pipeline",
-                 "docs_word_df", "join_orders_lineitem",
+                 "docs_word_df", "docs_inverted_index", "docs_search",
+                 "join_orders_lineitem",
                  "join_priority_shipped", "join_skew_salted",
                  "sketch_hll_custkeys",
                  "customer_price_quantiles", "distinct_custkeys_by_status",

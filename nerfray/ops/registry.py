@@ -230,6 +230,16 @@ def q_docs_chunks(sf_dir: str):
     return sampling.chunk_docs(_docs(sf_dir))
 
 
+def q_docs_inverted_index(sf_dir: str):
+    from . import search
+    return search.index_summary(sf_dir)
+
+
+def q_docs_search(sf_dir: str):
+    from . import search
+    return search.search_via_index(_docs(sf_dir))
+
+
 def q_doc_fingerprints(sf_dir: str):
     from . import text
     ds = text.doc_fingerprints(_docs(sf_dir))
@@ -281,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q_lang_confusion,
         "lang_confusion_planted": q_lang_confusion_planted,
         "doc_fingerprints": q_doc_fingerprints,
+        "docs_inverted_index": q_docs_inverted_index,
+        "docs_search": q_docs_search,
         "docs_splits": q_docs_splits,
         "docs_stratified": q_docs_stratified,
         "docs_chunks": q_docs_chunks,
@@ -501,6 +513,11 @@ def _word_df_sql() -> str:
     return WORD_DF_SQL
 
 
+def _search_sql(name: str) -> str:
+    from . import search
+    return getattr(search, name)
+
+
 def oracles() -> dict[str, str]:
     from .dedup import MINHASH_PLANTED_SQL, MINHASH_SURVIVORS_PLANTED_SQL
     from .sampling import CHUNKS_SQL, SPLITS_SQL, STRATIFIED_SQL
@@ -533,6 +550,8 @@ def oracles() -> dict[str, str]:
         # synthetic metadata, there is no SQL-stateable truth.
         "doc_fingerprints": _winnow_sql(),
         "dedup_simhash": SIMHASH_HEX_SQL,
+        "docs_inverted_index": _search_sql("INDEX_SUMMARY_SQL"),
+        "docs_search": _search_sql("SEARCH_SQL"),
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         # dedup_minhash / sim_lsh / sim_ivf / dedup_embedding /
         # lang_confusion (raw docs): sketch/float/LSH-recall ops with no

@@ -575,3 +575,43 @@ def test_redact_pii_edge_cases(ray_session):
     # email regex wins where both could match (scrub order pinned)
     assert (rows[2]["n_emails"], rows[2]["n_ips"]) == (1, 1)
     assert rows[3]["redacted_sha"] == hashlib.sha256(b"").hexdigest()
+
+
+# -- inverted index / conjunctive search ------------------------------------
+
+
+def test_search_paths_agree_and_edges(ray_session):
+    """The scan path and the postings path must return the same doc
+    set for any term list; absent terms empty the result; a single
+    term's result size equals the word's df."""
+    import ray.data
+    from nerfray.ops import search as se
+    texts = ["red green blue", "red blue", "green blue yellow",
+             "red green blue cyan", "blue", "red red red green blue"]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(3)
+
+    for terms in (("red", "green", "blue"), ("blue",), ("red", "absent"),
+                  ("yellow", "cyan")):
+        scan = sorted(r["doc_id"]
+                      for r in se.search_scan(docs, terms).take_all())
+        idx = sorted(r["doc_id"]
+                     for r in se.search_via_index(docs, terms).take_all())
+        assert scan == idx, terms
+    assert sorted(r["doc_id"] for r in
+                  se.search_scan(docs, ("red", "green", "blue")).take_all()) \
+        == [0, 3, 5]
+    assert se.search_scan(docs, ("red", "absent")).count() == 0
+
+
+def test_inverted_index_postings_sorted_and_complete(ray_session):
+    """Postings are sorted doc ids with df == len(postings), and the
+    union of postings reconstructs the exact (word, doc) incidence."""
+    import ray.data
+    from nerfray.ops import search as se
+    texts = ["b a c a", "a c", "d b", "c c c"]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(2)
+    rows = se.build_inverted_index(docs).take_all()
+    got = {r["word"]: r["postings"] for r in rows}
+    want = {"a": [0, 1], "b": [0, 2], "c": [0, 1, 3], "d": [2]}
+    assert {w: list(p) for w, p in got.items()} == want
+    assert all(r["df"] == len(r["postings"]) for r in rows)
