@@ -99,7 +99,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     qs = e.queries()
     for name in ("kg_nodes", "kg_components", "kg_components_repo",
                  "kg_pagerank", "kg_pagerank_planted", "dedup_exact",
-                 "dedup_minhash", "dedup_simhash_pairs",
+                 "dedup_minhash", "dedup_simhash_pairs", "dedup_incremental",
                  "dedup_minhash_drops", "sim_topk", "text_stats",
                  "events_sessionize", "events_sessionize_split",
                  "events_asof_split", "events_sliding",

@@ -88,6 +88,71 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# incremental (ingest-batch) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(new_docs: ray.data.Dataset,
+                            corpus: ray.data.Dataset) -> ray.data.Dataset:
+    """Continuous-ingest dedup: the surviving rows of a NEW batch
+    against an EXISTING corpus — drop every new row whose sha already
+    exists in the corpus (big-big anti join on the sha; only (sha, id)
+    pairs shuffle, text never leaves its block), then in-batch dedup
+    keeps the min doc_id per remaining sha.  Output (text_sha, doc_id).
+
+    At 100 TB the corpus side is the already-deduped sha catalog (one
+    64-char row per unique doc), re-read per ingest batch — never the
+    corpus text."""
+    from .joins import hash_join
+    new_sha = new_docs.map_batches(_sha_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    corpus_sha = corpus.map_batches(_sha_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    fresh = hash_join(new_sha, corpus_sha, left_on="text_sha",
+                      right_on="text_sha", left_cols=["doc_id"],
+                      right_cols=[], how="left anti")
+    return fresh.groupby("__key").min("doc_id") \
+        .rename_columns({"__key": "text_sha", "min(doc_id)": "doc_id"})
+
+
+def planted_new_batch(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic ingest batch derived from the corpus: every 5th
+    doc is a VERBATIM copy (must be dropped by the corpus anti join),
+    the rest get a ' v2' suffix (fresh content — survives, modulo
+    in-batch duplicate classes inherited from duplicate originals)."""
+    import pyarrow.compute as pc
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        is_copy = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5)), 0)
+        text = batch.column("text")
+        v2 = pc.binary_join_element_wise(text, "v2", " ")
+        return pa.Table.from_pydict({
+            "doc_id": pc.add(pc.cast(ids, pa.int64()), 1_000_000),
+            "text": pc.if_else(is_copy, text, v2),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+INCREMENTAL_SQL = """
+WITH newb AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' v2' END AS text
+  FROM documents
+),
+nh AS (SELECT doc_id, sha256(text) AS h FROM newb),
+ch AS (SELECT DISTINCT sha256(text) AS h FROM documents)
+SELECT sha256(n.text) AS text_sha, min(n.doc_id)::BIGINT AS doc_id
+FROM newb n
+WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = sha256(n.text))
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
 

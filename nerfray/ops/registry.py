@@ -63,6 +63,14 @@ def q_dedup_survivors_planted(sf_dir: str):
         dedup.planted_neardup_docs(_docs(sf_dir)), threshold=0.5)
 
 
+def q_dedup_incremental(sf_dir: str):
+    # continuous-ingest dedup: a planted new batch (1 in 5 rows a
+    # verbatim corpus copy) anti-joined against the corpus shas
+    from . import dedup
+    return dedup.incremental_exact_dedup(
+        dedup.planted_new_batch(_docs(sf_dir)), _docs(sf_dir))
+
+
 def q_docs_top_quality(sf_dir: str):
     from . import text
     return text.top_quality(_docs(sf_dir), k=20)
@@ -272,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_drops": q_dedup_minhash_drops,
         "dedup_simhash_drops": q_dedup_simhash_drops,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_survivors_planted": q_dedup_survivors_planted,
         "docs_top_quality": q_docs_top_quality,
         "docs_top_words": q_docs_top_words,
@@ -519,7 +528,8 @@ def _search_sql(name: str) -> str:
 
 
 def oracles() -> dict[str, str]:
-    from .dedup import MINHASH_PLANTED_SQL, MINHASH_SURVIVORS_PLANTED_SQL
+    from .dedup import (INCREMENTAL_SQL, MINHASH_PLANTED_SQL,
+                        MINHASH_SURVIVORS_PLANTED_SQL)
     from .sampling import CHUNKS_SQL, SPLITS_SQL, STRATIFIED_SQL
     from .similarity import EMBEDDING_PLANTED_SQL, TOPK_PLANTED_SQL
     from .text import PII_PLANTED_SQL, TOP_QUALITY_SQL, TOP_WORDS_SQL
@@ -532,6 +542,7 @@ def oracles() -> dict[str, str]:
         "docs_stratified": STRATIFIED_SQL,
         "docs_chunks": CHUNKS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_incremental": INCREMENTAL_SQL,
         "dedup_minhash_planted": MINHASH_PLANTED_SQL,
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
         "sim_lsh_planted": TOPK_PLANTED_SQL,

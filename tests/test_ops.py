@@ -615,3 +615,25 @@ def test_inverted_index_postings_sorted_and_complete(ray_session):
     want = {"a": [0, 1], "b": [0, 2], "c": [0, 1, 3], "d": [2]}
     assert {w: list(p) for w, p in got.items()} == want
     assert all(r["df"] == len(r["postings"]) for r in rows)
+
+
+def test_incremental_dedup_edges(ray_session):
+    """New-batch survivors: corpus-verbatim rows drop, in-batch dup
+    classes keep min doc_id, fresh rows survive — including a corpus
+    whose own duplicates mean two new ' v2' rows share a sha."""
+    import ray.data
+    corpus_texts = ["aaa bbb", "ccc ddd", "aaa bbb", "eee"]
+    corpus = ray.data.from_arrow(_docs_table(corpus_texts))
+    new = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array([100, 101, 102, 103, 104], pa.int64()),
+        "text": pa.array([
+            "ccc ddd",    # verbatim corpus copy -> dropped
+            "fresh one",  # unique -> kept
+            "fresh two",  # in-batch dup class with 103 -> kept (min id)
+            "fresh two",  # -> dropped in favor of 102
+            "aaa bbb",    # copy of a corpus DUP class -> dropped
+        ], pa.string())}))
+    from nerfray.ops import dedup as ddp
+    rows = ddp.incremental_exact_dedup(new, corpus).take_all()
+    assert sorted(r["doc_id"] for r in rows) == [101, 102]
+    assert all(len(r["text_sha"]) == 64 for r in rows)
