@@ -100,6 +100,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     for name in ("kg_nodes", "kg_components", "kg_components_repo",
                  "kg_pagerank", "kg_pagerank_planted", "dedup_exact",
                  "dedup_minhash", "dedup_simhash_pairs", "dedup_incremental",
+                 "bloom_corpus",
                  "dedup_minhash_drops", "sim_topk", "text_stats",
                  "events_sessionize", "events_sessionize_split",
                  "events_asof_split", "events_sliding",

@@ -1,0 +1,191 @@
+"""Distributed Bloom filter over document content — the 100-TB dedup
+PRE-FILTER: a fixed-size bit array (m bits, k sha-derived positions
+per doc) that answers "definitely new" / "maybe seen" without touching
+the corpus.  An ingest pipeline probes the filter first and only
+anti-joins the "maybe" rows against the sha catalog, so the join's
+shuffle shrinks from every new row to the (tiny) maybe set.
+
+Shape: per-block partials OR their positions into <= m/64 packed
+uint64 words, the ONLY shuffle moves (word_idx, bits) integer rows,
+and a word-grain co-group ORs the partials.  The finished filter is
+m/8 bytes (8 KiB at the default 2^16 bits) — broadcast whole to the
+probe stage via fn_kwargs, never rebuilt per batch.
+
+Oracle design (the repo's sha-mirror pattern, cf. ``ops/sketch.py``):
+positions are 8-hex-char slices of sha256(text) mod m, so BOTH the
+packed register table and every probe verdict are exactly recomputable
+in DuckDB (HUGEINT bit_or, mapped to signed int64 two's complement to
+match numpy's uint64 view).  At extreme scale swap sha256 for a cheap
+64-bit mixer (same structure, no SQL mirror).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+M_BITS = 1 << 16           # 8 KiB filter; ~0.5% FP at 5k docs, k=4
+K_HASHES = 4
+N_WORDS = M_BITS // 64
+
+
+def _positions(texts: list[str]) -> np.ndarray:
+    """(n, k) uint64 bit positions: 8-hex-char sha slices mod m."""
+    out = np.empty((len(texts), K_HASHES), np.uint64)
+    for i, t in enumerate(texts):
+        h = hashlib.sha256(t.encode()).hexdigest()
+        for j in range(K_HASHES):
+            out[i, j] = int(h[8 * j: 8 * j + 8], 16) % M_BITS
+    return out
+
+
+def _word_partial(batch: pa.Table) -> pa.Table:
+    """Per-block packed words: every position in the block ORed into
+    its word — at most min(k*rows, m/64) rows leave the block."""
+    texts = batch.column("text").to_pylist()
+    if not texts:
+        return pa.Table.from_pydict({
+            "word_idx": pa.array([], pa.int64()),
+            "bits": pa.array([], pa.int64()),
+            "hb": pa.array([], pa.int32())})
+    p = np.unique(_positions(texts).ravel())
+    w = (p >> np.uint64(6)).astype(np.int64)
+    b = np.uint64(1) << (p & np.uint64(63))
+    starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+    bits = np.bitwise_or.reduceat(b, starts)
+    wi = w[starts]
+    return pa.Table.from_pydict({
+        "word_idx": pa.array(wi, pa.int64()),
+        "bits": pa.array(bits.view(np.int64), pa.int64()),
+        "hb": pa.array((wi & 15).astype(np.int32), pa.int32())})
+
+
+def _or_group(group: pa.Table) -> pa.Table:
+    out_schema = pa.schema([("word_idx", pa.int64()),
+                            ("bits", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    w = group.column("word_idx").to_numpy(zero_copy_only=False)
+    b = group.column("bits").to_numpy(zero_copy_only=False) \
+        .astype(np.int64).view(np.uint64)
+    order = np.argsort(w, kind="stable")
+    w_s, b_s = w[order], b[order]
+    starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+    merged = np.bitwise_or.reduceat(b_s, starts)
+    return pa.Table.from_pydict({
+        "word_idx": pa.array(w_s[starts], pa.int64()),
+        "bits": pa.array(merged.view(np.int64), pa.int64()),
+    }, schema=out_schema)
+
+
+def build_bloom(corpus: ray.data.Dataset) -> ray.data.Dataset:
+    """(word_idx, bits): the packed filter as a Dataset — only words
+    with at least one set bit appear."""
+    return corpus.select_columns(["text"]) \
+        .map_batches(_word_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(_or_group, batch_format="pyarrow")
+
+
+def bloom_array(corpus: ray.data.Dataset) -> np.ndarray:
+    """Dense m/64-word uint64 array (the broadcastable 8 KiB filter).
+    The take_all is bounded by m/64 rows REGARDLESS of corpus size —
+    the aggregate-to-small pattern, not a data-sized materialize."""
+    dense = np.zeros(N_WORDS, np.uint64)
+    for r in build_bloom(corpus).take_all():
+        dense[r["word_idx"]] = np.uint64(np.int64(r["bits"]))
+    return dense
+
+
+def probe_bloom(new_docs: ray.data.Dataset,
+                filt: np.ndarray) -> ray.data.Dataset:
+    """(doc_id, hit): hit=1 iff ALL k positions are set — 'maybe in
+    corpus'. hit=0 is a certainty (no false negatives)."""
+
+    def _probe(batch: pa.Table, *, filt: np.ndarray) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        if not texts:
+            return pa.Table.from_pydict({
+                "doc_id": pa.array([], pa.int64()),
+                "hit": pa.array([], pa.int64())})
+        p = _positions(texts)
+        w = (p >> np.uint64(6)).astype(np.int64)
+        b = p & np.uint64(63)
+        set_ = (filt[w] >> b) & np.uint64(1)
+        hit = set_.all(axis=1).astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "hit": pa.array(hit, pa.int64())})
+
+    return new_docs.select_columns(["doc_id", "text"]).map_batches(
+        _probe, fn_kwargs={"filt": filt}, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# query surface + SQL mirrors
+# ---------------------------------------------------------------------------
+
+
+def corpus_bloom_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return build_bloom(docs)
+
+
+def bloom_probe_query(sf_dir: str) -> ray.data.Dataset:
+    """The planted ingest batch (dedup.planted_new_batch) probed
+    against the corpus filter: every verbatim copy MUST hit; fresh
+    rows hit only on (SQL-predictable) false positives."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+
+    from .dedup import planted_new_batch
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return probe_bloom(planted_new_batch(docs), bloom_array(docs))
+
+
+_POS = (f"('0x' || substr(sha256(text), 1 + 8 * i, 8))::UBIGINT "
+        f"% {M_BITS}")
+_SERIES = f"unnest(generate_series(0, {K_HASHES - 1})) AS t(i)"
+
+BLOOM_TABLE_SQL = f"""
+WITH pos AS (
+  SELECT DISTINCT {_POS} AS p FROM documents, {_SERIES}
+),
+words AS (
+  SELECT (p // 64)::BIGINT AS word_idx,
+         bit_or(1::HUGEINT << (p % 64)::INTEGER) AS v
+  FROM pos GROUP BY 1
+)
+SELECT word_idx,
+       (CASE WHEN v >= 9223372036854775808
+             THEN v - 18446744073709551616 ELSE v END)::BIGINT AS bits
+FROM words ORDER BY word_idx
+"""
+
+BLOOM_PROBE_SQL = f"""
+WITH corpus_pos AS (
+  SELECT DISTINCT {_POS} AS p FROM documents, {_SERIES}
+),
+newb AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' v2' END AS text
+  FROM documents
+),
+new_pos AS (
+  SELECT doc_id, {_POS} AS p FROM newb, {_SERIES}
+)
+SELECT n.doc_id,
+       min(CASE WHEN c.p IS NULL THEN 0 ELSE 1 END)::BIGINT AS hit
+FROM new_pos n LEFT JOIN corpus_pos c ON c.p = n.p
+GROUP BY n.doc_id ORDER BY n.doc_id
+"""

@@ -71,6 +71,16 @@ def q_dedup_incremental(sf_dir: str):
         dedup.planted_new_batch(_docs(sf_dir)), _docs(sf_dir))
 
 
+def q_bloom_corpus(sf_dir: str):
+    from . import bloom
+    return bloom.corpus_bloom_query(sf_dir)
+
+
+def q_bloom_probe(sf_dir: str):
+    from . import bloom
+    return bloom.bloom_probe_query(sf_dir)
+
+
 def q_docs_top_quality(sf_dir: str):
     from . import text
     return text.top_quality(_docs(sf_dir), k=20)
@@ -281,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_drops": q_dedup_simhash_drops,
         "dedup_survivors": q_dedup_survivors,
         "dedup_incremental": q_dedup_incremental,
+        "bloom_corpus": q_bloom_corpus,
+        "bloom_probe": q_bloom_probe,
         "dedup_survivors_planted": q_dedup_survivors_planted,
         "docs_top_quality": q_docs_top_quality,
         "docs_top_words": q_docs_top_words,
@@ -527,6 +539,11 @@ def _search_sql(name: str) -> str:
     return getattr(search, name)
 
 
+def _bloom_sql(name: str) -> str:
+    from . import bloom
+    return getattr(bloom, name)
+
+
 def oracles() -> dict[str, str]:
     from .dedup import (INCREMENTAL_SQL, MINHASH_PLANTED_SQL,
                         MINHASH_SURVIVORS_PLANTED_SQL)
@@ -543,6 +560,8 @@ def oracles() -> dict[str, str]:
         "docs_chunks": CHUNKS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_incremental": INCREMENTAL_SQL,
+        "bloom_corpus": _bloom_sql("BLOOM_TABLE_SQL"),
+        "bloom_probe": _bloom_sql("BLOOM_PROBE_SQL"),
         "dedup_minhash_planted": MINHASH_PLANTED_SQL,
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
         "sim_lsh_planted": TOPK_PLANTED_SQL,

@@ -637,3 +637,58 @@ def test_incremental_dedup_edges(ray_session):
     rows = ddp.incremental_exact_dedup(new, corpus).take_all()
     assert sorted(r["doc_id"] for r in rows) == [101, 102]
     assert all(len(r["text_sha"]) == 64 for r in rows)
+
+
+def test_bloom_no_false_negatives_and_fp_bound(ray_session, planted_docs):
+    """Every text actually in the corpus must probe hit=1 (bloom
+    guarantee); fresh texts may false-positive but below a loose bound
+    at this fill factor."""
+    import ray.data
+    from nerfray.ops import bloom as bl
+    docs, texts = planted_docs
+    filt = bl.bloom_array(docs)
+    # probe the corpus against itself: all hits
+    self_probe = bl.probe_bloom(docs, filt).take_all()
+    assert all(r["hit"] == 1 for r in self_probe)
+    fresh = ray.data.from_arrow(_docs_table(
+        [f"totally novel text number {i} qq{i * 13}" for i in range(200)]))
+    fp = sum(r["hit"] for r in bl.probe_bloom(fresh, filt).take_all())
+    assert fp <= 10  # ~33*4 bits set in 65536 -> FP ~ (0.002)^4 ~ 0
+
+
+def test_bloom_prefilter_composes_with_incremental_dedup(ray_session,
+                                                         planted_docs):
+    """The 100-TB ingest shape: probe first, anti-join ONLY the maybe
+    rows — survivors must equal running the anti-join on everything,
+    plus the certain-new rows."""
+    import ray.data
+    from nerfray.ops import bloom as bl
+    from nerfray.ops import dedup as ddp
+    corpus, texts = planted_docs
+    new = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(100, 110), pa.int64()),
+        "text": pa.array([texts[2], texts[4], "brand new alpha",
+                          "brand new beta", texts[9], "brand new gamma",
+                          "brand new gamma", texts[0], "brand new delta",
+                          "brand new epsilon"], pa.string())}))
+    plain = sorted((r["text_sha"], r["doc_id"])
+                   for r in ddp.incremental_exact_dedup(new, corpus)
+                   .take_all())
+
+    filt = bl.bloom_array(corpus)
+    probed = bl.probe_bloom(new, filt).materialize()
+    hit_ids = {r["doc_id"] for r in probed.take_all() if r["hit"] == 1}
+    maybe = new.filter(lambda r: r["doc_id"] in hit_ids)
+    certain = new.filter(lambda r: r["doc_id"] not in hit_ids)
+    # maybe rows need the corpus anti-join; certain rows only in-batch
+    # dedup (min id per sha) — union the two survivor sets
+    surv_maybe = ddp.incremental_exact_dedup(maybe, corpus)
+    certain_sha = certain.map_batches(ddp._sha_batch,
+                                      batch_format="pyarrow")
+    surv_certain = certain_sha.groupby("text_sha").min("doc_id") \
+        .rename_columns({"min(doc_id)": "doc_id"})
+    composed = sorted((r["text_sha"], r["doc_id"])
+                      for r in surv_maybe.union(surv_certain).take_all())
+    # NB: a sha could appear in both maybe and certain only via a bloom
+    # false negative (impossible) — identical texts share positions
+    assert composed == plain
