@@ -110,7 +110,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "join_priority_shipped", "join_skew_salted",
                  "sketch_hll_custkeys",
                  "customer_price_quantiles", "distinct_custkeys_by_status",
-                 "top_orders_per_status", "docs_top_words",
+                 "top_orders_per_status", "docs_top_words", "docs_cooccur",
                  "graph_triangles_planted", "docs_pii_redacted"):
         t0 = time.time()
         try:

@@ -287,6 +287,95 @@ def top_words(docs: ray.data.Dataset, *, k: int = 20) -> ray.data.Dataset:
         .groupby("g").map_groups(_final, batch_format="pyarrow")
 
 
+def word_cooccur_topk(docs: ray.data.Dataset, *, vocab_k: int = 20,
+                      k: int = 20) -> ray.data.Dataset:
+    """(rank, w1, w2, n_docs): the k most document-co-frequent word
+    PAIRS, restricted to the top-``vocab_k`` words by DF (the bounded
+    vocabulary keeps the quadratic pair space at vocab_k^2 regardless
+    of corpus size — unrestricted co-occurrence is quadratic in
+    per-doc distinct words and does not scale).
+
+    Two-phase: the bounded top-words pass (existing combiner machinery)
+    fixes the vocabulary, which broadcasts to a per-block combiner
+    computing B^T B of the block's doc x vocab incidence matrix — one
+    matmul per block, pairs never per-doc materialized; the shuffle
+    carries <= vocab_k^2/2 rows per block and a final tiny groupby
+    sums."""
+    vocab = sorted(r["word"]
+                   for r in top_words(docs, k=vocab_k).take_all())
+    widx = {w: i for i, w in enumerate(vocab)}
+    v = len(vocab)
+    iu, ju = np.triu_indices(v, k=1)
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("n", pa.int64())])
+        texts = batch.column("text").to_pylist()
+        if not texts:
+            return out_schema.empty_table()
+        b = np.zeros((len(texts), v), np.int64)
+        for i, t in enumerate(texts):
+            for w in set(t.split(" ")):
+                j = widx.get(w)
+                if j is not None:
+                    b[i, j] = 1
+        p = (b.T @ b)[iu, ju]
+        nz = p > 0
+        return pa.Table.from_pydict({
+            "w1": pa.array(np.asarray(vocab, object)[iu[nz]], pa.string()),
+            "w2": pa.array(np.asarray(vocab, object)[ju[nz]], pa.string()),
+            "n": pa.array(p[nz], pa.int64()),
+        }, schema=out_schema)
+
+    def _final(group: pa.Table) -> pa.Table:
+        w1 = np.asarray(group.column("w1").to_pylist(), dtype=object)
+        w2 = np.asarray(group.column("w2").to_pylist(), dtype=object)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -n))[:k]
+        return pa.Table.from_pydict({
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "w1": pa.array(w1[order], pa.string()),
+            "w2": pa.array(w2[order], pa.string()),
+            "n_docs": pa.array(n[order], pa.int64()),
+        })
+
+    def _one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, np.int32), pa.int32()))
+
+    # global pair counts are <= vocab_k^2/2 rows — the final single
+    # group is bounded by construction, not by corpus size
+    return docs.select_columns(["text"]) \
+        .map_batches(_pair_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["w1", "w2"]).sum("n").rename_columns({"sum(n)": "n"}) \
+        .map_batches(_one, batch_format="pyarrow") \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+COOCCUR_SQL = """
+WITH wd AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents
+),
+df AS (SELECT word, count(*) AS df FROM wd GROUP BY word),
+v AS (SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY df DESC, word) AS rn
+        FROM df) WHERE rn <= 20),
+wv AS (SELECT doc_id, word FROM wd WHERE word IN (SELECT word FROM v)),
+pairs AS (
+  SELECT a.word AS w1, b.word AS w2, count(*) AS n_docs
+  FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2
+),
+r AS (SELECT w1, w2, n_docs,
+             row_number() OVER (ORDER BY n_docs DESC, w1, w2) AS rank
+      FROM pairs)
+SELECT rank::BIGINT AS rank, w1, w2, n_docs::BIGINT AS n_docs
+FROM r WHERE rank <= 20 ORDER BY rank
+"""
+
+
 TOP_WORDS_SQL = """
 WITH wd AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word

@@ -692,3 +692,28 @@ def test_bloom_prefilter_composes_with_incremental_dedup(ray_session,
     # NB: a sha could appear in both maybe and certain only via a bloom
     # false negative (impossible) — identical texts share positions
     assert composed == plain
+
+
+def test_cooccur_matches_brute_force(ray_session):
+    """Pair counts equal a brute-force O(n * v^2) recount, including
+    the (n_docs desc, w1, w2) tie order; vocab restriction honored."""
+    import itertools
+    import ray.data
+    texts = ["a b c", "a b", "b c d", "a c", "a b c d e",
+             "e f", "a b", "c d e"]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(3)
+    from nerfray.ops import text as txt
+    rows = txt.word_cooccur_topk(docs, vocab_k=4, k=50).take_all()
+    # brute force over the top-4 words by (df desc, word asc)
+    from collections import Counter
+    df = Counter(w for t in texts for w in set(t.split(" ")))
+    vocab = sorted(df, key=lambda w: (-df[w], w))[:4]
+    cnt = Counter()
+    for t in texts:
+        ws = sorted(set(t.split(" ")) & set(vocab))
+        for w1, w2 in itertools.combinations(ws, 2):
+            cnt[(w1, w2)] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [((r["w1"], r["w2"]), r["n_docs"])
+           for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == want
