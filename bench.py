@@ -111,6 +111,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "sketch_hll_custkeys",
                  "customer_price_quantiles", "distinct_custkeys_by_status",
                  "top_orders_per_status", "docs_top_words", "docs_cooccur",
+                 "docs_bigrams",
                  "graph_triangles_planted", "docs_pii_redacted"):
         t0 = time.time()
         try:

@@ -353,6 +353,87 @@ def word_cooccur_topk(docs: ray.data.Dataset, *, vocab_k: int = 20,
         .groupby("g").map_groups(_final, batch_format="pyarrow")
 
 
+def bigram_topk(docs: ray.data.Dataset, *, k: int = 20) -> ray.data.Dataset:
+    """(rank, w1, w2, n): the k most frequent ADJACENT token pairs —
+    the n-gram LM count table's head. Per-block combiner counts the
+    block's bigrams vectorized (one split + one np.unique over the
+    block's (w1, w2) code pairs), so the shuffle carries distinct
+    bigrams per block, never token-grain rows; bounded local top-k
+    then a single merge, same shape as top_words."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("n", pa.int64())])
+        texts = batch.column("text").to_pylist()
+        toks: list = []
+        lens: list = []
+        for t in texts:
+            ws = t.split(" ")
+            toks.extend(ws)
+            lens.append(len(ws))
+        if not toks:
+            return out_schema.empty_table()
+        arr = np.asarray(toks, dtype=object)
+        codes, inv = np.unique(arr, return_inverse=True)
+        ends = np.cumsum(lens)
+        # adjacent positions, masking the seams between documents
+        a, b = inv[:-1], inv[1:]
+        seam = np.zeros(len(inv) - 1, bool)
+        seam[ends[:-1] - 1] = True
+        a, b = a[~seam], b[~seam]
+        pair = a.astype(np.int64) * len(codes) + b
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.Table.from_pydict({
+            "w1": pa.array(codes[uniq // len(codes)], pa.string()),
+            "w2": pa.array(codes[uniq % len(codes)], pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        }, schema=out_schema)
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        w1 = np.asarray(batch.column("w1").to_pylist(), dtype=object)
+        w2 = np.asarray(batch.column("w2").to_pylist(), dtype=object)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -n))[:k]
+        return pa.Table.from_pydict({
+            "w1": pa.array(w1[order], pa.string()),
+            "w2": pa.array(w2[order], pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+            "g": pa.array(np.zeros(len(order), np.int32), pa.int32())})
+
+    def _final(group: pa.Table) -> pa.Table:
+        w1 = np.asarray(group.column("w1").to_pylist(), dtype=object)
+        w2 = np.asarray(group.column("w2").to_pylist(), dtype=object)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -n))[:k]
+        return pa.Table.from_pydict({
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "w1": pa.array(w1[order], pa.string()),
+            "w2": pa.array(w2[order], pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+        })
+
+    return docs.select_columns(["text"]) \
+        .map_batches(_partials, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["w1", "w2"]).sum("n").rename_columns({"sum(n)": "n"}) \
+        .map_batches(_local_topk, batch_format="pyarrow") \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+BIGRAM_SQL = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM s, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+r AS (SELECT w1, w2, n, row_number() OVER (ORDER BY n DESC, w1, w2) AS rank
+      FROM c)
+SELECT rank::BIGINT AS rank, w1, w2, n::BIGINT AS n
+FROM r WHERE rank <= 20 ORDER BY rank
+"""
+
+
 COOCCUR_SQL = """
 WITH wd AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word

@@ -717,3 +717,25 @@ def test_cooccur_matches_brute_force(ray_session):
     got = [((r["w1"], r["w2"]), r["n_docs"])
            for r in sorted(rows, key=lambda r: r["rank"])]
     assert got == want
+
+
+def test_bigram_topk_seams_and_ties(ray_session):
+    """Bigram counts must not cross document boundaries, and the
+    (n desc, w1, w2) tie order must match brute force."""
+    import ray.data
+    from collections import Counter
+    texts = ["a b c a b", "b a", "c", "", "a b"]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(2)
+    from nerfray.ops import text as txt
+    rows = txt.bigram_topk(docs, k=50).take_all()
+    cnt = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            cnt[(ws[i], ws[i + 1])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [((r["w1"], r["w2"]), r["n"])
+           for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == want
+    # the seam between "a b c a b" and "b a" must NOT count ("b","b")
+    assert ("b", "b") not in cnt
