@@ -109,7 +109,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "join_orders_lineitem",
                  "join_priority_shipped", "join_skew_salted",
                  "sketch_hll_custkeys",
-                 "customer_price_quantiles", "distinct_custkeys_by_status",
+                 "customer_price_quantiles", "events_value_quantiles",
+                 "distinct_custkeys_by_status",
                  "top_orders_per_status", "docs_top_words", "docs_cooccur",
                  "docs_bigrams",
                  "graph_triangles_planted", "docs_pii_redacted"):

@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_shipped": joins.priority_shipped_counts,
         "join_skew_salted": joins.skew_salted_rollup,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
+        "events_value_quantiles": sketch.events_value_quantiles,
+        "events_value_quantiles_lossless":
+            sketch.events_value_quantiles_lossless,
         "customer_price_quantiles": relational.customer_price_quantiles,
         "distinct_custkeys_by_status":
             relational.distinct_custkeys_by_status,

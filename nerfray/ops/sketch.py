@@ -101,6 +101,151 @@ def hll_distinct(ds: ray.data.Dataset, column: str) -> float:
 
 
 # ---------------------------------------------------------------------------
+# mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+#
+# The beyond-one-bucket companion to ops/relational.py's EXACT grouped
+# quantiles (which co-locate each group's values in one task): every
+# block compresses its sorted values to <= s weighted points (chunk
+# max, chunk weight), summaries merge associatively, and the rank
+# error of any answer is bounded by sum over blocks of ceil(n_b/s) —
+# <= n/s + n_blocks, regardless of how large a group grows.  s rows
+# per (block, group) is ALL that ever shuffles.
+
+Q_SUMMARY_S = 256
+
+
+def _summary_partial(batch: pa.Table, *, column: str,
+                     group: str | None, s: int) -> pa.Table:
+    gt = (batch.schema.field(group).type if group else pa.int64())
+    out_fields = ([pa.field("g", gt)] if group else []) + [
+        pa.field("v", pa.float64()), pa.field("w", pa.int64())]
+    out_schema = pa.schema(out_fields)
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    v = batch.column(column).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    if group:
+        g = batch.column(group).to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g_s, v_s = g[order], v[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        ends = np.r_[starts[1:], len(v_s)]
+    else:
+        v_s = np.sort(v)
+        g_s = None
+        starts, ends = np.array([0]), np.array([len(v_s)])
+    out_g: list = []
+    out_v: list = []
+    out_w: list = []
+    for st, en in zip(starts, ends):
+        n = en - st
+        n_chunks = min(s, n)
+        bounds = st + np.ceil(np.arange(1, n_chunks + 1)
+                              * (n / n_chunks)).astype(np.int64)
+        prev = np.r_[st, bounds[:-1]]
+        out_v.append(v_s[bounds - 1])          # chunk max
+        out_w.append(bounds - prev)            # chunk weight
+        if group:
+            out_g.append(np.repeat(g_s[st], n_chunks))
+    cols = {}
+    if group:
+        cols["g"] = pa.array(np.concatenate(out_g), gt)
+    cols["v"] = pa.array(np.concatenate(out_v), pa.float64())
+    cols["w"] = pa.array(np.concatenate(out_w), pa.int64())
+    return pa.Table.from_pydict(cols, schema=out_schema)
+
+
+def _merge_quantiles(group: pa.Table, *, qs: tuple[float, ...],
+                     grouped: bool) -> pa.Table:
+    gt = group.schema.field("g").type if grouped else pa.int64()
+    out_fields = ([pa.field("g", gt)] if grouped else []) + [
+        pa.field("q", pa.float64()), pa.field("value", pa.float64())]
+    out_schema = pa.schema(out_fields)
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    v = group.column("v").to_numpy(zero_copy_only=False)
+    w = group.column("w").to_numpy(zero_copy_only=False)
+    if grouped:
+        g = group.column("g").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g_s, v_s, w_s = g[order], v[order], w[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+    else:
+        order = np.argsort(v, kind="stable")
+        v_s, w_s = v[order], w[order]
+        g_s = np.zeros(len(v_s), np.int64)
+        starts = np.array([0])
+    ends = np.r_[starts[1:], len(v_s)]
+    run = np.cumsum(np.r_[False, g_s[1:] != g_s[:-1]] if grouped
+                    else np.zeros(len(v_s), bool))
+    cum = np.cumsum(w_s)
+    base = np.r_[0, cum[ends[:-1] - 1]]
+    cum_in = cum - base[run]
+    tot = cum_in[ends - 1]
+    og, oq, ov = [], [], []
+    idx = np.arange(len(v_s))
+    for q in qs:
+        target = np.ceil(q * tot).clip(min=1)
+        hit = cum_in >= target[run]
+        first = np.minimum.reduceat(np.where(hit, idx, len(v_s)), starts)
+        og.append(g_s[starts])
+        oq.append(np.full(len(starts), q))
+        ov.append(v_s[first])
+    cols = {}
+    if grouped:
+        cols["g"] = pa.array(np.concatenate(og), gt)
+    cols["q"] = pa.array(np.concatenate(oq), pa.float64())
+    cols["value"] = pa.array(np.concatenate(ov), pa.float64())
+    return pa.Table.from_pydict(cols, schema=out_schema)
+
+
+def approx_quantiles(ds: ray.data.Dataset, column: str, *,
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     group: str | None = None,
+                     s: int = Q_SUMMARY_S) -> ray.data.Dataset:
+    """(group?, q, value) with rank error <= n/s + n_blocks per group;
+    percentile_disc-style (value is an actual data point, first one
+    whose cumulative weight reaches ceil(q*n)).  When every (block,
+    group) run has <= s rows the summaries are LOSSLESS chunks of one
+    and the answer equals exact percentile_disc."""
+    cols = [column] + ([group] if group else [])
+    partials = ds.select_columns(cols).map_batches(
+        _summary_partial,
+        fn_kwargs={"column": column, "group": group, "s": s},
+        batch_format="pyarrow", zero_copy_batch=True)
+    if group:
+        import pyarrow.compute as pc
+
+        def _kb(batch: pa.Table) -> pa.Table:
+            if pa.types.is_integer(batch.schema.field("g").type):
+                hb = pc.cast(pc.bit_wise_and(batch.column("g"), 63),
+                             pa.int32())
+            else:
+                import pandas as pd
+                arr = np.asarray(batch.column("g").to_pylist(),
+                                 dtype=object)
+                hb = pa.array((pd.util.hash_array(arr) % 64)
+                              .astype(np.int32), pa.int32())
+            return batch.append_column("hb", hb)
+
+        merged = partials.map_batches(_kb, batch_format="pyarrow") \
+            .groupby("hb").map_groups(
+            _merge_quantiles, fn_kwargs={"qs": qs, "grouped": True},
+            batch_format="pyarrow")
+        return merged.rename_columns({"g": group})
+
+    def _one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "hb", pa.array(np.zeros(batch.num_rows, np.int32), pa.int32()))
+
+    return partials.map_batches(_one, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+        _merge_quantiles, fn_kwargs={"qs": qs, "grouped": False},
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # query surface
 # ---------------------------------------------------------------------------
 
@@ -116,7 +261,47 @@ def custkey_registers_by_status(sf_dir: str) -> ray.data.Dataset:
     return hll_registers(orders, "o_custkey", group="o_orderstatus")
 
 
+DYADIC_QS = (0.25, 0.5, 0.75)
+
+
+def _events(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_type", "value"])
+
+
+def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type approximate value quantiles at the default
+    summary size (rows-only: the compression loss is real; the rank
+    error is bounded by the pytest, not an oracle)."""
+    return approx_quantiles(_events(sf_dir), "value", qs=DYADIC_QS,
+                            group="event_type")
+
+
+def events_value_quantiles_lossless(sf_dir: str) -> ray.data.Dataset:
+    """Same operator with s >= any block size: every chunk is one
+    value, the merge is exact percentile_disc for ANY block structure
+    -> full SQL oracle of the whole summary+merge pipeline (the
+    compression loss is the only thing this cannot see; the error
+    pytest covers it)."""
+    return approx_quantiles(_events(sf_dir), "value", qs=DYADIC_QS,
+                            group="event_type", s=1 << 40)
+
+
+_Q_SEL = "\nUNION ALL\n".join(
+    f"SELECT event_type, {q} AS q, percentile_disc({q}) "
+    f"WITHIN GROUP (ORDER BY value) AS value FROM events GROUP BY 1"
+    for q in DYADIC_QS)
+
+QUANTILES_LOSSLESS_SQL = f"""
+SELECT * FROM ({_Q_SEL}) ORDER BY event_type, q
+"""
+
+
 ORACLES = {
+    "events_value_quantiles_lossless": QUANTILES_LOSSLESS_SQL,
     "sketch_hll_custkeys": f"""
 WITH h AS (
   SELECT o_orderstatus,

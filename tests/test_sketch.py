@@ -59,3 +59,43 @@ def test_block_structure_invariance(ray_session, int_ds):
                for r in sketch.hll_registers(ds.repartition(17), "v")
                .take_all())
     assert a == b and a
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    """The mergeable summary's answer must sit within the documented
+    rank bound (n/s + n_blocks) of the target rank, for every q and
+    group, across different block structures; with s >= n it must be
+    exactly percentile_disc."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import sketch as sk
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = rng.integers(0, 3, n)
+    vals = rng.normal(size=n) * (keys + 1)
+    t = pa.Table.from_pydict({
+        "k": pa.array(keys, pa.int64()),
+        "value": pa.array(vals, pa.float64())})
+    qs = (0.25, 0.5, 0.75)
+    for n_blocks in (4, 16):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        s = 64
+        rows = sk.approx_quantiles(ds, "value", qs=qs, group="k",
+                                   s=s).take_all()
+        assert len(rows) == 9
+        for r in rows:
+            grp = np.sort(vals[keys == r["k"]])
+            ng = len(grp)
+            target = int(np.ceil(r["q"] * ng))
+            # rank of the returned value (it must be a data point)
+            rank = int(np.searchsorted(grp, r["value"], side="right"))
+            assert grp[rank - 1] == r["value"]
+            assert abs(rank - target) <= ng / s + n_blocks, \
+                (r, rank, target)
+        exact = sk.approx_quantiles(ds, "value", qs=qs, group="k",
+                                    s=1 << 40).take_all()
+        for r in exact:
+            grp = np.sort(vals[keys == r["k"]])
+            want = grp[int(np.ceil(r["q"] * len(grp))) - 1]
+            assert r["value"] == want
