@@ -185,6 +185,14 @@ def q_kg_pagerank_planted(sf_dir: str):
                           damping=0.5, iters=20)
 
 
+def q_kg_bfs_planted(sf_dir: str):
+    """Distributed k-hop BFS (frontier hash_join rounds, driver sees
+    only counts) over the deterministic offset graph from seed 0 —
+    FULL SQL oracle by unrolled frontier expansion."""
+    from nerfray.stages import graph
+    return graph.bfs_planted_query(sf_dir)
+
+
 def q_kg_pagerank_dataset_planted(sf_dir: str):
     """The beyond-driver-RAM PageRank path (rank lives as a Dataset,
     iterations are hash_join exchanges) against the same dyadic-exact
@@ -254,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_planted": q_kg_pagerank_planted,
         "kg_pagerank_dataset_planted": q_kg_pagerank_dataset_planted,
+        "kg_bfs_planted": q_kg_bfs_planted,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -263,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray import corpus, entrypoints
     from nerfray.stages import graph
     sql = {
+        "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_pagerank_planted": graph.pagerank_planted_sql(),
         "kg_pagerank_dataset_planted": graph.pagerank_planted_sql(iters=2),
         "corpus_files": corpus.files_sql(),

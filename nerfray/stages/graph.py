@@ -758,3 +758,127 @@ SELECT a.u, count(*)::BIGINT AS n_triangles
 FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v
 GROUP BY a.u ORDER BY a.u
 """
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS (min-hop distance from a seed set)
+# ---------------------------------------------------------------------------
+
+
+def bfs_hops(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
+             max_hops: int = 3) -> ray.data.Dataset:
+    """(node, hop): minimum hop distance from the seed set, bounded at
+    ``max_hops`` — the neighborhood-expansion primitive (impact radius,
+    k-hop subgraph extraction).  Frontier-iterated entirely as
+    Datasets: each round is one hash_join of the frontier against the
+    edge list plus one anti join against the visited set; the driver
+    sees only per-round COUNTS.  Input: directed int64 (u, v) edges;
+    seeds as a (node) Dataset."""
+    import pyarrow.compute as pc
+
+    from nerfray.ops.joins import hash_join
+
+    def _with_hop(ds: ray.data.Dataset, h: int) -> ray.data.Dataset:
+        def _f(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "node": pc.cast(batch.column("node"), pa.int64()),
+                "hop": pa.array(
+                    np.full(batch.num_rows, h, np.int64), pa.int64())})
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    def _nodes_of(ds: ray.data.Dataset, col: str,
+                  old: int) -> ray.data.Dataset:
+        def _p(batch: pa.Table) -> pa.Table:
+            u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+            return pa.Table.from_pydict({
+                "node": pa.array(u, pa.int64()),
+                "old": pa.array(np.full(len(u), old, np.int8), pa.int8()),
+                "hb": pa.array((u & 63).astype(np.int32), pa.int32())})
+        return ds.map_batches(_p, batch_format="pyarrow")
+
+    def _new_only(group: pa.Table) -> pa.Table:
+        """Bucketed set difference + distinct in ONE co-group: emit
+        each node seen as new and never as old (per-round exchange
+        count is the whole BFS cost model — keep it at two)."""
+        out_schema = pa.schema([("node", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        n = group.column("node").to_numpy(zero_copy_only=False)
+        o = group.column("old").to_numpy(zero_copy_only=False)
+        order = np.argsort(n, kind="stable")
+        n_s, o_s = n[order], o[order]
+        starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+        any_old = np.maximum.reduceat(o_s, starts)
+        return pa.Table.from_pydict(
+            {"node": pa.array(n_s[starts][any_old == 0], pa.int64())},
+            schema=out_schema)
+
+    def _global_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+        return _nodes_of(ds, col, 0).groupby("hb") \
+            .map_groups(_new_only, batch_format="pyarrow")
+
+    dist = _with_hop(_global_distinct(seeds, "node"), 0).materialize()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = hash_join(frontier.select_columns(["node"]), edges,
+                            left_on="node", right_on="u",
+                            left_cols=[], right_cols=["v"])
+        new = _nodes_of(reached, "v", 0) \
+            .union(_nodes_of(dist, "node", 1)) \
+            .groupby("hb").map_groups(_new_only, batch_format="pyarrow")
+        new_dist = _with_hop(new, h).materialize()
+        if new_dist.count() == 0:
+            break
+        dist = dist.union(new_dist).materialize()
+        frontier = new_dist
+    return dist
+
+
+def bfs_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """BFS over the deterministic offset graph (edges i -> i+{7,13,20}
+    mod n) from seed node 0, 3 hops — SQL-mirrorable by an unrolled
+    frontier expansion."""
+    import os
+
+    import ray.data as rd
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+    edges = planted_triangle_edges(ids, n)
+
+    import pyarrow.compute as pc
+
+    def _seed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": pc.cast(batch.column("id"), pa.int64())})
+
+    seeds = rd.range(1).map_batches(_seed, batch_format="pyarrow")
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+BFS_PLANTED_SQL = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+e AS (
+  SELECT vec_id AS u, (vec_id + 7) % nn.n AS v FROM embeddings, nn
+  UNION ALL SELECT vec_id, (vec_id + 13) % nn.n FROM embeddings, nn
+  UNION ALL SELECT vec_id, (vec_id + 20) % nn.n FROM embeddings, nn
+),
+h0 AS (SELECT 0::BIGINT AS node),
+h1 AS (SELECT DISTINCT v AS node FROM e
+       WHERE u IN (SELECT node FROM h0)
+         AND v NOT IN (SELECT node FROM h0)),
+h2 AS (SELECT DISTINCT v AS node FROM e
+       WHERE u IN (SELECT node FROM h1)
+         AND v NOT IN (SELECT node FROM h0 UNION SELECT node FROM h1)),
+h3 AS (SELECT DISTINCT v AS node FROM e
+       WHERE u IN (SELECT node FROM h2)
+         AND v NOT IN (SELECT node FROM h0 UNION SELECT node FROM h1
+                       UNION SELECT node FROM h2))
+SELECT node, 0::BIGINT AS hop FROM h0
+UNION ALL SELECT node, 1 FROM h1
+UNION ALL SELECT node, 2 FROM h2
+UNION ALL SELECT node, 3 FROM h3
+ORDER BY node
+"""

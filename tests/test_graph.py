@@ -291,3 +291,34 @@ def test_pagerank_dataset_rank_bit_equals_broadcast(ray_session):
          for r in g.pagerank_dataset_rank(trips, damping=0.5,
                                           iters=2).take_all()}
     assert a == b and len(a) == 64
+
+
+def test_bfs_hops_matches_brute_force(ray_session):
+    """Min-hop distances from a 2-node seed set on a random directed
+    graph equal a driver-side BFS; unreachable nodes absent."""
+    import collections
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import graph as g
+    rng = np.random.default_rng(3)
+    n, m = 60, 150
+    u = rng.integers(0, n, m)
+    v = rng.integers(0, n, m)
+    edges = ray.data.from_arrow(pa.Table.from_pydict({
+        "u": pa.array(u, pa.int64()),
+        "v": pa.array(v, pa.int64())})).repartition(4)
+    seeds = ray.data.from_arrow(pa.Table.from_pydict({
+        "node": pa.array([0, 17], pa.int64())}))
+    got = {r["node"]: r["hop"]
+           for r in g.bfs_hops(edges, seeds, max_hops=4).take_all()}
+    adj = collections.defaultdict(list)
+    for a, b in zip(u, v):
+        adj[a].append(b)
+    want, frontier = {0: 0, 17: 0}, [0, 17]
+    for h in range(1, 5):
+        nxt = {b for a in frontier for b in adj[a] if b not in want}
+        for b in nxt:
+            want[b] = h
+        frontier = sorted(nxt)
+    assert got == want
