@@ -101,6 +101,11 @@ def q_docs_bigrams(sf_dir: str):
     return text.bigram_topk(_docs(sf_dir))
 
 
+def q_docs_salient(sf_dir: str):
+    from . import text
+    return text.salient_terms(_docs(sf_dir))
+
+
 def q_docs_pii_redacted(sf_dir: str):
     # PII scrub with byte-exact redaction oracle: deterministic emails/
     # IPv4s planted from doc_id arithmetic, sha256 of the scrubbed text
@@ -308,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_words": q_docs_top_words,
         "docs_cooccur": q_docs_cooccur,
         "docs_bigrams": q_docs_bigrams,
+        "docs_salient": q_docs_salient,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_planted": q_dedup_embedding_planted,
         "sim_topk": q_sim_topk,
@@ -565,13 +571,14 @@ def oracles() -> dict[str, str]:
     from .sampling import CHUNKS_SQL, SPLITS_SQL, STRATIFIED_SQL
     from .similarity import EMBEDDING_PLANTED_SQL, TOPK_PLANTED_SQL
     from .text import (BIGRAM_SQL, COOCCUR_SQL, PII_PLANTED_SQL,
-                       TOP_QUALITY_SQL, TOP_WORDS_SQL)
+                       SALIENT_SQL, TOP_QUALITY_SQL, TOP_WORDS_SQL)
     sql = {
         "dedup_survivors_planted": MINHASH_SURVIVORS_PLANTED_SQL,
         "docs_top_quality": TOP_QUALITY_SQL,
         "docs_top_words": TOP_WORDS_SQL,
         "docs_cooccur": COOCCUR_SQL,
         "docs_bigrams": BIGRAM_SQL,
+        "docs_salient": SALIENT_SQL,
         "docs_pii_redacted": PII_PLANTED_SQL,
         "docs_splits": SPLITS_SQL,
         "docs_stratified": STRATIFIED_SQL,

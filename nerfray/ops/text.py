@@ -420,6 +420,71 @@ def bigram_topk(docs: ray.data.Dataset, *, k: int = 20) -> ray.data.Dataset:
         .groupby("g").map_groups(_final, batch_format="pyarrow")
 
 
+def salient_terms(docs: ray.data.Dataset, *, k: int = 3) -> ray.data.Dataset:
+    """(doc_id, rank, word, tf): each doc's top-k terms by term
+    frequency, ties by word asc — the integer-only salience surrogate
+    (no float TF-IDF, so the mirror is hash-exact).  Pure map stage:
+    per-doc ranking needs no corpus state, so NOTHING shuffles and the
+    output streams at doc grain."""
+
+    def _top(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("doc_id", pa.int64()), ("rank", pa.int64()),
+            ("word", pa.string()), ("tf", pa.int64())])
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        toks: list = []
+        lens: list = []
+        for t in texts:
+            ws = t.split(" ")
+            toks.extend(ws)
+            lens.append(len(ws))
+        if not toks:
+            return out_schema.empty_table()
+        arr = np.asarray(toks, dtype=object)
+        codes, inv = np.unique(arr, return_inverse=True)
+        doc_of = np.repeat(np.arange(len(texts)), lens)
+        # count (doc, word-code) pairs in one np.unique pass
+        pair = doc_of.astype(np.int64) * len(codes) + inv
+        uniq, tf = np.unique(pair, return_counts=True)
+        d = uniq // len(codes)
+        w = codes[uniq % len(codes)]
+        # rank within doc by (tf desc, word asc); np.unique returns
+        # pairs word-sorted within doc already, so a stable sort on
+        # -tf within doc preserves the word tiebreak
+        order = np.lexsort((w, -tf, d))
+        d_s, w_s, tf_s = d[order], w[order], tf[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        rank = np.arange(len(d_s)) - np.repeat(starts,
+                                               np.diff(np.r_[starts,
+                                                             len(d_s)])) + 1
+        keep = rank <= k
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids_arr[d_s[keep]], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "word": pa.array(w_s[keep], pa.string()),
+            "tf": pa.array(tf_s[keep].astype(np.int64), pa.int64()),
+        }, schema=out_schema)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _top, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SALIENT_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+r AS (SELECT doc_id, word, tf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, word) AS rank
+      FROM tf)
+SELECT doc_id, rank::BIGINT AS rank, word, tf::BIGINT AS tf
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 BIGRAM_SQL = """
 WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 bg AS (

@@ -739,3 +739,15 @@ def test_bigram_topk_seams_and_ties(ray_session):
     assert got == want
     # the seam between "a b c a b" and "b a" must NOT count ("b","b")
     assert ("b", "b") not in cnt
+
+
+def test_salient_terms_ties_and_empty(ray_session):
+    import ray.data
+    from nerfray.ops import text as txt
+    texts = ["b b a a c", "x", ""]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(2)
+    rows = sorted(((r["doc_id"], r["rank"], r["word"], r["tf"])
+                   for r in txt.salient_terms(docs).take_all()))
+    # doc 0: tf ties a==b==2 -> word asc; doc 2: "" splits to [''] tf 1
+    assert rows == [(0, 1, "a", 2), (0, 2, "b", 2), (0, 3, "c", 1),
+                    (1, 1, "x", 1), (2, 1, "", 1)]
