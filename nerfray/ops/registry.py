@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
         "orders_by_status": relational.orders_by_status,
+        "orders_rollup_cube": relational.orders_rollup_cube,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,
         "part_type_sizes": relational.part_type_sizes,

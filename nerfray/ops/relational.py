@@ -34,6 +34,50 @@ def orders_by_status(sf_dir: str) -> ray.data.Dataset:
                                           alias_name="max_price"))
 
 
+def orders_rollup_cube(sf_dir: str) -> ray.data.Dataset:
+    """ROLLUP(status, priority): counts + exact integer price sums at
+    (status, priority), (status) and () grains — the OLAP hierarchy in
+    ONE data-sized shuffle: the base (status, priority) aggregate, from
+    which the coarser levels are re-aggregated (tens of rows, free).
+    'ALL' marks a rolled-up dimension (sentinel instead of NULL so the
+    oracle compare is null-free)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "status": batch.column("o_orderstatus"),
+            "priority": batch.column("o_orderpriority"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), 100)), pa.int64()),
+        })
+
+    agg = ds.map_batches(_cast, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["status", "priority"]).aggregate(
+            ray.data.aggregate.Count(alias_name="n_orders"),
+            ray.data.aggregate.Sum("cents", alias_name="sum_cents"))
+    base = pa.concat_tables(
+        t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows)
+
+    def _roll(tbl: pa.Table, col: str) -> pa.Table:
+        marked = tbl.set_column(
+            tbl.column_names.index(col), col,
+            pa.array(["ALL"] * tbl.num_rows, pa.string()))
+        out = marked.group_by(["status", "priority"]).aggregate(
+            [("n_orders", "sum"), ("sum_cents", "sum")])
+        return out.rename_columns(
+            ["status", "priority", "n_orders", "sum_cents"]
+        ).select(["status", "priority", "n_orders", "sum_cents"])
+
+    base = base.select(["status", "priority", "n_orders", "sum_cents"])
+    lvl1 = _roll(base, "priority")
+    lvl2 = _roll(lvl1, "status")
+    return pa.concat_tables([base, lvl1, lvl2])
+
+
 def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     """Per-customer order counts -> global top-k (combiner + small sort).
     Ties broken by o_custkey asc (mirrored in the oracle)."""
@@ -205,6 +249,15 @@ def top_orders(ds: ray.data.Dataset, *, k: int = 3) -> ray.data.Dataset:
 
 
 ORACLES = {
+    "orders_rollup_cube": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY 1, 2
+""",
     "distinct_custkeys_by_status": """
 SELECT o_orderstatus, count(DISTINCT o_custkey)::BIGINT AS n_custkeys
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus

@@ -331,3 +331,20 @@ def test_salted_join_string_keys_no_hot(ray_session):
         left, right, left_on="k", right_on="k",
         left_cols=["lv"], right_cols=["rv"]))
     assert got == want and len(got) == 3
+
+
+def test_rollup_cube_matches_grouping_sets(ray_session):
+    from nerfray.ops import relational
+    tbl = relational.orders_rollup_cube(SF)
+    mine = sorted(zip(*(tbl.column(c).to_pylist()
+                        for c in ("status", "priority",
+                                  "n_orders", "sum_cents"))))
+    want = _con().execute(
+        relational.ORACLES["orders_rollup_cube"]).fetchall()
+    assert mine == [tuple(r) for r in want]
+    # the grand total row must equal the sum of the base level
+    grand = [r for r in mine if r[0] == "ALL" and r[1] == "ALL"]
+    base = [r for r in mine if r[0] != "ALL" and r[1] != "ALL"]
+    assert len(grand) == 1
+    assert grand[0][2] == sum(r[2] for r in base)
+    assert grand[0][3] == sum(r[3] for r in base)
