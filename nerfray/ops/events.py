@@ -724,6 +724,106 @@ def window_selfjoin(sf_dir: str,
         batch_format="pyarrow")
 
 
+
+def _cumsum_bucket(group: pa.Table) -> pa.Table:
+    """Per-user running sum (segmented prefix scan) for every key in one
+    hash bucket: sort by (user, ts, event_id), one np.cumsum, then
+    subtract each segment's start offset. Exact: values ride as integer
+    cents, so distributed block structure cannot perturb the sums."""
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("cum_cents", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ats").to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    cents = group.column("cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, us))
+    u, e, v = us[order], eid[order], cents[order]
+    total = np.cumsum(v)
+    ustarts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    counts = np.diff(np.r_[ustarts, len(u)])
+    seg_offset = total[ustarts] - v[ustarts]
+    cum = total - np.repeat(seg_offset, counts)
+    return pa.Table.from_pydict({
+        "event_id": pa.array(e, pa.int64()),
+        "user_id": pa.array(u, pa.int64()),
+        "cum_cents": pa.array(cum, pa.int64()),
+    })
+
+
+def _prep_cents(batch: pa.Table) -> pa.Table:
+    """(user_id, ats, event_id, cents, hb): the shared pre-shuffle shape
+    for the per-key scan operators — value quantized to exact cents so
+    every downstream sum is order-independent."""
+    return pa.Table.from_pydict({
+        "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+        "ats": pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                       pa.int64()),
+        "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+        "cents": pc.cast(pc.round(pc.multiply(
+            batch.column("value"), 100)), pa.int64()),
+        "hb": pc.cast(pc.bit_wise_and(batch.column("user_id"),
+                                      N_KEY_BUCKETS - 1), pa.int32()),
+    })
+
+
+def cumsum_per_user(sf_dir: str) -> ray.data.Dataset:
+    """SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id): the
+    window-scan operator class. One key-bucket shuffle; the scan itself
+    is a vectorized segmented cumsum per bucket (dispatch-grain rule)."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "event_id", "value"])
+    return ds.map_batches(_prep_cents, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_cumsum_bucket, batch_format="pyarrow")
+
+
+def _trend_bucket(group: pa.Table) -> pa.Table:
+    """Per-user least-squares trend of value-vs-rank as an EXACT integer
+    numerator/denominator pair (slope = num/den): x = 0-based rank in
+    (ts, event_id) order, y = cents. All sums are int64, so the answer
+    is independent of summation order and mirrors SQL bit-for-bit
+    without emitting floats."""
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        ("trend_num", pa.int64()), ("trend_den", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ats").to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    cents = group.column("cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, us))
+    u, y = us[order], cents[order]
+    ustarts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    n = np.diff(np.r_[ustarts, len(u)])
+    x = np.arange(len(u), dtype=np.int64) - np.repeat(ustarts, n)
+    sx = np.add.reduceat(x, ustarts)
+    sy = np.add.reduceat(y, ustarts)
+    sxy = np.add.reduceat(x * y, ustarts)
+    sxx = np.add.reduceat(x * x, ustarts)
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u[ustarts], pa.int64()),
+        "n_events": pa.array(n, pa.int64()),
+        "trend_num": pa.array(n * sxy - sx * sy, pa.int64()),
+        "trend_den": pa.array(n * sxx - sx * sx, pa.int64()),
+    })
+
+
+def trend_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Custom exact UDAF: per-group linear-regression slope carried as
+    (numerator, denominator) int64s — the grouped-ML-statistic shape a
+    training-data pipeline uses for drift/quality trends, kept
+    hash-comparable by never materializing the float ratio."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "event_id", "value"])
+    return ds.map_batches(_prep_cents, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_trend_bucket, batch_format="pyarrow")
+
+
 ORACLES = {
     # the *_split variants are the hot-key-safe implementations of the
     # SAME operators — they share the unsplit oracles verbatim
@@ -787,6 +887,28 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id AND b.ts > a.ts
  AND b.ts <= a.ts + INTERVAL {WINDOW_MIN} MINUTE
 GROUP BY a.user_id ORDER BY a.user_id
+"""
+
+ORACLES["events_cumsum"] = """
+SELECT event_id, user_id,
+       sum(round(value * 100)::BIGINT) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+FROM events ORDER BY event_id
+"""
+
+ORACLES["events_trend"] = """
+WITH ranked AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS x,
+         round(value * 100)::BIGINT AS y
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       (count(*) * sum(x * y) - sum(x) * sum(y))::BIGINT AS trend_num,
+       (count(*) * sum(x * x) - sum(x) * sum(x))::BIGINT AS trend_den
+FROM ranked GROUP BY user_id ORDER BY user_id
 """
 
 ORACLES["events_sessionize_split"] = ORACLES["events_sessionize"]

@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events.hourly_counts,
         "events_sliding": events.sliding_counts,
         "events_window_selfjoin": events.window_selfjoin,
+        "events_cumsum": events.cumsum_per_user,
+        "events_trend": events.trend_per_user,
     }
     return q
 

@@ -157,3 +157,66 @@ def test_window_selfjoin_hot_user_matches_oracle(ray_session, hot_dir):
                  con.sql(ev.ORACLES["events_window_selfjoin"]).fetchall())
     assert got == exp
     assert any(g[0] == 7 and g[1] > 10_000 for g in got)  # hot user pairs
+
+
+def _scan_oracle(con, sql):
+    return sorted(tuple(r) for r in con.sql(sql).fetchall())
+
+
+def test_cumsum_and_trend_tied_ts_match_oracle(ray_session, tmp_path):
+    """Per-key scan ops on a planted table with duplicate timestamps
+    (event_id tiebreak), negative values, and a single-event user."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from nerfray.ops import events as ev
+    base = datetime.datetime(2024, 5, 1)
+    rows = [  # (user, minute-offset, value)
+        (1, 0, 2.50), (1, 0, -1.25), (1, 5, 10.00),   # tie at t=0
+        (2, 3, 0.05), (2, 1, 7.75), (2, 2, -0.10),
+        (3, 9, 4.00),                                  # singleton
+    ]
+    t = pa.Table.from_pydict({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + datetime.timedelta(minutes=r[1])
+                        for r in rows], pa.timestamp("us")),
+        "event_type": pa.array(["x"] * len(rows), pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    got = sorted((r["event_id"], r["user_id"], r["cum_cents"])
+                 for r in ev.cumsum_per_user(str(tmp_path)).take_all())
+    assert got == _scan_oracle(con, ev.ORACLES["events_cumsum"])
+    # tie broken by event_id: row 0 (+250) before row 1 (-125)
+    assert dict((g[0], g[2]) for g in got)[1] == 125
+    got_t = sorted(
+        (r["user_id"], r["n_events"], r["trend_num"], r["trend_den"])
+        for r in ev.trend_per_user(str(tmp_path)).take_all())
+    assert got_t == _scan_oracle(con, ev.ORACLES["events_trend"])
+    # a singleton group has an undefined slope: 0/0, never a crash
+    assert got_t[-1] == (3, 1, 0, 0)
+
+
+def test_cumsum_block_structure_invariance(ray_session):
+    """The segmented scan must not depend on how input rows are split
+    into blocks (the key-bucket shuffle re-collects each user)."""
+    import ray.data
+    from nerfray.ops import events as ev
+    from nerfray.sources.parquet import read_parquet_clean
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(sf + "/events.parquet",
+                            columns=["user_id", "ts", "event_id", "value"])
+    want = None
+    for parts in (1, 17):
+        out = ds.repartition(parts) \
+            .map_batches(ev._prep_cents, batch_format="pyarrow") \
+            .groupby("hb").map_groups(ev._cumsum_bucket,
+                                      batch_format="pyarrow")
+        got = sorted((r["event_id"], r["cum_cents"])
+                     for r in out.take_all())
+        if want is None:
+            want = got
+        assert got == want, parts
