@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_shipped": joins.priority_shipped_counts,
         "join_skew_salted": joins.skew_salted_rollup,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
+        "events_hourly_hll": sketch.hourly_user_registers,
+        "events_daily_hll": sketch.daily_user_registers,
         "events_value_quantiles": sketch.events_value_quantiles,
         "events_value_quantiles_lossless":
             sketch.events_value_quantiles_lossless,

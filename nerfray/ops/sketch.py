@@ -261,6 +261,49 @@ def custkey_registers_by_status(sf_dir: str) -> ray.data.Dataset:
     return hll_registers(orders, "o_custkey", group="o_orderstatus")
 
 
+def hourly_user_registers(sf_dir: str) -> ray.data.Dataset:
+    """Per-hour HLL registers of distinct users — the windowed sketch a
+    streaming rollup keeps: one tiny register row set per window instead
+    of the window's user sets."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "user_id"])
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "hour": pc.strftime(batch.column("ts"), format="%Y-%m-%d %H"),
+            "user_id": batch.column("user_id"),
+        })
+
+    return hll_registers(ev.map_batches(_hour, batch_format="pyarrow"),
+                         "user_id", group="hour")
+
+
+def daily_user_registers(sf_dir: str) -> ray.data.Dataset:
+    """Daily distinct-user sketch obtained by MERGING the hourly
+    register tables (groupby max over registers) — never re-reading the
+    raw events. The oracle recomputes the day sketch from raw data, so
+    the hash match IS the mergeability proof."""
+    import pyarrow.compute as pc
+
+    hourly = hourly_user_registers(sf_dir)
+
+    def _day(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "day": pc.utf8_slice_codeunits(batch.column("hour"), 0, 10),
+            "register": batch.column("register"),
+            "rho_max": batch.column("rho_max"),
+        })
+
+    return hourly.map_batches(_day, batch_format="pyarrow") \
+        .groupby(["day", "register"]).max("rho_max") \
+        .rename_columns({"max(rho_max)": "rho_max"})
+
+
 DYADIC_QS = (0.25, 0.5, 0.75)
 
 
@@ -318,5 +361,41 @@ SELECT o_orderstatus, register,
                 ELSE {_WBITS} - length(bin(w)) + 1 END)::BIGINT AS rho_max
 FROM parts GROUP BY o_orderstatus, register
 ORDER BY o_orderstatus, register
+""",
+    "events_hourly_hll": f"""
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+         ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS hv
+  FROM events
+), parts AS (
+  SELECT hour, (hv >> {_WBITS})::BIGINT AS register,
+         hv & ((1::UBIGINT << {_WBITS}) - 1) AS w
+  FROM h
+)
+SELECT hour, register,
+       max(CASE WHEN w = 0 THEN {_WBITS + 1}
+                ELSE {_WBITS} - length(bin(w)) + 1 END)::BIGINT AS rho_max
+FROM parts GROUP BY hour, register
+ORDER BY hour, register
+""",
+    # recomputed from RAW data at day grain: equality with the Ray path
+    # (which only merges hourly registers) pins sketch mergeability
+    "events_daily_hll": f"""
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS hv
+  FROM events
+), parts AS (
+  SELECT day, (hv >> {_WBITS})::BIGINT AS register,
+         hv & ((1::UBIGINT << {_WBITS}) - 1) AS w
+  FROM h
+)
+SELECT day, register,
+       max(CASE WHEN w = 0 THEN {_WBITS + 1}
+                ELSE {_WBITS} - length(bin(w)) + 1 END)::BIGINT AS rho_max
+FROM parts GROUP BY day, register
+ORDER BY day, register
 """,
 }

@@ -99,3 +99,26 @@ def test_approx_quantiles_rank_error_bound(ray_session):
             grp = np.sort(vals[keys == r["k"]])
             want = grp[int(np.ceil(r["q"] * len(grp))) - 1]
             assert r["value"] == want
+
+
+def test_windowed_sketch_merge_equals_recompute(ray_session):
+    """Daily registers derived by MERGING hourly sketches must equal
+    registers recomputed from raw events (mergeability), and the
+    resulting estimate must be within HLL error of the exact count."""
+    import duckdb
+    from nerfray.ops import sketch as sk
+    sf = "/root/testdata/sf0.001"
+    daily = {}
+    for r in sk.daily_user_registers(sf).take_all():
+        daily.setdefault(r["day"], []).append((r["register"], r["rho_max"]))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exact = dict(con.sql(
+        "SELECT strftime(ts, '%Y-%m-%d'), count(DISTINCT user_id) "
+        "FROM events GROUP BY 1").fetchall())
+    assert set(daily) == set(exact)
+    for day, regs in daily.items():
+        est = sk.hll_estimate(regs)
+        # 64 registers -> ~13% relative error; allow 3 sigma
+        assert abs(est - exact[day]) <= max(0.4 * exact[day], 8), \
+            (day, est, exact[day])
