@@ -99,6 +99,23 @@ def q_kg_pred_counts(sf_dir: str):
         {"count()": "n_triples"})
 
 
+def q_kg_constraints(sf_dir: str):
+    """Ontology validation rollup over the real pipeline's triples:
+    per-(pred, status) counts, map-side SHACL-ish checks (the planted
+    license policy flags two of the five corpus licenses)."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import validate
+    return validate.constraint_counts(kg.run_for(sf_dir, tagger="crf"))
+
+
+def q_kg_license_violations(sf_dir: str):
+    """The evidence rows for the policy check: repos on denied
+    licenses."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import validate
+    return validate.license_violations(kg.run_for(sf_dir, tagger="crf"))
+
+
 def q_kg_triples_checkpointed(sf_dir: str):
     """The full checkpoint-manifest runner: shard the corpus, write
     subject-partitioned parquet + manifests, read back merged+deduped.
@@ -251,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_checked": q_kg_triples_checked,
         "kg_nodes": q_kg_nodes,
         "kg_pred_counts": q_kg_pred_counts,
+        "kg_constraints": q_kg_constraints,
+        "kg_license_violations": q_kg_license_violations,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_ox": q_kg_ox,
         "kg_degrees": q_kg_degrees,
@@ -270,7 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from nerfray import corpus, entrypoints
-    from nerfray.stages import graph
+    from nerfray.stages import graph, validate
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_pagerank_planted": graph.pagerank_planted_sql(),
@@ -281,6 +300,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_checked": corpus.gold_triples_sql(),
         "kg_triples_checkpointed": corpus.gold_triples_sql(),
         "kg_nodes": corpus.nodes_sql(),
+        "kg_constraints":
+            validate.constraints_sql(corpus.gold_triples_sql()),
+        "kg_license_violations":
+            validate.license_violations_sql(corpus.gold_triples_sql()),
         "kg_triples_prov": corpus.prov_triples_sql(),
         "kg_pred_counts": corpus.pred_counts_sql(),
         "kg_eval_prf": corpus.eval_prf_sql(),
