@@ -8,7 +8,7 @@ from typing import Any
 
 import ray.data
 
-from . import events, joins, relational, sketch
+from . import events, joins, rank, relational, sketch
 from .text import TOKEN_RE_SRC, STOPWORDS
 
 
@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q_media_frames,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
+        "docs_global_rank": rank.docs_global_rank,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,
         "part_type_sizes": relational.part_type_sizes,
@@ -622,6 +623,7 @@ def oracles() -> dict[str, str]:
     from nerfray.stages.graph import TRIANGLES_PLANTED_SQL
     sql["graph_triangles_planted"] = TRIANGLES_PLANTED_SQL
     sql.update(relational.ORACLES)
+    sql.update(rank.ORACLES)
     sql.update(joins.ORACLES)
     sql.update(sketch.ORACLES)
     sql.update(events.ORACLES)

@@ -751,3 +751,25 @@ def test_salient_terms_ties_and_empty(ray_session):
     # doc 0: tf ties a==b==2 -> word asc; doc 2: "" splits to [''] tf 1
     assert rows == [(0, 1, "a", 2), (0, 2, "b", 2), (0, 3, "c", 1),
                     (1, 1, "x", 1), (2, 1, "", 1)]
+
+
+def test_global_rank_matches_window_fn(ray_session):
+    """Dense global rank by (key DESC, tiebreak ASC) must equal the SQL
+    window function for any block structure, including negative keys
+    and heavy key duplication (many rows per distinct value)."""
+    import ray.data
+    from nerfray.ops import rank as rk
+    rng = np.random.default_rng(7)
+    n = 500
+    keys = rng.integers(-5, 12, size=n).astype(np.int64)
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "k": pa.array(keys, pa.int64()),
+    })
+    want_order = sorted(range(n), key=lambda i: (-keys[i], i))
+    want = {i: pos + 1 for pos, i in enumerate(want_order)}
+    for parts in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = rk.global_rank(ds, key="k", tiebreak="doc_id")
+        got = {r["doc_id"]: r["rank"] for r in out.take_all()}
+        assert got == want, parts
