@@ -210,6 +210,14 @@ def q_kg_bfs_planted(sf_dir: str):
     return graph.bfs_planted_query(sf_dir)
 
 
+def q_kg_kcore_planted(sf_dir: str):
+    """k-core peel over the planted cascade graph (k=3): iterative
+    degree filter + semi-join restriction, driver sees only per-round
+    alive counts. Oracle: unrolled synchronous peel in SQL."""
+    from nerfray.stages import graph
+    return graph.kcore_planted_query(sf_dir)
+
+
 def q_kg_pagerank_dataset_planted(sf_dir: str):
     """The beyond-driver-RAM PageRank path (rank lives as a Dataset,
     iterations are hash_join exchanges) against the same dyadic-exact
@@ -282,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_planted": q_kg_pagerank_planted,
         "kg_pagerank_dataset_planted": q_kg_pagerank_dataset_planted,
         "kg_bfs_planted": q_kg_bfs_planted,
+        "kg_kcore_planted": q_kg_kcore_planted,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -292,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.stages import graph, validate
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
+        "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_pagerank_planted": graph.pagerank_planted_sql(),
         "kg_pagerank_dataset_planted": graph.pagerank_planted_sql(iters=2),
         "corpus_files": corpus.files_sql(),

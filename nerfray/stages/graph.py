@@ -882,3 +882,213 @@ UNION ALL SELECT node, 2 FROM h2
 UNION ALL SELECT node, 3 FROM h3
 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative degree peel)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+
+
+def _peel_u_bucket(group: pa.Table, *, k: int, emit: str) -> pa.Table:
+    """Stage A of one peel round (bucket = hash of u): per-u degree
+    over the CURRENT edge set, drop edges whose u-degree < k. With
+    ``emit='nodes'`` output the surviving u's instead (the final
+    alive-set extraction). Vectorized over the whole bucket."""
+    if emit == "nodes":
+        out_schema = pa.schema([("node", pa.int64())])
+    else:
+        out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                                ("hbp", pa.int32())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    u = group.column("u").to_numpy(zero_copy_only=False)
+    v = group.column("v").to_numpy(zero_copy_only=False)
+    order = np.argsort(u, kind="stable")
+    us, vs = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    deg = np.diff(np.r_[starts, len(us)])
+    if emit == "nodes":
+        return pa.Table.from_pydict({
+            "node": pa.array(us[starts][deg >= k], pa.int64())})
+    keep = np.repeat(deg >= k, deg)
+    us, vs = us[keep], vs[keep]
+    a, b = np.minimum(us, vs), np.maximum(us, vs)
+    hbp = ((a * np.int64(1000003)) ^ b) & 63
+    return pa.Table.from_pydict({
+        "u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64()),
+        "hbp": pa.array(hbp.astype(np.int32), pa.int32())})
+
+
+def _peel_pair_bucket(group: pa.Table) -> pa.Table:
+    """Stage B (bucket = hash of the canonical pair): an edge survives
+    the round iff BOTH its directions survived stage A — the mirror
+    direction was degree-filtered on ITS endpoint, so pair survival IS
+    the v-side restriction, without a join."""
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                            ("hb", pa.int32())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    u = group.column("u").to_numpy(zero_copy_only=False)
+    v = group.column("v").to_numpy(zero_copy_only=False)
+    a, b = np.minimum(u, v), np.maximum(u, v)
+    order = np.lexsort((b, a))
+    a, b, us, vs = a[order], b[order], u[order], v[order]
+    new_pair = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    starts = np.flatnonzero(new_pair)
+    runs = np.diff(np.r_[starts, len(a)])
+    keep = np.repeat(runs == 2, runs)
+    us, vs = us[keep], vs[keep]
+    return pa.Table.from_pydict({
+        "u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64()),
+        "hb": pa.array((us & 63).astype(np.int32), pa.int32())})
+
+
+def _with_hbu(ds: ray.data.Dataset) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "u": pc.cast(batch.column("u"), pa.int64()),
+            "v": pc.cast(batch.column("v"), pa.int64()),
+            "hb": pc.cast(pc.bit_wise_and(batch.column("u"), 63),
+                          pa.int32())})
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def kcore(edges: ray.data.Dataset, *, k: int = KCORE_K,
+          rounds: int | None = None,
+          max_rounds: int = 50) -> ray.data.Dataset:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree >= k after all lower-degree nodes are (transitively) peeled.
+
+    Input: symmetric, distinct int64 (u, v) edges (both directions
+    present, no duplicate pairs) — degree(u) = its row count.
+
+    One synchronous peel round = TWO bucketed co-group stages, no join
+    machinery and no driver state: stage A drops edges whose u-degree
+    < k (per-u degree vectorized inside a 64-way u-hash bucket); stage
+    B keeps a pair iff both directions survived A — the mirror row was
+    filtered on ITS endpoint's degree, so pair survival equals the
+    v-side restriction. With ``rounds`` given (known peel depth, e.g.
+    the planted fixture) the whole unroll is ONE lazy plan — no
+    per-round materialize barriers; otherwise rounds run adaptively
+    until the edge count stops changing (driver sees only counts).
+    """
+    e = _with_hbu(edges)
+
+    def _one_round(ds: ray.data.Dataset) -> ray.data.Dataset:
+        mid = ds.groupby("hb").map_groups(
+            _peel_u_bucket, fn_kwargs={"k": k, "emit": "edges"},
+            batch_format="pyarrow")
+        return mid.groupby("hbp").map_groups(
+            _peel_pair_bucket, batch_format="pyarrow")
+
+    if rounds is not None:
+        for _ in range(rounds - 1):
+            e = _one_round(e)
+    else:
+        e = e.materialize()
+        prev = e.count()
+        for _ in range(max_rounds):
+            e = _one_round(e).materialize()
+            n_e = e.count()
+            if n_e in (prev, 0):
+                break
+            prev = n_e
+    return e.groupby("hb").map_groups(
+        _peel_u_bucket, fn_kwargs={"k": k, "emit": "nodes"},
+        batch_format="pyarrow")
+
+
+# planted peel fixture over dense ids 0..n-1 (from embeddings.vec_id):
+#   path   i -- i+1                     (degree-2 spine, dies round 1)
+#   clique K4 on {b..b+3}, b % 10 == 0  (the 3-core: survives forever)
+#   cascade at i % 10 == 5: extra edges (i, i+2), (i+1, i+3) make
+#     {i..i+3} all degree-3 via path neighbors — peeling the spine
+#     starves them over rounds 2-3, exercising MULTI-ROUND transitive
+#     peel (a one-round degree filter would wrongly keep them)
+KCORE_ROUNDS_SQL = 5  # planted fixpoint at round 4; +1 proves stability
+
+
+def planted_kcore_edges(ids: ray.data.Dataset,
+                        n: int) -> ray.data.Dataset:
+    """Symmetric distinct edge list of the peel fixture (arithmetic of
+    the id — no shuffle; path edges inside a complete clique are
+    skipped at emission so pairs stay distinct without a dedup)."""
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        i = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        us, vs = [], []
+        r = i % 10
+        base = (i // 10) * 10
+        in_complete_clique = (r <= 2) & (base + 3 < n)
+        path = (i + 1 < n) & ~in_complete_clique
+        us.append(i[path]); vs.append(i[path] + 1)
+        cb = i[(r == 0) & (i + 3 < n)]
+        for a, c in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+            us.append(cb + a); vs.append(cb + c)
+        cc = i[(r == 5) & (i + 3 < n)]
+        us.append(cc); vs.append(cc + 2)
+        us.append(cc + 1); vs.append(cc + 3)
+        u = np.concatenate(us); v = np.concatenate(vs)
+        return pa.Table.from_pydict({
+            "u": pa.array(np.concatenate([u, v]), pa.int64()),
+            "v": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    return ids.map_batches(_mk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def kcore_planted_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+    return kcore(planted_kcore_edges(ids, n), k=KCORE_K,
+                 rounds=KCORE_ROUNDS_SQL)
+
+
+def kcore_planted_sql(rounds: int = KCORE_ROUNDS_SQL) -> str:
+    """Unrolled synchronous peel: alive_t = nodes with degree >= k over
+    edges restricted to alive_{t-1}. The planted cascade reaches its
+    fixpoint strictly before the last layer, so the unroll equals the
+    true k-core."""
+    layers = ["alive1 AS (SELECT u AS node FROM e GROUP BY u "
+              f"HAVING count(*) >= {KCORE_K})"]
+    for t in range(2, rounds + 1):
+        layers.append(
+            f"alive{t} AS (SELECT u AS node FROM e "
+            f"WHERE u IN (SELECT node FROM alive{t - 1}) "
+            f"AND v IN (SELECT node FROM alive{t - 1}) "
+            f"GROUP BY u HAVING count(*) >= {KCORE_K})")
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+ids AS (SELECT vec_id::BIGINT AS i FROM embeddings),
+cliq AS (
+  SELECT i + a.a AS u, i + b.b AS v
+  FROM ids, nn, (VALUES (0), (1), (2)) a(a), (VALUES (1), (2), (3)) b(b)
+  WHERE i % 10 = 0 AND i + 3 < nn.n AND a.a < b.b
+),
+pth AS (
+  SELECT i AS u, i + 1 AS v FROM ids, nn
+  WHERE i + 1 < nn.n
+    AND NOT (i % 10 IN (0, 1, 2) AND (i // 10) * 10 + 3 < nn.n)
+),
+casc AS (
+  SELECT i AS u, i + 2 AS v FROM ids, nn
+  WHERE i % 10 = 5 AND i + 3 < nn.n
+  UNION ALL
+  SELECT i + 1, i + 3 FROM ids, nn WHERE i % 10 = 5 AND i + 3 < nn.n
+),
+und AS (SELECT * FROM cliq UNION ALL SELECT * FROM pth
+        UNION ALL SELECT * FROM casc),
+e AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+{',' .join(layers)}
+SELECT node FROM alive{rounds} ORDER BY node
+"""

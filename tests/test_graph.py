@@ -322,3 +322,85 @@ def test_bfs_hops_matches_brute_force(ray_session):
             want[b] = h
         frontier = sorted(nxt)
     assert got == want
+
+
+def _brute_kcore(pairs, k):
+    """Reference peel: repeatedly drop nodes with degree < k."""
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return sorted(adj)
+
+
+def _sym_edges_ds(pairs, parts=5):
+    import ray.data
+    u = [a for a, b in pairs] + [b for a, b in pairs]
+    v = [b for a, b in pairs] + [a for a, b in pairs]
+    t = pa.Table.from_pydict({"u": pa.array(u, pa.int64()),
+                              "v": pa.array(v, pa.int64())})
+    return ray.data.from_arrow(t).repartition(parts)
+
+
+def test_kcore_random_graphs_match_brute_force(ray_session):
+    from nerfray.stages import graph as g
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 60
+        m = 140
+        pairs = set()
+        while len(pairs) < m:
+            a, b = rng.integers(0, n, size=2)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        want = _brute_kcore(pairs, 3)
+        got = sorted(r["node"]
+                     for r in g.kcore(_sym_edges_ds(pairs)).take_all())
+        assert got == want, trial
+
+
+def test_kcore_cascade_needs_multiple_rounds(ray_session):
+    """Pendant chain hanging off a K4: a single degree filter keeps the
+    chain's inner nodes (degree 2 < 3 only appears after the tip is
+    peeled for k=3... use k=2: chain interior has degree exactly 2, so
+    only TRANSITIVE peeling from the tip removes it)."""
+    from nerfray.stages import graph as g
+    # K4 on 0-3, chain 3-10-11-12 (12 is the tip)
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 10), (10, 11), (11, 12)]
+    got = sorted(r["node"]
+                 for r in g.kcore(_sym_edges_ds(pairs), k=2).take_all())
+    assert got == [0, 1, 2, 3]          # whole chain peels transitively
+    # a fixed 2-round unroll is NOT converged for this chain: it still
+    # holds node 10 (degree 2 until 11 dies) — proves the adaptive path
+    # genuinely iterates to the fixpoint rather than degree-filtering
+    shallow = sorted(
+        r["node"]
+        for r in g.kcore(_sym_edges_ds(pairs), k=2, rounds=2).take_all())
+    assert 10 in shallow and shallow != got
+
+
+def test_kcore_fixed_rounds_equals_adaptive_on_planted(ray_session):
+    from nerfray.stages import graph as g
+    import ray.data
+    ids = ray.data.range(120).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"vec_id": pa.array(b["id"], pa.int64())}),
+        batch_format="numpy")
+    edges = g.planted_kcore_edges(ids, 120)
+    fixed = sorted(r["node"] for r in g.kcore(
+        edges, rounds=g.KCORE_ROUNDS_SQL).take_all())
+    adaptive = sorted(r["node"] for r in g.kcore(edges).take_all())
+    assert fixed == adaptive
+    # the 3-core is exactly the K4 clique nodes
+    want = sorted(b + j for b in range(0, 117, 10) for j in range(4))
+    assert fixed == want
