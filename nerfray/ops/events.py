@@ -824,6 +824,76 @@ def trend_per_user(sf_dir: str) -> ray.data.Dataset:
         .groupby("hb").map_groups(_trend_bucket, batch_format="pyarrow")
 
 
+def _last_rows(tbl: pa.Table) -> pa.Table:
+    """Per-(user, event_type) argmax row by (ts, event_id) — shared by
+    the per-block combiner and the final per-bucket reduce (argmax of
+    argmaxes = argmax, so two-level reduction is exact). Vectorized:
+    event_type is factorized to codes, one lexsort, run tails win."""
+    us = tbl.column("user_id").to_numpy(zero_copy_only=False)
+    ts = tbl.column("ats").to_numpy(zero_copy_only=False)
+    eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+    cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+    types = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+    uniq, codes = np.unique(types, return_inverse=True)
+    order = np.lexsort((eid, ts, codes, us))
+    u, c, t, e, v = (us[order], codes[order], ts[order], eid[order],
+                     cents[order])
+    tail = np.r_[(u[1:] != u[:-1]) | (c[1:] != c[:-1]), True]
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u[tail], pa.int64()),
+        "event_type": pa.array(uniq[c[tail]].tolist(), pa.string()),
+        "ats": pa.array(t[tail], pa.int64()),
+        "event_id": pa.array(e[tail], pa.int64()),
+        "cents": pa.array(v[tail], pa.int64()),
+    })
+
+
+_COMPACT_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("event_type", pa.string()),
+    ("ats", pa.int64()), ("event_id", pa.int64()), ("cents", pa.int64())])
+
+
+def _compact_partial(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return _COMPACT_SCHEMA.empty_table()
+    return _last_rows(pa.Table.from_pydict({
+        "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+        "event_type": batch.column("event_type"),
+        "ats": pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                       pa.int64()),
+        "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+        "cents": pc.cast(pc.round(pc.multiply(
+            batch.column("value"), 100)), pa.int64()),
+    }))
+
+
+def _compact_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _COMPACT_SCHEMA.empty_table()
+    return _last_rows(group.drop_columns(["hb"]))
+
+
+def compact_latest(sf_dir: str) -> ray.data.Dataset:
+    """Changelog compaction (upsert-latest / SCD type 1): the newest row
+    per (user, event_type) key by (ts, event_id). The per-BLOCK argmax
+    combiner shrinks each block to <= its distinct keys before the only
+    shuffle — at changelog scale (many updates per key) the exchange
+    carries keys, not history."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def _hb(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "hb", pc.cast(pc.bit_wise_and(batch.column("user_id"),
+                                          N_KEY_BUCKETS - 1), pa.int32()))
+
+    return ds.map_batches(_compact_partial, batch_format="pyarrow") \
+        .map_batches(_hb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_compact_bucket, batch_format="pyarrow")
+
+
 ORACLES = {
     # the *_split variants are the hot-key-safe implementations of the
     # SAME operators — they share the unsplit oracles verbatim
@@ -887,6 +957,18 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id AND b.ts > a.ts
  AND b.ts <= a.ts + INTERVAL {WINDOW_MIN} MINUTE
 GROUP BY a.user_id ORDER BY a.user_id
+"""
+
+ORACLES["events_compact"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ats, event_id,
+         round(value * 100)::BIGINT AS cents,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, ats, event_id, cents
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
 """
 
 ORACLES["events_cumsum"] = """

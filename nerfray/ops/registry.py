@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_selfjoin": events.window_selfjoin,
         "events_cumsum": events.cumsum_per_user,
         "events_trend": events.trend_per_user,
+        "events_compact": events.compact_latest,
     }
     return q
 

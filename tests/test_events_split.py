@@ -220,3 +220,57 @@ def test_cumsum_block_structure_invariance(ray_session):
         if want is None:
             want = got
         assert got == want, parts
+
+
+def test_compact_latest_combiner_invariance(ray_session, tmp_path):
+    """Argmax-of-argmaxes must equal the global argmax for any block
+    structure, with ties on ts broken by event_id."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+    from nerfray.ops import events as ev
+    from nerfray.sources.parquet import read_parquet_clean
+    base = datetime.datetime(2024, 6, 1)
+    rows = [  # (user, type, minute, value) — user 1 has a ts tie
+        (1, "a", 5, 1.00), (1, "a", 5, 2.00), (1, "b", 1, 3.00),
+        (2, "a", 9, 4.00), (2, "a", 2, 5.00),
+    ]
+    t = pa.Table.from_pydict({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + datetime.timedelta(minutes=r[2])
+                        for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    want = _scan_oracle(con, ev.ORACLES["events_compact"])
+    got = sorted(
+        (r["user_id"], r["event_type"], r["ats"], r["event_id"],
+         r["cents"])
+        for r in ev.compact_latest(str(tmp_path)).take_all())
+    assert got == want
+    # the ts tie resolves to the HIGHER event_id (row 1, value 2.00)
+    assert (1, "a", got[0][2], 1, 200) == got[0]
+    # block-structure invariance on real data
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(
+        sf + "/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+    ref = None
+    for parts in (1, 13):
+        out = ds.repartition(parts) \
+            .map_batches(ev._compact_partial, batch_format="pyarrow") \
+            .map_batches(lambda b: b.append_column(
+                "hb", pa.array((b.column("user_id").to_numpy(
+                    zero_copy_only=False) & 63).astype("int32"))),
+                batch_format="pyarrow") \
+            .groupby("hb").map_groups(ev._compact_bucket,
+                                      batch_format="pyarrow")
+        got = sorted(tuple(sorted(r.items())) for r in out.take_all())
+        if ref is None:
+            ref = got
+        assert got == ref, parts
