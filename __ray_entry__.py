@@ -116,6 +116,22 @@ def q_kg_license_violations(sf_dir: str):
     return validate.license_violations(kg.run_for(sf_dir, tagger="crf"))
 
 
+def q_kg_delta(sf_dir: str):
+    """Incremental KG maintenance: triple diff between two deterministic
+    corpus versions (added/removed), via two distributed anti-joins on
+    the deduped triple sets."""
+    from nerfray.pipelines import kg
+    return kg.kg_delta(sf_dir, tagger="crf")
+
+
+def q_kg_adjacency(sf_dir: str):
+    """Graph materialization as subject-grain adjacency lists (the
+    bulk-load export shape), one subject-hash shuffle."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import triples as triples_mod
+    return triples_mod.adjacency_export(kg.run_for(sf_dir, tagger="crf"))
+
+
 def q_kg_triples_checkpointed(sf_dir: str):
     """The full checkpoint-manifest runner: shard the corpus, write
     subject-partitioned parquet + manifests, read back merged+deduped.
@@ -278,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_counts": q_kg_pred_counts,
         "kg_constraints": q_kg_constraints,
         "kg_license_violations": q_kg_license_violations,
+        "kg_adjacency": q_kg_adjacency,
+        "kg_delta": q_kg_delta,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_ox": q_kg_ox,
         "kg_degrees": q_kg_degrees,
@@ -299,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from nerfray import corpus, entrypoints
     from nerfray.stages import graph, validate
+    from nerfray.pipelines import kg as __kg
+    from nerfray.stages.triples import adjacency_sql as __adj_sql
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_kcore_planted": graph.kcore_planted_sql(),
@@ -312,6 +332,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": corpus.nodes_sql(),
         "kg_constraints":
             validate.constraints_sql(corpus.gold_triples_sql()),
+        "kg_adjacency": __adj_sql(corpus.gold_triples_sql()),
+        "kg_delta": __kg.kg_delta_sql(),
         "kg_license_violations":
             validate.license_violations_sql(corpus.gold_triples_sql()),
         "kg_triples_prov": corpus.prov_triples_sql(),

@@ -263,35 +263,38 @@ FROM rows ORDER BY repo, path
 """
 
 
-def gold_triples_sql() -> str:
-    """Mirror of the deduped gold triple set."""
+def gold_triples_sql(where_i: str = "TRUE") -> str:
+    """Mirror of the deduped gold triple set; ``where_i`` filters the
+    corpus row index (used by the incremental-delta oracle to mirror a
+    corpus VERSION as a modular subset of rows)."""
     libs = _sql_list(LIBS)
     methods = _sql_list(METHODS)
     licenses = _sql_list(LICENSES)
     return f"""
 WITH {ROWS_CTE},
+rowsf AS (SELECT * FROM rows WHERE {where_i}),
 lic AS (
   SELECT repo AS subj, 'licensed-under' AS pred,
          'license:' || ({licenses})[1 + (i % 5)] AS obj
-  FROM rows
+  FROM rowsf
 ),
 imp AS (
   SELECT repo AS subj, 'imports' AS pred,
          'lib:' || ({libs})[1 + ((i * 7 + j * 13) % 17)] AS obj
-  FROM (SELECT i, repo, unnest(generate_series(0, i % 3)) AS j FROM rows)
+  FROM (SELECT i, repo, unnest(generate_series(0, i % 3)) AS j FROM rowsf)
 ),
 defs AS (
   SELECT repo || '/' || path AS subj, 'defines' AS pred,
-         'sym:func_' || ((i * 31) % 997) AS obj FROM rows
+         'sym:func_' || ((i * 31) % 997) AS obj FROM rowsf
   UNION ALL
   SELECT repo || '/' || path, 'defines', 'sym:helper_' || ((i * 13) % 997)
-  FROM rows WHERE i % 2 = 0
+  FROM rowsf WHERE i % 2 = 0
 ),
 calls AS (
   SELECT repo || '/' || path AS subj, 'calls' AS pred,
          'api:' || ({libs})[1 + ((i * 7) % 17)] || '.' ||
                    ({methods})[1 + ((i + j) % 7)] AS obj
-  FROM (SELECT i, repo, path, unnest(generate_series(0, i % 2)) AS j FROM rows)
+  FROM (SELECT i, repo, path, unnest(generate_series(0, i % 2)) AS j FROM rowsf)
 )
 SELECT DISTINCT subj, pred, obj
 FROM (SELECT * FROM lic UNION ALL SELECT * FROM imp

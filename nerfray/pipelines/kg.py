@@ -127,3 +127,100 @@ def run_for(sf_dir: str, tagger: str = "crf",
         return kg_pipeline(corpus_source.corpus_dataset_by_repo(n), tagger,
                            dedup="partitioned")
     return kg_pipeline(corpus_source.corpus_dataset(n), tagger)
+
+
+# ---------------------------------------------------------------------------
+# incremental KG delta (version diff)
+# ---------------------------------------------------------------------------
+#
+# Two corpus VERSIONS are modeled as deterministic modular subsets of the
+# row universe (v1: i % 3 != 2, v2: i % 7 != 0 — overlapping, each with
+# exclusive files), so the delta has an exact SQL mirror via
+# corpus.gold_triples_sql(where_i=...). Because triples are DEDUPED
+# across files, a file disappearing does NOT necessarily remove its
+# triples (another surviving file may emit them) — the diff must run on
+# the deduped triple sets, which is exactly what the anti-joins do.
+# The moduli are chosen coprime to n_repos (50) so dropped files still
+# share repo-grain triples with survivors (i % 5 would align with repo
+# assignment and make the dedup subtlety vacuous).
+
+V1_WHERE = ("i % 3 <> 2", 3, 2)
+V2_WHERE = ("i % 7 <> 0", 7, 0)
+
+
+def corpus_version(n: int, *, mod: int, drop: int,
+                   rows_per_block: int = 500) -> ray.data.Dataset:
+    """Corpus rows with i % mod != drop — one VERSION of the corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    num_blocks = max(1, -(-n // rows_per_block))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % mod != drop))
+
+    return ray.data.range(n, override_num_blocks=num_blocks) \
+        .map_batches(_keep, batch_format="pyarrow") \
+        .map_batches(corpus_source._synth_batch, fn_kwargs={"n": n},
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kg_delta(sf_dir: str, tagger: str = "crf") -> ray.data.Dataset:
+    """(op, subj, pred, obj): triples added ('add') or removed ('del')
+    going v1 -> v2. Both versions run the full pipeline; the diff is
+    two distributed anti-joins on a composite string key (never a
+    driver-side set)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.joins import hash_join
+
+    n = corpus_source.corpus_rows_for(sf_dir)
+    t1 = kg_pipeline(corpus_version(n, mod=V1_WHERE[1], drop=V1_WHERE[2]),
+                     tagger)
+    t2 = kg_pipeline(corpus_version(n, mod=V2_WHERE[1], drop=V2_WHERE[2]),
+                     tagger)
+
+    def _with_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch.column("subj"), batch.column("pred"),
+            batch.column("obj"), "\x1f")
+        return batch.append_column("k", k)
+
+    k1 = t1.map_batches(_with_key, batch_format="pyarrow").materialize()
+    k2 = t2.map_batches(_with_key, batch_format="pyarrow").materialize()
+    cols = ["subj", "pred", "obj"]
+
+    def _with_op(op: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "op": pa.array([op] * batch.num_rows, pa.string()),
+                "subj": batch.column("subj"),
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj")})
+        return _f
+
+    added = hash_join(k2, k1, left_on="k", right_on="k",
+                      left_cols=cols, right_cols=[], how="left anti") \
+        .map_batches(_with_op("add"), batch_format="pyarrow")
+    removed = hash_join(k1, k2, left_on="k", right_on="k",
+                        left_cols=cols, right_cols=[], how="left anti") \
+        .map_batches(_with_op("del"), batch_format="pyarrow")
+    return added.union(removed)
+
+
+def kg_delta_sql() -> str:
+    from .. import corpus
+    v1 = corpus.gold_triples_sql(V1_WHERE[0])
+    v2 = corpus.gold_triples_sql(V2_WHERE[0])
+    return f"""
+WITH v1 AS ({v1}), v2 AS ({v2})
+SELECT 'add' AS op, subj, pred, obj
+FROM (SELECT subj, pred, obj FROM v2 EXCEPT SELECT subj, pred, obj FROM v1)
+UNION ALL
+SELECT 'del', subj, pred, obj
+FROM (SELECT subj, pred, obj FROM v1 EXCEPT SELECT subj, pred, obj FROM v2)
+ORDER BY op, subj, pred, obj
+"""

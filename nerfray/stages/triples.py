@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -287,3 +288,63 @@ def write_triples(triples: ray.data.Dataset, out_dir: str,
     triples.map_batches(with_bucket, fn_kwargs={"n_buckets": n_buckets},
                         batch_format="pyarrow", zero_copy_batch=True) \
         .write_parquet(out_dir, partition_cols=["subj_bucket"])
+
+
+# ---------------------------------------------------------------------------
+# adjacency-list materialization (graph export)
+# ---------------------------------------------------------------------------
+
+N_ADJ_BUCKETS = 64
+
+
+def adjacency_export(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize the graph as subject-grain adjacency lists:
+    (subj, n_edges, adj) where adj = '|'-joined 'pred>obj' entries in
+    (pred, obj) order — the partition-by-subject-hash export shape a
+    downstream graph store bulk-loads. One shuffle keyed by a 64-way
+    subject hash; list building is vectorized per bucket (sorted runs +
+    binary_join_element_wise), never a per-subject dispatch."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _hb(batch: pa.Table) -> pa.Table:
+        subj = np.asarray(batch.column("subj").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(subj) % N_ADJ_BUCKETS).astype(np.int32)
+        return batch.append_column("hb", pa.array(hb))
+
+    out_schema = pa.schema([("subj", pa.string()),
+                            ("n_edges", pa.int64()),
+                            ("adj", pa.string())])
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        subj = np.asarray(group.column("subj").to_pylist(), dtype=object)
+        entry = pc.binary_join_element_wise(
+            group.column("pred"), group.column("obj"), ">")
+        ent = np.asarray(entry.to_pylist(), dtype=object)
+        order = np.lexsort((ent, subj))
+        s, e = subj[order], ent[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        n_edges = np.diff(np.r_[starts, len(s)])
+        adj = ["|".join(e[a:a + c])
+               for a, c in zip(starts, n_edges)]
+        return pa.Table.from_pydict({
+            "subj": pa.array(s[starts].tolist(), pa.string()),
+            "n_edges": pa.array(n_edges, pa.int64()),
+            "adj": pa.array(adj, pa.string()),
+        })
+
+    return triples.map_batches(_hb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_bucket, batch_format="pyarrow")
+
+
+def adjacency_sql(gold_sql: str) -> str:
+    """DuckDB mirror: deterministic-order string_agg per subject."""
+    return f"""
+WITH gold AS ({gold_sql})
+SELECT subj, count(*)::BIGINT AS n_edges,
+       string_agg(pred || '>' || obj, '|' ORDER BY pred || '>' || obj)
+         AS adj
+FROM gold GROUP BY subj ORDER BY subj
+"""

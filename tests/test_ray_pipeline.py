@@ -2,6 +2,7 @@
 
 import hashlib
 
+import pyarrow as pa
 import pytest
 
 from nerfray import corpus, dicts
@@ -235,3 +236,44 @@ def test_subject_containment_validation_and_checked_dedup(ray_session):
     got = {(r["subj"], r["pred"], r["obj"])
            for r in tr.dedup_triples_checked(straddling).take_all()}
     assert got == set(a) | set(b)  # exact despite broken containment
+
+
+def test_adjacency_export_block_invariance(ray_session):
+    import ray.data
+    from nerfray.stages import triples as tm
+    t = pa.Table.from_pydict({
+        "subj": pa.array(["a", "b", "a", "a", "b"], pa.string()),
+        "pred": pa.array(["p", "p", "q", "p", "r"], pa.string()),
+        "obj": pa.array(["x", "y", "z", "w", "v"], pa.string()),
+    })
+    want = [("a", 3, "p>w|p>x|q>z"), ("b", 2, "p>y|r>v")]
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = sorted((r["subj"], r["n_edges"], r["adj"])
+                     for r in tm.adjacency_export(ds).take_all())
+        assert got == want, parts
+
+
+def test_kg_delta_matches_set_diff(ray_session):
+    """The distributed anti-join delta must equal the brute-force diff
+    of the two versions' gold triple sets — including the dedup
+    subtlety: a file leaving v1 only removes a triple if NO surviving
+    file emits it."""
+    from nerfray import corpus
+    from nerfray.pipelines import kg
+    sf = "/root/testdata/sf0.001"
+    n = 500
+    v1 = set().union(*(corpus.gold_triples(i, n) for i in range(n)
+                       if i % 3 != 2))
+    v2 = set().union(*(corpus.gold_triples(i, n) for i in range(n)
+                       if i % 7 != 0))
+    want = sorted([("add",) + t for t in v2 - v1]
+                  + [("del",) + t for t in v1 - v2])
+    got = sorted((r["op"], r["subj"], r["pred"], r["obj"])
+                 for r in kg.kg_delta(sf).take_all())
+    assert got == want
+    # the dedup subtlety is actually exercised: some dropped v1 file
+    # shares each of its repo-grain triples with a surviving file
+    per_file_dropped = set().union(
+        *(corpus.gold_triples(i, n) for i in range(n) if i % 3 == 2))
+    assert per_file_dropped & v1 & v2, "planted overlap vanished"
