@@ -231,6 +231,16 @@ def q_docs_word_df(sf_dir: str):
     return text.word_df_stats(_docs(sf_dir))
 
 
+def q_docs_repetition(sf_dir: str):
+    from . import text
+    return text.repetition_signals(_docs(sf_dir))
+
+
+def q_docs_decontam(sf_dir: str):
+    from . import text
+    return text.decontaminate(_docs(sf_dir))
+
+
 def q_lang_confusion(sf_dir: str):
     # raw-doc classification: rows-only by design (documents.lang is
     # synthetic metadata unrelated to the text, so there is no accuracy
@@ -327,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curated": q_docs_curated,
         "docs_pipeline": q_docs_pipeline,
         "docs_word_df": q_docs_word_df,
+        "docs_repetition": q_docs_repetition,
+        "docs_decontam": q_docs_decontam,
         "lang_confusion": q_lang_confusion,
         "lang_confusion_planted": q_lang_confusion_planted,
         "doc_fingerprints": q_doc_fingerprints,
@@ -562,6 +574,11 @@ def _word_df_sql() -> str:
     return WORD_DF_SQL
 
 
+def _text_sql(name: str) -> str:
+    from . import text
+    return getattr(text, name)
+
+
 def _search_sql(name: str) -> str:
     from . import search
     return getattr(search, name)
@@ -605,6 +622,8 @@ def oracles() -> dict[str, str]:
         "docs_curated": DOCS_CURATED_SQL,
         "docs_pipeline": DOCS_PIPELINE_SQL,
         "docs_word_df": _word_df_sql(),
+        "docs_repetition": _text_sql("REPETITION_SQL"),
+        "docs_decontam": _text_sql("DECONTAM_SQL"),
         "media_meta": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
         "lang_confusion_planted": _lang_sql(),

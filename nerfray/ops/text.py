@@ -886,3 +886,200 @@ SELECT doc_id,
            '{PII_IP_SRC}', '<IP>', 'g')) AS redacted_sha
 FROM p ORDER BY doc_id
 """
+
+
+# -- repetition signals (Gopher-style quality filters) ----------------------
+#
+# Rae et al., "Scaling Language Models: Methods, Analysis & Insights from
+# Training Gopher" (arXiv:2112.11446) filters documents whose content is
+# dominated by repeated n-grams. Two of those signals re-expressed over
+# the space-tokenized documents table, fully vectorized per batch:
+#   top_bigram_frac - occurrences of the most frequent adjacent word pair
+#                     over the total number of adjacent pairs
+#   max_run         - longest run of the SAME word repeated consecutively
+# Both are exact integer counts (plus one final float64 division shared
+# with the SQL mirror), so REPETITION_SQL hash-matches bit-for-bit.
+
+
+def _repetition_table(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+
+    words = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    n_docs = len(lens)
+    flat = words.flatten()
+    # integer codes for the batch vocabulary (one C pass; no Python loop)
+    codes = pd.factorize(flat.to_pandas())[0].astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    top_count = np.zeros(n_docs, np.int64)
+    max_run = np.zeros(n_docs, np.int64)
+    if codes.size:
+        # ---- top bigram count per doc: group (doc, pair) then max ----
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        vocab = np.int64(codes.max() + 1)
+        pair = codes[:-1][same_doc] * vocab + codes[1:][same_doc]
+        pdoc = doc_idx[:-1][same_doc]
+        if pair.size:
+            order = np.lexsort((pair, pdoc))
+            sp, sd = pair[order], pdoc[order]
+            new = np.r_[True, (sd[1:] != sd[:-1]) | (sp[1:] != sp[:-1])]
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.r_[starts, sp.size])
+            gdoc = sd[starts]
+            dstarts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+            top_count[gdoc[dstarts]] = np.maximum.reduceat(counts, dstarts)
+        # ---- longest same-word run per doc (tokens already doc-ordered)
+        chg = np.r_[True, (codes[1:] != codes[:-1])
+                    | (doc_idx[1:] != doc_idx[:-1])]
+        rstarts = np.flatnonzero(chg)
+        rlens = np.diff(np.r_[rstarts, codes.size])
+        rdoc = doc_idx[rstarts]
+        rdstarts = np.flatnonzero(np.r_[True, rdoc[1:] != rdoc[:-1]])
+        max_run[rdoc[rdstarts]] = np.maximum.reduceat(rlens, rdstarts)
+
+    n_bigrams = np.maximum(lens - 1, 0)
+    frac = np.where(n_bigrams > 0,
+                    top_count / np.maximum(n_bigrams, 1).astype(np.float64),
+                    0.0)
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "n_bigrams": pa.array(n_bigrams, pa.int64()),
+        "top_bigram_count": pa.array(top_count, pa.int64()),
+        "top_bigram_frac": pa.array(frac, pa.float64()),
+        "max_run": pa.array(max_run, pa.int64()),
+    })
+
+
+def repetition_signals(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc repeated-content signals (map-only; text never shuffles)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _repetition_table, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(generate_series(0, len(ws)-1)) AS i
+  FROM w
+),
+big AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2
+),
+bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY doc_id, w1, w2),
+topb AS (SELECT doc_id, max(c) AS tc FROM bc GROUP BY doc_id),
+runs AS (
+  SELECT doc_id, w,
+         i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+  FROM tok
+),
+rl AS (SELECT doc_id, count(*) AS r FROM runs GROUP BY doc_id, w, grp),
+mr AS (SELECT doc_id, max(r) AS max_run FROM rl GROUP BY doc_id)
+SELECT w.doc_id,
+       greatest(len(w.ws) - 1, 0)::BIGINT AS n_bigrams,
+       coalesce(t.tc, 0)::BIGINT AS top_bigram_count,
+       CASE WHEN len(w.ws) <= 1 THEN 0.0
+            ELSE coalesce(t.tc, 0) / CAST(len(w.ws) - 1 AS DOUBLE) END
+         AS top_bigram_frac,
+       m.max_run::BIGINT AS max_run
+FROM w LEFT JOIN topb t ON w.doc_id = t.doc_id
+       LEFT JOIN mr m ON w.doc_id = m.doc_id
+ORDER BY w.doc_id
+"""
+
+
+# -- benchmark decontamination ----------------------------------------------
+#
+# Training-data hygiene: flag documents that share any word 5-gram with a
+# held-out benchmark suite (the n-gram-overlap decontamination used for
+# GPT-3 / Gopher / Llama training sets). The benchmark side is SMALL by
+# definition (a benchmark is thousands of prompts, not terabytes), so it
+# is collected once, its gram set ray.put once, and each actor resolves
+# the broadcast in __init__ - the 100 TB corpus side streams through
+# map_batches and never shuffles. Here the "benchmark" is the
+# deterministic subset doc_id % DECONTAM_MOD == 0 of the same table so
+# the whole flow has an exact DuckDB mirror (DECONTAM_SQL).
+
+DECONTAM_MOD = 20
+DECONTAM_K = 5
+
+
+def _doc_grams(text: str) -> set[str]:
+    ws = text.split(" ")
+    k = DECONTAM_K
+    return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+
+
+def benchmark_gram_set(docs: ray.data.Dataset) -> set[str]:
+    """Distinct word 5-grams of the benchmark subset. The driver holds
+    only the benchmark grams (bounded by the benchmark suite size), never
+    the corpus."""
+
+    def _bench(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % DECONTAM_MOD == 0)
+        return batch.filter(keep)
+
+    grams: set[str] = set()
+    bench = docs.select_columns(["doc_id", "text"]).map_batches(
+        _bench, batch_format="pyarrow", zero_copy_batch=True)
+    for b in bench.iter_batches(batch_format="pyarrow"):
+        for t in b.column("text").to_pylist():
+            grams |= _doc_grams(t)
+    return grams
+
+
+class Decontaminator:
+    """Actor-pool stage: benchmark gram set resolved ONCE per actor in
+    __init__ from the broadcast ref; per batch each doc's distinct grams
+    are intersected against it."""
+
+    def __init__(self, grams_ref):
+        self._grams = ray.get(grams_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hits = [len(_doc_grams(t) & self._grams)
+                for t in batch.column("text").to_pylist()]
+        hits_arr = pa.array(hits, pa.int64())
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_gram_hits": hits_arr,
+            "contaminated": pc.cast(pc.greater(hits_arr, 0), pa.int64()),
+        })
+
+
+def decontaminate(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Flag corpus docs sharing any 5-gram with the benchmark subset."""
+    import ray as _ray
+    grams_ref = _ray.put(benchmark_gram_set(docs))
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        Decontaminator, fn_constructor_args=(grams_ref,),
+        concurrency=(1, 8), batch_size=256, batch_format="pyarrow")
+
+
+DECONTAM_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+gi AS (
+  SELECT doc_id, ws, unnest(generate_series(0, len(ws)-{DECONTAM_K})) AS i
+  FROM w WHERE len(ws) >= {DECONTAM_K}
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         ws[i+4] || ' ' || ws[i+5] AS gram
+  FROM gi
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_MOD} = 0),
+hits AS (SELECT g.doc_id, count(*) AS nh
+         FROM g JOIN bench USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(h.nh, 0)::BIGINT AS n_gram_hits,
+       CASE WHEN coalesce(h.nh, 0) > 0 THEN 1 ELSE 0 END::BIGINT
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""

@@ -773,3 +773,86 @@ def test_global_rank_matches_window_fn(ray_session):
         out = rk.global_rank(ds, key="k", tiebreak="doc_id")
         got = {r["doc_id"]: r["rank"] for r in out.take_all()}
         assert got == want, parts
+
+
+def _naive_repetition(text):
+    ws = text.split(" ")
+    bigrams = list(zip(ws, ws[1:]))
+    top = max((bigrams.count(b) for b in set(bigrams)), default=0)
+    runs, cur = [], 1
+    for a, b in zip(ws, ws[1:]):
+        cur = cur + 1 if a == b else 1
+        runs.append(cur)
+    max_run = max(runs, default=1) if ws else 0
+    n_big = max(len(ws) - 1, 0)
+    frac = top / n_big if n_big else 0.0
+    return n_big, top, frac, max_run
+
+
+def test_repetition_signals_vs_naive(ray_session):
+    """Vectorized kernel == per-doc naive Python on edge-heavy texts:
+    empty doc, single word, all-same-word, repeated bigram, batch seams."""
+    import ray.data
+    texts = ["", "word", "a a a a a a", "x y x y x y x y z",
+             "spam spam spam eggs spam spam",
+             "one two three four five six seven",
+             "ab ab ab ab", "q " * 50,  # trailing space -> empty last token
+             "alpha beta alpha beta gamma alpha beta"]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(4)
+    rows = {r["doc_id"]: r
+            for r in tx.repetition_signals(docs).take_all()}
+    assert len(rows) == len(texts)
+    for i, t in enumerate(texts):
+        nb, top, frac, mr = _naive_repetition(t)
+        r = rows[i]
+        assert (r["n_bigrams"], r["top_bigram_count"], r["max_run"]) \
+            == (nb, top, mr), (i, t)
+        assert r["top_bigram_frac"] == frac, (i, t)
+
+
+def test_repetition_matches_duckdb_mirror(ray_session):
+    import duckdb
+    import ray.data
+    texts = ["", "solo", "r r r r r", "a b a b a b c",
+             "the cat sat on the mat the cat sat again",
+             "z y x w v u t s"]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    got = [(r["doc_id"], r["n_bigrams"], r["top_bigram_count"],
+            r["top_bigram_frac"], r["max_run"])
+           for r in tx.repetition_signals(docs).take_all()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+            ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts)) +
+            ") AS v(doc_id, text)")
+    want = con.sql(tx.REPETITION_SQL).fetchall()
+    assert sorted(got) == sorted(want)
+
+
+def test_decontaminate_planted(ray_session):
+    """Docs sharing a 5-gram with the benchmark subset (doc_id % 20 == 0)
+    are flagged; short docs and non-overlapping docs are not."""
+    import ray.data
+    bench_text = "guard llama emits purple tokens at midnight quietly"
+    texts = [""] * 41
+    texts[0] = bench_text                       # benchmark member
+    texts[20] = "completely different benchmark entry here now ok"
+    texts[1] = "prefix llama emits purple tokens at midnight suffix"  # hit
+    texts[2] = "llama emits purple but not five in a row"             # clean
+    texts[3] = "tiny doc"                                             # <5 words
+    texts[4] = "completely different benchmark entry here also"       # hit 20
+    for i in range(5, 41):
+        if i not in (20,):
+            texts[i] = f"unique filler row {i} nothing shared with anyone {i}"
+    docs = ray.data.from_arrow(_docs_table(texts))
+    rows = {r["doc_id"]: r for r in tx.decontaminate(docs).take_all()}
+    assert rows[1]["contaminated"] == 1 and rows[1]["n_gram_hits"] >= 1
+    assert rows[4]["contaminated"] == 1
+    assert rows[2]["contaminated"] == 0
+    assert rows[3] == {"doc_id": 3, "n_gram_hits": 0, "contaminated": 0}
+    # benchmark members trivially self-match
+    assert rows[0]["contaminated"] == 1 and rows[20]["contaminated"] == 1
+    # hit count == distinct-gram intersection, brute force
+    bench_grams = set().union(*(tx._doc_grams(t) for i, t in
+                                enumerate(texts) if i % tx.DECONTAM_MOD == 0))
+    for i, t in enumerate(texts):
+        assert rows[i]["n_gram_hits"] == len(tx._doc_grams(t) & bench_grams)
