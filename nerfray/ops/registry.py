@@ -268,6 +268,16 @@ def q_docs_stratified(sf_dir: str):
     return sampling.stratified_sample(_docs(sf_dir), k=10)
 
 
+def q_docs_mixture(sf_dir: str):
+    from . import sampling
+    return sampling.mixture_sample(_docs(sf_dir))
+
+
+def q_docs_packed(sf_dir: str):
+    from . import sampling
+    return sampling.pack_sequences(_docs(sf_dir))
+
+
 def q_docs_chunks(sf_dir: str):
     from . import sampling
     return sampling.chunk_docs(_docs(sf_dir))
@@ -346,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_search": q_docs_search,
         "docs_splits": q_docs_splits,
         "docs_stratified": q_docs_stratified,
+        "docs_mixture": q_docs_mixture,
+        "docs_packed": q_docs_packed,
         "docs_chunks": q_docs_chunks,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
@@ -592,7 +604,8 @@ def _bloom_sql(name: str) -> str:
 def oracles() -> dict[str, str]:
     from .dedup import (INCREMENTAL_SQL, MINHASH_PLANTED_SQL,
                         MINHASH_SURVIVORS_PLANTED_SQL)
-    from .sampling import CHUNKS_SQL, SPLITS_SQL, STRATIFIED_SQL
+    from .sampling import (CHUNKS_SQL, MIXTURE_SQL, PACKED_SQL,
+                       SPLITS_SQL, STRATIFIED_SQL)
     from .similarity import EMBEDDING_PLANTED_SQL, TOPK_PLANTED_SQL
     from .text import (BIGRAM_SQL, COOCCUR_SQL, PII_PLANTED_SQL,
                        SALIENT_SQL, TOP_QUALITY_SQL, TOP_WORDS_SQL)
@@ -606,6 +619,8 @@ def oracles() -> dict[str, str]:
         "docs_pii_redacted": PII_PLANTED_SQL,
         "docs_splits": SPLITS_SQL,
         "docs_stratified": STRATIFIED_SQL,
+        "docs_mixture": MIXTURE_SQL,
+        "docs_packed": PACKED_SQL,
         "docs_chunks": CHUNKS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_incremental": INCREMENTAL_SQL,

@@ -176,3 +176,174 @@ SELECT doc_id, k AS chunk_id,
 FROM c, unnest(generate_series(0, nc - 1)) AS t(k)
 ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+# data-mixture (temperature) sampling across sources
+# ---------------------------------------------------------------------------
+#
+# The source-rebalancing step of an LLM data pipeline (The Pile / Llama
+# style): undersample large sources so every source contributes ~the
+# word mass of the smallest one (inverse-proportional mixing).  Exact
+# integer arithmetic end-to-end so MIXTURE_SQL hash-matches:
+#   rate_permille(source) = clamp((min_words * 1000) // source_words,
+#                                 1, 1000)
+#   keep doc  <=>  (doc_id * 2654435761) % 1000 < rate_permille
+# Scale shape: pass 1 is a per-block partial sum + tiny groupby(source)
+# (sources/domains are bounded — hundreds, not billions); the rate dict
+# is broadcast once via ray.put and resolved per map task; pass 2
+# streams and the text column never shuffles.
+
+_MIX_KNUTH = 2654435761
+
+
+def _source_word_partial(batch: pa.Table) -> pa.Table:
+    words = pc.list_value_length(pc.split_pattern(batch.column("text"), " "))
+    t = pa.Table.from_pydict({
+        "source": batch.column("source"),
+        "w": pc.cast(words, pa.int64()),
+    })
+    return t.group_by("source").aggregate([("w", "sum")]) \
+        .rename_columns(["source", "w"])
+
+
+def source_rates_permille(docs: ray.data.Dataset) -> dict[str, int]:
+    """rate permille per source (driver holds one int per source)."""
+    totals = docs.select_columns(["source", "text"]) \
+        .map_batches(_source_word_partial, batch_format="pyarrow") \
+        .groupby("source").sum("w").take_all()
+    w = {r["source"]: r["sum(w)"] for r in totals}
+    mn = min(w.values())
+    return {s: min(1000, max(1, (mn * 1000) // v)) for s, v in w.items()}
+
+
+def mixture_sample(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic inverse-proportional mixture sample."""
+    import ray as _ray
+    rates_ref = _ray.put(source_rates_permille(docs))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        rates = _ray.get(rates_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_pylist()
+        rate = np.array([rates[s] for s in src], dtype=np.int64)
+        keep = (ids * _MIX_KNUTH) % 1000 < rate
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+            "source": batch.column("source").filter(pa.array(keep)),
+            "rate_permille": pa.array(rate[keep], pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "source"]).map_batches(
+        _keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MIXTURE_SQL = f"""
+WITH s AS (
+  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS w
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, w,
+         least(1000, greatest(1, ((SELECT min(w) FROM s) * 1000) // w))
+           ::BIGINT AS rate_permille
+  FROM s
+)
+SELECT d.doc_id, d.source, r.rate_permille
+FROM documents d JOIN r USING (source)
+WHERE (d.doc_id * {_MIX_KNUTH}) % 1000 < r.rate_permille
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk) per source
+# ---------------------------------------------------------------------------
+#
+# The training-example packing step: documents of a source are laid out
+# end-to-end in doc_id order and cut every PACK_SIZE words, so each doc
+# gets (pack_id, pack_offset) = divmod(exclusive-prefix-sum, PACK_SIZE).
+# Pure window arithmetic -> PACKED_SQL mirrors it bit-for-bit.  Scale
+# shape follows the repo's window-scan rule: ONE key-bucket shuffle of
+# narrow (doc_id, source, n_words) rows (hash(source) % 64 buckets),
+# then a vectorized segmented cumsum per bucket; text never moves.
+# Partitioning assumption: one source's rows fit a group — a hot source
+# would be range-split by doc_id with offset stitching, exactly like the
+# events cumsum's documented hot-user path.
+
+PACK_SIZE = 256
+
+
+def _pack_prep(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    words = pc.list_value_length(pc.split_pattern(batch.column("text"), " "))
+    src = batch.column("source").to_pylist()
+    hb = (pd.util.hash_array(np.array(src, dtype=object)) % 64).astype(np.int64)
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "source": batch.column("source"),
+        "n_words": pc.cast(words, pa.int64()),
+        "hb": pa.array(hb, pa.int64()),
+    })
+
+
+_PACK_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("source", pa.string()),
+    ("n_words", pa.int64()), ("pack_id", pa.int64()),
+    ("pack_offset", pa.int64())])
+
+
+def _pack_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _PACK_SCHEMA.empty_table()
+    import pandas as pd
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    nw = group.column("n_words").to_numpy(zero_copy_only=False)
+    src = np.empty(len(ids), object)
+    src[:] = group.column("source").to_pylist()
+    codes = pd.factorize(src)[0]
+    order = np.lexsort((ids, codes))
+    c, n = codes[order], nw[order]
+    incl = np.cumsum(n)
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    # exclusive prefix sum, reset at each source segment
+    seg_base = np.repeat(np.r_[0, incl[starts[1:] - 1]], np.diff(
+        np.r_[starts, len(c)]))
+    off = incl - n - seg_base
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "source": pa.array(src[order], pa.string()),
+        "n_words": pa.array(n, pa.int64()),
+        "pack_id": pa.array(off // PACK_SIZE, pa.int64()),
+        "pack_offset": pa.array(off % PACK_SIZE, pa.int64()),
+    })
+
+
+def pack_sequences(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(source, pack_id, pack_offset) layout for concat-and-chunk
+    training examples."""
+    return docs.select_columns(["doc_id", "source", "text"]) \
+        .map_batches(_pack_prep, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(_pack_bucket, batch_format="pyarrow") \
+        .select_columns(["doc_id", "source", "n_words", "pack_id",
+                         "pack_offset"])
+
+
+PACKED_SQL = f"""
+WITH n AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_words
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_words,
+         coalesce(sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM n
+)
+SELECT doc_id, source, n_words,
+       (off // {PACK_SIZE})::BIGINT AS pack_id,
+       (off % {PACK_SIZE})::BIGINT AS pack_offset
+FROM c ORDER BY doc_id
+"""

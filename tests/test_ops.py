@@ -856,3 +856,60 @@ def test_decontaminate_planted(ray_session):
                                 enumerate(texts) if i % tx.DECONTAM_MOD == 0))
     for i, t in enumerate(texts):
         assert rows[i]["n_gram_hits"] == len(tx._doc_grams(t) & bench_grams)
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    """Inverse-proportional mixing: the smallest source keeps rate 1000,
+    a 10x source keeps ~100 permille; keep decision is doc_id arithmetic."""
+    import ray.data
+    from nerfray.ops import sampling as sp
+    texts, srcs = [], []
+    for i in range(120):
+        if i % 4 == 0:
+            srcs.append("small"); texts.append("three short words")
+        else:
+            srcs.append("big"); texts.append("many " * 40 + "words here")
+    tbl = pa.Table.from_pydict({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+    docs = ray.data.from_arrow(tbl).repartition(3)
+    rates = sp.source_rates_permille(docs)
+    assert rates["small"] == 1000
+    assert 1 <= rates["big"] < 1000
+    rows = sp.mixture_sample(docs).take_all()
+    for r in rows:
+        assert (r["doc_id"] * sp._MIX_KNUTH) % 1000 < rates[r["source"]]
+    kept = {r["doc_id"] for r in rows}
+    for i in range(120):
+        want = (i * sp._MIX_KNUTH) % 1000 < rates[srcs[i]]
+        assert (i in kept) == want
+
+
+def test_pack_sequences_matches_window_sql(ray_session):
+    """(pack_id, pack_offset) == concat-and-chunk window arithmetic,
+    including a source larger than one pack and block seams."""
+    import duckdb
+    import ray.data
+    from nerfray.ops import sampling as sp
+    texts, srcs = [], []
+    for i in range(60):
+        srcs.append(f"s{i % 3}")
+        texts.append(" ".join(f"w{j}" for j in range((i * 13) % 90 + 1)))
+    tbl = pa.Table.from_pydict({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+    docs = ray.data.from_arrow(tbl).repartition(4)
+    got = sorted((r["doc_id"], r["source"], r["n_words"], r["pack_id"],
+                  r["pack_offset"])
+                 for r in sp.pack_sequences(docs).take_all())
+    con = duckdb.connect()
+    con.register("documents", tbl.to_pandas())
+    want = sorted(map(tuple, con.sql(sp.PACKED_SQL).fetchall()))
+    assert got == want
+    assert max(r[3] for r in got) >= 2  # non-trivial: multiple packs
+    # offsets are always within a pack
+    assert all(0 <= r[4] < sp.PACK_SIZE for r in got)
