@@ -114,7 +114,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "top_orders_per_status", "docs_top_words", "docs_cooccur",
                  "docs_bigrams",
                  "graph_triangles_planted", "docs_pii_redacted",
-                 "docs_repetition", "docs_decontam"):
+                 "docs_repetition", "docs_decontam",
+                 "docs_mixture", "docs_packed"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
