@@ -247,6 +247,20 @@ def q_kg_pagerank_dataset_planted(sf_dir: str):
                                        damping=0.5, iters=2)
 
 
+def q_kg_common_neighbors(sf_dir: str):
+    """Common-neighbor link prediction at repo grain: repo pairs sharing
+    >= 2 objects (libraries/licenses) with the shared-object count — the
+    entity-resolution triage score over the materialized KG. One
+    obj-hash bucket exchange (global distinct per obj inside the
+    bucket, hub objects capped with logged drops) + one narrow pair
+    count exchange."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph, triples as triples_mod
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return graph.common_neighbors(
+        triples_mod.contract_subjects_to_repo(trips), min_common=2)
+
+
 def q_kg_degrees(sf_dir: str):
     """Graph materialization rollup: out-degree per subject node."""
     from nerfray.pipelines import kg
@@ -304,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_prov": q_kg_triples_prov,
         "kg_components": q_kg_components,
         "kg_components_repo": q_kg_components_repo,
+        "kg_common_neighbors": q_kg_common_neighbors,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_planted": q_kg_pagerank_planted,
         "kg_pagerank_dataset_planted": q_kg_pagerank_dataset_planted,
@@ -372,6 +387,18 @@ reach(node, lbl) AS (
   SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
 )
 SELECT node, min(lbl) AS component FROM reach GROUP BY node ORDER BY node
+""",
+        "kg_common_neighbors": f"""
+WITH gold AS ({corpus.gold_triples_sql()}),
+rg AS (SELECT DISTINCT
+         array_to_string(list_slice(string_split(subj, '/'), 1, 2), '/')
+           AS subj, obj
+       FROM gold),
+p AS (SELECT a.subj AS node_a, b.subj AS node_b
+      FROM rg a JOIN rg b ON a.obj = b.obj AND a.subj < b.subj)
+SELECT node_a, node_b, count(*)::BIGINT AS n_common
+FROM p GROUP BY node_a, node_b HAVING count(*) >= 2
+ORDER BY node_a, node_b
 """,
         # groups per file = license + nested vendor + libs + syms + apis
         "kg_xces": f"""

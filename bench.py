@@ -115,7 +115,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_bigrams",
                  "graph_triangles_planted", "docs_pii_redacted",
                  "docs_repetition", "docs_decontam",
-                 "docs_mixture", "docs_packed"):
+                 "docs_mixture", "docs_packed", "kg_common_neighbors"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

@@ -21,6 +21,8 @@ Dataset — the driver never holds an edge-proportional container
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -1092,3 +1094,94 @@ e AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
 {',' .join(layers)}
 SELECT node FROM alive{rounds} ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor link prediction (entity-pair similarity on the KG)
+# ---------------------------------------------------------------------------
+#
+# For canonicalization/entity-resolution triage: subjects that share many
+# objects (libraries, licenses) are candidate merges / related entities
+# (the classic common-neighbors link-prediction score, Liben-Nowell &
+# Kleinberg 2003).  Scale shape: ONE obj-hash bucket exchange co-locates
+# each object's full subject set (global distinct per obj falls out
+# inside the bucket), pair emission is capped per hot object with the
+# drop logged (the same documented-recall-loss pattern as the LSH caps),
+# then one narrow (node_a, node_b) count exchange.  Subject text is the
+# only payload that moves; caps keep the pair blow-up of hub objects
+# (a stdlib library linked by every repo) bounded.
+
+CN_BUCKETS = 64
+CN_CAP = 200
+
+
+def _cn_obj_bucket(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    seen = sorted(set(zip(batch.column("obj").to_pylist(),
+                          batch.column("subj").to_pylist())))
+    objs = np.empty(len(seen), object)
+    objs[:] = [o for o, _ in seen]
+    hb = (pd.util.hash_array(objs) % CN_BUCKETS).astype(np.int32)
+    return pa.Table.from_pydict({
+        "obj": pa.array(objs, pa.string()),
+        "subj": pa.array([s for _, s in seen], pa.string()),
+        "hb": pa.array(hb, pa.int32()),
+    })
+
+
+_CN_PAIR_SCHEMA = pa.schema([("node_a", pa.string()),
+                             ("node_b", pa.string())])
+
+
+def _cn_pairs_bucket(group: pa.Table, *, cap: int = CN_CAP) -> pa.Table:
+    if group.num_rows == 0:
+        return _CN_PAIR_SCHEMA.empty_table()
+    rows = sorted(set(zip(group.column("obj").to_pylist(),
+                          group.column("subj").to_pylist())))
+    a: list = []
+    b: list = []
+    run_obj, run_subjs = None, []
+
+    def _emit_run(subjs: list) -> None:
+        if len(subjs) > cap:
+            import logging
+            logging.getLogger(__name__).warning(
+                "common-neighbors hub object: %d subjects, dropping %d "
+                "beyond cap=%d", len(subjs), len(subjs) - cap, cap)
+            subjs = subjs[:cap]
+        for i in range(len(subjs)):
+            for j in range(i + 1, len(subjs)):
+                a.append(subjs[i])
+                b.append(subjs[j])
+
+    for obj, subj in rows:
+        if obj != run_obj:
+            if run_subjs:
+                _emit_run(run_subjs)
+            run_obj, run_subjs = obj, []
+        run_subjs.append(subj)
+    if run_subjs:
+        _emit_run(run_subjs)
+    return pa.Table.from_pydict({"node_a": pa.array(a, pa.string()),
+                                 "node_b": pa.array(b, pa.string())})
+
+
+def common_neighbors(triples: ray.data.Dataset, *, min_common: int = 2,
+                     cap: int = CN_CAP) -> ray.data.Dataset:
+    """(node_a, node_b, n_common) for subject pairs sharing >= min_common
+    objects; node_a < node_b lexicographically."""
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(
+            pc.greater_equal(batch.column("n_common"), min_common))
+
+    return triples.select_columns(["subj", "obj"]) \
+        .map_batches(_cn_obj_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(
+            functools.partial(_cn_pairs_bucket, cap=cap),
+            batch_format="pyarrow") \
+        .groupby(["node_a", "node_b"]).count() \
+        .rename_columns({"count()": "n_common"}) \
+        .map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)

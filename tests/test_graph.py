@@ -404,3 +404,45 @@ def test_kcore_fixed_rounds_equals_adaptive_on_planted(ray_session):
     # the 3-core is exactly the K4 clique nodes
     want = sorted(b + j for b in range(0, 117, 10) for j in range(4))
     assert fixed == want
+
+
+def test_common_neighbors_counts_and_cap(ray_session):
+    """Pair counts equal brute-force shared-object counts; hub objects
+    are capped deterministically (lexicographically first subjects)."""
+    import itertools
+    import ray.data
+    import pyarrow as pa
+    from nerfray.stages import graph
+    trips = []
+    # s0,s1 share o0,o1; s0,s2 share o0; s2,s3 share o2,o3,o4
+    edges = {"s0": ["o0", "o1"], "s1": ["o0", "o1"],
+             "s2": ["o0", "o2", "o3", "o4"], "s3": ["o2", "o3", "o4"]}
+    for s, objs in edges.items():
+        for o in objs:
+            trips.append((s, "uses", o))
+            trips.append((s, "uses", o))  # duplicate triples must not double-count
+    tbl = pa.Table.from_pydict({
+        "subj": pa.array([t[0] for t in trips], pa.string()),
+        "pred": pa.array([t[1] for t in trips], pa.string()),
+        "obj": pa.array([t[2] for t in trips], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = {(r["node_a"], r["node_b"]): r["n_common"]
+           for r in graph.common_neighbors(ds, min_common=1).take_all()}
+    want = {}
+    for a, b in itertools.combinations(sorted(edges), 2):
+        c = len(set(edges[a]) & set(edges[b]))
+        if c:
+            want[(a, b)] = c
+    assert got == want
+    # min_common gate
+    got2 = {(r["node_a"], r["node_b"]): r["n_common"]
+            for r in graph.common_neighbors(ds, min_common=2).take_all()}
+    assert got2 == {k: v for k, v in want.items() if v >= 2}
+    # hub cap: with cap=2, object o0 (s0,s1,s2) keeps only (s0,s1)
+    got3 = {(r["node_a"], r["node_b"]): r["n_common"]
+            for r in graph.common_neighbors(ds, min_common=1,
+                                            cap=2).take_all()}
+    assert got3[("s0", "s1")] == 2       # s0,s1 kept under the cap
+    assert ("s0", "s2") not in got3      # s2 dropped from hub o0
+    assert got3[("s2", "s3")] == 3       # uncapped objects unaffected
