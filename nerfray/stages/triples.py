@@ -348,3 +348,38 @@ SELECT subj, count(*)::BIGINT AS n_edges,
          AS adj
 FROM gold GROUP BY subj ORDER BY subj
 """
+
+
+# ---------------------------------------------------------------------------
+# subject-hash-partitioned graph materialization
+# ---------------------------------------------------------------------------
+#
+# The north-star output layout: triples land in out_dir/pb=K/ parquet
+# directories where K = hash(subj) % n_partitions, so every subject's
+# triples live in exactly one directory.  Downstream graph ops (and a
+# failed run's re-read) can then address one subject range without
+# scanning the rest; combined with the checkpoint manifests this is the
+# resumable, partitioned materialize of BASELINE.json's north_star
+# ("triples partitioned by subject hash").  pd.util.hash_array is a
+# fixed-key siphash — vectorized AND process-independent, so the layout
+# is stable across runs and cluster sizes.
+
+def assign_subject_partition(triples: ray.data.Dataset, *,
+                             n_partitions: int = 64) -> ray.data.Dataset:
+    def _pb(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        arr = np.empty(batch.num_rows, object)
+        arr[:] = batch.column("subj").to_pylist()
+        pb = (pd.util.hash_array(arr) % n_partitions).astype(np.int32)
+        return batch.append_column("pb", pa.array(pb))
+
+    return triples.map_batches(_pb, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def write_by_subject_hash(triples: ray.data.Dataset, out_dir: str, *,
+                          n_partitions: int = 64) -> None:
+    """Materialize triples as out_dir/pb=K/*.parquet (hive-style), one
+    directory per subject-hash partition."""
+    assign_subject_partition(triples, n_partitions=n_partitions) \
+        .write_parquet(out_dir, partition_cols=["pb"])

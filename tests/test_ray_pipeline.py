@@ -277,3 +277,40 @@ def test_kg_delta_matches_set_diff(ray_session):
     per_file_dropped = set().union(
         *(corpus.gold_triples(i, n) for i in range(n) if i % 3 == 2))
     assert per_file_dropped & v1 & v2, "planted overlap vanished"
+
+
+def test_write_by_subject_hash_layout(ray_session, tmp_path):
+    """Hive-partitioned materialize: every subject's triples land in
+    exactly one pb=K directory, layout is hash-stable, and the read-back
+    multiset equals the input."""
+    import collections
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import numpy as np
+    import ray.data
+    from nerfray.stages import triples as tm
+    tbl = pa.Table.from_pydict({
+        "subj": pa.array([f"org/repo-{i % 7}/f{i}.py" for i in range(200)],
+                         pa.string()),
+        "pred": pa.array(["imports"] * 200, pa.string()),
+        "obj": pa.array([f"lib{i % 11}" for i in range(200)], pa.string()),
+    })
+    out = str(tmp_path / "kg")
+    tm.write_by_subject_hash(ray.data.from_arrow(tbl).repartition(4), out,
+                             n_partitions=8)
+    back = ray.data.read_parquet(out).take_all()
+    assert len(back) == 200
+    got = collections.Counter((r["subj"], r["pred"], r["obj"]) for r in back)
+    want = collections.Counter(zip(*[tbl.column(c).to_pylist()
+                                     for c in ("subj", "pred", "obj")]))
+    assert got == want
+    # each row sits in its hash partition; each subject in ONE partition
+    sub_part = {}
+    for r in back:
+        arr = np.empty(1, object); arr[:] = [r["subj"]]
+        k = int(pd.util.hash_array(arr)[0]) % 8  # int() BEFORE %: uint64%int promotes to float64
+        assert int(r["pb"]) == k  # hive partition key reads back as str
+        sub_part.setdefault(r["subj"], set()).add(int(r["pb"]))
+    assert all(len(v) == 1 for v in sub_part.values())
+    assert any(d.startswith("pb=") for d in os.listdir(out))
