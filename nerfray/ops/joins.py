@@ -57,8 +57,9 @@ def _bucket_join(group: pa.Table, *, left_names: list[str],
     lt = group.filter(pc.invert(is_right)) \
         .select(["__key"] + left_names)
     rt = group.filter(is_right).select(["__key"] + right_names)
-    if lt.num_rows == 0 or (rt.num_rows == 0
-                            and how in ("inner", "left semi")):
+    if lt.num_rows == 0 and how != "full outer":
+        return out_schema.empty_table()
+    if rt.num_rows == 0 and how in ("inner", "left semi"):
         return out_schema.empty_table()
     # single-threaded Acero: each map_groups task owns ONE cpu slot, so
     # Acero's own thread pool would oversubscribe the node
@@ -80,7 +81,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     ``how`` is an Acero join type: "inner", "left outer", "left semi"
     (= EXISTS — emits each matching left row once regardless of right
     multiplicity, so the right side needs NO distinct contraction and
-    its payload columns are ignored), "left anti" (= NOT EXISTS).
+    its payload columns are ignored), "left anti" (= NOT EXISTS), or
+    "full outer" (unmatched rows of BOTH sides survive with nulls; the
+    key column is coalesced across sides, and bucket co-partitioning
+    makes the per-bucket full-outer union exact globally).
     Payload column names must be disjoint across sides (TPC-H-style
     prefixes); join keys must be non-null (SQL NULL never equals
     anything — drop null-key rows before joining).
@@ -226,8 +230,9 @@ def _bucket_join_salted(group: pa.Table, *, left_names: list[str],
     lt = group.filter(pc.invert(is_right)) \
         .select(["__key", "__salt"] + left_names)
     rt = group.filter(is_right).select(["__key", "__salt"] + right_names)
-    if lt.num_rows == 0 or (rt.num_rows == 0
-                            and how in ("inner", "left semi")):
+    if lt.num_rows == 0 and how != "full outer":
+        return out_schema.empty_table()
+    if rt.num_rows == 0 and how in ("inner", "left semi"):
         return out_schema.empty_table()
     joined = lt.join(rt, keys=["__key", "__salt"], join_type=how,
                      use_threads=False)
@@ -242,7 +247,13 @@ def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      n_buckets: int = N_JOIN_BUCKETS) -> ray.data.Dataset:
     """hash_join with hot-key salting; ``left`` is the fact side whose
     key histogram is measured (one extra pass over the pruned key
-    column).  Same output columns and multiset as hash_join."""
+    column).  Same output columns and multiset as hash_join.  "full
+    outer" is rejected: build-side replication per salt would emit one
+    spurious null-left copy per unmatched salt — use hash_join (an
+    unmatched BUILD row is by definition not hot on the probe side).
+    """
+    if how == "full outer":
+        raise ValueError("salted_hash_join does not support full outer")
     if how in ("left semi", "left anti"):
         right_cols = []
     overlap = set(left_cols) & set(right_cols)
@@ -407,6 +418,56 @@ def skew_salted_rollup(sf_dir: str) -> ray.data.Dataset:
     ).rename_columns({"__key": "k"})
 
 
+def full_outer_coverage(sf_dir: str) -> ray.data.Dataset:
+    """orders FULL OUTER customer on custkey, rolled up by match class
+    (matched / customer_only / order_only) with the coalesced-key sum —
+    the referential-coverage audit a warehouse runs on fact/dim pairs
+    (which dim rows are dead, which fact rows are orphans). Exercises
+    the full-outer path: unmatched rows of BOTH sides survive the
+    per-bucket Acero join with nulls, and the key column is coalesced."""
+    import pyarrow.compute as pc
+
+    # every synthetic customer has orders, so both sides are filtered
+    # by deterministic predicates to surface all three classes: keeping
+    # 1/3 of orders strands some customers (customer_only), dropping
+    # custkey % 5 == 4 customers orphans their orders (order_only)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def _lf(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ok % 3 == 0))
+
+    def _rf(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ck % 5 != 4))
+
+    orders = orders.map_batches(_lf, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    cust = cust.map_batches(_rf, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j = hash_join(orders, cust, left_on="o_custkey",
+                  right_on="c_custkey", left_cols=["o_orderkey"],
+                  right_cols=["c_name"], how="full outer")
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        left_null = pc.is_null(batch.column("o_orderkey"))
+        right_null = pc.is_null(batch.column("c_name"))
+        side = pc.if_else(
+            left_null, pa.scalar("customer_only"),
+            pc.if_else(right_null, pa.scalar("order_only"),
+                       pa.scalar("matched")))
+        return pa.Table.from_pydict({
+            "side": side,
+            "k": pc.cast(batch.column("__key"), pa.int64()),
+        })
+
+    return j.map_batches(_classify, batch_format="pyarrow")         .groupby("side").aggregate(
+            ray.data.aggregate.Count(alias_name="n_rows"),
+            ray.data.aggregate.Sum("k", alias_name="sum_key"))
+
+
+
 ORACLES = {
     "join_skew_salted": """
 WITH dim AS (
@@ -429,6 +490,17 @@ SELECT o.o_orderstatus, count(*)::BIGINT AS n_items,
        sum(l.l_quantity)::BIGINT AS sum_qty
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+""",
+    "join_full_outer": """
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'customer_only'
+            WHEN c.c_name IS NULL THEN 'order_only'
+            ELSE 'matched' END AS side,
+       count(*)::BIGINT AS n_rows,
+       sum(coalesce(o.o_custkey, c.c_custkey))::BIGINT AS sum_key
+FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+FULL OUTER JOIN (SELECT * FROM customer WHERE c_custkey % 5 != 4) c
+ON o.o_custkey = c.c_custkey
+GROUP BY side ORDER BY side
 """,
     "join_priority_shipped": """
 SELECT o_orderpriority, count(*)::BIGINT AS n_orders

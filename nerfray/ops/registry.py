@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_lineitem": joins.orders_lineitem_rollup,
         "join_priority_shipped": joins.priority_shipped_counts,
         "join_skew_salted": joins.skew_salted_rollup,
+        "join_full_outer": joins.full_outer_coverage,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
         "events_hourly_hll": sketch.hourly_user_registers,
         "events_daily_hll": sketch.daily_user_registers,

@@ -348,3 +348,29 @@ def test_rollup_cube_matches_grouping_sets(ray_session):
     assert len(grand) == 1
     assert grand[0][2] == sum(r[2] for r in base)
     assert grand[0][3] == sum(r[3] for r in base)
+
+
+def test_full_outer_join_classes(ray_session):
+    """Full outer: unmatched rows of BOTH sides survive with nulls, the
+    key is coalesced, and buckets whose left side is empty still emit
+    their right rows. Salted join rejects full outer."""
+    import pytest
+    import ray.data
+    import pyarrow as pa
+    from nerfray.ops import joins as j
+    lt = ray.data.from_arrow(pa.table({
+        "lk": pa.array([1, 2, 2, 5], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"], pa.string())}))
+    rt = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 4], pa.int64()),
+        "rv": pa.array(["X", "Y", "Z"], pa.string())}))
+    rows = j.hash_join(lt, rt, left_on="lk", right_on="rk",
+                       left_cols=["lv"], right_cols=["rv"],
+                       how="full outer").take_all()
+    got = sorted((r["__key"], r["lv"], r["rv"]) for r in rows)
+    assert got == [(1, "a", None), (2, "b", "X"), (2, "c", "X"),
+                   (3, None, "Y"), (4, None, "Z"), (5, "d", None)]
+    with pytest.raises(ValueError):
+        j.salted_hash_join(lt, rt, left_on="lk", right_on="rk",
+                           left_cols=["lv"], right_cols=["rv"],
+                           how="full outer")
