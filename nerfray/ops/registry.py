@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_skew_salted": joins.skew_salted_rollup,
         "join_full_outer": joins.full_outer_coverage,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
+        "docs_heavy_hitters": sketch.docs_heavy_hitters,
         "events_hourly_hll": sketch.hourly_user_registers,
         "events_daily_hll": sketch.daily_user_registers,
         "events_value_quantiles": sketch.events_value_quantiles,

@@ -246,6 +246,127 @@ def approx_quantiles(ds: ray.data.Dataset, column: str, *,
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (frequent items)
+# ---------------------------------------------------------------------------
+#
+# The bounded-shuffle companion to ops/text.top_words (which shuffles
+# one row per distinct word per block — the whole vocabulary): each
+# block compresses its token counts to <= k Misra-Gries counters
+# (subtract the (k+1)-th largest block count; per-word undercount
+# <= n_b/(k+1)), so the union of block summaries — <= k rows per
+# block, REGARDLESS of vocabulary size — provably contains every word
+# with global count > n/(k+1) (summed undercounts <= n/(k+1), cf.
+# Misra & Gries 1982; mergeability per Agarwal et al., PODS'12).  A
+# second pass counts ONLY the bounded candidate set exactly, so the
+# final answer (words with cnt*(k+1) > n) is EXACT — hence the full
+# SQL oracle below, which brute-forces the same threshold over all
+# words.
+
+MG_K = 199          # counters per block -> phi = 1/200 of all tokens
+_MG_SENTINEL = "\x00total"   # space-split tokens can never contain \x00
+
+
+def _mg_partial(batch: pa.Table, *, k: int) -> pa.Table:
+    """<= k (word, lower-bound) Misra-Gries counters per block."""
+    out_schema = pa.schema([("word", pa.string()), ("lower", pa.int64())])
+    texts = batch.column("text").to_pylist()
+    if not texts:
+        return out_schema.empty_table()
+    toks = np.concatenate([np.array(t.split(" "), dtype=object)
+                           for t in texts])
+    words, counts = np.unique(toks, return_counts=True)
+    if len(words) > k:
+        kth = np.partition(counts, -(k + 1))[-(k + 1)]
+        lower = counts - kth
+        keep = lower > 0
+        words, lower = words[keep], lower[keep]
+    else:
+        lower = counts
+    return pa.Table.from_pydict({
+        "word": pa.array(words, pa.string()),
+        "lower": pa.array(lower, pa.int64()),
+    }, schema=out_schema)
+
+
+def heavy_hitter_words(docs: ray.data.Dataset, *,
+                       k: int = MG_K) -> ray.data.Dataset:
+    """(word, cnt) for every word whose token count exceeds n/(k+1) —
+    exact, via MG-candidate pruning: only <= k rows per block plus the
+    bounded candidate counts ever shuffle.  The driver holds the
+    candidate set (<= k * n_blocks rows, independent of vocabulary and
+    corpus size)."""
+    summaries = docs.select_columns(["text"]).map_batches(
+        _mg_partial, fn_kwargs={"k": k},
+        batch_format="pyarrow", zero_copy_batch=True)
+    cands = np.unique(np.asarray(
+        [r["word"] for r in summaries.select_columns(["word"]).take_all()],
+        dtype=object))
+
+    def _exact_partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("word", pa.string()),
+                                ("cnt", pa.int64())])
+        texts = batch.column("text").to_pylist()
+        if not texts:
+            return out_schema.empty_table()
+        toks = np.concatenate([np.array(t.split(" "), dtype=object)
+                               for t in texts])
+        hits = toks[np.isin(toks, cands)]
+        words, counts = np.unique(hits, return_counts=True)
+        return pa.Table.from_pydict({
+            "word": pa.array(np.r_[words, [_MG_SENTINEL]], pa.string()),
+            "cnt": pa.array(np.r_[counts, [len(toks)]], pa.int64()),
+        }, schema=out_schema)
+
+    def _one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, np.int32), pa.int32()))
+
+    def _final(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("word", pa.string()),
+                                ("cnt", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        words = np.asarray(group.column("word").to_pylist(), dtype=object)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        total = int(cnt[words == _MG_SENTINEL].sum())
+        keep = (words != _MG_SENTINEL) & (cnt * (k + 1) > total)
+        order = np.argsort(words[keep].astype(str), kind="stable")
+        return pa.Table.from_pydict({
+            "word": pa.array(words[keep][order], pa.string()),
+            "cnt": pa.array(cnt[keep][order], pa.int64()),
+        }, schema=out_schema)
+
+    # candidate-grain rows (bounded) -> exact global counts -> one
+    # bounded final group applies the threshold
+    return docs.select_columns(["text"]).map_batches(
+        _exact_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("word").sum("cnt").rename_columns({"sum(cnt)": "cnt"}) \
+        .map_batches(_one, batch_format="pyarrow") \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+def docs_heavy_hitters(sf_dir: str) -> ray.data.Dataset:
+    """Exact phi=1/(k+1) frequent words over the documents table via
+    the two-pass Misra-Gries pipeline."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return heavy_hitter_words(docs)
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks),
+c AS (SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY word)
+SELECT word, cnt FROM c, tot WHERE cnt * {MG_K + 1} > n ORDER BY word
+"""
+
+
+# ---------------------------------------------------------------------------
 # query surface
 # ---------------------------------------------------------------------------
 
@@ -345,6 +466,7 @@ SELECT * FROM ({_Q_SEL}) ORDER BY event_type, q
 
 ORACLES = {
     "events_value_quantiles_lossless": QUANTILES_LOSSLESS_SQL,
+    "docs_heavy_hitters": HEAVY_HITTERS_SQL,
     "sketch_hll_custkeys": f"""
 WITH h AS (
   SELECT o_orderstatus,

@@ -122,3 +122,30 @@ def test_windowed_sketch_merge_equals_recompute(ray_session):
         # 64 registers -> ~13% relative error; allow 3 sigma
         assert abs(est - exact[day]) <= max(0.4 * exact[day], 8), \
             (day, est, exact[day])
+
+
+def test_heavy_hitters_exact_vs_brute_force(ray_session):
+    """MG candidate pruning must be invisible: the two-pass answer
+    equals brute-force thresholded counts for ANY block structure,
+    including blocks whose vocabulary far exceeds k counters."""
+    import ray.data
+    rng = np.random.default_rng(11)
+    # zipf-ish: few hot words + a long unique tail >> k
+    hot = [f"hot{i}" for i in range(10)]
+    words = [hot[rng.integers(0, 10)] for _ in range(3000)]
+    words += [f"tail{i}" for i in range(5000)]
+    rng.shuffle(words)
+    texts = [" ".join(words[i:i + 40]) for i in range(0, len(words), 40)]
+    ds = ray.data.from_arrow(pa.Table.from_pydict(
+        {"text": pa.array(texts, pa.string())}))
+    k = 30
+    got = {(r["word"], r["cnt"])
+           for r in sketch.heavy_hitter_words(
+               ds.repartition(13), k=k).take_all()}
+    flat = [w for t in texts for w in t.split(" ")]
+    n = len(flat)
+    exact = {}
+    for w in flat:
+        exact[w] = exact.get(w, 0) + 1
+    want = {(w, c) for w, c in exact.items() if c * (k + 1) > n}
+    assert got == want and want  # threshold actually selects the hot set
