@@ -176,6 +176,18 @@ def q_sim_jaccard(sf_dir: str):
     return similarity.jaccard_vs_queries(_docs(sf_dir), n_queries=3)
 
 
+def q_sim_setjoin(sf_dir: str):
+    # exact set-similarity self-join (prefix filter + verify): the
+    # deterministic counterpart to dedup_minhash, oracled on RAW docs
+    from . import setjoin
+    return setjoin.sim_setjoin(sf_dir)
+
+
+def q_sim_setjoin_drops(sf_dir: str):
+    from . import setjoin
+    return setjoin.sim_setjoin_drops(sf_dir)
+
+
 def q_dedup_embedding_planted(sf_dir: str):
     # identical-vector pairs: LSH co-location is certain, exact cosine
     # verify keeps only the planted pairs -> full SQL oracle (no float
@@ -342,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf": q_sim_ivf,
         "sim_ivf_planted": q_sim_ivf_planted,
         "sim_jaccard": q_sim_jaccard,
+        "sim_setjoin": q_sim_setjoin,
+        "sim_setjoin_drops": q_sim_setjoin_drops,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "docs_curated": q_docs_curated,
@@ -603,6 +617,11 @@ def _bloom_sql(name: str) -> str:
     return getattr(bloom, name)
 
 
+def _setjoin_sql(name: str) -> str:
+    from . import setjoin
+    return getattr(setjoin, name)
+
+
 def oracles() -> dict[str, str]:
     from .dedup import (INCREMENTAL_SQL, MINHASH_PLANTED_SQL,
                         MINHASH_SURVIVORS_PLANTED_SQL)
@@ -634,6 +653,11 @@ def oracles() -> dict[str, str]:
         "sim_ivf_planted": TOPK_PLANTED_SQL,
         "sim_topk": SIM_TOPK_SQL,
         "sim_jaccard": SIM_JACCARD_SQL,
+        "sim_setjoin": _setjoin_sql("SETJOIN_SQL"),
+        # sim_setjoin_drops: rows-only in the driver gate (an empty
+        # Dataset drops its schema in to_pandas, like the LSH drop
+        # channels); its SQL mirror (SETJOIN_DROPS_SQL) is pinned by a
+        # pytest on a planted-overflow corpus instead.
         "text_stats": TEXT_STATS_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "docs_curated": DOCS_CURATED_SQL,

@@ -1,0 +1,101 @@
+"""Exact set-similarity join: prefix-filter completeness pinned
+against brute force over arbitrary block structures, and the drop
+channel pinned against its SQL mirror on a planted-overflow corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nerfray.ops import setjoin
+from nerfray.ops.dedup import sha64
+
+
+def _brute_pairs(texts, tau):
+    def hs(t):
+        ws = t.split(" ")
+        return {sha64(" ".join(ws[i:i + 3])) for i in range(len(ws) - 2)}
+    sets = [hs(t) for t in texts]
+    out = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= tau:
+                out[(a, b)] = inter / union
+    return out
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus():
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for g in range(30):
+        base = [vocab[i] for i in rng.integers(0, 40, 30)]
+        texts.append(" ".join(base))
+        # near dup: one word substituted -> high but != 1.0 jaccard
+        mut = list(base)
+        mut[7] = "swapped"
+        texts.append(" ".join(mut))
+    texts.append("a b")          # < 3 words: empty shingle set
+    texts.append("c d")          # must never pair (u == 0)
+    return texts
+
+
+def test_setjoin_equals_brute_force(ray_session, near_dup_corpus):
+    import ray.data
+    texts = near_dup_corpus
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(7)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in setjoin.setsim_join_pairs(ds, tau=0.5).take_all()}
+    want = _brute_pairs(texts, 0.5)
+    assert got == want and len(want) >= 30
+
+
+def test_setjoin_block_structure_invariance(ray_session, near_dup_corpus):
+    import ray.data
+    texts = near_dup_corpus
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    one = {(r["doc_a"], r["doc_b"]) for r in setjoin.setsim_join_pairs(
+        ray.data.from_arrow(t).repartition(1), tau=0.5).take_all()}
+    many = {(r["doc_a"], r["doc_b"]) for r in setjoin.setsim_join_pairs(
+        ray.data.from_arrow(t).repartition(19), tau=0.5).take_all()}
+    assert one == many and one
+
+
+def test_setjoin_drops_match_sql_mirror(ray_session):
+    """Plant a token shared by > cap docs' prefixes: every doc is the
+    SAME short shingle set, so all its tokens are in every prefix and
+    each run overflows identically in Ray and in the SQL mirror."""
+    import duckdb
+    import ray.data
+    n, cap = 30, 10
+    texts = ["x y z w" for _ in range(n)]   # 2 shingles, all docs equal
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    got = sorted((r["n_ids"], r["n_dropped_pairs"])
+                 for r in setjoin.setjoin_drop_counts(
+                     ray.data.from_arrow(t).repartition(5),
+                     cap=cap).take_all())
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = setjoin.SETJOIN_DROPS_SQL.replace(
+        str(setjoin.SETJOIN_CAP), str(cap))
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want and got  # overflow actually happened
+
+
+def test_setjoin_drops_empty_at_gate_scale(ray_session):
+    """At the driver corpus scale the caps must never bite."""
+    import ray.data
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    assert setjoin.setjoin_drop_counts(docs).count() == 0
