@@ -226,6 +226,15 @@ def q_kg_bfs_planted(sf_dir: str):
     return graph.bfs_planted_query(sf_dir)
 
 
+def q_kg_sssp_planted(sf_dir: str):
+    """Weighted SSSP (bounded Bellman-Ford rounds) over the planted
+    integer-weight offset graph from seed 0 — each round one
+    hash_join + one bucketed min co-group, distances stay a Dataset.
+    FULL SQL oracle: unrolled min-relaxation layers."""
+    from nerfray.stages import graph
+    return graph.sssp_planted_query(sf_dir)
+
+
 def q_kg_kcore_planted(sf_dir: str):
     """k-core peel over the planted cascade graph (k=3): iterative
     degree filter + semi-join restriction, driver sees only per-round
@@ -323,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_planted": q_kg_pagerank_planted,
         "kg_pagerank_dataset_planted": q_kg_pagerank_dataset_planted,
         "kg_bfs_planted": q_kg_bfs_planted,
+        "kg_sssp_planted": q_kg_sssp_planted,
         "kg_kcore_planted": q_kg_kcore_planted,
     }
     q.update(entrypoints.ops_queries())
@@ -336,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.stages.triples import adjacency_sql as __adj_sql
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
+        "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_pagerank_planted": graph.pagerank_planted_sql(),
         "kg_pagerank_dataset_planted": graph.pagerank_planted_sql(iters=2),

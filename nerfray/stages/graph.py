@@ -1185,3 +1185,140 @@ def common_neighbors(triples: ray.data.Dataset, *, min_common: int = 2,
         .groupby(["node_a", "node_b"]).count() \
         .rename_columns({"count()": "n_common"}) \
         .map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# weighted single-source shortest paths (bounded Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+#
+# The weighted companion to bfs_hops: R relaxation rounds compute the
+# exact min-cost path using <= R edges (integer weights -> integer
+# distances, no float drift).  Each round is one hash_join of the
+# current distance table against the edge list plus one bucketed
+# min-co-group; both distances and edges live entirely as Datasets and
+# the driver sees only per-round counts.  Fixed R (not
+# run-to-convergence) keeps the round structure identical to the
+# unrolled SQL oracle.
+
+SSSP_WEIGHTS = {7: 3, 13: 1, 20: 5}   # offset -> edge weight
+SSSP_ROUNDS = 5
+
+
+def sssp_rounds(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
+                rounds: int = SSSP_ROUNDS) -> ray.data.Dataset:
+    """(node, dist): exact shortest distance from the seed set using at
+    most ``rounds`` edges.  ``edges`` has int64 (u, v, w); ``seeds`` a
+    (node) column (distance 0)."""
+    import pyarrow.compute as pc
+
+    from nerfray.ops.joins import hash_join
+
+    _SCHEMA = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def _zero(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": pc.cast(batch.column("node"), pa.int64()),
+            "dist": pa.array(np.zeros(batch.num_rows, np.int64),
+                             pa.int64())}, schema=_SCHEMA)
+
+    def _relaxed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": batch.column("v"),
+            "dist": pc.add(batch.column("dist"), batch.column("w")),
+        }, schema=_SCHEMA)
+
+    def _hb(batch: pa.Table) -> pa.Table:
+        hb = pc.cast(pc.bit_wise_and(batch.column("node"), 63), pa.int32())
+        return batch.append_column("hb", hb)
+
+    def _min_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SCHEMA.empty_table()
+        n = group.column("node").to_numpy(zero_copy_only=False)
+        d = group.column("dist").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, n))
+        n_s, d_s = n[order], d[order]
+        starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+        return pa.Table.from_pydict({
+            "node": pa.array(n_s[starts], pa.int64()),
+            "dist": pa.array(d_s[starts], pa.int64()),
+        }, schema=_SCHEMA)
+
+    dist = seeds.map_batches(_zero, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        relaxed = hash_join(dist, edges, left_on="node", right_on="u",
+                            left_cols=["dist"], right_cols=["v", "w"]) \
+            .map_batches(_relaxed, batch_format="pyarrow")
+        dist = dist.union(relaxed) \
+            .map_batches(_hb, batch_format="pyarrow") \
+            .groupby("hb").map_groups(_min_bucket,
+                                      batch_format="pyarrow") \
+            .materialize()
+    return dist
+
+
+def planted_weighted_edges(ids: ray.data.Dataset,
+                           n: int) -> ray.data.Dataset:
+    """(i, (i+o) % n, w_o) for o in SSSP_WEIGHTS — the triangle fixture
+    graph with deterministic integer weights."""
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        us, vs, ws = [], [], []
+        for off, w in SSSP_WEIGHTS.items():
+            us.append(v_ids)
+            vs.append((v_ids + off) % n)
+            ws.append(np.full(len(v_ids), w, np.int64))
+        return pa.Table.from_pydict({
+            "u": pa.array(np.concatenate(us), pa.int64()),
+            "v": pa.array(np.concatenate(vs), pa.int64()),
+            "w": pa.array(np.concatenate(ws), pa.int64()),
+        })
+
+    return ids.map_batches(_mk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def sssp_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """Bounded-round SSSP over the weighted offset graph from seed 0."""
+    import os
+
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+    edges = planted_weighted_edges(ids, n)
+
+    def _seed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": pc.cast(batch.column("id"), pa.int64())})
+
+    seeds = rd.range(1).map_batches(_seed, batch_format="pyarrow")
+    return sssp_rounds(edges, seeds, rounds=SSSP_ROUNDS)
+
+
+def sssp_planted_sql(rounds: int = SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford: d_{t+1} = min(d_t, relax(d_t)) per layer —
+    integer arithmetic end to end, so the hash match is exact."""
+    edge_sel = "\n  UNION ALL ".join(
+        f"SELECT vec_id AS u, (vec_id + {off}) % nn.n AS v, "
+        f"{w}::BIGINT AS w FROM embeddings, nn"
+        for off, w in SSSP_WEIGHTS.items())
+    layers = []
+    for t in range(rounds):
+        layers.append(
+            f"d{t + 1} AS (SELECT node, min(dist)::BIGINT AS dist FROM ("
+            f"SELECT node, dist FROM d{t} "
+            f"UNION ALL SELECT e.v AS node, d{t}.dist + e.w AS dist "
+            f"FROM d{t} JOIN e ON e.u = d{t}.node) GROUP BY node)")
+    return (
+        "WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),\n"
+        f"e AS (\n  {edge_sel}\n),\n"
+        "d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS dist),\n"
+        + ",\n".join(layers)
+        + f"\nSELECT node, dist FROM d{rounds} ORDER BY node"
+    )

@@ -446,3 +446,35 @@ def test_common_neighbors_counts_and_cap(ray_session):
     assert got3[("s0", "s1")] == 2       # s0,s1 kept under the cap
     assert ("s0", "s2") not in got3      # s2 dropped from hub o0
     assert got3[("s2", "s3")] == 3       # uncapped objects unaffected
+
+
+def test_sssp_rounds_vs_brute_force(ray_session):
+    """Bounded Bellman-Ford must equal the per-round relaxation
+    recurrence on a random weighted digraph, any block structure."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import graph
+
+    rng = np.random.default_rng(5)
+    n, m, rounds = 40, 160, 4
+    u = rng.integers(0, n, m)
+    v = rng.integers(0, n, m)
+    w = rng.integers(1, 10, m).astype(np.int64)
+    edges = ray.data.from_arrow(pa.Table.from_pydict({
+        "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+        "w": pa.array(w, pa.int64())})).repartition(5)
+    seeds = ray.data.from_arrow(pa.Table.from_pydict(
+        {"node": pa.array([0, 3], pa.int64())}))
+    got = {r["node"]: r["dist"]
+           for r in graph.sssp_rounds(edges, seeds,
+                                      rounds=rounds).take_all()}
+    INF = 1 << 60
+    dist = {0: 0, 3: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, c in zip(u, v, w):
+            if a in dist and dist[a] + c < nxt.get(b, INF):
+                nxt[b] = dist[a] + int(c)
+        dist = nxt
+    assert got == dist and len(dist) > 2
