@@ -30,19 +30,24 @@ N_RANK_BUCKETS = 64
 
 
 def global_rank(ds: ray.data.Dataset, *, key: str, tiebreak: str,
-                out_col: str = "rank") -> ray.data.Dataset:
+                out_col: str = "rank",
+                ascending: bool = False) -> ray.data.Dataset:
     """Append ``out_col`` = global 1-based row number in
-    (key DESC, tiebreak ASC) order. ``key`` and ``tiebreak`` must be
-    integer columns; ties on (key, tiebreak) must not exist."""
+    (key DESC, tiebreak ASC) order — or (key ASC, tiebreak ASC) with
+    ``ascending=True``. ``key`` and ``tiebreak`` must be integer
+    columns; ties on (key, tiebreak) must not exist."""
     hist = ds.groupby(key).count().take_all()
-    vals = np.array(sorted((r[key] for r in hist), reverse=True),
+    vals = np.array(sorted((r[key] for r in hist), reverse=not ascending),
                     dtype=np.int64)
     counts = {r[key]: r["count()"] for r in hist}
     offsets = np.concatenate(
         [[0], np.cumsum([counts[v] for v in vals])[:-1]]).astype(np.int64)
-    # ascending copy for np.searchsorted (descending offsets ride along)
-    asc_vals = vals[::-1].copy()
-    asc_offsets = offsets[::-1].copy()
+    # ascending copy for np.searchsorted (rank offsets ride along)
+    if ascending:
+        asc_vals, asc_offsets = vals, offsets
+    else:
+        asc_vals = vals[::-1].copy()
+        asc_offsets = offsets[::-1].copy()
     table_ref = ray.put((asc_vals, asc_offsets))
 
     def _bucket(batch: pa.Table) -> pa.Table:
@@ -60,7 +65,7 @@ def global_rank(ds: ray.data.Dataset, *, key: str, tiebreak: str,
         avals, aoffs = ray.get(table_ref)
         k = group.column(key).to_numpy(zero_copy_only=False)
         tb = group.column(tiebreak).to_numpy(zero_copy_only=False)
-        order = np.lexsort((tb, -k))
+        order = np.lexsort((tb, k if ascending else -k))
         ks = k[order]
         starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
         seg_len = np.diff(np.r_[starts, len(ks)])
@@ -87,7 +92,66 @@ def docs_global_rank(sf_dir: str) -> ray.data.Dataset:
     return global_rank(ds, key="n_chars", tiebreak="doc_id")
 
 
+HIST_BUCKETS = 16
+
+
+def equi_depth_histogram(ds: ray.data.Dataset, *, value: str,
+                         tiebreak: str,
+                         n_buckets: int = HIST_BUCKETS
+                         ) -> ray.data.Dataset:
+    """Exact equi-depth histogram without a global sort: bucket of a
+    row = ``(asc_rank - 1) * n_buckets // n`` via the two-phase
+    global-rank machinery, then one tiny per-bucket rollup (count /
+    min / max / sum).  The optimizer-statistics primitive a 100-TB
+    scan planner keeps per column."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    n = ds.count()
+    ranked = global_rank(ds, key=value, tiebreak=tiebreak,
+                         ascending=True)
+
+    def _bucket_of(batch: pa.Table) -> pa.Table:
+        rk = batch.column("rank").to_numpy(zero_copy_only=False)
+        b = (rk - 1) * n_buckets // n
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    return ranked.map_batches(_bucket_of, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(
+            Count(), Min(value), Max(value), Sum(value)) \
+        .rename_columns({
+            "count()": "n_rows", f"min({value})": f"min_{value}",
+            f"max({value})": f"max_{value}",
+            f"sum({value})": f"sum_{value}"})
+
+
+def docs_length_histogram(sf_dir: str) -> ray.data.Dataset:
+    """16-bucket equi-depth histogram of document lengths."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "n_chars"])
+    return equi_depth_histogram(ds, value="n_chars", tiebreak="doc_id") \
+        .rename_columns({"min_n_chars": "min_chars",
+                         "max_n_chars": "max_chars",
+                         "sum_n_chars": "sum_chars"})
+
+
 ORACLES = {
+    "docs_length_histogram": f"""
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+  FROM documents
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT (rk * {HIST_BUCKETS} // nn.n)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_rows,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM r, nn GROUP BY 1 ORDER BY 1
+""",
     "docs_global_rank": """
 SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS rank

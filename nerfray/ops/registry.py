@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
         "docs_global_rank": rank.docs_global_rank,
+        "docs_length_histogram": rank.docs_length_histogram,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,
         "part_type_sizes": relational.part_type_sizes,

@@ -913,3 +913,33 @@ def test_pack_sequences_matches_window_sql(ray_session):
     assert max(r[3] for r in got) >= 2  # non-trivial: multiple packs
     # offsets are always within a pack
     assert all(0 <= r[4] < sp.PACK_SIZE for r in got)
+
+
+def test_equi_depth_histogram_vs_brute_force(ray_session):
+    """Duplicate-heavy values, n not divisible by B, many blocks: the
+    rank-derived buckets must equal the window-function definition."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import rank as rk
+
+    rng = np.random.default_rng(3)
+    n, B = 403, 16
+    vals = rng.integers(0, 25, n)           # heavy ties across buckets
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "v": pa.array(vals, pa.int64())})).repartition(9)
+    got = sorted((r["bucket"], r["n_rows"], r["min_v"], r["max_v"],
+                  r["sum_v"])
+                 for r in rk.equi_depth_histogram(
+                     ds, value="v", tiebreak="doc_id",
+                     n_buckets=B).take_all())
+    order = np.lexsort((np.arange(n), vals))
+    want = {}
+    for rank0, i in enumerate(order):
+        b = rank0 * B // n
+        c, mn, mx, s = want.get(b, (0, 1 << 60, -1, 0))
+        want[b] = (c + 1, min(mn, vals[i]), max(mx, vals[i]),
+                   s + int(vals[i]))
+    assert got == [(b, *want[b]) for b in sorted(want)]
+    assert len(got) == B
