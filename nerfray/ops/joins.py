@@ -468,7 +468,99 @@ def full_outer_coverage(sf_dir: str) -> ray.data.Dataset:
 
 
 
+
+# ---------------------------------------------------------------------------
+# broadcast interval (band) join
+# ---------------------------------------------------------------------------
+#
+# The non-equi join the equi-only hash_join cannot express: each fact
+# row finds the band whose [lo, hi) interval contains its value.  The
+# band table is small by construction (rate cards, SLA tiers, price
+# brackets), so it broadcasts once (ray.put of the sorted bounds) and
+# every task binary-searches its batch (np.searchsorted) — a map-only
+# join with NO shuffle; only the final band-grain rollup exchanges
+# (band, user) partials.  At 100 TB the band table stays O(bands) and
+# the exchange O(bands x users-per-band), never O(rows).
+
+N_VALUE_BANDS = 23          # [b^2, (b+1)^2) covers events.value <= 529
+
+
+def band_join_rollup(events: ray.data.Dataset,
+                     bounds: np.ndarray) -> ray.data.Dataset:
+    """(band, lo, hi, n_events, n_users, sum_cents) per non-empty
+    band; ``bounds`` is the sorted array of band lower edges plus the
+    final upper edge.  Exact: counts are integers and value rides as
+    round(value*100) cents."""
+    bounds_ref = ray.put(np.asarray(bounds, dtype=np.float64))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        band = np.searchsorted(b, v, side="right") - 1
+        cents = np.round(v * 100).astype(np.int64)
+        t = pa.Table.from_pydict({
+            "band": pa.array(band, pa.int64()),
+            "user_id": batch.column("user_id"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        # block combiner to (band, user) grain before the shuffle
+        return t.group_by(["band", "user_id"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]).rename_columns(
+            ["band", "user_id", "c", "cents"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "band": batch.column("band"),
+            "lo": pa.array(band * band, pa.int64()),
+            "hi": pa.array((band + 1) * (band + 1), pa.int64()),
+            "n_events": batch.column("n_events"),
+            "n_users": batch.column("n_users"),
+            "sum_cents": batch.column("sum_cents"),
+        })
+
+    from ray.data.aggregate import Count, Sum
+    per_user = events.map_batches(_assign, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby(["band", "user_id"]).aggregate(Sum("c"), Sum("cents"))
+    return per_user.groupby("band").aggregate(
+        Sum("sum(c)"), Count(), Sum("sum(cents)")) \
+        .rename_columns({"sum(sum(c))": "n_events",
+                         "count()": "n_users",
+                         "sum(sum(cents))": "sum_cents"}) \
+        .map_batches(_edges, batch_format="pyarrow")
+
+
+def events_band_join(sf_dir: str) -> ray.data.Dataset:
+    """Quadratic rate-card bands over events.value."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "value"])
+    edges = (np.arange(N_VALUE_BANDS + 1, dtype=np.float64)) ** 2
+    return band_join_rollup(ev, edges)
+
+
+BAND_JOIN_SQL = f"""
+WITH bands AS (
+  SELECT b AS band, (b * b)::BIGINT AS lo,
+         ((b + 1) * (b + 1))::BIGINT AS hi
+  FROM unnest(generate_series(0, {N_VALUE_BANDS - 1})) AS t(b)
+),
+j AS (
+  SELECT b.band, b.lo, b.hi, e.user_id,
+         round(e.value * 100)::BIGINT AS cents
+  FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+)
+SELECT band::BIGINT AS band, lo, hi, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(cents)::BIGINT AS sum_cents
+FROM j GROUP BY band, lo, hi ORDER BY band
+"""
+
 ORACLES = {
+    "events_band_join": BAND_JOIN_SQL,
     "join_skew_salted": """
 WITH dim AS (
   SELECT k, (7 * k + 1)::BIGINT AS payload

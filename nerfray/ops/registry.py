@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_shipped": joins.priority_shipped_counts,
         "join_skew_salted": joins.skew_salted_rollup,
         "join_full_outer": joins.full_outer_coverage,
+        "events_band_join": joins.events_band_join,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
         "docs_heavy_hitters": sketch.docs_heavy_hitters,
         "events_hourly_hll": sketch.hourly_user_registers,

@@ -374,3 +374,34 @@ def test_full_outer_join_classes(ray_session):
         j.salted_hash_join(lt, rt, left_on="lk", right_on="rk",
                            left_cols=["lv"], right_cols=["rv"],
                            how="full outer")
+
+
+def test_band_join_boundary_values_and_blocks(ray_session):
+    """Values exactly ON a band edge belong to the upper band
+    ([lo, hi) semantics), and the rollup is block-structure
+    invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import joins
+
+    vals = [0.0, 0.99, 1.0, 3.99, 4.0, 4.0, 8.999, 9.0, 15.9, 16.0]
+    users = [1, 1, 2, 2, 3, 3, 1, 2, 1, 1]
+    t = pa.Table.from_pydict({
+        "user_id": pa.array(users, pa.int64()),
+        "value": pa.array(vals, pa.float64())})
+    bounds = np.arange(6, dtype=np.float64) ** 2   # 0,1,4,9,16,25
+    want = {}
+    for u, v in zip(users, vals):
+        b = int(np.searchsorted(bounds, v, side="right") - 1)
+        n, us, s = want.get(b, (0, set(), 0))
+        want[b] = (n + 1, us | {u}, s + round(v * 100))
+    for parts in (1, 4):
+        got = {r["band"]: (r["n_events"], r["n_users"], r["sum_cents"])
+               for r in joins.band_join_rollup(
+                   ray.data.from_arrow(t).repartition(parts),
+                   bounds).take_all()}
+        assert got == {b: (n, len(us), s)
+                       for b, (n, us, s) in want.items()}
+        # boundary check: 4.0 landed in band [4, 9), not [1, 4)
+        assert got[2][0] == 3  # 4.0, 4.0, 8.999
