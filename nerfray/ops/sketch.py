@@ -246,6 +246,95 @@ def approx_quantiles(ds: ray.data.Dataset, column: str, *,
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+#
+# The point-frequency companion to the HLL registers: every block
+# collapses its token counts into a D x W counter grid (<= D*W rows
+# out per block, independent of vocabulary), grids merge by plain
+# addition — so the ONLY shuffle is cell-grain.  Same oracle pattern
+# as HLL: cells are addressed by sha256-prefix hashes, so the merged
+# register table is exactly recomputable in DuckDB; the min-over-rows
+# point estimate is a driver-side formula pinned by pytest
+# (estimate >= exact count always; tight for heavy words).
+
+CMS_D = 4
+CMS_W = 256
+
+
+def _cms_cols(words: np.ndarray, d: int) -> np.ndarray:
+    return np.array([sha64(f"{d}:{w}") % CMS_W for w in words],
+                    dtype=np.int64)
+
+
+def _cms_partial(batch: pa.Table) -> pa.Table:
+    out_schema = pa.schema([("d", pa.int64()), ("col", pa.int64()),
+                            ("cnt", pa.int64())])
+    texts = batch.column("text").to_pylist()
+    if not texts:
+        return out_schema.empty_table()
+    toks = np.concatenate([np.array(t.split(" "), dtype=object)
+                           for t in texts])
+    words, counts = np.unique(toks, return_counts=True)
+    ds_, cols_, cnts_ = [], [], []
+    for d in range(CMS_D):
+        grid = np.zeros(CMS_W, dtype=np.int64)
+        np.add.at(grid, _cms_cols(words, d), counts)
+        nz = np.flatnonzero(grid)
+        ds_.append(np.full(len(nz), d, np.int64))
+        cols_.append(nz)
+        cnts_.append(grid[nz])
+    return pa.Table.from_pydict({
+        "d": pa.array(np.concatenate(ds_), pa.int64()),
+        "col": pa.array(np.concatenate(cols_), pa.int64()),
+        "cnt": pa.array(np.concatenate(cnts_), pa.int64()),
+    }, schema=out_schema)
+
+
+def cms_registers(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Merged (d, col, cnt) Count-Min grid over all tokens."""
+    return docs.select_columns(["text"]).map_batches(
+        _cms_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["d", "col"]).sum("cnt") \
+        .rename_columns({"sum(cnt)": "cnt"})
+
+
+def cms_estimate(registers: list[tuple[int, int, int]], word: str) -> int:
+    """Point-frequency upper bound: min over rows of the word's cell."""
+    grid = {}
+    for d, col, cnt in registers:
+        grid[(d, col)] = cnt
+    return min(grid.get((d, int(sha64(f"{d}:{word}") % CMS_W)), 0)
+               for d in range(CMS_D))
+
+
+def docs_cms_registers(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["text"])
+    return cms_registers(docs)
+
+
+CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w),
+cells AS (
+  SELECT d,
+         (('0x' || substr(sha256(d::VARCHAR || ':' || w), 1, 16))::UBIGINT
+          % {CMS_W})::BIGINT AS col,
+         cnt
+  FROM wc, unnest(generate_series(0, {CMS_D - 1})) AS t(d)
+)
+SELECT d::BIGINT AS d, col, sum(cnt)::BIGINT AS cnt
+FROM cells GROUP BY d, col ORDER BY d, col
+"""
+
+
+# ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters (frequent items)
 # ---------------------------------------------------------------------------
 #
@@ -467,6 +556,7 @@ SELECT * FROM ({_Q_SEL}) ORDER BY event_type, q
 ORACLES = {
     "events_value_quantiles_lossless": QUANTILES_LOSSLESS_SQL,
     "docs_heavy_hitters": HEAVY_HITTERS_SQL,
+    "sketch_cms_words": CMS_SQL,
     "sketch_hll_custkeys": f"""
 WITH h AS (
   SELECT o_orderstatus,

@@ -149,3 +149,34 @@ def test_heavy_hitters_exact_vs_brute_force(ray_session):
         exact[w] = exact.get(w, 0) + 1
     want = {(w, c) for w, c in exact.items() if c * (k + 1) > n}
     assert got == want and want  # threshold actually selects the hot set
+
+
+def test_cms_estimate_upper_bound_and_registers(ray_session):
+    """CMS register table == brute-force grid; point estimates are
+    never below exact counts and exact for a word that dominates."""
+    import ray.data
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in rng.integers(0, 300, 4000)]
+    words += ["dominant"] * 500
+    rng.shuffle(words)
+    texts = [" ".join(words[i:i + 50]) for i in range(0, len(words), 50)]
+    ds = ray.data.from_arrow(pa.Table.from_pydict(
+        {"text": pa.array(texts, pa.string())})).repartition(7)
+    regs = [(r["d"], r["col"], r["cnt"])
+            for r in sketch.cms_registers(ds).take_all()]
+    # brute-force grid
+    flat = [w for t in texts for w in t.split(" ")]
+    exact = {}
+    for w in flat:
+        exact[w] = exact.get(w, 0) + 1
+    grid = {}
+    for w, c in exact.items():
+        for d in range(sketch.CMS_D):
+            key = (d, sha64(f"{d}:{w}") % sketch.CMS_W)
+            grid[key] = grid.get(key, 0) + c
+    assert sorted(regs) == sorted((d, c, v) for (d, c), v in grid.items())
+    for w, c in list(exact.items())[:50]:
+        assert sketch.cms_estimate(regs, w) >= c
+    # the dominant word's estimate error is bounded by the noise floor
+    est = sketch.cms_estimate(regs, "dominant")
+    assert 500 <= est <= 500 + len(flat) // sketch.CMS_W * 4
