@@ -836,3 +836,133 @@ def simhash_near_dup_pairs(docs: ray.data.Dataset, *,
     return simhash_pairs_from_signatures(
         simhash_signatures(docs), max_hamming=max_hamming,
         n_bands=n_bands)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (length-banded, counting-filtered)
+# ---------------------------------------------------------------------------
+#
+# Pairs with levenshtein(text_a, text_b) <= ED_K — the character-level
+# near-dup family (OCR noise, small patches) that token-set Jaccard
+# cannot see.  Deterministic completeness by two exact filters:
+#   1. length bands of width ED_K: |la - lb| <= ED_K forces the pair
+#      into a shared band when every doc is replicated to bands
+#      (n // ED_K) and (n // ED_K + 1) — pairs co-group with their
+#      texts, nothing driver-side;
+#   2. the counting filter: ed(a, b) >= L1(charcounts_a, charcounts_b)
+#      / 2 (each unit edit moves at most two counts), vectorized as one
+#      |A - B| matrix sweep per band — the O(len^2) DP runs only on
+#      the survivors.
+# The DP itself is the row-sweep recurrence with the prefix-min trick
+# (dp = j + cummin(d - j)), exact unit-cost Levenshtein — equal to
+# DuckDB's levenshtein, hence the full SQL oracle on raw documents.
+# Texts are capped at ED_MAXLEN chars on BOTH sides of the oracle.
+
+ED_K = 32
+ED_MAXLEN = 4096
+ED_BAND_CAP = 2000          # docs per band before drop (logged)
+
+_ED_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                        ("editdist", pa.int64())])
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Vectorized row-sweep Levenshtein (prefix-min insertion chain)."""
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    if not len(ca):
+        return len(cb)
+    if not len(cb):
+        return len(ca)
+    prev = np.arange(len(cb) + 1, dtype=np.int64)
+    j = np.arange(len(cb) + 1, dtype=np.int64)
+    for i in range(len(ca)):
+        sub = prev[:-1] + (cb != ca[i])
+        d = np.r_[i + 1, np.minimum(sub, prev[1:] + 1)]
+        prev = j + np.minimum.accumulate(d - j)
+    return int(prev[-1])
+
+
+def _ed_band_rows(batch: pa.Table, *, k: int, maxlen: int) -> pa.Table:
+    out_schema = pa.schema([("band", pa.int64()), ("doc_id", pa.int64()),
+                            ("text", pa.string())])
+    texts = [t[:maxlen] for t in batch.column("text").to_pylist()]
+    if not texts:
+        return out_schema.empty_table()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    bands = np.array([len(t) // k for t in texts], dtype=np.int64)
+    return pa.Table.from_pydict({
+        "band": pa.array(np.r_[bands, bands + 1], pa.int64()),
+        "doc_id": pa.array(np.r_[ids, ids], pa.int64()),
+        "text": pa.array(texts + texts, pa.string()),
+    }, schema=out_schema)
+
+
+def _ed_band_pairs(group: pa.Table, *, k: int) -> pa.Table:
+    if group.num_rows == 0:
+        return _ED_SCHEMA.empty_table()
+    texts = group.column("text").to_pylist()
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    texts = [texts[i] for i in order]
+    if len(ids) > ED_BAND_CAP:
+        import logging
+        logging.getLogger(__name__).warning(
+            "editdist band overflow: %d docs, dropping %d beyond cap",
+            len(ids), len(ids) - ED_BAND_CAP)
+        ids, texts = ids[:ED_BAND_CAP], texts[:ED_BAND_CAP]
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+           for t in texts]
+    uniq = np.unique(np.concatenate(cps)) if texts else np.array([])
+    mat = np.zeros((len(ids), len(uniq)), dtype=np.int64)
+    for i, cp in enumerate(cps):
+        np.add.at(mat[i], np.searchsorted(uniq, cp), 1)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ok = np.abs(lens[iu] - lens[ju]) <= k
+    iu, ju = iu[ok], ju[ok]
+    l1 = np.abs(mat[iu] - mat[ju]).sum(axis=1)
+    ok = l1 <= 2 * k
+    iu, ju = iu[ok], ju[ok]
+    out_a, out_b, out_d = [], [], []
+    for x, y in zip(iu, ju):
+        ed = _levenshtein(texts[x], texts[y])
+        if ed <= k:
+            out_a.append(int(ids[x]))
+            out_b.append(int(ids[y]))
+            out_d.append(ed)
+    return pa.Table.from_pydict({
+        "doc_a": pa.array(out_a, pa.int64()),
+        "doc_b": pa.array(out_b, pa.int64()),
+        "editdist": pa.array(out_d, pa.int64()),
+    }, schema=_ED_SCHEMA)
+
+
+def editdist_pairs(docs: ray.data.Dataset, *,
+                   k: int = ED_K,
+                   maxlen: int = ED_MAXLEN) -> ray.data.Dataset:
+    """(doc_a, doc_b, editdist) for every pair within edit distance
+    ``k`` — exact via length-banded co-groups + counting filter."""
+    bands = docs.select_columns(["doc_id", "text"]).map_batches(
+        _ed_band_rows, fn_kwargs={"k": k, "maxlen": maxlen},
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = bands.groupby("band").map_groups(
+        _ed_band_pairs, fn_kwargs={"k": k}, batch_format="pyarrow")
+    # a pair can surface in both shared bands: one tiny distinct
+    return pairs.groupby(["doc_a", "doc_b"]).min("editdist") \
+        .rename_columns({"min(editdist)": "editdist"})
+
+
+EDITDIST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {ED_MAXLEN}) AS text,
+         length(substr(text, 1, {ED_MAXLEN})) AS n
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text)::BIGINT AS editdist
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= {ED_K}
+WHERE levenshtein(a.text, b.text) <= {ED_K}
+ORDER BY doc_a, doc_b
+"""

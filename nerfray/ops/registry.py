@@ -71,6 +71,13 @@ def q_dedup_incremental(sf_dir: str):
         dedup.planted_new_batch(_docs(sf_dir)), _docs(sf_dir))
 
 
+def q_dedup_editdist(sf_dir: str):
+    # character-level near-dup join: length-banded co-groups + counting
+    # filter + exact DP, equal to brute-force levenshtein by theorem
+    from . import dedup
+    return dedup.editdist_pairs(_docs(sf_dir))
+
+
 def q_bloom_corpus(sf_dir: str):
     from . import bloom
     return bloom.corpus_bloom_query(sf_dir)
@@ -338,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_drops": q_dedup_simhash_drops,
         "dedup_survivors": q_dedup_survivors,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_editdist": q_dedup_editdist,
         "bloom_corpus": q_bloom_corpus,
         "bloom_probe": q_bloom_probe,
         "dedup_survivors_planted": q_dedup_survivors_planted,
@@ -625,6 +633,11 @@ def _setjoin_sql(name: str) -> str:
     return getattr(setjoin, name)
 
 
+def _dedup_sql(name: str) -> str:
+    from . import dedup
+    return getattr(dedup, name)
+
+
 def oracles() -> dict[str, str]:
     from .dedup import (INCREMENTAL_SQL, MINHASH_PLANTED_SQL,
                         MINHASH_SURVIVORS_PLANTED_SQL)
@@ -648,6 +661,7 @@ def oracles() -> dict[str, str]:
         "docs_chunks": CHUNKS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_incremental": INCREMENTAL_SQL,
+        "dedup_editdist": _dedup_sql("EDITDIST_SQL"),
         "bloom_corpus": _bloom_sql("BLOOM_TABLE_SQL"),
         "bloom_probe": _bloom_sql("BLOOM_PROBE_SQL"),
         "dedup_minhash_planted": MINHASH_PLANTED_SQL,

@@ -99,3 +99,40 @@ def test_setjoin_drops_empty_at_gate_scale(ray_session):
         "/root/testdata/sf0.001/documents.parquet",
         columns=["doc_id", "text"])
     assert setjoin.setjoin_drop_counts(docs).count() == 0
+
+
+def test_editdist_pairs_vs_brute_force(ray_session):
+    """Length-band + counting filter must be invisible: result equals
+    brute-force levenshtein, including pairs straddling a band edge."""
+    import ray.data
+    from nerfray.ops import dedup
+
+    rng = np.random.default_rng(31)
+    alphabet = list("abcdefgh ")
+    k = 8
+    texts = []
+    for i in range(25):
+        base = "".join(rng.choice(alphabet, 40 + 3 * i))
+        texts.append(base)
+        # small mutation: delete 2 chars + substitute 1
+        mut = list(base)
+        del mut[5]; del mut[11]
+        mut[0] = "z"
+        texts.append("".join(mut))
+    # band-edge straddlers: lengths k-1 vs k+1 (bands 0 vs 1)
+    texts.append("a" * (k - 1))
+    texts.append("a" * (k + 1))
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(6)
+    got = {(r["doc_a"], r["doc_b"]): r["editdist"]
+           for r in dedup.editdist_pairs(ds, k=k).take_all()}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ed = dedup._levenshtein(texts[a], texts[b])
+            if ed <= k:
+                want[(a, b)] = ed
+    assert got == want
+    assert (len(texts) - 2, len(texts) - 1) in got  # straddlers found
+    assert len(want) >= 26
