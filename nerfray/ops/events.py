@@ -995,3 +995,82 @@ FROM ranked GROUP BY user_id ORDER BY user_id
 
 ORACLES["events_sessionize_split"] = ORACLES["events_sessionize"]
 ORACLES["events_asof_split"] = ORACLES["events_asof_order"]
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel (sequential first-occurrence match per user)
+# ---------------------------------------------------------------------------
+#
+# How many users performed view, THEN click strictly after their first
+# view, THEN purchase strictly after that click — the product-analytics
+# staple that needs per-user event ORDER, not counts.  Same scale shape
+# as sessionize: users co-group by 64-way hash, each bucket resolves
+# every user's three first-occurrence times in one vectorized
+# masked-reduceat sweep, and only (stage, count) partials leave the
+# bucket.  Strict '>' progression makes equal-timestamp ties
+# well-defined on both sides of the oracle.
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_bucket(group: pa.Table, *,
+                   stages: tuple[str, ...]) -> pa.Table:
+    out_schema = pa.schema([("stage", pa.string()), ("n", pa.int64())])
+    labels = [">".join(stages[:i + 1]) for i in range(len(stages))]
+    if group.num_rows == 0:
+        return pa.Table.from_pydict(
+            {"stage": pa.array(labels, pa.string()),
+             "n": pa.array([0] * len(labels), pa.int64())},
+            schema=out_schema)
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+    order = np.lexsort((ts, us))
+    us, ts, et = us[order], ts[order], et[order]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    seg = np.cumsum(np.r_[True, us[1:] != us[:-1]]) - 1
+    INF = np.int64(1 << 62)
+    prev = np.full(len(starts), -INF)       # strict lower bound per user
+    counts = []
+    for s in stages:
+        cand = np.where((et == s) & (ts > prev[seg]), ts, INF)
+        first = np.minimum.reduceat(cand, starts)
+        counts.append(int(np.sum(first < INF)))
+        prev = first
+    return pa.Table.from_pydict({
+        "stage": pa.array(labels, pa.string()),
+        "n": pa.array(counts, pa.int64()),
+    }, schema=out_schema)
+
+
+def funnel(sf_dir: str,
+           stages: tuple[str, ...] = FUNNEL_STAGES) -> ray.data.Dataset:
+    """(stage, n_users) for each funnel prefix."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_type"])
+    return ev.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(
+            _funnel_bucket, fn_kwargs={"stages": stages},
+            batch_format="pyarrow") \
+        .groupby("stage").sum("n") \
+        .rename_columns({"sum(n)": "n_users"})
+
+
+ORACLES["events_funnel"] = """
+WITH a AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN b ON b.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.t GROUP BY 1)
+SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM a
+UNION ALL SELECT 'view>click', count(*)::BIGINT FROM b
+UNION ALL SELECT 'view>click>purchase', count(*)::BIGINT FROM c
+ORDER BY stage
+"""

@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": events.cumsum_per_user,
         "events_trend": events.trend_per_user,
         "events_compact": events.compact_latest,
+        "events_funnel": events.funnel,
     }
     return q
 

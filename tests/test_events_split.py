@@ -274,3 +274,45 @@ def test_compact_latest_combiner_invariance(ray_session, tmp_path):
         if ref is None:
             ref = got
         assert got == ref, parts
+
+
+def test_funnel_strict_order_and_ties(ray_session):
+    """Strict-'>' progression: same-timestamp stage events do NOT
+    advance the funnel; out-of-order users don't count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import events as ev
+
+    rows = [
+        # user 1: clean v < c < p  -> all three
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click BEFORE view -> stops at view
+        (2, 20, "click"), (2, 30, "view"),
+        # user 3: click at SAME ts as first view -> tie not counted
+        (3, 10, "view"), (3, 10, "click"),
+        # user 4: v, c then purchase at same ts as click -> stops at c
+        (4, 1, "view"), (4, 2, "click"), (4, 2, "purchase"),
+        # user 5: no view at all
+        (5, 5, "click"), (5, 6, "purchase"),
+        # user 6: second view before click counts (first view earlier)
+        (6, 1, "view"), (6, 9, "view"), (6, 5, "click"),
+        (6, 7, "purchase"),
+    ]
+    t = pa.Table.from_pydict({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            np.array([r[1] for r in rows], dtype="datetime64[us]")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = {r["stage"]: r["n_users"] for r in ds.map_batches(
+        ev._user_bucket, batch_format="pyarrow")
+        .groupby("hb").map_groups(
+            ev._funnel_bucket, fn_kwargs={"stages": ev.FUNNEL_STAGES},
+            batch_format="pyarrow")
+        .groupby("stage").sum("n")
+        .rename_columns({"sum(n)": "n_users"}).take_all()}
+    # views: users 1,2,3,4,6; view>click: 1,4,6; full: 1,6
+    assert got == {"view": 5, "view>click": 3,
+                   "view>click>purchase": 2}
