@@ -8,7 +8,7 @@ from typing import Any
 
 import ray.data
 
-from . import events, joins, rank, relational, sketch
+from . import events, joins, rank, relational, semistruct, sketch
 from .text import TOKEN_RE_SRC, STOPWORDS
 
 
@@ -421,6 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": events.trend_per_user,
         "events_compact": events.compact_latest,
         "events_funnel": events.funnel,
+        "events_json_schema": semistruct.events_json_schema,
+        "events_props_rollup": semistruct.events_props_rollup,
     }
     return q
 
@@ -705,5 +707,6 @@ def oracles() -> dict[str, str]:
     sql.update(rank.ORACLES)
     sql.update(joins.ORACLES)
     sql.update(sketch.ORACLES)
+    sql.update(semistruct.ORACLES)
     sql.update(events.ORACLES)
     return sql

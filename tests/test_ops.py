@@ -943,3 +943,29 @@ def test_equi_depth_histogram_vs_brute_force(ray_session):
                    s + int(vals[i]))
     assert got == [(b, *want[b]) for b in sorted(want)]
     assert len(got) == B
+
+
+def test_json_schema_profile_nested(ray_session):
+    """Recursive profiling: nested objects, arrays, mixed types, and
+    the bool-before-int trap."""
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import semistruct as ss
+
+    rows = [
+        '{"a": 1, "b": {"c": -2, "d": [1.5, "x"]}, "e": true}',
+        '{"a": null, "b": {"c": 3}}',
+        '{"a": 1}',
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pydict(
+        {"j": pa.array(rows, pa.string())})).repartition(2)
+    got = {(r["path"], r["json_type"]): r["n"]
+           for r in ss.json_schema_profile(ds, "j").take_all()}
+    assert got == {
+        ("$.a", "UBIGINT"): 2, ("$.a", "NULL"): 1,
+        ("$.b", "OBJECT"): 2,
+        ("$.b.c", "BIGINT"): 1, ("$.b.c", "UBIGINT"): 1,
+        ("$.b.d", "ARRAY"): 1,
+        ("$.b.d[*]", "DOUBLE"): 1, ("$.b.d[*]", "VARCHAR"): 1,
+        ("$.e", "BOOLEAN"): 1,
+    }
