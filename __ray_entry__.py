@@ -270,6 +270,16 @@ def q_kg_common_neighbors(sf_dir: str):
         triples_mod.contract_subjects_to_repo(trips), min_common=2)
 
 
+def q_kg_neighbor_degree(sf_dir: str):
+    """One-round neighbor-degree propagation over the undirected KG:
+    distinct edges -> degree rollup -> edges x degrees hash_join ->
+    node rollup. FULL SQL oracle on the gold triples."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return graph.neighbor_degree(trips)
+
+
 def q_kg_degrees(sf_dir: str):
     """Graph materialization rollup: out-degree per subject node."""
     from nerfray.pipelines import kg
@@ -322,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eval_prf": q_kg_eval_prf,
         "kg_ox": q_kg_ox,
         "kg_degrees": q_kg_degrees,
+        "kg_neighbor_degree": q_kg_neighbor_degree,
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_xces": q_kg_xces,
         "kg_triples_prov": q_kg_triples_prov,
@@ -370,6 +381,15 @@ def oracle_sql() -> dict[str, str]:
 SELECT subj, count(*)::BIGINT AS out_degree
 FROM ({corpus.gold_triples_sql()})
 GROUP BY subj ORDER BY subj
+""",
+        "kg_neighbor_degree": f"""
+WITH gold AS ({corpus.gold_triples_sql()}),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM gold
+      UNION SELECT obj, subj FROM gold),
+d AS (SELECT a, count(*)::BIGINT AS deg FROM e GROUP BY a)
+SELECT e.a AS node, count(*)::BIGINT AS n_neighbors,
+       sum(d.deg)::BIGINT AS sum_neighbor_deg
+FROM e JOIN d ON d.a = e.b GROUP BY 1 ORDER BY 1
 """,
         "kg_components": f"""
 WITH RECURSIVE gold AS ({corpus.gold_triples_sql()}),

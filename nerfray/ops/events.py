@@ -1074,3 +1074,79 @@ UNION ALL SELECT 'view>click', count(*)::BIGINT FROM b
 UNION ALL SELECT 'view>click>purchase', count(*)::BIGINT FROM c
 ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival gap statistics (lag-window per key)
+# ---------------------------------------------------------------------------
+#
+# Per-user event-gap rollup — the lag()-window family (heartbeat
+# monitoring, engagement cadence).  Gaps between EQUAL timestamps are
+# zero, so the answer is deterministic under any tie order on both
+# sides of the oracle.  Same co-group shape as sessionize: one
+# vectorized diff + reduceat sweep per 64-way user bucket; only
+# per-user rollup rows leave.
+
+_GAP_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("n_events", pa.int64()),
+    ("sum_gap_us", pa.int64()), ("max_gap_us", pa.int64()),
+    ("min_gap_us", pa.int64()),
+])
+
+
+def _gaps_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _GAP_SCHEMA.empty_table()
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    order = np.lexsort((ts, us))
+    us, ts = us[order], ts[order]
+    new_seg = np.r_[True, us[1:] != us[:-1]]
+    starts = np.flatnonzero(new_seg)
+    lens = np.diff(np.r_[starts, len(us)])
+    valid = ~new_seg[1:]                       # gap i joins rows i, i+1
+    gaps = (ts[1:] - ts[:-1])[valid]
+    gu = us[1:][valid]
+    if not len(gu):
+        return _GAP_SCHEMA.empty_table()
+    gstarts = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1]])
+    users = gu[gstarts]
+    n_ev = lens[lens >= 2]                     # same user order as gaps
+    return pa.Table.from_pydict({
+        "user_id": pa.array(users, pa.int64()),
+        "n_events": pa.array(n_ev, pa.int64()),
+        "sum_gap_us": pa.array(np.add.reduceat(gaps, gstarts), pa.int64()),
+        "max_gap_us": pa.array(np.maximum.reduceat(gaps, gstarts),
+                               pa.int64()),
+        "min_gap_us": pa.array(np.minimum.reduceat(gaps, gstarts),
+                               pa.int64()),
+    }, schema=_GAP_SCHEMA)
+
+
+def interarrival(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, sum/max/min gap in us) for users with >= 2
+    events."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts"])
+    return ev.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_gaps_bucket, batch_format="pyarrow")
+
+
+ORACLES["events_interarrival"] = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   ts) AS gap
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(gap)::BIGINT AS sum_gap_us,
+       max(gap)::BIGINT AS max_gap_us,
+       min(gap)::BIGINT AS min_gap_us
+FROM g GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
+"""

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ._shuffle import key_bucket as _key_bucket
@@ -602,3 +603,116 @@ FROM orders WHERE EXISTS (
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped 3-table join pipeline
+# ---------------------------------------------------------------------------
+#
+# customer (segment filter) --left-semi--> orders (date filter)
+# --inner--> lineitem (ship filter, revenue partials PRE-combined per
+# block before the join) --> order-grain rollup --> global top-k.
+# Revenue is integer-exact: round(price*100) * (100 - round(disc*100))
+# in 1e-4-dollar units, so the float-summation-order trap never
+# arises and the oracle hash-matches.  Scale shape: the semi join
+# ships no customer payload, lineitem pre-aggregates to order grain
+# inside the scan task, and only order-grain rows reach the final
+# (tiny) sort.
+
+Q3_CUTOFF = "1998-01-01"
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_shipping_topk(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import read_parquet_clean
+
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("c_mktsegment"),
+                                     Q3_SEGMENT)) \
+            .select(["c_custkey"])
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def _odate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("o_orderdate"),
+                                    pa.scalar(cutoff)))
+
+    building_orders = hash_join(
+        orders.map_batches(_odate, batch_format="pyarrow"),
+        cust.map_batches(_seg, batch_format="pyarrow"),
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        right_cols=[], how="left semi") \
+        .drop_columns(["__key"])
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("l_orderkey", pa.int64()),
+                                ("rev", pa.int64())])
+        t = batch.filter(pc.greater(batch.column("l_shipdate"),
+                                    pa.scalar(cutoff)))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        price_c = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        disc_pct = np.round(
+            t.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        part = pa.Table.from_pydict({
+            "l_orderkey": t.column("l_orderkey"),
+            "rev": pa.array(rev, pa.int64())})
+        return part.group_by(["l_orderkey"]).aggregate(
+            [("rev", "sum")]).rename_columns(["l_orderkey", "rev"]) \
+            .cast(out_schema)
+
+    rev = li.map_batches(_rev_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    joined = hash_join(
+        rev, building_orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rev"],
+        right_cols=["o_orderdate", "o_orderpriority"], how="inner")
+    return joined.groupby(["__key", "o_orderdate", "o_orderpriority"]) \
+        .sum("rev") \
+        .rename_columns({"__key": "l_orderkey", "sum(rev)": "revenue_e4"}) \
+        .sort(["revenue_e4", "l_orderkey"], descending=[True, False]) \
+        .limit(k) \
+        .select_columns(["l_orderkey", "revenue_e4", "o_orderdate",
+                         "o_orderpriority"])
+
+
+Q3_SQL = f"""
+SELECT l.l_orderkey,
+       sum(round(l.l_extendedprice * 100)::BIGINT
+           * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+         AS revenue_e4,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY 1, 3, 4
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+"""
+
+ORACLES["join_q3_topk"] = Q3_SQL

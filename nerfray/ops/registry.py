@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_shipped": joins.priority_shipped_counts,
         "join_skew_salted": joins.skew_salted_rollup,
         "join_full_outer": joins.full_outer_coverage,
+        "join_q3_topk": joins.q3_shipping_topk,
         "events_band_join": joins.events_band_join,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
         "docs_heavy_hitters": sketch.docs_heavy_hitters,
@@ -421,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": events.trend_per_user,
         "events_compact": events.compact_latest,
         "events_funnel": events.funnel,
+        "events_interarrival": events.interarrival,
         "events_json_schema": semistruct.events_json_schema,
         "events_props_rollup": semistruct.events_props_rollup,
     }

@@ -1322,3 +1322,43 @@ def sssp_planted_sql(rounds: int = SSSP_ROUNDS) -> str:
         + ",\n".join(layers)
         + f"\nSELECT node, dist FROM d{rounds} ORDER BY node"
     )
+
+
+# ---------------------------------------------------------------------------
+# neighbor-degree aggregation (one-round feature propagation)
+# ---------------------------------------------------------------------------
+#
+# For every node: how many distinct neighbors it has and the SUM of
+# their degrees — the simplest graph-feature-propagation round (the
+# building block of degree-based hub scoring and GNN-style neighbor
+# aggregates).  Shape: distinct undirected edges -> degree rollup ->
+# one hash_join of edges against degrees -> node-grain rollup; all
+# integer counts, fully SQL-oracle-able on the gold triples.
+
+def neighbor_degree(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, n_neighbors, sum_neighbor_deg) over the undirected
+    distinct-edge view of (subj, obj)."""
+    from ray.data.aggregate import Count, Sum
+
+    from nerfray.ops.joins import hash_join
+
+    def _both(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj")
+        o = batch.column("obj")
+        return pa.Table.from_pydict({
+            "a": pa.chunked_array(list(s.chunks) + list(o.chunks)),
+            "b": pa.chunked_array(list(o.chunks) + list(s.chunks)),
+        })
+
+    edges = triples.select_columns(["subj", "obj"]) \
+        .map_batches(_both, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["a", "b"]).count().drop_columns(["count()"]) \
+        .materialize()
+    deg = edges.groupby("a").count() \
+        .rename_columns({"a": "node", "count()": "deg"})
+    return hash_join(edges, deg, left_on="b", right_on="node",
+                     left_cols=["a"], right_cols=["deg"]) \
+        .groupby("a").aggregate(Count(), Sum("deg")) \
+        .rename_columns({"a": "node", "count()": "n_neighbors",
+                         "sum(deg)": "sum_neighbor_deg"})

@@ -478,3 +478,28 @@ def test_sssp_rounds_vs_brute_force(ray_session):
                 nxt[b] = dist[a] + int(c)
         dist = nxt
     assert got == dist and len(dist) > 2
+
+
+def test_neighbor_degree_vs_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import graph
+
+    rng = np.random.default_rng(9)
+    subj = [f"n{i}" for i in rng.integers(0, 20, 60)]
+    obj = [f"n{i}" for i in rng.integers(0, 20, 60)]
+    trips = ray.data.from_arrow(pa.Table.from_pydict({
+        "subj": pa.array(subj, pa.string()),
+        "obj": pa.array(obj, pa.string()),
+        "pred": pa.array(["p"] * 60, pa.string()),
+    })).repartition(5)
+    got = {r["node"]: (r["n_neighbors"], r["sum_neighbor_deg"])
+           for r in graph.neighbor_degree(trips).take_all()}
+    adj = {}
+    for a, b in zip(subj, obj):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {u: (len(vs), sum(len(adj[v]) for v in vs))
+            for u, vs in adj.items()}
+    assert got == want and len(want) == 20
