@@ -260,6 +260,13 @@ def q_docs_decontam(sf_dir: str):
     return text.decontaminate(_docs(sf_dir))
 
 
+def q_docs_crossdup(sf_dir: str):
+    # substring-level dedup signal (Lee et al. 2022): per-doc distinct
+    # 5-gram count + how many occur in >= 2 docs corpus-wide
+    from . import text
+    return text.crossdup_signals(_docs(sf_dir))
+
+
 def q_lang_confusion(sf_dir: str):
     # raw-doc classification: rows-only by design (documents.lang is
     # synthetic metadata unrelated to the text, so there is no accuracy
@@ -371,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_df": q_docs_word_df,
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
+        "docs_crossdup": q_docs_crossdup,
         "lang_confusion": q_lang_confusion,
         "lang_confusion_planted": q_lang_confusion_planted,
         "doc_fingerprints": q_doc_fingerprints,
@@ -687,6 +695,7 @@ def oracles() -> dict[str, str]:
         "docs_word_df": _word_df_sql(),
         "docs_repetition": _text_sql("REPETITION_SQL"),
         "docs_decontam": _text_sql("DECONTAM_SQL"),
+        "docs_crossdup": _text_sql("CROSSDUP_SQL"),
         "media_meta": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
         "lang_confusion_planted": _lang_sql(),

@@ -1083,3 +1083,119 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 ORDER BY d.doc_id
 """
+
+
+# -- cross-document duplicated n-gram coverage --------------------------------
+#
+# The substring-level dedup SIGNAL from "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al., ACL 2022): for every document, how
+# much of it is made of word n-grams that also occur in OTHER documents.
+# Unlike MinHash (whole-doc near-dup) this catches boilerplate headers,
+# licence blocks and quoted passages pasted across otherwise-unique docs —
+# exactly what a 100 TB curation run trims before training.
+#
+# Scale shape: the single-exchange inverted-gram pattern (same machinery as
+# word_df_stats): pass 1 emits ONE ROW PER DISTINCT GRAM PER BLOCK
+# (gram, docs-in-block list), the ONE gram-hash-bucket co-group computes the
+# global gram df in-group (docs live in exactly one block, so incidence
+# count == distinct-doc count) and unrolls per-doc partial counters; a final
+# tiny groupby(doc_id) sums <= 64 partials per doc. Gram text crosses the
+# wire once per distinct gram per block; doc text never shuffles.
+
+CROSSDUP_K = 5
+
+
+def crossdup_signals(docs: ray.data.Dataset,
+                     *, k: int = CROSSDUP_K) -> ray.data.Dataset:
+    """(doc_id, n_grams, n_dup_grams): distinct word k-grams per doc and
+    how many of them occur in >= 2 distinct documents corpus-wide.
+    Docs shorter than k words have no grams and emit no row (the SQL
+    mirror CROSSDUP_SQL filters identically). Integer-only -> hash-exact."""
+    from ray.data.aggregate import Sum
+
+    def _block_gram_partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        flat_g: list = []
+        flat_d: list = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            ws = t.split(" ")
+            gs = {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+            flat_g.extend(gs)
+            flat_d.extend([d] * len(gs))
+        if not flat_g:
+            return pa.Table.from_pydict({
+                "gram": pa.array([], pa.string()),
+                "docs": pa.array([], pa.list_(pa.int64()))})
+        g = pd.Series(flat_d).groupby(pd.Series(flat_g), sort=True).agg(list)
+        return pa.Table.from_pydict({
+            "gram": pa.array(g.index.tolist(), pa.string()),
+            "docs": pa.array(g.tolist(), pa.list_(pa.int64())),
+        })
+
+    def _gram_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        arr = np.asarray(batch.column("gram").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(arr) % 64).astype(np.int32)
+        return batch.append_column("hb", pa.array(hb))
+
+    def _doc_partials(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict({
+            "doc_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "dup": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        grams = np.asarray(group.column("gram").to_pylist(), dtype=object)
+        docs_col = group.column("docs").combine_chunks()
+        lens = pc.list_value_length(docs_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(grams, kind="stable")
+        g_s, lens_s = grams[order], lens[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        df_per_gram = np.add.reduceat(lens_s, starts)
+        gidx = np.cumsum(np.r_[False, g_s[1:] != g_s[:-1]])
+        df_per_row = np.empty(len(grams), dtype=np.int64)
+        df_per_row[order] = df_per_gram[gidx]
+        d_flat = docs_col.flatten().to_numpy(zero_copy_only=False)
+        df_flat = df_per_row[pc.list_parent_indices(docs_col).to_numpy(
+            zero_copy_only=False)]
+        order2 = np.argsort(d_flat, kind="stable")
+        d_s = d_flat[order2]
+        dup_s = (df_flat[order2] >= 2).astype(np.int64)
+        starts2 = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(d_s[starts2], pa.int64()),
+            "cnt": pa.array(np.diff(np.r_[starts2, len(d_s)]), pa.int64()),
+            "dup": pa.array(np.add.reduceat(dup_s, starts2), pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _block_gram_partials, batch_format="pyarrow",
+        zero_copy_batch=True) \
+        .map_batches(_gram_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_doc_partials, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("cnt"), Sum("dup")) \
+        .rename_columns({"sum(cnt)": "n_grams", "sum(dup)": "n_dup_grams"})
+
+
+CROSSDUP_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+gi AS (
+  SELECT doc_id, ws, unnest(generate_series(0, len(ws)-{CROSSDUP_K})) AS i
+  FROM w WHERE len(ws) >= {CROSSDUP_K}
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         ws[i+4] || ' ' || ws[i+5] AS gram
+  FROM gi
+),
+df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""

@@ -969,3 +969,54 @@ def test_json_schema_profile_nested(ray_session):
         ("$.b.d[*]", "DOUBLE"): 1, ("$.b.d[*]", "VARCHAR"): 1,
         ("$.e", "BOOLEAN"): 1,
     }
+
+
+def test_crossdup_signals_vs_naive(ray_session):
+    """Distributed gram-df counts == brute-force per-doc Python across
+    block seams: planted shared 5-gram, unique docs, short docs."""
+    import ray.data
+    shared = "the quick brown fox jumps"
+    texts = [
+        f"{shared} over the lazy dog",            # shares gram with 1, 2
+        f"intro {shared} and unique tail zero",
+        f"{shared}",                              # exactly one gram
+        "totally unique document with no overlap anywhere at all",
+        "tiny doc",                               # < 5 words -> no row
+        "x x x x x x x",                          # self-repeats, df==1
+    ]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(3)
+    rows = {r["doc_id"]: r for r in tx.crossdup_signals(docs).take_all()}
+    # brute force
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)}
+    df: dict = {}
+    for t in texts:
+        for g in grams(t):
+            df[g] = df.get(g, 0) + 1
+    for i, t in enumerate(texts):
+        gs = grams(t)
+        if not gs:
+            assert i not in rows
+            continue
+        assert rows[i]["n_grams"] == len(gs), (i, t)
+        assert rows[i]["n_dup_grams"] == sum(df[g] >= 2 for g in gs), (i, t)
+    assert rows[2]["n_grams"] == 1 and rows[2]["n_dup_grams"] == 1
+    assert rows[3]["n_dup_grams"] == 0
+    assert rows[5]["n_dup_grams"] == 0  # within-doc repeats don't count
+
+
+def test_crossdup_matches_duckdb_mirror(ray_session):
+    import duckdb
+    import ray.data
+    texts = ["a b c d e f g", "z a b c d e y", "one two three four five",
+             "one two three four five six", "short one"]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(2)
+    got = [(r["doc_id"], r["n_grams"], r["n_dup_grams"])
+           for r in tx.crossdup_signals(docs).take_all()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+            ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts)) +
+            ") AS v(doc_id, text)")
+    want = con.sql(tx.CROSSDUP_SQL).fetchall()
+    assert sorted(got) == sorted(want)
