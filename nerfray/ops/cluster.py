@@ -1,0 +1,187 @@
+"""Distributed k-means clustering over the ``embeddings`` table.
+
+The embedding-space curation step a 100 TB multimodal/text pipeline runs
+before semantic dedup or mixture balancing (SemDeDup-style cluster-then-
+prune): points stay a Dataset end-to-end; each Lloyd round broadcasts the
+k x d centroid matrix once via ``ray.put`` and reduces per-block
+(cluster, count, sum-vector) partials — the shuffle is bounded by
+k x n_blocks rows regardless of corpus size, and the driver holds only
+k x d floats (never a point).
+
+Correctness: ``emb_kmeans_planted`` runs one update round on a planted
+integer-coordinate corpus (cluster geometry derived from vec_id
+arithmetic) and is mirrored by KMEANS_PLANTED_SQL, an exact unrolled
+DuckDB Lloyd round (init -> assign -> mean -> assign). All arithmetic is
+exact in float64 (integer coordinates, exact integer sums, one correctly
+rounded division per mean coordinate), so assignments hash-match
+bit-for-bit. The multi-round path is pinned by a numpy-reference pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+PLANTED_K = 4
+PLANTED_DIM = 4
+
+
+def _vecs_of(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64, copy=False)
+
+
+def planted_kmeans_embeddings(emb: ray.data.Dataset,
+                              *, k: int = PLANTED_K) -> ray.data.Dataset:
+    """Integer-coordinate corpus from vec_id arithmetic: cluster
+    g = vec_id % k at 100 * e_g, jittered by (vec_id // k) % 3 - 1 on the
+    neighboring coordinate — well-separated, SQL-reconstructible."""
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        g = ids % k
+        off = (ids // k) % 3 - 1
+        vecs = np.zeros((len(ids), PLANTED_DIM), dtype=np.float64)
+        vecs[np.arange(len(ids)), g % PLANTED_DIM] = 100.0
+        vecs[np.arange(len(ids)), (g + 1) % PLANTED_DIM] += off
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+        })
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _init_centroids(emb: ray.data.Dataset, k: int) -> np.ndarray:
+    """Deterministic init: the k lowest-vec_id vectors, in vec_id order.
+    Per-block local min-k combiner, one bounded merge — no global sort."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(order))
+
+    small = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _local, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    small.sort(key=lambda r: r["vec_id"])
+    return np.asarray([r["embedding"] for r in small[:k]], dtype=np.float64)
+
+
+class _AssignPartials:
+    """Actor-pool stage: centroids resolved once per actor; per batch
+    emits one (cluster, count, sum-vector) row per non-empty cluster."""
+
+    def __init__(self, cent_ref):
+        self._c = ray.get(cent_ref)  # (k, d)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _vecs_of(batch)
+        d2 = ((x[:, None, :] - self._c[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        clusters, inv = np.unique(lab, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(clusters)).astype(np.int64)
+        sums = np.zeros((len(clusters), x.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, x)
+        return pa.Table.from_pydict({
+            "cluster": pa.array(clusters, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+        })
+
+
+class _AssignLabels:
+    def __init__(self, cent_ref):
+        self._c = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _vecs_of(batch)
+        d2 = ((x[:, None, :] - self._c[None, :, :]) ** 2).sum(axis=2)
+        return pa.Table.from_pydict({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64),
+                                pa.int64()),
+        })
+
+
+def kmeans_fit(emb: ray.data.Dataset, *, k: int, rounds: int) -> np.ndarray:
+    """``rounds`` Lloyd updates from the deterministic init; returns the
+    final (k, d) centroid matrix. Per round: one broadcast + one
+    map_batches + a k x n_blocks-row reduce (collected — bounded by
+    block count, never by corpus size). Empty clusters keep their
+    previous centroid."""
+    pts = emb.select_columns(["vec_id", "embedding"])
+    cents = _init_centroids(pts, k)
+    for _ in range(rounds):
+        ref = ray.put(cents)
+        parts = pts.map_batches(
+            _AssignPartials, fn_constructor_args=(ref,),
+            concurrency=(1, 8), batch_size=4096,
+            batch_format="pyarrow").take_all()
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(cents)
+        for r in parts:
+            cnt[r["cluster"]] += r["cnt"]
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / cnt[nz, None]
+    return cents
+
+
+def kmeans_assignments(emb: ray.data.Dataset, *, k: int = PLANTED_K,
+                       rounds: int = 1) -> ray.data.Dataset:
+    """(vec_id, cluster): labels under the post-``rounds`` centroids.
+    Ties broken toward the lowest cluster index (argmin), mirrored by the
+    (distance, cid) ordering in KMEANS_PLANTED_SQL."""
+    cents = kmeans_fit(emb, k=k, rounds=rounds)
+    ref = ray.put(cents)
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _AssignLabels, fn_constructor_args=(ref,),
+        concurrency=(1, 8), batch_size=4096, batch_format="pyarrow")
+
+
+def _sql_pts(k: int) -> str:
+    coords = []
+    for d in range(PLANTED_DIM):
+        coords.append(
+            f"(CASE WHEN g % {PLANTED_DIM} = {d} THEN 100 ELSE 0 END"
+            f" + CASE WHEN (g + 1) % {PLANTED_DIM} = {d} THEN off"
+            f" ELSE 0 END)::DOUBLE AS x{d}")
+    return (f"SELECT vec_id, {', '.join(coords)} FROM "
+            f"(SELECT vec_id, vec_id % {k} AS g,"
+            f" (vec_id // {k}) % 3 - 1 AS off FROM embeddings)")
+
+
+def _sql_d2(a: str, b: str) -> str:
+    return " + ".join(f"({a}.x{d} - {b}.x{d}) * ({a}.x{d} - {b}.x{d})"
+                      for d in range(PLANTED_DIM))
+
+
+# one unrolled Lloyd round: init (k lowest vec_ids) -> assign -> mean
+# -> final assign; row_number tie-break (distance, cid) == numpy argmin
+KMEANS_PLANTED_SQL = f"""
+WITH p AS ({_sql_pts(PLANTED_K)}),
+c0 AS (SELECT vec_id AS cid, x0, x1, x2, x3 FROM p
+       WHERE vec_id < {PLANTED_K}),
+a1 AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_sql_d2('p', 'c')}, cid) AS rn
+  FROM p CROSS JOIN c0 c),
+c1 AS (
+  SELECT a1.cid, avg(p.x0) AS x0, avg(p.x1) AS x1,
+         avg(p.x2) AS x2, avg(p.x3) AS x3
+  FROM a1 JOIN p USING (vec_id) WHERE a1.rn = 1 GROUP BY a1.cid),
+a2 AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_sql_d2('p', 'c')}, cid) AS rn
+  FROM p CROSS JOIN c1 c)
+SELECT vec_id, cid::BIGINT AS cluster FROM a2 WHERE rn = 1
+ORDER BY vec_id
+"""

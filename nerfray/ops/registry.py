@@ -221,6 +221,22 @@ def q_sim_ivf_planted(sf_dir: str):
         k=10)
 
 
+def q_emb_kmeans(sf_dir: str):
+    # Lloyd k-means on the real float embeddings: rows-only (float-mean
+    # centroids are not SQL-statable without an unrolled mirror; the
+    # planted variant below carries the FULL oracle)
+    from . import cluster
+    return cluster.kmeans_assignments(_emb(sf_dir), k=4, rounds=2)
+
+
+def q_emb_kmeans_planted(sf_dir: str):
+    # one unrolled Lloyd round on the integer-geometry planted corpus:
+    # init -> assign -> mean -> assign, bit-exact vs KMEANS_PLANTED_SQL
+    from . import cluster
+    return cluster.kmeans_assignments(
+        cluster.planted_kmeans_embeddings(_emb(sf_dir)), rounds=1)
+
+
 # -- text analysis ----------------------------------------------------------
 
 
@@ -368,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_lsh_planted": q_sim_lsh_planted,
         "sim_ivf": q_sim_ivf,
         "sim_ivf_planted": q_sim_ivf_planted,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_kmeans_planted": q_emb_kmeans_planted,
         "sim_jaccard": q_sim_jaccard,
         "sim_setjoin": q_sim_setjoin,
         "sim_setjoin_drops": q_sim_setjoin_drops,
@@ -631,6 +649,11 @@ def _text_sql(name: str) -> str:
     return getattr(text, name)
 
 
+def _cluster_sql(name: str) -> str:
+    from . import cluster
+    return getattr(cluster, name)
+
+
 def _search_sql(name: str) -> str:
     from . import search
     return getattr(search, name)
@@ -681,6 +704,8 @@ def oracles() -> dict[str, str]:
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
         "sim_lsh_planted": TOPK_PLANTED_SQL,
         "sim_ivf_planted": TOPK_PLANTED_SQL,
+        # emb_kmeans (real float embeddings): rows-only by design
+        "emb_kmeans_planted": _cluster_sql("KMEANS_PLANTED_SQL"),
         "sim_topk": SIM_TOPK_SQL,
         "sim_jaccard": SIM_JACCARD_SQL,
         "sim_setjoin": _setjoin_sql("SETJOIN_SQL"),
