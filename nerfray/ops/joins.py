@@ -716,3 +716,211 @@ ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
 """
 
 ORACLES["join_q3_topk"] = Q3_SQL
+
+
+# -- partitioned interval join (shuffle path, both sides large) ---------------
+#
+# The non-equi join class where NEITHER side broadcasts: events join the
+# intervals that contain them, per user. band_join_rollup above handles the
+# small-side case (band table broadcast once); here the interval table is
+# corpus-sized (one interval row per user-week at 100 TB), so both sides
+# hash-partition instead: intervals REPLICATE into each fixed-size time
+# chunk they overlap (replication factor = interval_len / chunk + 1,
+# bounded because real curation intervals are bounded), events route to
+# exactly one (user, chunk), and each co-group resolves containment with
+# two searchsorted calls per interval run over a per-chunk prefix-sum —
+# no pair rows ever materialize. Zero-match intervals survive (their
+# replicas emit 0-count partials), mirroring the LEFT JOIN oracle.
+
+INTERVAL_CHUNK_US = 86_400 * 1_000_000           # 1 day
+_IV_T0_US = 1_704_067_200 * 1_000_000            # 2024-01-01 00:00:00 UTC
+IV_PER_USER = 4
+IV_LEN_DAYS = 3
+
+
+def planted_user_intervals(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(interval_id, user_id, lo, hi): 4 deterministic 3-day windows per
+    distinct user, offsets from user_id arithmetic — SQL-reconstructible
+    (INTERVAL_JOIN_SQL builds the same table from DISTINCT user_id)."""
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        uu = np.repeat(u, IV_PER_USER)
+        j = np.tile(np.arange(IV_PER_USER, dtype=np.int64), len(u))
+        lo = (_IV_T0_US + ((j * 7 + uu % 3) * 86_400
+                           + (uu % 24) * 3_600) * 1_000_000)
+        return pa.Table.from_pydict({
+            "interval_id": pa.array(uu * IV_PER_USER + j, pa.int64()),
+            "user_id": pa.array(uu, pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(lo + IV_LEN_DAYS * 86_400 * 1_000_000,
+                           pa.int64()),
+        })
+
+    users = events.select_columns(["user_id"]) \
+        .groupby("user_id").count().drop_columns(["count()"])
+    return users.map_batches(_mk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+_IVJ_SCHEMA = pa.schema([
+    ("hb", pa.int32()), ("side", pa.int8()),
+    ("user_id", pa.int64()), ("chunk", pa.int64()),
+    ("interval_id", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64()),
+    ("ts", pa.int64()), ("cents", pa.int64())])
+
+_IVJ_PART_SCHEMA = pa.schema([
+    ("interval_id", pa.int64()), ("user_id", pa.int64()),
+    ("n", pa.int64()), ("cents", pa.int64())])
+
+_CHUNK_SHIFT = np.int64(1) << np.int64(20)   # composite (user, chunk) key
+
+
+def _ivj_widen(t: dict[str, np.ndarray], n_buckets: int) -> pa.Table:
+    key = pa.chunked_array([pa.array(
+        t["user_id"] * _CHUNK_SHIFT + t["chunk"], pa.int64())])
+    cols = {"hb": _key_bucket(key, n_buckets)}
+    for f in _IVJ_SCHEMA:
+        if f.name == "hb":
+            continue
+        cols[f.name] = pa.array(t.get(f.name), f.type, from_pandas=True) \
+            if f.name in t else pa.nulls(len(key), f.type)
+    return pa.Table.from_pydict(cols, schema=_IVJ_SCHEMA)
+
+
+def interval_join_rollup(intervals: ray.data.Dataset,
+                         events: ray.data.Dataset,
+                         *, chunk_us: int = INTERVAL_CHUNK_US,
+                         n_buckets: int = N_JOIN_BUCKETS
+                         ) -> ray.data.Dataset:
+    """(interval_id, user_id, n_events, sum_cents): events contained in
+    [lo, hi) per same-user interval; both sides Dataset-sized."""
+
+    def _iv_replicas(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        iv = batch.column("interval_id").to_numpy(zero_copy_only=False)
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        c0 = lo // chunk_us
+        nrep = np.maximum((hi - 1) // chunk_us - c0 + 1, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(u)), nrep)
+        pos = np.arange(len(idx)) - np.repeat(
+            np.cumsum(nrep) - nrep, nrep)
+        return _ivj_widen({
+            "side": np.zeros(len(idx), np.int8),
+            "user_id": u[idx], "chunk": c0[idx] + pos,
+            "interval_id": iv[idx], "lo": lo[idx], "hi": hi[idx],
+        }, n_buckets)
+
+    def _ev_rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return _ivj_widen({
+            "side": np.ones(len(u), np.int8),
+            "user_id": u, "chunk": ts // chunk_us,
+            "ts": ts, "cents": np.round(v * 100).astype(np.int64),
+        }, n_buckets)
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _IVJ_PART_SCHEMA.empty_table()
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ck = group.column("chunk").to_numpy(zero_copy_only=False)
+        key = u * _CHUNK_SHIFT + ck
+        ev = side == 1
+        ekey = key[ev]
+        ets = group.column("ts").to_numpy(zero_copy_only=False)[ev]
+        ecents = group.column("cents").to_numpy(zero_copy_only=False)[ev]
+        eorder = np.lexsort((ets, ekey))
+        ekey_s, ets_s = ekey[eorder], ets[eorder]
+        ecum = np.r_[0, np.cumsum(ecents[eorder])]
+        iv = ~ev
+        if not iv.any():
+            return _IVJ_PART_SCHEMA.empty_table()
+        ikey = key[iv]
+        ilo = group.column("lo").to_numpy(zero_copy_only=False)[iv]
+        ihi = group.column("hi").to_numpy(zero_copy_only=False)[iv]
+        n = np.zeros(len(ikey), dtype=np.int64)
+        cents = np.zeros(len(ikey), dtype=np.int64)
+        if len(ekey_s):
+            # run-offset monotonic key (cf. _window_pairs_bucket): shift
+            # each (user, chunk) run's sorted times into a disjoint band
+            # so ONE globally sorted array answers every range query
+            run_change = np.r_[True, ekey_s[1:] != ekey_s[:-1]]
+            rstarts = np.flatnonzero(run_change)
+            tmin = int(ets_s.min())
+            span = int(ets_s.max()) - tmin
+            off = span + 2
+            if (len(rstarts) + 1) * off >= 2 ** 62:
+                raise ValueError(
+                    "interval join: run-offset key would overflow "
+                    "int64; raise n_buckets")
+            run = np.cumsum(run_change) - 1
+            t_adj = (ets_s - tmin) + run * off
+            # replicas whose (user, chunk) run exists
+            run_lo = np.searchsorted(ekey_s, ikey, side="left")
+            run_hi = np.searchsorted(ekey_s, ikey, side="right")
+            ok = run_hi > run_lo
+            r = np.searchsorted(rstarts, run_lo[ok], side="right") - 1
+            qlo = np.clip(ilo[ok] - tmin, 0, span + 1) + r * off
+            qhi = np.clip(ihi[ok] - tmin, 0, span + 1) + r * off
+            lo_idx = np.searchsorted(t_adj, qlo, side="left")
+            hi_idx = np.searchsorted(t_adj, qhi, side="left")
+            n[ok] = hi_idx - lo_idx
+            cents[ok] = ecum[hi_idx] - ecum[lo_idx]
+        return pa.Table.from_pydict({
+            "interval_id": pa.array(
+                group.column("interval_id").to_numpy(
+                    zero_copy_only=False)[iv], pa.int64()),
+            "user_id": pa.array(u[iv], pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        }, schema=_IVJ_PART_SCHEMA)
+
+    from ray.data.aggregate import Sum
+    both = intervals.map_batches(
+        _iv_replicas, batch_format="pyarrow", zero_copy_batch=True).union(
+        events.select_columns(["user_id", "ts", "value"]).map_batches(
+            _ev_rows, batch_format="pyarrow", zero_copy_batch=True))
+    return both.groupby("hb").map_groups(
+        _resolve, batch_format="pyarrow") \
+        .groupby(["interval_id", "user_id"]) \
+        .aggregate(Sum("n"), Sum("cents")) \
+        .rename_columns({"sum(n)": "n_events", "sum(cents)": "sum_cents"})
+
+
+def events_interval_join(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+    return interval_join_rollup(planted_user_intervals(ev), ev)
+
+
+INTERVAL_JOIN_SQL = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+iv AS (
+  SELECT user_id, (user_id * {IV_PER_USER} + j)::BIGINT AS interval_id,
+         ({_IV_T0_US}::BIGINT
+          + ((j * 7 + user_id % 3) * 86400
+             + (user_id % 24) * 3600)::BIGINT * 1000000)::BIGINT AS lo
+  FROM u CROSS JOIN (SELECT unnest(generate_series(0, {IV_PER_USER - 1}))
+                     AS j) js),
+j AS (
+  SELECT iv.interval_id, iv.user_id,
+         count(e.ts)::BIGINT AS n_events,
+         coalesce(sum(round(e.value * 100)), 0)::BIGINT AS sum_cents
+  FROM iv LEFT JOIN events e
+    ON e.user_id = iv.user_id
+   AND epoch_us(e.ts) >= iv.lo
+   AND epoch_us(e.ts) < iv.lo + {IV_LEN_DAYS}::BIGINT * 86400 * 1000000
+  GROUP BY iv.interval_id, iv.user_id)
+SELECT interval_id, user_id, n_events, sum_cents
+FROM j ORDER BY interval_id
+"""
+
+ORACLES["events_interval_join"] = INTERVAL_JOIN_SQL

@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_outer": joins.full_outer_coverage,
         "join_q3_topk": joins.q3_shipping_topk,
         "events_band_join": joins.events_band_join,
+        "events_interval_join": joins.events_interval_join,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
         "docs_heavy_hitters": sketch.docs_heavy_hitters,
         "sketch_cms_words": sketch.docs_cms_registers,

@@ -405,3 +405,63 @@ def test_band_join_boundary_values_and_blocks(ray_session):
                        for b, (n, us, s) in want.items()}
         # boundary check: 4.0 landed in band [4, 9), not [1, 4)
         assert got[2][0] == 3  # 4.0, 4.0, 8.999
+
+
+def _iv_events(rows):
+    """rows: (user, ts_us, value)"""
+    return pa.Table.from_pydict({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _iv_table(rows):
+    """rows: (interval_id, user, lo_us, hi_us)"""
+    return pa.Table.from_pydict({
+        "interval_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "lo": pa.array([r[2] for r in rows], pa.int64()),
+        "hi": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def test_interval_join_brute_force(ray_session):
+    """Chunk-straddling intervals, [lo, hi) boundaries, zero-match
+    intervals and same-user overlapping intervals all match a brute
+    force, across block structures and chunk sizes."""
+    import ray.data
+    from nerfray.ops.joins import interval_join_rollup
+    DAY = 86_400 * 1_000_000
+    T0 = 1_704_067_200 * 1_000_000
+    ev = [
+        (1, T0, 1.00),                  # exactly at lo of iv0 -> inside
+        (1, T0 + DAY // 2, 2.50),
+        (1, T0 + 3 * DAY, 4.00),        # exactly at hi of iv0 -> outside
+        (1, T0 + 3 * DAY - 1, 0.50),    # last micro inside iv0
+        (2, T0 + DAY, 8.00),            # user 2: inside iv2 only
+        (3, T0 + 10 * DAY, 9.99),       # user 3: no interval
+    ]
+    ivs = [
+        (0, 1, T0, T0 + 3 * DAY),               # straddles 3 day-chunks
+        (1, 1, T0 + 2 * DAY, T0 + 5 * DAY),     # overlaps iv0
+        (2, 2, T0, T0 + 2 * DAY),
+        (3, 9, T0, T0 + 30 * DAY),              # user with no events
+    ]
+    want = {}
+    for iid, u, lo, hi in ivs:
+        n = sum(1 for eu, ts, _ in ev if eu == u and lo <= ts < hi)
+        c = sum(round(v * 100) for eu, ts, v in ev
+                if eu == u and lo <= ts < hi)
+        want[iid] = (u, n, c)
+    for parts in (1, 3):
+        for chunk in (DAY, 7 * DAY):
+            got = {r["interval_id"]: (r["user_id"], r["n_events"],
+                                      r["sum_cents"])
+                   for r in interval_join_rollup(
+                       ray.data.from_arrow(_iv_table(ivs)).repartition(parts),
+                       ray.data.from_arrow(_iv_events(ev)).repartition(parts),
+                       chunk_us=chunk).take_all()}
+            assert got == want, (parts, chunk)
+    assert want[0] == (1, 3, 400)   # 1.00 + 2.50 + 0.50, hi excluded
+    assert want[3] == (9, 0, 0)     # zero-match interval survives
