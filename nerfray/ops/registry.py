@@ -320,6 +320,13 @@ def q_docs_packed(sf_dir: str):
     return sampling.pack_sequences(_docs(sf_dir))
 
 
+def q_docs_packed_split(sf_dir: str):
+    # hot-source-safe path: (source, doc_id-range) split + base stitch;
+    # range_docs=200 forces multi-range stitching at test scale
+    from . import sampling
+    return sampling.pack_sequences_split(_docs(sf_dir), range_docs=200)
+
+
 def q_docs_chunks(sf_dir: str):
     from . import sampling
     return sampling.chunk_docs(_docs(sf_dir))
@@ -406,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified": q_docs_stratified,
         "docs_mixture": q_docs_mixture,
         "docs_packed": q_docs_packed,
+        "docs_packed_split": q_docs_packed_split,
         "docs_chunks": q_docs_chunks,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
@@ -695,6 +703,7 @@ def oracles() -> dict[str, str]:
         "docs_stratified": STRATIFIED_SQL,
         "docs_mixture": MIXTURE_SQL,
         "docs_packed": PACKED_SQL,
+        "docs_packed_split": PACKED_SQL,
         "docs_chunks": CHUNKS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_incremental": INCREMENTAL_SQL,

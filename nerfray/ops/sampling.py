@@ -347,3 +347,169 @@ SELECT doc_id, source, n_words,
        (off % {PACK_SIZE})::BIGINT AS pack_offset
 FROM c ORDER BY doc_id
 """
+
+
+# -- hot-source-safe packing: (source, doc_id range) split + base stitch -----
+#
+# pack_sequences co-locates a source's ENTIRE row set in one group; a hot
+# source (half the corpus from one crawl) outgrows a worker. The split
+# path is the repo's standard range-split + stitch (cf. ops/events.py
+# asof/sessionize split): pass A keys by (source, doc_id // range_docs)
+# and computes LOCAL exclusive offsets per range, emitting one doc-grain
+# row per doc plus ONE summary row per (source, range) with its word
+# total; pass B (range grain, tiny) turns the totals into per-range BASE
+# offsets via an exclusive cumsum in range order; pass C re-co-groups the
+# doc rows with their base row and shifts: off = base + local. Identical
+# output to pack_sequences (same PACKED_SQL oracle); per-group size is
+# bounded by range_docs narrow rows regardless of source skew.
+
+PACK_RANGE_DOCS = 100_000
+
+_PACKSPLIT_SCHEMA = pa.schema([
+    ("kind", pa.string()), ("source", pa.string()), ("rng", pa.int64()),
+    ("doc_id", pa.int64()), ("n_words", pa.int64()), ("loc", pa.int64())])
+
+
+def _src_rng_bucket(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+    h = pd.util.hash_array(src).astype(np.int64)
+    rng = batch.column("rng").to_numpy(zero_copy_only=False)
+    hb = ((h * 8191 + rng) % 64).astype(np.int32)
+    return batch.append_column("hb", pa.array(hb, pa.int32()))
+
+
+def _src_bucket(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+    hb = (pd.util.hash_array(src) % 64).astype(np.int32)
+    return batch.append_column("hb", pa.array(hb, pa.int32()))
+
+
+def pack_sequences_split(docs: ray.data.Dataset,
+                         *, range_docs: int = PACK_RANGE_DOCS
+                         ) -> ray.data.Dataset:
+    """Hot-source-safe pack_sequences: same rows, same oracle."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        words = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), " "))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.Table.from_pydict({
+            "kind": pa.array(["d"] * n, pa.string()),
+            "source": batch.column("source"),
+            "rng": pa.array(ids // range_docs, pa.int64()),
+            "doc_id": batch.column("doc_id"),
+            "n_words": pc.cast(words, pa.int64()),
+            "loc": pa.array(np.zeros(n, np.int64), pa.int64()),
+        }, schema=_PACKSPLIT_SCHEMA)
+
+    def _local_offsets(group: pa.Table) -> pa.Table:
+        """Per (source, rng) in one bucket: local exclusive cumsum into
+        'loc' + one 't' summary row per segment with the segment total."""
+        if group.num_rows == 0:
+            return _PACKSPLIT_SCHEMA.empty_table()
+        import pandas as pd
+        src = np.empty(group.num_rows, object)
+        src[:] = group.column("source").to_pylist()
+        rng = group.column("rng").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nw = group.column("n_words").to_numpy(zero_copy_only=False)
+        codes = pd.factorize(src)[0]
+        order = np.lexsort((ids, rng, codes))
+        c, g, n = codes[order], rng[order], nw[order]
+        seg_change = np.r_[True, (c[1:] != c[:-1]) | (g[1:] != g[:-1])]
+        starts = np.flatnonzero(seg_change)
+        incl = np.cumsum(n)
+        seg_base = np.repeat(np.r_[0, incl[starts[1:] - 1]],
+                             np.diff(np.r_[starts, len(c)]))
+        loc = incl - n - seg_base
+        totals = np.add.reduceat(n, starts)
+        doc_rows = pa.Table.from_pydict({
+            "kind": pa.array(["d"] * len(c), pa.string()),
+            "source": pa.array(src[order], pa.string()),
+            "rng": pa.array(g, pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_words": pa.array(n, pa.int64()),
+            "loc": pa.array(loc, pa.int64()),
+        }, schema=_PACKSPLIT_SCHEMA)
+        sum_rows = pa.Table.from_pydict({
+            "kind": pa.array(["t"] * len(starts), pa.string()),
+            "source": pa.array(src[order][starts], pa.string()),
+            "rng": pa.array(g[starts], pa.int64()),
+            "doc_id": pa.array(np.full(len(starts), -1), pa.int64()),
+            "n_words": pa.array(totals, pa.int64()),
+            "loc": pa.array(np.zeros(len(starts), np.int64), pa.int64()),
+        }, schema=_PACKSPLIT_SCHEMA)
+        return pa.concat_tables([doc_rows, sum_rows])
+
+    def _bases(group: pa.Table) -> pa.Table:
+        """Range grain, per source: exclusive cumsum of range totals in
+        rng order -> 'c' base rows."""
+        if group.num_rows == 0:
+            return _PACKSPLIT_SCHEMA.empty_table()
+        import pandas as pd
+        src = np.empty(group.num_rows, object)
+        src[:] = group.column("source").to_pylist()
+        rng = group.column("rng").to_numpy(zero_copy_only=False)
+        tot = group.column("n_words").to_numpy(zero_copy_only=False)
+        codes = pd.factorize(src)[0]
+        order = np.lexsort((rng, codes))
+        c, g, t = codes[order], rng[order], tot[order]
+        seg_change = np.r_[True, c[1:] != c[:-1]]
+        starts = np.flatnonzero(seg_change)
+        incl = np.cumsum(t)
+        seg_base = np.repeat(np.r_[0, incl[starts[1:] - 1]],
+                             np.diff(np.r_[starts, len(c)]))
+        base = incl - t - seg_base
+        return pa.Table.from_pydict({
+            "kind": pa.array(["c"] * len(c), pa.string()),
+            "source": pa.array(src[order], pa.string()),
+            "rng": pa.array(g, pa.int64()),
+            "doc_id": pa.array(np.full(len(c), -1), pa.int64()),
+            "n_words": pa.array(np.zeros(len(c), np.int64), pa.int64()),
+            "loc": pa.array(base, pa.int64()),
+        }, schema=_PACKSPLIT_SCHEMA)
+
+    def _stitch(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _PACK_SCHEMA.empty_table()
+        import pandas as pd
+        kind = np.asarray(group.column("kind").to_pylist(), dtype=object)
+        src = np.empty(group.num_rows, object)
+        src[:] = group.column("source").to_pylist()
+        rng = group.column("rng").to_numpy(zero_copy_only=False)
+        loc = group.column("loc").to_numpy(zero_copy_only=False)
+        codes = pd.factorize(src)[0]
+        seg = codes.astype(np.int64) * (np.int64(1) << 32) + rng
+        is_c = kind == "c"
+        cseg = seg[is_c]
+        corder = np.argsort(cseg, kind="stable")
+        cseg_s, cbase_s = cseg[corder], loc[is_c][corder]
+        d = ~is_c
+        pos = np.searchsorted(cseg_s, seg[d])
+        # every doc segment has exactly one base row (emitted by pass A)
+        base = cbase_s[pos]
+        off = base + loc[d]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(group.column("doc_id").to_numpy(
+                zero_copy_only=False)[d], pa.int64()),
+            "source": pa.array(src[d], pa.string()),
+            "n_words": pa.array(group.column("n_words").to_numpy(
+                zero_copy_only=False)[d], pa.int64()),
+            "pack_id": pa.array(off // PACK_SIZE, pa.int64()),
+            "pack_offset": pa.array(off % PACK_SIZE, pa.int64()),
+        }, schema=_PACK_SCHEMA)
+
+    a = docs.select_columns(["doc_id", "source", "text"]) \
+        .map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(_src_rng_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_local_offsets, batch_format="pyarrow") \
+        .materialize()
+    bases = a.filter(expr="kind == 't'") \
+        .map_batches(_src_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_bases, batch_format="pyarrow")
+    return a.filter(expr="kind == 'd'").union(bases) \
+        .map_batches(_src_rng_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_stitch, batch_format="pyarrow")

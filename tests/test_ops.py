@@ -1094,3 +1094,33 @@ def test_kmeans_planted_recovers_groups(ray_session):
     got = {r["vec_id"]: r["cluster"]
            for r in cl.kmeans_assignments(ds, rounds=1).take_all()}
     assert all(got[i] == i % cl.PLANTED_K for i in range(80))
+
+
+def test_pack_sequences_split_hot_source(ray_session):
+    """The range-split path == the unsplit path on a corpus whose hot
+    source spans many doc_id ranges (range_docs=8 forces stitching),
+    across block structures."""
+    import ray.data
+    from nerfray.ops import sampling as sp
+    texts, srcs = [], []
+    for i in range(100):
+        srcs.append("hot" if i % 5 else f"s{i % 2}")   # 80% one source
+        texts.append(" ".join(f"w{j}" for j in range((i * 7) % 40 + 1)))
+    tbl = pa.Table.from_pydict({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+    want = sorted((r["doc_id"], r["source"], r["n_words"], r["pack_id"],
+                   r["pack_offset"])
+                  for r in sp.pack_sequences(
+                      ray.data.from_arrow(tbl)).take_all())
+    for parts in (1, 5):
+        docs = ray.data.from_arrow(tbl).repartition(parts)
+        got = sorted((r["doc_id"], r["source"], r["n_words"], r["pack_id"],
+                      r["pack_offset"])
+                     for r in sp.pack_sequences_split(
+                         docs, range_docs=8).take_all())
+        assert got == want, parts
+    # the hot source really was split: >1 range with docs
+    assert sum(1 for r in want if r[1] == "hot") == 80
