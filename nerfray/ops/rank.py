@@ -158,3 +158,91 @@ SELECT doc_id, n_chars,
 FROM documents ORDER BY doc_id
 """,
 }
+
+
+# -- range-partitioned (globally ordered) export ------------------------------
+#
+# The ORDER BY / range-partitioning operator class, expressed the scale-safe
+# way: instead of ds.sort() (an all-to-all range exchange of full rows),
+# the two-phase rank machinery assigns each row its global ordinal, rows
+# route to part = (rank-1) * n_parts // n, each part SORTS LOCALLY, and
+# write_parquet lands hive directories part=0..P-1 whose key ranges are
+# disjoint and ascending — a reader streaming part directories in order
+# sees the corpus globally sorted. Output is resumable at part grain
+# (each directory is independently re-creatable from its rank range).
+
+N_EXPORT_PARTS = 8
+
+
+def write_range_partitioned(ds: ray.data.Dataset, out_dir: str, *,
+                            key: str, tiebreak: str,
+                            n_parts: int = N_EXPORT_PARTS) -> None:
+    """Write ``ds`` under ``out_dir`` as part=K hive directories in
+    ascending (key, tiebreak) ranges, each part locally sorted."""
+    n = ds.count()
+    ranked = global_rank(ds, key=key, tiebreak=tiebreak, ascending=True)
+
+    def _part_of(batch: pa.Table) -> pa.Table:
+        rk = batch.column("rank").to_numpy(zero_copy_only=False)
+        p = (rk - 1) * n_parts // n
+        return batch.append_column("part", pa.array(p, pa.int64()))
+
+    def _sort_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group
+        return group.sort_by([(key, "ascending"), (tiebreak, "ascending")])
+
+    ranked.map_batches(_part_of, batch_format="pyarrow") \
+        .groupby("part").map_groups(_sort_part, batch_format="pyarrow") \
+        .drop_columns(["rank"]) \
+        .write_parquet(out_dir, partition_cols=["part"])
+
+
+def docs_range_export(sf_dir: str) -> ray.data.Dataset:
+    """Round-trip surface: export documents range-partitioned by
+    (n_chars, doc_id), read the hive tree back, and roll up per part —
+    count / min / max prove the directory ranges are the exact
+    equi-depth ntile split (RANGE_EXPORT_SQL)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Max, Min
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "n_chars"])
+    out = tempfile.mkdtemp(prefix="nerfray_range_export_")
+    try:
+        write_range_partitioned(ds, out, key="n_chars", tiebreak="doc_id")
+        back = ray.data.read_parquet(out)
+
+        def _int_part(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("part"), "part",
+                pc.cast(batch.column("part"), pa.int64()))
+
+        return back.map_batches(_int_part, batch_format="pyarrow") \
+            .groupby("part").aggregate(
+                Count(), Min("n_chars"), Max("n_chars")) \
+            .rename_columns({"count()": "n_rows",
+                             "min(n_chars)": "min_chars",
+                             "max(n_chars)": "max_chars"}) \
+            .materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLES["docs_range_export"] = f"""
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+  FROM documents
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT (rk * {N_EXPORT_PARTS} // nn.n)::BIGINT AS part,
+       count(*)::BIGINT AS n_rows,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM r, nn GROUP BY 1 ORDER BY 1
+"""

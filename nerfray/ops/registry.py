@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
         "docs_global_rank": rank.docs_global_rank,
+        "docs_range_export": rank.docs_range_export,
         "docs_length_histogram": rank.docs_length_histogram,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,

@@ -1124,3 +1124,47 @@ def test_pack_sequences_split_hot_source(ray_session):
         assert got == want, parts
     # the hot source really was split: >1 range with docs
     assert sum(1 for r in want if r[1] == "hot") == 80
+
+
+def test_range_partitioned_export_layout(ray_session):
+    """part=K directories hold disjoint ascending key ranges, each file
+    locally sorted; read-back union == input multiset."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from nerfray.ops.rank import write_range_partitioned
+
+    vals = [((i * 37) % 50) + 1 for i in range(120)]
+    tbl = pa.Table.from_pydict({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "n_chars": pa.array(vals, pa.int64())})
+    out = tempfile.mkdtemp(prefix="nerfray_rexp_test_")
+    try:
+        write_range_partitioned(
+            ray.data.from_arrow(tbl).repartition(4), out,
+            key="n_chars", tiebreak="doc_id", n_parts=4)
+        seen = []
+        prev_hi = None
+        for p in range(4):
+            files = glob.glob(os.path.join(out, f"part={p}", "*.parquet"))
+            assert files, p
+            rows = []
+            for f in files:
+                t = pq.read_table(f)
+                keys = list(zip(t.column("n_chars").to_pylist(),
+                                t.column("doc_id").to_pylist()))
+                assert keys == sorted(keys), (p, f)   # locally sorted
+                rows.extend(keys)
+            rows.sort()
+            assert len(rows) == 30                    # equi-depth
+            if prev_hi is not None:
+                assert rows[0] > prev_hi              # disjoint ascending
+            prev_hi = rows[-1]
+            seen.extend(rows)
+        assert sorted(seen) == sorted(zip(vals, range(120)))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
