@@ -115,7 +115,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_bigrams",
                  "graph_triangles_planted", "docs_pii_redacted",
                  "docs_repetition", "docs_decontam",
-                 "docs_mixture", "docs_packed", "kg_common_neighbors"):
+                 "docs_mixture", "docs_packed", "docs_packed_split",
+                 "kg_common_neighbors", "docs_crossdup", "emb_kmeans",
+                 "events_interval_join", "docs_range_export"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

@@ -246,3 +246,140 @@ SELECT (rk * {N_EXPORT_PARTS} // nn.n)::BIGINT AS part,
        max(n_chars)::BIGINT AS max_chars
 FROM r, nn GROUP BY 1 ORDER BY 1
 """
+
+
+# -- continuous-key range partitioning (sampled boundaries) -------------------
+#
+# global_rank's histogram pass needs a bounded distinct-key set; continuous
+# keys (prices, scores, timestamps at micro grain) get the classic
+# sample-sort treatment instead: a DETERMINISTIC bounded sample (the
+# SAMPLE_N lowest-tiebreak rows — per-block local min-k, one merge, never
+# the data) yields element-pick boundaries, rows route by searchsorted,
+# parts write hive directories exactly like write_range_partitioned.
+# Boundaries from a biased-but-deterministic sample are still CORRECT
+# range partitions (disjoint, complete — only balance degrades if the
+# low-tiebreak rows aren't value-representative), and determinism is what
+# makes the whole flow SQL-mirrorable: EVENTS_RANGE_SAMPLED_SQL rebuilds
+# the same sample, the same boundaries, the same assignment.
+
+SAMPLE_N = 2048
+N_SAMPLED_PARTS = 8
+
+
+def sampled_boundaries(ds: ray.data.Dataset, *, value: str, tiebreak: str,
+                       n_parts: int, sample_n: int = SAMPLE_N
+                       ) -> np.ndarray:
+    """n_parts-1 ascending element-pick boundaries from the sample of
+    the ``sample_n`` lowest-``tiebreak`` rows. ``value`` must be int64."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        tb = batch.column(tiebreak).to_numpy(zero_copy_only=False)
+        order = np.argsort(tb, kind="stable")[:sample_n]
+        return batch.select([value, tiebreak]).take(pa.array(order))
+
+    rows = ds.select_columns([value, tiebreak]).map_batches(
+        _local, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    rows.sort(key=lambda r: r[tiebreak])
+    s = np.sort(np.asarray([r[value] for r in rows[:sample_n]],
+                           dtype=np.int64))
+    m = len(s)
+    idx = (np.arange(1, n_parts) * m) // n_parts
+    return s[idx]
+
+
+def write_range_partitioned_sampled(
+        ds: ray.data.Dataset, out_dir: str, *, value: str, tiebreak: str,
+        n_parts: int = N_SAMPLED_PARTS,
+        sample_n: int = SAMPLE_N) -> np.ndarray:
+    """Continuous-key variant of write_range_partitioned: part of a row
+    = count of boundaries <= value (searchsorted right); each part
+    locally sorted. Returns the boundaries used."""
+    b = sampled_boundaries(ds, value=value, tiebreak=tiebreak,
+                           n_parts=n_parts, sample_n=sample_n)
+    b_ref = ray.put(b)
+
+    def _part_of(batch: pa.Table) -> pa.Table:
+        bounds = ray.get(b_ref)
+        v = batch.column(value).to_numpy(zero_copy_only=False)
+        p = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return batch.append_column("part", pa.array(p, pa.int64()))
+
+    def _sort_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group
+        return group.sort_by([(value, "ascending"),
+                              (tiebreak, "ascending")])
+
+    ds.map_batches(_part_of, batch_format="pyarrow") \
+        .groupby("part").map_groups(_sort_part, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["part"])
+    return b
+
+
+def events_range_export_sampled(sf_dir: str) -> ray.data.Dataset:
+    """Round-trip surface over the continuous events.value key (as exact
+    cents): export, read the hive tree back, roll up per part."""
+    import os
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Max, Min
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "cents": pa.array(np.round(v * 100).astype(np.int64),
+                              pa.int64()),
+        })
+
+    ds = ev.map_batches(_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = tempfile.mkdtemp(prefix="nerfray_range_sampled_")
+    try:
+        write_range_partitioned_sampled(ds, out, value="cents",
+                                        tiebreak="event_id")
+        back = ray.data.read_parquet(out)
+
+        def _int_part(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("part"), "part",
+                pc.cast(batch.column("part"), pa.int64()))
+
+        return back.map_batches(_int_part, batch_format="pyarrow") \
+            .groupby("part").aggregate(
+                Count(), Min("cents"), Max("cents")) \
+            .rename_columns({"count()": "n_rows",
+                             "min(cents)": "min_cents",
+                             "max(cents)": "max_cents"}) \
+            .materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLES["events_range_export_sampled"] = f"""
+WITH c AS (SELECT event_id, round(value * 100)::BIGINT AS cents
+           FROM events),
+samp AS (SELECT cents FROM c ORDER BY event_id LIMIT {SAMPLE_N}),
+m AS (SELECT count(*)::BIGINT AS m FROM samp),
+ranked AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS i
+           FROM samp),
+bounds AS (
+  SELECT r.cents AS bv
+  FROM ranked r, m
+  WHERE r.i IN (SELECT (j * m.m // {N_SAMPLED_PARTS})
+                FROM unnest(generate_series(1, {N_SAMPLED_PARTS - 1}))
+                     AS t(j))),
+assigned AS (
+  SELECT c.cents,
+         (SELECT count(*) FROM bounds b WHERE b.bv <= c.cents)::BIGINT
+           AS part
+  FROM c)
+SELECT part, count(*)::BIGINT AS n_rows,
+       min(cents)::BIGINT AS min_cents, max(cents)::BIGINT AS max_cents
+FROM assigned GROUP BY part ORDER BY part
+"""

@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup_cube": relational.orders_rollup_cube,
         "docs_global_rank": rank.docs_global_rank,
         "docs_range_export": rank.docs_range_export,
+        "events_range_export_sampled": rank.events_range_export_sampled,
         "docs_length_histogram": rank.docs_length_histogram,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,

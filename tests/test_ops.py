@@ -1168,3 +1168,57 @@ def test_range_partitioned_export_layout(ray_session):
         assert sorted(seen) == sorted(zip(vals, range(120)))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sampled_range_partition_boundaries(ray_session):
+    """Deterministic sample -> element-pick boundaries -> searchsorted
+    parts: disjoint ascending ranges, multiset preserved, boundary
+    semantics (value == boundary goes to the LOWER part: side='right'
+    means part counts bounds <= v)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from nerfray.ops.rank import (sampled_boundaries,
+                                  write_range_partitioned_sampled)
+
+    vals = [((i * 97) % 31) * 10 for i in range(200)]   # heavy ties
+    tbl = pa.Table.from_pydict({
+        "event_id": pa.array(range(200), pa.int64()),
+        "cents": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    b = sampled_boundaries(ds, value="cents", tiebreak="event_id",
+                           n_parts=4, sample_n=64)
+    # boundaries = element picks of the 64 lowest-event_id values
+    want_b = np.sort(np.asarray(vals[:64]))[[16, 32, 48]]
+    assert list(b) == list(want_b)
+    out = tempfile.mkdtemp(prefix="nerfray_rexp_s_")
+    try:
+        write_range_partitioned_sampled(
+            ds, out, value="cents", tiebreak="event_id",
+            n_parts=4, sample_n=64)
+        seen = []
+        prev_hi = None
+        for p in range(4):
+            files = glob.glob(os.path.join(out, f"part={p}", "*.parquet"))
+            if not files:
+                continue
+            rows = []
+            for f in files:
+                t = pq.read_table(f)
+                rows.extend(zip(t.column("cents").to_pylist(),
+                                t.column("event_id").to_pylist()))
+            rows.sort()
+            # assignment: part == count of boundaries <= v
+            for v, _ in rows:
+                assert int(np.searchsorted(b, v, side="right")) == p
+            if prev_hi is not None:
+                assert rows[0][0] >= prev_hi
+            prev_hi = rows[-1][0]
+            seen.extend(rows)
+        assert sorted(seen) == sorted(zip(vals, range(200)))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
