@@ -1150,3 +1150,65 @@ SELECT user_id, count(*)::BIGINT AS n_events,
        min(gap)::BIGINT AS min_gap_us
 FROM g GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
 """
+
+
+# -- incremental (micro-batch) hourly aggregation ------------------------------
+#
+# The streaming-shaped maintenance pattern: a persisted register table
+# (hour, event_type, cnt) is MERGED with each arriving micro-batch's
+# partials instead of recomputing over all history — the count register is
+# associative, so state(t) = state(t-1) ⊎ partials(batch_t) groupby-summed.
+# State versions are immutable directories (write-new, never in-place), so
+# a crashed update re-runs idempotently; state stays a Dataset end-to-end
+# (per-user or per-key registers can exceed driver RAM). The whole
+# incremental chain collapses to the SAME SQL oracle as events_hourly:
+# incremental == full recompute, which is exactly the property worth
+# gating.
+
+
+def merge_hourly_state(prev: ray.data.Dataset | None,
+                       batch_events: ray.data.Dataset) -> ray.data.Dataset:
+    """One micro-batch update: previous register table (hour,
+    event_type, cnt) ⊎ the batch's per-block partials."""
+    partials = batch_events.select_columns(["ts", "event_type"]) \
+        .map_batches(_hourly_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    if prev is not None:
+        partials = prev.union(partials)
+    return partials.groupby(["hour", "event_type"]).sum("cnt") \
+        .rename_columns({"sum(cnt)": "cnt"})
+
+
+def hourly_counts_incremental(sf_dir: str, *, n_batches: int = 3
+                              ) -> ray.data.Dataset:
+    """events replayed as ``n_batches`` micro-batches (split by
+    event_id % n — arrival order doesn't matter for a count register),
+    each update persisted to a fresh state version directory and read
+    back before the next merge (full durability round trip). Returns the
+    final register, column-compatible with the events_hourly oracle."""
+    import shutil
+    import tempfile
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "event_type"])
+    root = tempfile.mkdtemp(prefix="nerfray_hourly_state_")
+    try:
+        def _mod_filter(batch: pa.Table, *, k: int) -> pa.Table:
+            ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % n_batches == k))
+
+        state = None
+        for k in range(n_batches):
+            batch = ev.map_batches(_mod_filter, fn_kwargs={"k": k},
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+            vdir = os.path.join(root, f"v{k}")
+            merge_hourly_state(state, batch).write_parquet(vdir)
+            state = ray.data.read_parquet(vdir)
+        return state.rename_columns({"cnt": "n_events"}).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLES["events_hourly_incremental"] = ORACLES["events_hourly"]

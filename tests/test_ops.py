@@ -1222,3 +1222,16 @@ def test_sampled_range_partition_boundaries(ray_session):
         assert sorted(seen) == sorted(zip(vals, range(200)))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_hourly_incremental_equals_full(ray_session):
+    """Incremental register maintenance == full recompute, invariant to
+    the number of micro-batches."""
+    from nerfray.ops import events as evops
+    full = sorted((r["hour"], r["event_type"], r["n_events"])
+                  for r in evops.hourly_counts(SF).take_all())
+    for nb in (1, 4):
+        inc = sorted((r["hour"], r["event_type"], r["n_events"])
+                     for r in evops.hourly_counts_incremental(
+                         SF, n_batches=nb).take_all())
+        assert inc == full, nb
