@@ -924,3 +924,154 @@ FROM j ORDER BY interval_id
 """
 
 ORACLES["events_interval_join"] = INTERVAL_JOIN_SQL
+
+
+# -- TPC-H Q5-shaped: revenue by nation (local-supplier constraint) -----------
+#
+# The 6-table join-graph classic. Shape decisions by side size:
+# region/nation (<=25 rows) and supplier (TPC-H scales it 100x smaller
+# than lineitem) are BROADCAST — region/nation fold to a nationkey set on
+# the driver, supplier to a sorted (suppkey -> nationkey) array resolved
+# per batch via searchsorted; customer/orders/lineitem are Dataset-sized
+# and flow through the two big-big hash joins. The c_nationkey ==
+# s_nationkey cross-filter (the "local supplier" constraint) applies
+# AFTER the orderkey join, exactly as in the SQL plan. Revenue rides in
+# integer 1e-4-dollar units (the Q3 idiom) so the rollup is hash-exact.
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def q5_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import ray as _ray
+
+    from nerfray.sources.parquet import read_parquet_clean
+
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+
+    region = read_parquet_clean(os.path.join(sf_dir, "region.parquet"))
+    nation = read_parquet_clean(os.path.join(sf_dir, "nation.parquet"))
+    rkeys = {r["r_regionkey"] for r in region.take_all()
+             if r["r_name"] == Q5_REGION}
+    nat_name = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()
+                if r["n_regionkey"] in rkeys}
+    asia_keys = np.array(sorted(nat_name), dtype=np.int64)
+
+    sup = read_parquet_clean(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"]) \
+        .take_all()
+    sup.sort(key=lambda r: r["s_suppkey"])
+    sk = np.array([r["s_suppkey"] for r in sup], dtype=np.int64)
+    snat = np.array([r["s_nationkey"] for r in sup], dtype=np.int64)
+    sup_ref = _ray.put((sk, snat))
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    def _asia_cust(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, asia_keys)
+        return batch.filter(pa.array(keep))
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _odate(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        return batch.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo)),
+            pc.less(d, pa.scalar(hi)))).select(
+            ["o_orderkey", "o_custkey"])
+
+    orders_cust = hash_join(
+        orders.map_batches(_odate, batch_format="pyarrow"),
+        cust.map_batches(_asia_cust, batch_format="pyarrow"),
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey"], right_cols=["c_nationkey"],
+        how="inner").select_columns(["o_orderkey", "c_nationkey"])
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("l_orderkey", pa.int64()),
+                                ("s_nat", pa.int64()),
+                                ("rev", pa.int64())])
+        skeys, snats = _ray.get(sup_ref)
+        lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, lsk)
+        pos = np.clip(pos, 0, len(skeys) - 1)
+        ok = skeys[pos] == lsk
+        nat = snats[pos]
+        keep = ok & np.isin(nat, asia_keys)
+        if not keep.any():
+            return out_schema.empty_table()
+        t = batch.filter(pa.array(keep))
+        price_c = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        disc_pct = np.round(
+            t.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        part = pa.Table.from_pydict({
+            "l_orderkey": t.column("l_orderkey"),
+            "s_nat": pa.array(nat[keep], pa.int64()),
+            "rev": pa.array(price_c * (100 - disc_pct), pa.int64())})
+        return part.group_by(["l_orderkey", "s_nat"]).aggregate(
+            [("rev", "sum")]).rename_columns(
+            ["l_orderkey", "s_nat", "rev"]).cast(out_schema)
+
+    li_parts = li.map_batches(_li_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = hash_join(
+        li_parts, orders_cust, left_on="l_orderkey",
+        right_on="o_orderkey", left_cols=["s_nat", "rev"],
+        right_cols=["c_nationkey"], how="inner")
+
+    def _local(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("s_nat"),
+                        batch.column("c_nationkey"))
+        return batch.filter(keep).select(["s_nat", "rev"])
+
+    def _named(batch: pa.Table) -> pa.Table:
+        nats = batch.column("s_nat").to_pylist()
+        return pa.Table.from_pydict({
+            "n_name": pa.array([nat_name[n] for n in nats], pa.string()),
+            "revenue_e4": batch.column("revenue_e4"),
+        })
+
+    return joined.map_batches(_local, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("s_nat").sum("rev") \
+        .rename_columns({"sum(rev)": "revenue_e4"}) \
+        .map_batches(_named, batch_format="pyarrow") \
+        .sort("revenue_e4", descending=True)
+
+
+Q5_SQL = f"""
+SELECT n.n_name,
+       sum(round(l.l_extendedprice * 100)::BIGINT
+           * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+         AS revenue_e4
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY 1 ORDER BY revenue_e4 DESC
+"""
+
+ORACLES["join_q5_nation_revenue"] = Q5_SQL

@@ -465,3 +465,25 @@ def test_interval_join_brute_force(ray_session):
             assert got == want, (parts, chunk)
     assert want[0] == (1, 3, 400)   # 1.00 + 2.50 + 0.50, hi excluded
     assert want[3] == (9, 0, 0)     # zero-match interval survives
+
+
+def test_q5_matches_duckdb(ray_session):
+    """Q5-shaped pipeline == the 6-table SQL plan at sf0.001, and the
+    local-supplier cross-filter actually excludes cross-nation pairs."""
+    import duckdb
+    from nerfray.ops.joins import Q5_SQL, q5_revenue_by_nation
+    sf = "/root/testdata/sf0.001"
+    got = [(r["n_name"], r["revenue_e4"])
+           for r in q5_revenue_by_nation(sf).take_all()]
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier",
+              "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')")
+    want = con.sql(Q5_SQL).fetchall()
+    assert got == [tuple(w) for w in want]
+    # sanity: without the c_nationkey = s_nationkey filter the revenue
+    # is strictly larger (the filter is load-bearing)
+    loose = con.sql(Q5_SQL.replace(
+        "AND c.c_nationkey = s.s_nationkey", "")).fetchall()
+    assert sum(r for _, r in loose) > sum(r for _, r in want)
