@@ -268,8 +268,8 @@ ORDER BY d.doc_id
 # narrow (doc_id, source, n_words) rows (hash(source) % 64 buckets),
 # then a vectorized segmented cumsum per bucket; text never moves.
 # Partitioning assumption: one source's rows fit a group — a hot source
-# would be range-split by doc_id with offset stitching, exactly like the
-# events cumsum's documented hot-user path.
+# is handled by pack_sequences_split below (range split by doc_id with
+# base-offset stitching, same answer, bounded groups).
 
 PACK_SIZE = 256
 
