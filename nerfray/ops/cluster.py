@@ -185,3 +185,77 @@ a2 AS (
 SELECT vec_id, cid::BIGINT AS cluster FROM a2 WHERE rn = 1
 ORDER BY vec_id
 """
+
+
+# -- scalar (int8) quantization -----------------------------------------------
+#
+# The embedding-compression step run before ANN indexing at 100 TB scale
+# (4x smaller vectors; IVF/LSH recall barely moves): per-vector symmetric
+# int8 codes  code_d = floor(x_d * 127 / maxabs)  with maxabs = max |x_d|.
+# Map-only — every vector is quantized where it already lives; nothing
+# shuffles. All-integer on the planted corpus (numpy and DuckDB both
+# floor-divide), so the rollup surface is hash-exact; the real-float
+# path is the same kernel with float scales (rows-only).
+
+
+def quantize_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """(vec_id, maxabs_milli, n_dims, sum_codes, min_code, max_code):
+    int8-code rollup per vector. Integer-input vectors quantize in exact
+    integer arithmetic (floor division); float vectors use the same
+    formula through float64 (maxabs reported in milli-units)."""
+
+    def _q(batch: pa.Table) -> pa.Table:
+        x = _vecs_of(batch)
+        isint = np.allclose(x, np.round(x))
+        ax = np.abs(x).max(axis=1)
+        safe = np.where(ax == 0, 1.0, ax)
+        if isint:
+            xi = np.round(x).astype(np.int64)
+            si = np.round(safe).astype(np.int64)
+            codes = (xi * 127) // si[:, None]
+        else:
+            codes = np.floor(x * 127.0 / safe[:, None]).astype(np.int64)
+        codes = np.clip(codes, -127, 127)
+        return pa.Table.from_pydict({
+            "vec_id": batch.column("vec_id"),
+            "maxabs_milli": pa.array(
+                np.round(ax * 1000).astype(np.int64), pa.int64()),
+            "n_dims": pa.array(
+                np.full(len(ax), x.shape[1], np.int64), pa.int64()),
+            "sum_codes": pa.array(codes.sum(axis=1), pa.int64()),
+            "min_code": pa.array(codes.min(axis=1), pa.int64()),
+            "max_code": pa.array(codes.max(axis=1), pa.int64()),
+        })
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _q, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# planted corpus (integer geometry, see planted_kmeans_embeddings):
+# x = 100*e_g + off*e_{(g+1)%4}, off in {-1,0,1} -> maxabs = 100,
+# codes reconstructible dim-by-dim in SQL integer arithmetic
+QUANTIZE_PLANTED_SQL = f"""
+WITH p AS ({_sql_pts(PLANTED_K)}),
+c AS (
+  SELECT vec_id,
+         greatest(abs(x0), abs(x1), abs(x2), abs(x3))::BIGINT AS maxabs,
+         (floor(x0 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3)))
+        + floor(x1 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3)))
+        + floor(x2 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3)))
+        + floor(x3 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))))::BIGINT
+           AS sum_codes,
+         least(floor(x0 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))),
+               floor(x1 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))),
+               floor(x2 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))),
+               floor(x3 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))))::BIGINT
+           AS min_code,
+         greatest(floor(x0 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))),
+               floor(x1 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))),
+               floor(x2 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))),
+               floor(x3 * 127 / greatest(abs(x0),abs(x1),abs(x2),abs(x3))))::BIGINT
+           AS max_code
+  FROM p)
+SELECT vec_id, maxabs * 1000 AS maxabs_milli, 4::BIGINT AS n_dims,
+       sum_codes, min_code, max_code
+FROM c ORDER BY vec_id
+"""

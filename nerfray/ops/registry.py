@@ -221,6 +221,21 @@ def q_sim_ivf_planted(sf_dir: str):
         k=10)
 
 
+def q_emb_quantized(sf_dir: str):
+    # int8 scalar quantization rollup on the real float embeddings
+    # (rows-only: float scales; the planted variant carries the oracle)
+    from . import cluster
+    return cluster.quantize_embeddings(_emb(sf_dir))
+
+
+def q_emb_quantized_planted(sf_dir: str):
+    # integer-geometry corpus -> all-integer floor-division codes,
+    # bit-exact vs QUANTIZE_PLANTED_SQL
+    from . import cluster
+    return cluster.quantize_embeddings(
+        cluster.planted_kmeans_embeddings(_emb(sf_dir)))
+
+
 def q_emb_kmeans(sf_dir: str):
     # Lloyd k-means on the real float embeddings: rows-only (float-mean
     # centroids are not SQL-statable without an unrolled mirror; the
@@ -393,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_planted": q_sim_ivf_planted,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_planted": q_emb_kmeans_planted,
+        "emb_quantized": q_emb_quantized,
+        "emb_quantized_planted": q_emb_quantized_planted,
         "sim_jaccard": q_sim_jaccard,
         "sim_setjoin": q_sim_setjoin,
         "sim_setjoin_drops": q_sim_setjoin_drops,
@@ -720,6 +737,8 @@ def oracles() -> dict[str, str]:
         "sim_ivf_planted": TOPK_PLANTED_SQL,
         # emb_kmeans (real float embeddings): rows-only by design
         "emb_kmeans_planted": _cluster_sql("KMEANS_PLANTED_SQL"),
+        # emb_quantized (real float embeddings): rows-only by design
+        "emb_quantized_planted": _cluster_sql("QUANTIZE_PLANTED_SQL"),
         "sim_topk": SIM_TOPK_SQL,
         "sim_jaccard": SIM_JACCARD_SQL,
         "sim_setjoin": _setjoin_sql("SETJOIN_SQL"),

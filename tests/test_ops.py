@@ -1235,3 +1235,28 @@ def test_hourly_incremental_equals_full(ray_session):
                      for r in evops.hourly_counts_incremental(
                          SF, n_batches=nb).take_all())
         assert inc == full, nb
+
+
+def test_quantize_embeddings_floor_semantics(ray_session):
+    """int8 codes use floor division (negatives round DOWN), zero
+    vectors survive, clipping caps at ±127; integer and float paths
+    agree on integer inputs."""
+    import ray.data
+    from nerfray.ops import cluster as cl
+    vecs = [[100, -1, 0, 1], [0, 0, 0, 0], [-50, 25, 0, 0],
+            [3, -3, 1, -1]]
+    ds = ray.data.from_arrow(_emb_table(vecs))
+    rows = {r["vec_id"]: r
+            for r in cl.quantize_embeddings(ds).take_all()}
+    def codes(v):
+        m = max(abs(x) for x in v) or 1
+        return [min(max((x * 127) // m, -127), 127) for x in v]
+    for i, v in enumerate(vecs):
+        c = codes(v)
+        r = rows[i]
+        assert r["sum_codes"] == sum(c), (i, c)
+        assert r["min_code"] == min(c) and r["max_code"] == max(c)
+        assert r["n_dims"] == 4
+    assert rows[0]["min_code"] == -2          # floor(-127/100) = -2
+    assert rows[1] == {"vec_id": 1, "maxabs_milli": 0, "n_dims": 4,
+                       "sum_codes": 0, "min_code": 0, "max_code": 0}
