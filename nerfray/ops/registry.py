@@ -291,6 +291,12 @@ def q_docs_decontam(sf_dir: str):
     return text.decontaminate(_docs(sf_dir))
 
 
+def q_docs_normalized(sf_dir: str):
+    # cleaning stage: byte-exact normalized-text fingerprints
+    from . import text
+    return text.normalize_text(_docs(sf_dir))
+
+
 def q_docs_crossdup(sf_dir: str):
     # substring-level dedup signal (Lee et al. 2022): per-doc distinct
     # 5-gram count + how many occur in >= 2 docs corpus-wide
@@ -421,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
         "docs_crossdup": q_docs_crossdup,
+        "docs_normalized": q_docs_normalized,
         "lang_confusion": q_lang_confusion,
         "lang_confusion_planted": q_lang_confusion_planted,
         "doc_fingerprints": q_doc_fingerprints,
@@ -754,6 +761,7 @@ def oracles() -> dict[str, str]:
         "docs_repetition": _text_sql("REPETITION_SQL"),
         "docs_decontam": _text_sql("DECONTAM_SQL"),
         "docs_crossdup": _text_sql("CROSSDUP_SQL"),
+        "docs_normalized": _text_sql("NORMALIZE_SQL"),
         "media_meta": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
         "lang_confusion_planted": _lang_sql(),

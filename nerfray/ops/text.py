@@ -1199,3 +1199,52 @@ FROM g JOIN df USING (gram)
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
+
+
+# -- text normalization (cleaning) --------------------------------------------
+#
+# The canonical pre-dedup cleaning stage: lowercase + collapse whitespace
+# runs + trim. Map-only (text transforms where it lives; at 100 TB this
+# fuses into the scan task). The whitespace class is written explicitly
+# ([ \t\n\r\f] — NOT \s) so Python re and DuckDB RE2 match byte-for-byte,
+# and the oracle hashes the normalized BYTES (sha256), the same
+# exactness discipline as redact_pii. ASCII-scope lower() (the synthetic
+# corpus is ASCII; unicode case folding is locale work, out of scope).
+
+_WS_RUN = re.compile(r"[ \t\n\r\f]+")
+
+
+def normalize_text(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, norm_sha, n_chars_norm, changed): normalized-text
+    fingerprint per doc."""
+    import hashlib as _hl
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        shas, lens, changed = [], [], []
+        for t in batch.column("text").to_pylist():
+            n = _WS_RUN.sub(" ", t).strip(" ").lower()
+            shas.append(_hl.sha256(n.encode()).hexdigest())
+            lens.append(len(n))
+            changed.append(int(n != t))
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "norm_sha": pa.array(shas, pa.string()),
+            "n_chars_norm": pa.array(lens, pa.int64()),
+            "changed": pa.array(changed, pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'),
+                    ' ')) AS norm
+  FROM documents)
+SELECT doc_id, sha256(norm) AS norm_sha,
+       length(norm)::BIGINT AS n_chars_norm,
+       CASE WHEN norm = text THEN 0 ELSE 1 END::BIGINT AS changed
+FROM n ORDER BY doc_id
+"""

@@ -1260,3 +1260,22 @@ def test_quantize_embeddings_floor_semantics(ray_session):
     assert rows[0]["min_code"] == -2          # floor(-127/100) = -2
     assert rows[1] == {"vec_id": 1, "maxabs_milli": 0, "n_dims": 4,
                        "sum_codes": 0, "min_code": 0, "max_code": 0}
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    """Normalization == the RE2 mirror on edge-heavy texts: tabs,
+    newlines, runs, leading/trailing space, mixed case, already-clean."""
+    import duckdb
+    import ray.data
+    texts = ["  Hello   WORLD  ", "a\t\tb\nc\r\nd", "clean text",
+             "", "  ", "MiXeD  CaSe\fform"]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(2)
+    got = sorted((r["doc_id"], r["norm_sha"], r["n_chars_norm"],
+                  r["changed"])
+                 for r in tx.normalize_text(docs).take_all())
+    con = duckdb.connect()
+    con.register("documents", _docs_table(texts).to_pandas())
+    want = sorted(map(tuple, con.sql(tx.NORMALIZE_SQL).fetchall()))
+    assert got == want
+    assert got[2][3] == 0   # "clean text" unchanged
+    assert got[4][2] == 0   # whitespace-only doc collapses to empty
