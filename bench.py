@@ -117,7 +117,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_repetition", "docs_decontam",
                  "docs_mixture", "docs_packed", "docs_packed_split",
                  "kg_common_neighbors", "docs_crossdup", "emb_kmeans",
-                 "events_interval_join", "docs_range_export"):
+                 "events_interval_join", "docs_range_export",
+                 "events_range_export_sampled", "docs_normalized",
+                 "emb_quantized", "join_q5_nation_revenue",
+                 "events_hourly_incremental"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
