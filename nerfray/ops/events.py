@@ -1212,3 +1212,97 @@ def hourly_counts_incremental(sf_dir: str, *, n_batches: int = 3
 
 
 ORACLES["events_hourly_incremental"] = ORACLES["events_hourly"]
+
+
+# -- cohort retention ----------------------------------------------------------
+#
+# The product-analytics classic: users cohorted by first-active week,
+# retention = distinct active users per (cohort_week, week_offset).
+# Scale shape: per-block distinct (user, week) combiner, ONE user-hash
+# exchange of those narrow pairs; a user's whole history sits in one
+# bucket, so first-week and per-(cohort, offset) distinct-user partials
+# are exact in-bucket, and the final groupby sums <= 64 partials per
+# cell. Week boundaries are Monday-truncated to match DuckDB's
+# date_trunc('week'), computed in integer day arithmetic.
+
+
+def _week_start_days(ts_us: np.ndarray) -> np.ndarray:
+    """Monday-based week start, in days since epoch (1970-01-01 was a
+    Thursday: Monday index = (days + 3) % 7)."""
+    days = ts_us // (86_400 * 1_000_000)
+    return days - (days + 3) % 7
+
+
+def _uw_partial(batch: pa.Table) -> pa.Table:
+    """Block combiner: distinct (user, week-start-day)."""
+    u = batch.column("user_id").to_numpy(zero_copy_only=False)
+    ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    w = _week_start_days(ts)
+    key = np.stack([u, w], axis=1)
+    uniq = np.unique(key, axis=0)
+    return pa.Table.from_pydict({
+        "user_id": pa.array(uniq[:, 0], pa.int64()),
+        "week": pa.array(uniq[:, 1], pa.int64()),
+    })
+
+
+def _cohort_bucket(group: pa.Table) -> pa.Table:
+    out_schema = pa.schema([("cohort_day", pa.int64()),
+                            ("week_offset", pa.int64()),
+                            ("n", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    u = group.column("user_id").to_numpy(zero_copy_only=False)
+    w = group.column("week").to_numpy(zero_copy_only=False)
+    order = np.lexsort((w, u))
+    us, ws = u[order], w[order]
+    # block-level partials may repeat (user, week) across blocks: dedup
+    keep = np.r_[True, (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])]
+    us, ws = us[keep], ws[keep]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    first = np.repeat(ws[starts], np.diff(np.r_[starts, len(us)]))
+    off = (ws - first) // 7
+    cell = np.stack([first, off], axis=1)
+    uniq, cnt = np.unique(cell, axis=0, return_counts=True)
+    return pa.Table.from_pydict({
+        "cohort_day": pa.array(uniq[:, 0], pa.int64()),
+        "week_offset": pa.array(uniq[:, 1], pa.int64()),
+        "n": pa.array(cnt.astype(np.int64), pa.int64()),
+    }, schema=out_schema)
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """(cohort_week, week_offset, n_users) retention triangle."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+
+    def _label(batch: pa.Table) -> pa.Table:
+        d = batch.column("cohort_day").to_numpy(zero_copy_only=False)
+        lab = np.datetime_as_string(d.astype("datetime64[D]"), unit="D")
+        return pa.Table.from_pydict({
+            "cohort_week": pa.array(lab.tolist(), pa.string()),
+            "week_offset": batch.column("week_offset"),
+            "n_users": batch.column("n_users"),
+        })
+
+    return ev.map_batches(_uw_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_cohort_bucket, batch_format="pyarrow") \
+        .groupby(["cohort_day", "week_offset"]).sum("n") \
+        .rename_columns({"sum(n)": "n_users"}) \
+        .map_batches(_label, batch_format="pyarrow")
+
+
+ORACLES["events_cohort_retention"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+f AS (SELECT user_id, min(w) AS fw FROM uw GROUP BY user_id)
+SELECT strftime(f.fw, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', f.fw, uw.w) // 7)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM uw JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

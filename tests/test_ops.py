@@ -1279,3 +1279,50 @@ def test_normalize_text_matches_duckdb(ray_session):
     assert got == want
     assert got[2][3] == 0   # "clean text" unchanged
     assert got[4][2] == 0   # whitespace-only doc collapses to empty
+
+
+def test_cohort_retention_brute_force(ray_session):
+    """Cohort cells == per-user brute force across block seams, Monday
+    week boundaries, and users whose first event is mid-week."""
+    import ray.data
+    from nerfray.ops import events as evops
+    DAY = 86_400 * 1_000_000
+    # 1970-01-05 was a Monday (day 4)
+    ev = []
+    for u, day in [(1, 4), (1, 5), (1, 11), (1, 18),   # w0, w0, w1, w2
+                   (2, 10), (2, 26),                   # sun w0 -> off 0, 2
+                   (3, 4)]:
+        ev.append((u, day * DAY))
+    t = pa.Table.from_pydict({
+        "user_id": pa.array([e[0] for e in ev], pa.int64()),
+        "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+    })
+    import os
+    import tempfile
+    d = tempfile.mkdtemp(prefix="nerfray_cohort_")
+    try:
+        import pyarrow.parquet as pq
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = sorted((r["cohort_week"], r["week_offset"], r["n_users"])
+                     for r in evops.cohort_retention(d).take_all())
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+    # brute force
+    def wk(day):
+        return day - (day + 3) % 7
+    uw = sorted({(u, wk(ts // DAY)) for u, ts in ev})
+    first = {}
+    for u, w in uw:
+        first.setdefault(u, w)
+    cells = {}
+    for u, w in uw:
+        key = (first[u], (w - first[u]) // 7)
+        cells[key] = cells.get(key, 0) + 1
+    import numpy as _np
+    want = sorted(
+        (str(_np.datetime64(int(c), "D")), off, n)
+        for (c, off), n in cells.items())
+    assert got == want
+    # user 2's first event is a Sunday: cohort = that week's Monday
+    assert any(c == "1970-01-05" and off == 2 for c, off, _ in got)
