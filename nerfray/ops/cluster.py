@@ -59,17 +59,12 @@ def planted_kmeans_embeddings(emb: ray.data.Dataset,
 
 def _init_centroids(emb: ray.data.Dataset, k: int) -> np.ndarray:
     """Deterministic init: the k lowest-vec_id vectors, in vec_id order.
-    Per-block local min-k combiner, one bounded merge — no global sort."""
-
-    def _local(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")[:k]
-        return batch.take(pa.array(order))
-
-    small = emb.select_columns(["vec_id", "embedding"]).map_batches(
-        _local, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    small.sort(key=lambda r: r["vec_id"])
-    return np.asarray([r["embedding"] for r in small[:k]], dtype=np.float64)
+    Two-level min-k combiner tree — the driver receives exactly k rows,
+    never blocks x k (ops/_shuffle.lowest_k_rows)."""
+    from ._shuffle import lowest_k_rows
+    small = lowest_k_rows(
+        emb.select_columns(["vec_id", "embedding"]), k, "vec_id")
+    return np.asarray([r["embedding"] for r in small], dtype=np.float64)
 
 
 class _AssignPartials:

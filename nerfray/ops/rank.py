@@ -272,16 +272,10 @@ def sampled_boundaries(ds: ray.data.Dataset, *, value: str, tiebreak: str,
     """n_parts-1 ascending element-pick boundaries from the sample of
     the ``sample_n`` lowest-``tiebreak`` rows. ``value`` must be int64."""
 
-    def _local(batch: pa.Table) -> pa.Table:
-        tb = batch.column(tiebreak).to_numpy(zero_copy_only=False)
-        order = np.argsort(tb, kind="stable")[:sample_n]
-        return batch.select([value, tiebreak]).take(pa.array(order))
-
-    rows = ds.select_columns([value, tiebreak]).map_batches(
-        _local, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    rows.sort(key=lambda r: r[tiebreak])
-    s = np.sort(np.asarray([r[value] for r in rows[:sample_n]],
-                           dtype=np.int64))
+    from ._shuffle import lowest_k_rows
+    rows = lowest_k_rows(ds.select_columns([value, tiebreak]),
+                         sample_n, tiebreak)
+    s = np.sort(np.asarray([r[value] for r in rows], dtype=np.int64))
     m = len(s)
     idx = (np.arange(1, n_parts) * m) // n_parts
     return s[idx]
