@@ -1037,9 +1037,13 @@ def q5_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         right_cols=["c_nationkey"], how="inner")
 
     def _local(batch: pa.Table) -> pa.Table:
+        # local-supplier filter + map-side combine to nation grain:
+        # <= |asia nations| rows per block reach the final groupby
         keep = pc.equal(batch.column("s_nat"),
                         batch.column("c_nationkey"))
-        return batch.filter(keep).select(["s_nat", "rev"])
+        t = batch.filter(keep).select(["s_nat", "rev"])
+        return t.group_by(["s_nat"]).aggregate(
+            [("rev", "sum")]).rename_columns(["s_nat", "rev"])
 
     def _named(batch: pa.Table) -> pa.Table:
         nats = batch.column("s_nat").to_pylist()
