@@ -1129,13 +1129,25 @@ def _cn_obj_bucket(batch: pa.Table) -> pa.Table:
     })
 
 
-_CN_PAIR_SCHEMA = pa.schema([("node_a", pa.string()),
-                             ("node_b", pa.string())])
+_CN_PARTIAL_SCHEMA = pa.schema([("node_a", pa.string()),
+                                ("node_b", pa.string()),
+                                ("cnt", pa.int64()),
+                                ("phb", pa.int32())])
+
+_CN_OUT_SCHEMA = pa.schema([("node_a", pa.string()),
+                            ("node_b", pa.string()),
+                            ("n_common", pa.int64())])
 
 
 def _cn_pairs_bucket(group: pa.Table, *, cap: int = CN_CAP) -> pa.Table:
+    """Pair emission + IN-BUCKET COMBINER: a pair appears once per
+    shared object, and objects hashing to the same bucket collapse here
+    (pandas groupby-size), so the pair-count exchange ships partials,
+    never raw pair occurrences.  Rows are routed by a pair hash so the
+    final sum is a 64-way co-group, not a Ray sort-groupby over two
+    string columns (measured 17 s -> sub-second at 600k pair rows)."""
     if group.num_rows == 0:
-        return _CN_PAIR_SCHEMA.empty_table()
+        return _CN_PARTIAL_SCHEMA.empty_table()
     rows = sorted(set(zip(group.column("obj").to_pylist(),
                           group.column("subj").to_pylist())))
     a: list = []
@@ -1162,29 +1174,58 @@ def _cn_pairs_bucket(group: pa.Table, *, cap: int = CN_CAP) -> pa.Table:
         run_subjs.append(subj)
     if run_subjs:
         _emit_run(run_subjs)
-    return pa.Table.from_pydict({"node_a": pa.array(a, pa.string()),
-                                 "node_b": pa.array(b, pa.string())})
+    if not a:
+        return _CN_PARTIAL_SCHEMA.empty_table()
+    import pandas as pd
+    partial = pd.DataFrame({"node_a": a, "node_b": b}) \
+        .groupby(["node_a", "node_b"], sort=False).size() \
+        .reset_index(name="cnt")
+    ha = pd.util.hash_array(partial["node_a"].to_numpy(dtype=object))
+    hb = pd.util.hash_array(partial["node_b"].to_numpy(dtype=object))
+    phb = ((ha * np.uint64(1099511628211)) ^ hb) % np.uint64(CN_BUCKETS)
+    return pa.Table.from_pydict({
+        "node_a": pa.array(partial["node_a"], pa.string()),
+        "node_b": pa.array(partial["node_b"], pa.string()),
+        "cnt": pa.array(partial["cnt"].to_numpy(np.int64), pa.int64()),
+        "phb": pa.array(phb.astype(np.int32), pa.int32()),
+    }, schema=_CN_PARTIAL_SCHEMA)
+
+
+def _cn_sum_bucket(group: pa.Table, *, min_common: int) -> pa.Table:
+    """Final pair-count reduce inside one pair-hash bucket (every
+    partial of a pair lands here by construction), gated at
+    min_common before anything leaves the bucket."""
+    if group.num_rows == 0:
+        return _CN_OUT_SCHEMA.empty_table()
+    import pandas as pd
+    df = pd.DataFrame({
+        "node_a": group.column("node_a").to_pylist(),
+        "node_b": group.column("node_b").to_pylist(),
+        "cnt": group.column("cnt").to_numpy(zero_copy_only=False)})
+    total = df.groupby(["node_a", "node_b"], sort=False)["cnt"].sum() \
+        .reset_index(name="n_common")
+    total = total[total["n_common"] >= min_common]
+    return pa.Table.from_pydict({
+        "node_a": pa.array(total["node_a"], pa.string()),
+        "node_b": pa.array(total["node_b"], pa.string()),
+        "n_common": pa.array(total["n_common"].to_numpy(np.int64),
+                             pa.int64()),
+    }, schema=_CN_OUT_SCHEMA)
 
 
 def common_neighbors(triples: ray.data.Dataset, *, min_common: int = 2,
                      cap: int = CN_CAP) -> ray.data.Dataset:
     """(node_a, node_b, n_common) for subject pairs sharing >= min_common
     objects; node_a < node_b lexicographically."""
-
-    def _gate(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return batch.filter(
-            pc.greater_equal(batch.column("n_common"), min_common))
-
     return triples.select_columns(["subj", "obj"]) \
         .map_batches(_cn_obj_bucket, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("hb").map_groups(
             functools.partial(_cn_pairs_bucket, cap=cap),
             batch_format="pyarrow") \
-        .groupby(["node_a", "node_b"]).count() \
-        .rename_columns({"count()": "n_common"}) \
-        .map_batches(_gate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("phb").map_groups(
+            functools.partial(_cn_sum_bucket, min_common=min_common),
+            batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
