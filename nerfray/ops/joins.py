@@ -948,22 +948,23 @@ def q5_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
 
     import ray as _ray
 
-    from nerfray.sources.parquet import read_parquet_clean
+    from nerfray.sources.parquet import read_parquet_clean, \
+        read_small_table
 
     lo = np.datetime64(Q5_DATE_LO, "us")
     hi = np.datetime64(Q5_DATE_HI, "us")
 
-    region = read_parquet_clean(os.path.join(sf_dir, "region.parquet"))
-    nation = read_parquet_clean(os.path.join(sf_dir, "nation.parquet"))
-    rkeys = {r["r_regionkey"] for r in region.take_all()
+    region = read_small_table(os.path.join(sf_dir, "region.parquet"))
+    nation = read_small_table(os.path.join(sf_dir, "nation.parquet"))
+    rkeys = {r["r_regionkey"] for r in region.to_pylist()
              if r["r_name"] == Q5_REGION}
-    nat_name = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()
+    nat_name = {r["n_nationkey"]: r["n_name"] for r in nation.to_pylist()
                 if r["n_regionkey"] in rkeys}
     asia_keys = np.array(sorted(nat_name), dtype=np.int64)
 
-    sup = read_parquet_clean(os.path.join(sf_dir, "supplier.parquet"),
-                             columns=["s_suppkey", "s_nationkey"]) \
-        .take_all()
+    sup = read_small_table(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_suppkey", "s_nationkey"]) \
+        .to_pylist()
     sup.sort(key=lambda r: r["s_suppkey"])
     sk = np.array([r["s_suppkey"] for r in sup], dtype=np.int64)
     snat = np.array([r["s_nationkey"] for r in sup], dtype=np.int64)

@@ -1376,30 +1376,86 @@ def sssp_planted_sql(rounds: int = SSSP_ROUNDS) -> str:
 # one hash_join of edges against degrees -> node-grain rollup; all
 # integer counts, fully SQL-oracle-able on the gold triples.
 
+_ND_EDGE_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("deg", pa.int64()), ("is_deg", pa.int8())])
+
+
+def _nd_bucket(batch: pa.Table) -> pa.Table:
+    """Symmetrize (subj, obj) and bucket by hash(a): every copy of an
+    undirected edge (a, b) lands in bucket(a), so both the global
+    distinct AND deg(a) fall out inside one co-group."""
+    import pandas as pd
+    s = batch.column("subj")
+    o = batch.column("obj")
+    a = pa.chunked_array(list(s.chunks) + list(o.chunks))
+    b = pa.chunked_array(list(o.chunks) + list(s.chunks))
+    arr = np.asarray(a.to_pylist(), dtype=object)
+    hb = (pd.util.hash_array(arr) % N_STAR_BUCKETS).astype(np.int32)
+    return pa.Table.from_pydict({
+        "a": a, "b": b, "hb": pa.array(hb, pa.int32())})
+
+
+def _nd_distinct_deg(group: pa.Table) -> pa.Table:
+    """Per a-hash bucket: distinct (a, b) edge rows (is_deg=0) plus one
+    (a, deg) row per node (is_deg=1) — ONE exchange replaces the former
+    two-string-column sort groupby + degree rollup pair."""
+    if group.num_rows == 0:
+        return _ND_EDGE_SCHEMA.empty_table()
+    import pandas as pd
+    df = pd.DataFrame({"a": group.column("a").to_pylist(),
+                       "b": group.column("b").to_pylist()})
+    dedup = df.drop_duplicates()
+    deg = dedup.groupby("a", sort=False).size().reset_index(name="deg")
+    n_e, n_d = len(dedup), len(deg)
+    return pa.Table.from_pydict({
+        "a": pa.array(list(dedup["a"]) + list(deg["a"]), pa.string()),
+        "b": pa.array(list(dedup["b"]) + [""] * n_d, pa.string()),
+        "deg": pa.array(np.r_[np.zeros(n_e, np.int64),
+                              deg["deg"].to_numpy(np.int64)], pa.int64()),
+        "is_deg": pa.array(np.r_[np.zeros(n_e, np.int8),
+                                 np.ones(n_d, np.int8)], pa.int8()),
+    }, schema=_ND_EDGE_SCHEMA)
+
+
 def neighbor_degree(triples: ray.data.Dataset) -> ray.data.Dataset:
     """(node, n_neighbors, sum_neighbor_deg) over the undirected
-    distinct-edge view of (subj, obj)."""
-    from ray.data.aggregate import Count, Sum
+    distinct-edge view of (subj, obj).
+
+    Three exchanges: (1) a-hash co-group producing distinct edges and
+    per-node degrees together, (2) hash_join of edges against degrees
+    on the b endpoint, (3) node rollup of map-side (a, cnt, sum)
+    partials."""
+    import pyarrow.compute as pc
 
     from nerfray.ops.joins import hash_join
 
-    def _both(batch: pa.Table) -> pa.Table:
-        s = batch.column("subj")
-        o = batch.column("obj")
-        return pa.Table.from_pydict({
-            "a": pa.chunked_array(list(s.chunks) + list(o.chunks)),
-            "b": pa.chunked_array(list(o.chunks) + list(s.chunks)),
-        })
-
-    edges = triples.select_columns(["subj", "obj"]) \
-        .map_batches(_both, batch_format="pyarrow",
+    both = triples.select_columns(["subj", "obj"]) \
+        .map_batches(_nd_bucket, batch_format="pyarrow",
                      zero_copy_batch=True) \
-        .groupby(["a", "b"]).count().drop_columns(["count()"]) \
+        .groupby("hb").map_groups(_nd_distinct_deg,
+                                  batch_format="pyarrow") \
         .materialize()
-    deg = edges.groupby("a").count() \
-        .rename_columns({"a": "node", "count()": "deg"})
+    edges = both.filter(expr="is_deg == 0").select_columns(["a", "b"])
+    deg = both.filter(expr="is_deg == 1").select_columns(["a", "deg"]) \
+        .rename_columns({"a": "node"})
+
+    def _rollup_partial(batch: pa.Table) -> pa.Table:
+        """Map-side combine of the join output to (a, cnt, sum) grain."""
+        import pandas as pd
+        df = pd.DataFrame({
+            "a": batch.column("a").to_pylist(),
+            "deg": batch.column("deg").to_numpy(zero_copy_only=False)})
+        g = df.groupby("a", sort=False)["deg"].agg(["size", "sum"]) \
+            .reset_index()
+        return pa.Table.from_pydict({
+            "a": pa.array(g["a"], pa.string()),
+            "cnt": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(g["sum"].to_numpy(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
     return hash_join(edges, deg, left_on="b", right_on="node",
                      left_cols=["a"], right_cols=["deg"]) \
-        .groupby("a").aggregate(Count(), Sum("deg")) \
-        .rename_columns({"a": "node", "count()": "n_neighbors",
-                         "sum(deg)": "sum_neighbor_deg"})
+        .map_batches(_rollup_partial, batch_format="pyarrow") \
+        .groupby("a").aggregate(Sum("cnt"), Sum("s")) \
+        .rename_columns({"a": "node", "sum(cnt)": "n_neighbors",
+                         "sum(s)": "sum_neighbor_deg"})
