@@ -156,17 +156,23 @@ def q_dedup_minhash_planted(sf_dir: str):
 
 def q_sim_topk(sf_dir: str):
     from . import similarity
-    return similarity.cosine_topk(_emb(sf_dir), k=10)
+    return similarity.cosine_topk(
+        _emb(sf_dir), k=10,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def q_sim_lsh(sf_dir: str):
     from . import similarity
-    return similarity.lsh_topk(_emb(sf_dir), k=10)
+    return similarity.lsh_topk(
+        _emb(sf_dir), k=10,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def q_sim_ivf(sf_dir: str):
     from . import similarity
-    return similarity.ivf_topk(_emb(sf_dir), k=10)
+    return similarity.ivf_topk(
+        _emb(sf_dir), k=10,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def q_dedup_embedding(sf_dir: str):

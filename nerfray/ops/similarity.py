@@ -21,7 +21,23 @@ import ray.data
 N_QUERIES = 5  # query vectors = embeddings with vec_id < N_QUERIES
 
 
-def _query_matrix(emb: ray.data.Dataset, n_queries: int) -> np.ndarray:
+def _query_matrix(emb: ray.data.Dataset, n_queries: int,
+                  source_path: str | None = None) -> np.ndarray:
+    """The broadcast-side query matrix (n_queries rows).  When the
+    embeddings table's parquet path is known (``source_path``), read
+    the few query rows directly via pyarrow row-filtered scan — a Ray
+    filter+take_all job over the whole table costs ~2 s of scheduling
+    fixed overhead for a 5-row result (cf.
+    ``sources.parquet.read_small_table``).  The Dataset scan remains
+    the fallback for in-memory inputs."""
+    if source_path is not None:
+        import pyarrow.parquet as pq
+        t = pq.read_table(source_path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", n_queries)])
+        order = np.argsort(t.column("vec_id").to_numpy(
+            zero_copy_only=False), kind="stable")
+        vecs = t.column("embedding").to_pylist()
+        return np.array([vecs[i] for i in order], dtype=np.float64)
     rows = emb.filter(expr=f"vec_id < {n_queries}").take_all()
     rows.sort(key=lambda r: r["vec_id"])
     return np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -75,9 +91,10 @@ def _final_topk(group: pa.Table, *, k: int) -> pa.Table:
 
 
 def cosine_topk(emb: ray.data.Dataset, *, k: int = 10,
-                n_queries: int = N_QUERIES) -> ray.data.Dataset:
+                n_queries: int = N_QUERIES,
+                source_path: str | None = None) -> ray.data.Dataset:
     """Exact top-k neighbours per query: (query_id, rank, vec_id)."""
-    q_ref = ray.put(_query_matrix(emb, n_queries))
+    q_ref = ray.put(_query_matrix(emb, n_queries, source_path))
     partials = emb.select_columns(["vec_id", "embedding"]).map_batches(
         CosineScores, fn_constructor_kwargs={"queries_ref": q_ref, "k": k},
         concurrency=(1, 8), batch_size=1024, batch_format="pyarrow")
@@ -116,12 +133,13 @@ class HyperplaneSigner:
 
 
 def lsh_topk(emb: ray.data.Dataset, *, k: int = 10, bits: int = 6,
-             n_queries: int = N_QUERIES) -> ray.data.Dataset:
+             n_queries: int = N_QUERIES,
+             source_path: str | None = None) -> ray.data.Dataset:
     """ANN: probe only the query's hyperplane bucket. Returns
     (query_id, rank, vec_id); recall vs ``cosine_topk`` is measured in
     tests, not assumed."""
     signer = HyperplaneSigner(bits=bits)
-    q = _query_matrix(emb, n_queries)
+    q = _query_matrix(emb, n_queries, source_path)
     q_buckets = signer.sign(q)
     q_ref = ray.put(q)
 
@@ -202,7 +220,8 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
 
 def ivf_topk(emb: ray.data.Dataset, *, k: int = 10, n_lists: int = 16,
              n_probe: int = 4, sample_size: int = 2048,
-             n_queries: int = N_QUERIES) -> ray.data.Dataset:
+             n_queries: int = N_QUERIES,
+             source_path: str | None = None) -> ray.data.Dataset:
     """IVF scale path: vectors are assigned to their nearest of
     ``n_lists`` k-means centroids (trained on a driver-side sample,
     broadcast once); each query scores only the vectors in its
@@ -211,7 +230,7 @@ def ivf_topk(emb: ray.data.Dataset, *, k: int = 10, n_lists: int = 16,
         .take_all()
     cents = _kmeans(np.array([r["embedding"] for r in sample_rows],
                              dtype=np.float64), n_lists)
-    q = _query_matrix(emb, n_queries)
+    q = _query_matrix(emb, n_queries, source_path)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     probes = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
     wanted_lists = sorted({int(c) for row in probes for c in row})
