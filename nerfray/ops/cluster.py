@@ -254,3 +254,126 @@ SELECT vec_id, maxabs * 1000 AS maxabs_milli, 4::BIGINT AS n_dims,
        sum_codes, min_code, max_code
 FROM c ORDER BY vec_id
 """
+
+
+# -- distributed PCA ----------------------------------------------------------
+#
+# The embedding whitening / dimensionality-reduction step run before ANN
+# indexing or semantic clustering at corpus scale (PCA-rotated IVF / OPQ
+# preprocessing): the moment matrix is the aggregate-to-small side.  ONE
+# streaming pass emits per-block moment partials — d(d+1)/2 second-moment
+# rows + d first-moment rows + a count row per block, INDEPENDENT of
+# corpus size — a bounded multi-column groupby reduces them (input rows
+# bounded by grain x blocks, never data; see SCALE.md's sort-groupby
+# rule), the driver eigendecomposes one d x d matrix, and projection is
+# map-only with the (k, d) component matrix broadcast once via ray.put.
+# No data-sized shuffle anywhere: 100 TB of vectors stream through a
+# single map pass twice (moments, then projection).
+
+
+def pca_moments(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact long-form moment table over the embedding column:
+    ``(i, j, s)`` = sum of ``x_i * x_j`` over all vectors for the upper
+    triangle ``i <= j``; first moments ride as ``(i, -1, sum x_i)`` and
+    the vector count as ``(-1, -1, n)`` — one schema, one reduce.
+    Integer-coordinate corpora (the planted variant) are exact in
+    float64 end-to-end, so the SQL mirror hash-matches."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        x = _vecs_of(batch)
+        d = x.shape[1]
+        iu, ju = np.triu_indices(d)
+        s2 = x.T @ x
+        ii = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
+        jj = np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64)
+        vv = np.concatenate(
+            [s2[iu, ju], x.sum(axis=0), [float(x.shape[0])]])
+        return pa.Table.from_pydict({
+            "i": pa.array(ii, pa.int64()),
+            "j": pa.array(jj, pa.int64()),
+            "s": pa.array(vv, pa.float64()),
+        })
+
+    return emb.select_columns(["embedding"]).map_batches(
+        _partials, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["i", "j"]).sum("s").rename_columns({"sum(s)": "s"})
+
+
+def pca_components(emb: ray.data.Dataset, *, k: int) -> np.ndarray:
+    """Top-k principal axes (k, d) from the distributed moment table.
+    The driver fetch is bounded: d(d+3)/2 + 1 rows total (d=64 -> 2,145
+    rows) regardless of corpus size.  Deterministic sign convention:
+    each component's largest-|coordinate| entry is made positive
+    (lowest index on ties), so repeated runs and the pytest reference
+    agree up to float summation order."""
+    rows = pca_moments(emb).take_all()  # <= d(d+3)/2 + 1 rows, bounded
+    d = max(r["i"] for r in rows) + 1
+    n = 0.0
+    s1 = np.zeros(d)
+    s2 = np.zeros((d, d))
+    for r in rows:
+        i, j, s = r["i"], r["j"], r["s"]
+        if i == -1:
+            n = s
+        elif j == -1:
+            s1[i] = s
+        else:
+            s2[i, j] = s
+            s2[j, i] = s
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = np.ascontiguousarray(evecs[:, order].T)
+    for c in comps:
+        m = np.argmax(np.abs(c))
+        if c[m] < 0:
+            c *= -1.0
+    return comps
+
+
+def pca_project(emb: ray.data.Dataset, *, k: int = 2) -> ray.data.Dataset:
+    """(vec_id, pc0..pc{k-1}): mean-centered projection of every vector
+    onto the top-k principal axes.  Map-only — the (k, d) component
+    matrix and the mean broadcast once; vectors never shuffle."""
+    comps = pca_components(emb, k=k)
+    rows = pca_moments(emb).take_all()
+    n = next(r["s"] for r in rows if r["i"] == -1)
+    d = comps.shape[1]
+    mean = np.zeros(d)
+    for r in rows:
+        if r["i"] >= 0 and r["j"] == -1:
+            mean[r["i"]] = r["s"] / n
+    ref = ray.put((comps, mean))
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        cm, mu = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        x = _vecs_of(batch) - mu
+        p = x @ cm.T
+        cols = {"vec_id": batch.column("vec_id")}
+        for ki in range(cm.shape[0]):
+            cols[f"pc{ki}"] = pa.array(p[:, ki], pa.float64())
+        return pa.Table.from_pydict(cols)
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pca_moments_sql() -> str:
+    sel = []
+    for i in range(PLANTED_DIM):
+        for j in range(i, PLANTED_DIM):
+            sel.append(f"SELECT {i}::BIGINT AS i, {j}::BIGINT AS j,"
+                       f" sum(x{i} * x{j})::DOUBLE AS s FROM p")
+    for i in range(PLANTED_DIM):
+        sel.append(f"SELECT {i}::BIGINT AS i, -1::BIGINT AS j,"
+                   f" sum(x{i})::DOUBLE AS s FROM p")
+    sel.append("SELECT -1::BIGINT AS i, -1::BIGINT AS j,"
+               " count(*)::DOUBLE AS s FROM p")
+    body = "\nUNION ALL ".join(sel)
+    return f"WITH p AS ({_sql_pts(PLANTED_K)})\n{body}"
+
+
+# exact mirror on the integer-geometry planted corpus: every moment is an
+# integer sum, exact in float64 on both sides
+PCA_MOMENTS_PLANTED_SQL = _pca_moments_sql()

