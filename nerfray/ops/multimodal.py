@@ -151,3 +151,83 @@ def media_frames_meta(docs: ray.data.Dataset) -> ray.data.Dataset:
     """SQL-oracled frame-accounting projection (thumbnails dropped)."""
     return media_frames(docs).select_columns(
         ["doc_id", "frame_id", "frame_off", "thumb_n_bytes"])
+
+
+# -- WebDataset-style shard packing -------------------------------------------
+#
+# The sample-to-shard assignment step of a tar/WebDataset export: binary
+# payloads are packed in doc_id order into ~shard_bytes-sized shards
+# (fixed-offset binning on the global running byte sum — a blob whose
+# exclusive prefix lands in shard s starts at shard_off inside s; shard
+# sizes vary by at most one overhanging blob, which is how sequential
+# trainers actually read).  Distributed shape: ONE keyed exchange.
+# doc_id ranges are contiguous (rb = doc_id * K // (max+1)), so per-range
+# byte sums give the driver K scalars; broadcast exclusive bases lift
+# per-range local cumsums to global offsets — no global sort, no
+# row-proportional driver state.  Exact integer arithmetic end-to-end,
+# so the manifest hash-matches its SQL window mirror on RAW documents.
+
+SHARD_BYTES = 1 << 14
+N_SHARD_RANGES = 64
+
+
+def media_shards(docs: ray.data.Dataset, *,
+                 shard_bytes: int = SHARD_BYTES,
+                 n_ranges: int = N_SHARD_RANGES) -> ray.data.Dataset:
+    """(doc_id, n_bytes, shard, shard_off): the shard manifest for a
+    doc_id-ordered pack of every payload into ~``shard_bytes`` shards."""
+    import ray
+
+    media = to_media(docs).select_columns(["doc_id", "n_bytes"])
+    n = media.max("doc_id") + 1
+
+    def _rb(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rb = (ids * n_ranges // n).astype(np.int32)
+        return batch.append_column("rb", pa.array(rb, pa.int32()))
+
+    ranged = media.map_batches(_rb, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    sums = ranged.groupby("rb").sum("n_bytes").take_all()  # <= n_ranges
+    bases = np.zeros(n_ranges, dtype=np.int64)
+    for r in sums:
+        bases[r["rb"]] = r["sum(n_bytes)"]
+    bases = np.concatenate([[0], np.cumsum(bases)[:-1]])
+    base_ref = ray.put(bases)
+
+    _OUT = pa.schema([
+        ("doc_id", pa.int64()), ("n_bytes", pa.int64()),
+        ("shard", pa.int64()), ("shard_off", pa.int64()),
+    ])
+
+    def _pack_range(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _OUT.empty_table()
+        b = ray.get(base_ref) if isinstance(base_ref, ray.ObjectRef) \
+            else base_ref
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nb = group.column("n_bytes").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, nb = ids[order], nb[order]
+        excl = b[int(group.column("rb")[0].as_py())] + np.cumsum(nb) - nb
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "shard": pa.array(excl // shard_bytes, pa.int64()),
+            "shard_off": pa.array(excl % shard_bytes, pa.int64()),
+        }, schema=_OUT)
+
+    return ranged.groupby("rb").map_groups(_pack_range,
+                                           batch_format="pyarrow")
+
+
+MEDIA_SHARDS_SQL = f"""
+WITH m AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents),
+c AS (SELECT doc_id, n_bytes,
+        COALESCE(sum(n_bytes) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM m)
+SELECT doc_id, n_bytes, (excl // {SHARD_BYTES})::BIGINT AS shard,
+       (excl % {SHARD_BYTES})::BIGINT AS shard_off
+FROM c ORDER BY doc_id
+"""

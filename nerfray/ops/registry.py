@@ -405,6 +405,13 @@ def q_media_frames(sf_dir: str):
     return multimodal.media_frames_meta(_docs(sf_dir))
 
 
+def q_media_shards(sf_dir: str):
+    # WebDataset-style shard manifest: doc_id-ordered pack of payloads
+    # into ~16 KiB shards via one keyed exchange; exact SQL window mirror
+    from . import multimodal
+    return multimodal.media_shards(_docs(sf_dir))
+
+
 # -- assembly ---------------------------------------------------------------
 
 
@@ -466,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": q_docs_chunks,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
+        "media_shards": q_media_shards,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
         "docs_global_rank": rank.docs_global_rank,
@@ -717,6 +725,11 @@ def _cluster_sql(name: str) -> str:
     return getattr(cluster, name)
 
 
+def _mm_sql(name: str) -> str:
+    from . import multimodal
+    return getattr(multimodal, name)
+
+
 def _search_sql(name: str) -> str:
     from . import search
     return getattr(search, name)
@@ -793,6 +806,7 @@ def oracles() -> dict[str, str]:
         "docs_normalized": _text_sql("NORMALIZE_SQL"),
         "media_meta": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
+        "media_shards": _mm_sql("MEDIA_SHARDS_SQL"),
         "lang_confusion_planted": _lang_sql(),
         # lang_confusion (raw docs): rows-only — documents.lang is
         # synthetic metadata, there is no SQL-stateable truth.

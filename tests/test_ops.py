@@ -1389,3 +1389,27 @@ def test_pca_moments_planted_matches_sql(ray_session):
     pd.testing.assert_frame_equal(
         g[["i", "j", "s"]].astype({"i": "int64", "j": "int64"}),
         w[["i", "j", "s"]].astype({"i": "int64", "j": "int64"}))
+
+
+def test_media_shards_matches_serial_pack(ray_session):
+    """Distributed shard assignment (range sums -> broadcast bases ->
+    local cumsum) == a serial doc_id-ordered pack, across block seams
+    and sparse doc_ids; blobs never overlap inside a shard stream."""
+    import ray.data
+    from nerfray.ops import multimodal as mm
+    ids = [0, 3, 4, 9, 10, 11, 12, 40, 41, 99]  # gaps on purpose
+    texts = ["x" * ((i * 97) % 300 + 5) for i in ids]
+    docs = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    out = {r["doc_id"]: r for r in mm.media_shards(
+        docs, shard_bytes=256, n_ranges=8).take_all()}
+    excl = 0
+    for i, t in zip(ids, texts):
+        r = out[i]
+        assert r["n_bytes"] == len(t)
+        assert r["shard"] == excl // 256
+        assert r["shard_off"] == excl % 256
+        excl += len(t)
+    assert len(out) == len(ids)
