@@ -179,7 +179,13 @@ def media_shards(docs: ray.data.Dataset, *,
     import ray
 
     media = to_media(docs).select_columns(["doc_id", "n_bytes"])
-    n = media.max("doc_id") + 1
+    max_id = media.max("doc_id")
+    if max_id is None:  # empty input: empty manifest
+        return ray.data.from_arrow(pa.schema([
+            ("doc_id", pa.int64()), ("n_bytes", pa.int64()),
+            ("shard", pa.int64()), ("shard_off", pa.int64()),
+        ]).empty_table())
+    n = max_id + 1
 
     def _rb(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

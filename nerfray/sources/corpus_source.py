@@ -58,6 +58,15 @@ def corpus_dataset_for(sf_dir: str) -> ray.data.Dataset:
     return corpus_dataset(corpus_rows_for(sf_dir))
 
 
+def corpus_from_parquet(path: str) -> ray.data.Dataset:
+    """A REAL corpus table (the input_hint shape: repo, path, commit,
+    lang, content) read from parquet, column-pruned at the scan — the
+    production input of ``tools/kg_job.py``.  Synthetic corpora stay on
+    the generator path; this is the boundary a deployment swaps."""
+    return ray.data.read_parquet(
+        path, columns=["repo", "path", "commit", "lang", "content"])
+
+
 def _synth_repo_batch(batch: pa.Table, *, n: int) -> pa.Table:
     """Generate all rows of the repos whose ids are in the batch."""
     nrep = corpus.n_repos(n)

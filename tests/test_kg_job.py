@@ -1,0 +1,64 @@
+"""tools/kg_job.py — the `ray job submit` entrypoint, both input modes."""
+
+import json
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from tools import kg_job  # noqa: E402
+
+
+def _write_corpus_parquet(tmp_path, n=60):
+    from nerfray import corpus
+    cols = corpus.synth_rows(list(range(n)), n)
+    t = pa.Table.from_pydict(
+        {k: cols[k] for k in ("repo", "path", "commit", "lang", "content")})
+    p = os.path.join(tmp_path, "corpus.parquet")
+    pq.write_table(t, p)
+    return p, t
+
+
+def test_kg_job_parquet_mode(ray_session, tmp_path, capsys):
+    """Real-parquet input -> subject-hash hive layout; triple set equals
+    the library pipeline on the same synthetic rows."""
+    import ray.data
+    from nerfray.pipelines import kg
+    from nerfray.sources.corpus_source import corpus_dataset
+
+    p, _ = _write_corpus_parquet(str(tmp_path))
+    out = os.path.join(str(tmp_path), "triples")
+    rc = kg_job.main(["--input", p, "--output", out,
+                      "--tagger", "rule", "--buckets", "8"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "parquet"
+    buckets = [d for d in os.listdir(out) if d.startswith("pb=")]
+    assert buckets, out
+    got = ray.data.read_parquet(out)
+    want = kg.kg_pipeline(corpus_dataset(60), tagger="rule")
+    g = {(r["subj"], r["pred"], r["obj"]) for r in
+         got.select_columns(["subj", "pred", "obj"]).take_all()}
+    w = {(r["subj"], r["pred"], r["obj"]) for r in want.take_all()}
+    assert g == w
+    assert summary["n_triples"] == len(w)
+
+
+def test_kg_job_synthetic_mode_resumes(ray_session, tmp_path, capsys):
+    """Synthetic mode runs the checkpointed shard runner; a second
+    invocation of the SAME command is a full cache hit."""
+    out = os.path.join(str(tmp_path), "ckpt")
+    rc = kg_job.main(["--synthetic", "40", "--output", out,
+                      "--tagger", "rule", "--shards", "3"])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["n_shards"] == 3 and s1["n_cached"] == 0
+    rc = kg_job.main(["--synthetic", "40", "--output", out,
+                      "--tagger", "rule", "--shards", "3"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["n_cached"] == 3
+    assert s2["counters"] == s1["counters"]
