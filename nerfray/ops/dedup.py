@@ -966,3 +966,213 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= {ED_K}
 WHERE levenshtein(a.text, b.text) <= {ED_K}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (CCNet / RefinedWeb-style boilerplate removal)
+# ---------------------------------------------------------------------------
+#
+# Split each document into paragraphs ("\n\n"); a paragraph occurrence
+# survives iff it is the GLOBAL FIRST occurrence of that exact paragraph
+# (lexicographic-min (doc_id, idx) over its sha256), or it is shorter
+# than ``min_len`` (short separators/headers are never deduped).
+# Surviving paragraphs are re-joined in order — the cleaned corpus.
+#
+# Scale shape (100 TB): pass 1 emits ONE NARROW ROW per dedupable
+# paragraph occurrence (sha hex + two ints; the paragraph TEXT never
+# enters the winner exchange).  The sha-hash-bucket co-group elects the
+# winner per paragraph and emits only KILL rows (doc_id, idx) — in a
+# boilerplate-heavy web corpus that is a small fraction of occurrences.
+# The rebuild is ONE doc-hash exchange carrying each doc's text once
+# (repartition-class cost; with a corpus bucketed by doc hash at rest
+# this join becomes map-side and text never moves at all).
+
+PARA_SEP = "\n\n"
+PARA_MIN_LEN = 20
+_PARA_OCC_SCHEMA = pa.schema([("psha", pa.string()),
+                              ("doc_id", pa.int64()),
+                              ("idx", pa.int64())])
+_PARA_KILL_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                               ("idx", pa.int64())])
+_PARA_UNION_SCHEMA = pa.schema([("db", pa.int32()), ("side", pa.int8()),
+                                ("doc_id", pa.int64()), ("idx", pa.int64()),
+                                ("text", pa.string())])
+_PARA_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                              ("text_clean", pa.string()),
+                              ("n_paras", pa.int64()),
+                              ("n_kept", pa.int64())])
+
+
+def _para_occurrences(batch: pa.Table, *, min_len: int) -> pa.Table:
+    shas: list = []
+    ids: list = []
+    idxs: list = []
+    for d, t in zip(batch.column("doc_id").to_pylist(),
+                    batch.column("text").to_pylist()):
+        for i, p in enumerate(t.split(PARA_SEP)):
+            if len(p) >= min_len:
+                shas.append(hashlib.sha256(p.encode()).hexdigest())
+                ids.append(d)
+                idxs.append(i)
+    return pa.Table.from_pydict(
+        {"psha": shas, "doc_id": ids, "idx": idxs},
+        schema=_PARA_OCC_SCHEMA)
+
+
+def _para_sha_bucket(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+    arr = np.asarray(batch.column("psha").to_pylist(), dtype=object)
+    hb = (pd.util.hash_array(arr) % N_HASH_BUCKETS).astype(np.int32)
+    return batch.append_column("hb", pa.array(hb))
+
+
+def _para_kills_bucket(group: pa.Table) -> pa.Table:
+    """All occurrences of each paragraph sha are in this bucket; the
+    (doc_id, idx)-min occurrence wins, the rest are kill rows."""
+    if group.num_rows == 0:
+        return _PARA_KILL_SCHEMA.empty_table()
+    shas = np.asarray(group.column("psha").to_pylist(), dtype=object)
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    idxs = group.column("idx").to_numpy(zero_copy_only=False)
+    order = np.lexsort((idxs, ids, shas))
+    loser = np.r_[False, shas[order][1:] == shas[order][:-1]]
+    sel = order[loser]
+    return pa.Table.from_pydict(
+        {"doc_id": ids[sel], "idx": idxs[sel]}, schema=_PARA_KILL_SCHEMA)
+
+
+def _para_widen(batch: pa.Table, *, side: int) -> pa.Table:
+    import pandas as pd
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    db = (pd.util.hash_array(ids.astype(np.int64)) %
+          N_HASH_BUCKETS).astype(np.int32)
+    n = batch.num_rows
+    return pa.Table.from_arrays([
+        pa.array(db), pa.array(np.full(n, side, dtype=np.int8)),
+        batch.column("doc_id"),
+        batch.column("idx") if side == 1 else pa.nulls(n, pa.int64()),
+        batch.column("text") if side == 0 else pa.nulls(n, pa.string()),
+    ], schema=_PARA_UNION_SCHEMA)
+
+
+def _para_rebuild_bucket(group: pa.Table, *, min_len: int) -> pa.Table:
+    if group.num_rows == 0:
+        return _PARA_OUT_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    kills: dict[int, set] = {}
+    kt = group.filter(pa.array(side == 1))
+    for d, i in zip(kt.column("doc_id").to_pylist(),
+                    kt.column("idx").to_pylist()):
+        kills.setdefault(d, set()).add(i)
+    dt = group.filter(pa.array(side == 0))
+    out_id: list = []
+    out_txt: list = []
+    out_np: list = []
+    out_nk: list = []
+    for d, t in zip(dt.column("doc_id").to_pylist(),
+                    dt.column("text").to_pylist()):
+        paras = t.split(PARA_SEP)
+        dead = kills.get(d, ())
+        kept = [p for i, p in enumerate(paras) if i not in dead]
+        out_id.append(d)
+        out_txt.append(PARA_SEP.join(kept))
+        out_np.append(len(paras))
+        out_nk.append(len(kept))
+    return pa.Table.from_pydict(
+        {"doc_id": out_id, "text_clean": out_txt,
+         "n_paras": out_np, "n_kept": out_nk}, schema=_PARA_OUT_SCHEMA)
+
+
+def paragraph_dedup_docs(docs: ray.data.Dataset, *,
+                         min_len: int = PARA_MIN_LEN) -> ray.data.Dataset:
+    """(doc_id, text_clean, n_paras, n_kept): the corpus with globally
+    duplicated paragraphs removed (first occurrence kept)."""
+    kills = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_para_occurrences, fn_kwargs={"min_len": min_len},
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(_para_sha_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_para_kills_bucket,
+                                  batch_format="pyarrow")
+    dw = docs.select_columns(["doc_id", "text"]).map_batches(
+        _para_widen, fn_kwargs={"side": 0},
+        batch_format="pyarrow", zero_copy_batch=True)
+    kw = kills.map_batches(_para_widen, fn_kwargs={"side": 1},
+                           batch_format="pyarrow")
+    return dw.union(kw).groupby("db").map_groups(
+        _para_rebuild_bucket, fn_kwargs={"min_len": min_len},
+        batch_format="pyarrow")
+
+
+def paragraph_dedup_summary(docs: ray.data.Dataset, *,
+                            min_len: int = PARA_MIN_LEN) -> ray.data.Dataset:
+    """Narrow mirror surface: (doc_id, n_paras, n_kept, clean_sha) with
+    clean_sha = sha256 hex of the reassembled cleaned text."""
+
+    def _sha(batch: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(t.encode()).hexdigest()
+                for t in batch.column("text_clean").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id").to_pylist(),
+            "n_paras": batch.column("n_paras").to_pylist(),
+            "n_kept": batch.column("n_kept").to_pylist(),
+            "clean_sha": shas,
+        }, schema=pa.schema([("doc_id", pa.int64()),
+                             ("n_paras", pa.int64()),
+                             ("n_kept", pa.int64()),
+                             ("clean_sha", pa.string())]))
+
+    return paragraph_dedup_docs(docs, min_len=min_len).map_batches(
+        _sha, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def planted_paragraph_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """3-paragraph docs derived from doc_id (mirrored verbatim in
+    PARA_DEDUP_PLANTED_SQL): a 17-class shared header, a unique body,
+    a 5-class shared tail — so cross-doc duplicate paragraphs exist on
+    any corpus and the winner election has known answers."""
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        planted = [
+            f"bp alpha {d % 17} common passage end{PARA_SEP}"
+            f"doc body {d}: {t[:80]}{PARA_SEP}"
+            f"bp beta {d % 5} shared tail passage"
+            for d, t in zip(ids, texts)]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(planted, pa.string()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PARA_DEDUP_PLANTED_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         'bp alpha ' || CAST(doc_id % 17 AS VARCHAR)
+           || ' common passage end' || chr(10) || chr(10) ||
+         'doc body ' || CAST(doc_id AS VARCHAR) || ': '
+           || substr(text, 1, 80) || chr(10) || chr(10) ||
+         'bp beta ' || CAST(doc_id % 5 AS VARCHAR)
+           || ' shared tail passage' AS t
+  FROM documents),
+paras AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10) || chr(10))) AS para,
+         generate_subscripts(string_split(t, chr(10) || chr(10)), 1) - 1
+           AS idx
+  FROM p),
+ranked AS (
+  SELECT doc_id, idx, para,
+         CASE WHEN length(para) < {PARA_MIN_LEN} THEN 1
+              WHEN row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, idx) = 1 THEN 1
+              ELSE 0 END AS keep
+  FROM paras)
+SELECT doc_id, count(*)::BIGINT AS n_paras, sum(keep)::BIGINT AS n_kept,
+       sha256(COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY idx)
+                       FILTER (WHERE keep = 1), '')) AS clean_sha
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""

@@ -78,6 +78,15 @@ def q_dedup_editdist(sf_dir: str):
     return dedup.editdist_pairs(_docs(sf_dir))
 
 
+def q_docs_paragraph_dedup(sf_dir: str):
+    # paragraph-grain exact dedup (global first occurrence survives,
+    # short paragraphs exempt) over planted 3-paragraph docs -> full
+    # SQL oracle incl. sha256 of each reassembled cleaned text
+    from . import dedup
+    return dedup.paragraph_dedup_summary(
+        dedup.planted_paragraph_docs(_docs(sf_dir)))
+
+
 def q_bloom_corpus(sf_dir: str):
     from . import bloom
     return bloom.corpus_bloom_query(sf_dir)
@@ -427,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": q_dedup_survivors,
         "dedup_incremental": q_dedup_incremental,
         "dedup_editdist": q_dedup_editdist,
+        "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "bloom_corpus": q_bloom_corpus,
         "bloom_probe": q_bloom_probe,
         "dedup_survivors_planted": q_dedup_survivors_planted,
@@ -775,6 +785,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_incremental": INCREMENTAL_SQL,
         "dedup_editdist": _dedup_sql("EDITDIST_SQL"),
+        "docs_paragraph_dedup": _dedup_sql("PARA_DEDUP_PLANTED_SQL"),
         "bloom_corpus": _bloom_sql("BLOOM_TABLE_SQL"),
         "bloom_probe": _bloom_sql("BLOOM_PROBE_SQL"),
         "dedup_minhash_planted": MINHASH_PLANTED_SQL,

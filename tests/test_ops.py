@@ -1413,3 +1413,42 @@ def test_media_shards_matches_serial_pack(ray_session):
         assert r["shard_off"] == excl % 256
         excl += len(t)
     assert len(out) == len(ids)
+
+
+def test_paragraph_dedup_brute_force(ray_session):
+    """Distributed paragraph dedup == naive single-process rule on a
+    corpus with cross-doc dups, in-doc dups, short-para exemptions and
+    a doc that loses every dedupable paragraph."""
+    import ray.data
+    from nerfray.ops import dedup as dd
+
+    P = dd.PARA_SEP
+    docs = [
+        (0, f"the shared boilerplate passage{P}unique body zero text here"),
+        (1, f"the shared boilerplate passage{P}unique body one text here"),
+        (2, f"the shared boilerplate passage{P}the shared boilerplate passage"),
+        (3, "the shared boilerplate passage"),          # all paras killed
+        (4, f"short{P}unique body four text here{P}short"),  # exempt dups
+        (5, f"unique body five text here{P}"),          # trailing empty para
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs])
+    got = {r["doc_id"]: r for r in
+           dd.paragraph_dedup_docs(ds).take_all()}
+
+    # naive: global first (doc_id, idx) occurrence per paragraph wins
+    seen: dict = {}
+    for d, t in docs:
+        for i, p in enumerate(t.split(P)):
+            if len(p) >= dd.PARA_MIN_LEN and p not in seen:
+                seen[p] = (d, i)
+    for d, t in docs:
+        paras = t.split(P)
+        kept = [p for i, p in enumerate(paras)
+                if len(p) < dd.PARA_MIN_LEN or seen[p] == (d, i)]
+        assert got[d]["n_paras"] == len(paras), d
+        assert got[d]["n_kept"] == len(kept), d
+        assert got[d]["text_clean"] == P.join(kept), d
+    assert got[3]["text_clean"] == ""
+    assert got[2]["n_kept"] == 0        # both copies lose to doc 0
+    assert got[4]["n_kept"] == 3        # short paras never deduped
