@@ -235,6 +235,15 @@ def q_kg_sssp_planted(sf_dir: str):
     return graph.sssp_planted_query(sf_dir)
 
 
+def q_kg_labelprop_planted(sf_dir: str):
+    """Deterministic synchronous label propagation (2 rounds, min-label
+    tie-break) over the planted star-of-cliques graph; labels stay a
+    Dataset, one hash_join + one dest-hash co-group per round. Oracle:
+    the rounds unrolled as GROUP-BY-vote + row_number picks."""
+    from nerfray.stages import graph
+    return graph.lpa_planted_query(sf_dir)
+
+
 def q_kg_kcore_planted(sf_dir: str):
     """k-core peel over the planted cascade graph (k=3): iterative
     degree filter + semi-join restriction, driver sees only per-round
@@ -345,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_planted": q_kg_bfs_planted,
         "kg_sssp_planted": q_kg_sssp_planted,
         "kg_kcore_planted": q_kg_kcore_planted,
+        "kg_labelprop_planted": q_kg_labelprop_planted,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -359,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),
+        "kg_labelprop_planted": graph.lpa_planted_sql(),
         "kg_pagerank_planted": graph.pagerank_planted_sql(),
         "kg_pagerank_dataset_planted": graph.pagerank_planted_sql(iters=2),
         "corpus_files": corpus.files_sql(),

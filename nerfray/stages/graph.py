@@ -1459,3 +1459,153 @@ def neighbor_degree(triples: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("a").aggregate(Sum("cnt"), Sum("s")) \
         .rename_columns({"a": "node", "sum(cnt)": "n_neighbors",
                          "sum(s)": "sum_neighbor_deg"})
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (deterministic synchronous variant)
+# ---------------------------------------------------------------------------
+#
+# Raghavan et al. 2007's near-linear community detection, made
+# deterministic for a distributed setting: all nodes update
+# SYNCHRONOUSLY each round, the new label is the most frequent label
+# among a node's neighbors (edge multiset — parallel edges vote twice),
+# ties broken by the SMALLEST label.  Deterministic under any
+# parallelism, so the unrolled rounds are SQL-mirrorable.
+#
+# Scale shape: labels stay a Dataset the whole time; one round = one
+# hash_join (attach each neighbor's current label) + one 64-way
+# dest-hash co-group (vectorized per-(node,label) run counts + argmax).
+# The driver holds nothing node-sized.
+
+LPA_ROUNDS = 2
+_LPA_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _lpa_sym(batch: pa.Table) -> pa.Table:
+    a = batch.column("a").to_numpy(zero_copy_only=False)
+    b = batch.column("b").to_numpy(zero_copy_only=False)
+    return pa.Table.from_pydict({
+        "v": pa.array(np.concatenate([a, b]), pa.int64()),
+        "u": pa.array(np.concatenate([b, a]), pa.int64()),
+    })
+
+
+def _lpa_init_partial(batch: pa.Table) -> pa.Table:
+    u = np.unique(batch.column("v").to_numpy(zero_copy_only=False))
+    return pa.Table.from_pydict({
+        "node": pa.array(u, pa.int64()),
+        "hb": pa.array((u & 63).astype(np.int32), pa.int32())})
+
+
+def _lpa_init_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _LPA_SCHEMA.empty_table()
+    u = np.unique(group.column("node").to_numpy(zero_copy_only=False))
+    return pa.Table.from_pydict({"node": u, "label": u},
+                                schema=_LPA_SCHEMA)
+
+
+def _lpa_vote_bucket(group: pa.Table) -> pa.Table:
+    """One dest-hash bucket: every (v, neighbor-label) incidence of its
+    nodes is here.  Run-count per (v, label), then per-v argmax with
+    (count DESC, label ASC) order — two lexsorts, no Python loop."""
+    if group.num_rows == 0:
+        return _LPA_SCHEMA.empty_table()
+    v = group.column("v").to_numpy(zero_copy_only=False)
+    lab = group.column("label").to_numpy(zero_copy_only=False)
+    order = np.lexsort((lab, v))
+    v_s, l_s = v[order], lab[order]
+    new_run = np.r_[True, (v_s[1:] != v_s[:-1]) | (l_s[1:] != l_s[:-1])]
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.r_[starts, len(v_s)])
+    rv, rl = v_s[starts], l_s[starts]
+    pick = np.lexsort((rl, -counts, rv))
+    first = np.r_[True, rv[pick][1:] != rv[pick][:-1]]
+    sel = pick[first]
+    return pa.Table.from_pydict({"node": rv[sel], "label": rl[sel]},
+                                schema=_LPA_SCHEMA)
+
+
+def _lpa_dest_bucket(batch: pa.Table) -> pa.Table:
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "db", pa.array((v & 63).astype(np.int32), pa.int32()))
+
+
+def label_propagation(edges: ray.data.Dataset, *,
+                      rounds: int = LPA_ROUNDS) -> ray.data.Dataset:
+    """(node, label) after ``rounds`` synchronous LPA rounds over
+    undirected int64 (a, b) edges (one row per edge; symmetrized here).
+    Nodes are the edge endpoints, so every node has >= 1 vote."""
+    from nerfray.ops.joins import hash_join
+
+    sym = edges.map_batches(_lpa_sym, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    labels = sym.map_batches(_lpa_init_partial, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_lpa_init_bucket, batch_format="pyarrow")
+    for _ in range(rounds):
+        votes = hash_join(sym, labels, left_on="u", right_on="node",
+                          left_cols=["v"], right_cols=["label"])
+        labels = votes.map_batches(_lpa_dest_bucket,
+                                   batch_format="pyarrow") \
+            .groupby("db").map_groups(_lpa_vote_bucket,
+                                      batch_format="pyarrow")
+    return labels
+
+
+def planted_lpa_edges(ids: ray.data.Dataset, n: int) -> ray.data.Dataset:
+    """Star-of-cliques fixture over dense ids 0..n-1: members link to
+    their group-of-5 leader (i, i - i%5), leaders chain to the next
+    leader (g, g+5) — every node is an endpoint, communities have a
+    known 2-round evolution, all SQL arithmetic."""
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        i = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mem = i[i % 5 != 0]
+        lead = i[(i % 5 == 0) & (i + 5 < n)]
+        return pa.Table.from_pydict({
+            "a": pa.array(np.concatenate([mem, lead]), pa.int64()),
+            "b": pa.array(np.concatenate([mem - mem % 5, lead + 5]),
+                          pa.int64()),
+        })
+
+    return ids.map_batches(_mk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def lpa_planted_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled synchronous rounds: each round is a GROUP BY
+    (node, label) vote count + row_number pick with (count DESC,
+    label ASC) — exactly the distributed argmax."""
+    prev = ("SELECT a AS node, a AS label FROM "
+            "(SELECT DISTINCT a FROM e)")
+    for r in range(rounds):
+        prev = f"""
+SELECT node, label FROM (
+  SELECT e.v AS node, l.label AS label,
+         row_number() OVER (PARTITION BY e.v
+                            ORDER BY count(*) DESC, l.label ASC) AS rn
+  FROM (SELECT a, b AS v FROM e) AS e(a, v)
+       JOIN ({prev}) l ON l.node = e.a
+  GROUP BY e.v, l.label) WHERE rn = 1"""
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+e0 AS (
+  SELECT vec_id AS a, vec_id - (vec_id % 5) AS b
+  FROM embeddings WHERE vec_id % 5 <> 0
+  UNION ALL
+  SELECT vec_id, vec_id + 5 FROM embeddings, nn
+  WHERE vec_id % 5 = 0 AND vec_id + 5 < nn.n),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+SELECT node, label FROM ({prev}) ORDER BY node
+"""
+
+
+def lpa_planted_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    return label_propagation(planted_lpa_edges(ids, ids.count()),
+                             rounds=LPA_ROUNDS)

@@ -503,3 +503,38 @@ def test_neighbor_degree_vs_brute_force(ray_session):
     want = {u: (len(vs), sum(len(adj[v]) for v in vs))
             for u, vs in adj.items()}
     assert got == want and len(want) == 20
+
+
+def test_label_propagation_random_graphs_match_brute_force(ray_session):
+    """Synchronous min-tie LPA == naive per-round Python on random
+    multigraphs (parallel edges vote twice), across round counts."""
+    import ray.data
+    from nerfray.stages import graph
+
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        m = 40
+        a = rng.integers(0, 15, m).astype(np.int64)
+        b = rng.integers(0, 15, m).astype(np.int64)
+        edges = ray.data.from_arrow(pa.Table.from_pydict(
+            {"a": pa.array(a), "b": pa.array(b)})).repartition(4)
+        rounds = trial + 1
+        got = {r["node"]: r["label"] for r in
+               graph.label_propagation(edges, rounds=rounds).take_all()}
+
+        # naive: multiset votes over symmetric incidences
+        inc: dict[int, list] = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            inc.setdefault(x, []).append(y)
+            inc.setdefault(y, []).append(x)
+        lab = {v: v for v in inc}
+        for _ in range(rounds):
+            new = {}
+            for v, nbrs in inc.items():
+                votes: dict[int, int] = {}
+                for u in nbrs:
+                    votes[lab[u]] = votes.get(lab[u], 0) + 1
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            lab = new
+        assert got == lab, (trial, rounds)
