@@ -220,3 +220,105 @@ def counters(out_dir: str) -> dict:
         out["n_input_rows"] += m["n_input_rows"]
         out["n_shards"] += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# parquet-input mode: shard = one input file (north_rule resumability
+# for REAL corpora, not just the synthetic generator)
+# ---------------------------------------------------------------------------
+
+
+def _parquet_shard_files(input_path: str) -> list[str]:
+    """One shard per input parquet file; accepts a file, a directory
+    (recursive), or a glob."""
+    import glob as _glob
+    if os.path.isdir(input_path):
+        files = sorted(_glob.glob(
+            os.path.join(input_path, "**", "*.parquet"), recursive=True))
+    elif any(c in input_path for c in "*?["):
+        files = sorted(_glob.glob(input_path))
+    else:
+        files = [input_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {input_path}")
+    return files
+
+
+def _parquet_fp(path: str, tagger: str) -> str:
+    """Input-file fingerprint: absolute path + byte size + row count +
+    tagger — a replaced/regrown input file invalidates its shard, a
+    byte-identical re-upload does not."""
+    import pyarrow.parquet as pq
+    key = json.dumps({
+        "path": os.path.abspath(path),
+        "bytes": os.stat(path).st_size,
+        "rows": pq.read_metadata(path).num_rows,
+        "tagger": tagger,
+    }, sort_keys=True)
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _commit_shard(trips: ray.data.Dataset, shard_dir: str) -> dict:
+    """Write a shard's triples and return its counters. The content
+    sha is computed over the (bounded) shard, not the whole run."""
+    if os.path.exists(shard_dir):
+        shutil.rmtree(shard_dir)  # partial output from a crashed attempt
+    trips.write_parquet(shard_dir)
+    import pyarrow.dataset as pads
+    t = pads.dataset(shard_dir).to_table()
+    rows = sorted(zip(t.column("subj").to_pylist(),
+                      t.column("pred").to_pylist(),
+                      t.column("obj").to_pylist()))
+    content_sha = hashlib.sha256(
+        "\n".join("\t".join(r) for r in rows).encode()).hexdigest()
+    return {"n_triples": len(rows), "triples_sha256": content_sha}
+
+
+def run_checkpointed_parquet(input_path: str, out_dir: str, *,
+                             tagger: str = "crf") -> dict:
+    """Run (or resume) the KG pipeline over real corpus parquet files;
+    shard granularity = input file, so a re-run after a crash skips
+    every input file whose manifest committed.  Same layout and
+    read-time merge as the synthetic runner (``read_triples`` /
+    ``counters`` work unchanged)."""
+    files = _parquet_shard_files(input_path)
+    expected = {k: _parquet_fp(f, tagger) for k, f in enumerate(files)}
+    os.makedirs(out_dir, exist_ok=True)
+    swept = _sweep_stale_shards(out_dir, expected)
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(out_dir, MANIFEST_DIR))
+    with os.fdopen(fd, "w") as f:
+        json.dump({"mode": "parquet", "tagger": tagger,
+                   "files": [os.path.abspath(p) for p in files],
+                   "expected_fps": {str(k): v
+                                    for k, v in expected.items()}},
+                  f, indent=1, sort_keys=True)
+    os.replace(tmp, _run_manifest_path(out_dir))
+    summary = {"shards": {}, "n_shards": 0, "n_cached": 0,
+               "n_swept_stale": swept}
+    from ..sources.corpus_source import corpus_from_parquet
+    for k, path in enumerate(files):
+        m = load_manifest(out_dir, k)
+        if m is not None and m.get("complete") \
+                and m.get("input_fp") == expected[k]:
+            summary["shards"][k] = "cached"
+            summary["n_cached"] += 1
+            continue
+        ds = corpus_from_parquet(path)
+        n_input = ds.count()
+        trips = kg.kg_pipeline(ds, tagger=tagger,
+                               dedup="partitioned_checked")
+        counters_k = _commit_shard(
+            trips, os.path.join(out_dir, f"shard={k}"))
+        _write_manifest(out_dir, k, {
+            "complete": True,
+            "shard_id": k,
+            "input_file": os.path.abspath(path),
+            "input_fp": expected[k],
+            "tagger": tagger,
+            "n_input_rows": n_input,
+            **counters_k,
+        })
+        summary["shards"][k] = "ran"
+    summary["n_shards"] = len(summary["shards"])
+    return summary

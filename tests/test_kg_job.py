@@ -62,3 +62,48 @@ def test_kg_job_synthetic_mode_resumes(ray_session, tmp_path, capsys):
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["n_cached"] == 3
     assert s2["counters"] == s1["counters"]
+
+
+def test_kg_job_parquet_checkpoint_resume(ray_session, tmp_path, capsys):
+    """Parquet mode with --checkpoint-dir: shard = input FILE; the
+    second run of the same command is a full cache hit and the final
+    subject-hash output equals the direct (uncheckpointed) path."""
+    import ray.data
+
+    # two input files so resume granularity is visible
+    from nerfray import corpus
+    cols = corpus.synth_rows(list(range(60)), 60)
+    t = pa.Table.from_pydict(
+        {k: cols[k] for k in ("repo", "path", "commit", "lang", "content")})
+    indir = os.path.join(str(tmp_path), "corpus")
+    os.makedirs(indir)
+    pq.write_table(t.slice(0, 30), os.path.join(indir, "a.parquet"))
+    pq.write_table(t.slice(30), os.path.join(indir, "b.parquet"))
+
+    out1 = os.path.join(str(tmp_path), "t1")
+    ck = os.path.join(str(tmp_path), "ck")
+    rc = kg_job.main(["--input", indir, "--output", out1,
+                      "--tagger", "rule", "--buckets", "4",
+                      "--checkpoint-dir", ck])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["n_shards"] == 2 and s1["n_cached"] == 0
+
+    out2 = os.path.join(str(tmp_path), "t2")
+    rc = kg_job.main(["--input", indir, "--output", out2,
+                      "--tagger", "rule", "--buckets", "4",
+                      "--checkpoint-dir", ck])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["n_cached"] == 2 and s2["n_triples"] == s1["n_triples"]
+
+    out3 = os.path.join(str(tmp_path), "t3")
+    rc = kg_job.main(["--input", indir, "--output", out3,
+                      "--tagger", "rule", "--buckets", "4"])
+    assert rc == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tri = lambda p: {(r["subj"], r["pred"], r["obj"]) for r in
+                     ray.data.read_parquet(p)
+                     .select_columns(["subj", "pred", "obj"]).take_all()}
+    assert tri(out1) == tri(out3)
+    assert s3["n_triples"] == s1["n_triples"]

@@ -48,6 +48,10 @@ def main(argv=None) -> int:
                     help="checkpoint shards (synthetic mode)")
     ap.add_argument("--buckets", type=int, default=64,
                     help="subject-hash output partitions (parquet mode)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="parquet mode: cache triples per INPUT FILE "
+                    "with lineage manifests; a re-run skips committed "
+                    "files (resume after crash)")
     args = ap.parse_args(argv)
 
     import ray
@@ -71,16 +75,26 @@ def main(argv=None) -> int:
         from nerfray.pipelines import kg
         from nerfray.sources.corpus_source import corpus_from_parquet
         from nerfray.stages import triples as tstage
-        trips = kg.kg_pipeline(corpus_from_parquet(args.input),
-                               tagger=args.tagger,
-                               dedup="partitioned_checked")
+        resume = {}
+        if args.checkpoint_dir:
+            from nerfray.state import manifest as mf
+            summary = mf.run_checkpointed_parquet(
+                args.input, args.checkpoint_dir, tagger=args.tagger)
+            trips = mf.read_triples(args.checkpoint_dir)
+            resume = {"checkpoint_dir": args.checkpoint_dir,
+                      **{k: summary[k] for k in
+                         ("n_shards", "n_cached", "n_swept_stale")}}
+        else:
+            trips = kg.kg_pipeline(corpus_from_parquet(args.input),
+                                   tagger=args.tagger,
+                                   dedup="partitioned_checked")
         tstage.write_by_subject_hash(trips, args.output,
                                      n_partitions=args.buckets)
         import ray.data
         n = ray.data.read_parquet(args.output).count()
         out = {"mode": "parquet", "input": args.input,
                "layout": f"pb=*/ ({args.buckets} subject-hash buckets)",
-               "n_triples": n}
+               "n_triples": n, **resume}
     out["wall_sec"] = round(time.time() - t0, 3)
     out["output"] = args.output
     print(json.dumps(out))
