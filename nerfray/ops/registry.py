@@ -329,6 +329,21 @@ def q_docs_normalized(sf_dir: str):
     return text.normalize_text(_docs(sf_dir))
 
 
+def q_docs_url_hosts(sf_dir: str):
+    # domain-level rollup: per-host URL count + exact distinct docs
+    # over planted deterministic URLs (full SQL oracle)
+    from . import text
+    return text.host_stats(text.planted_url_docs(_docs(sf_dir)))
+
+
+def q_docs_blocklist(sf_dir: str):
+    # broadcast-blocklist curation: survivors citing no banned host;
+    # blocklist rides ray.put once, map-only stage
+    from . import text
+    return text.blocklist_filter(text.planted_url_docs(_docs(sf_dir)),
+                                 text.PLANTED_BLOCKED_HOSTS)
+
+
 def q_docs_crossdup(sf_dir: str):
     # substring-level dedup signal (Lee et al. 2022): per-doc distinct
     # 5-gram count + how many occur in >= 2 docs corpus-wide
@@ -470,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontam": q_docs_decontam,
         "docs_crossdup": q_docs_crossdup,
         "docs_normalized": q_docs_normalized,
+        "docs_url_hosts": q_docs_url_hosts,
+        "docs_blocklist": q_docs_blocklist,
         "lang_confusion": q_lang_confusion,
         "lang_confusion_planted": q_lang_confusion_planted,
         "doc_fingerprints": q_doc_fingerprints,
@@ -815,6 +832,8 @@ def oracles() -> dict[str, str]:
         "docs_decontam": _text_sql("DECONTAM_SQL"),
         "docs_crossdup": _text_sql("CROSSDUP_SQL"),
         "docs_normalized": _text_sql("NORMALIZE_SQL"),
+        "docs_url_hosts": _text_sql("HOST_STATS_SQL"),
+        "docs_blocklist": _text_sql("BLOCKLIST_SQL"),
         "media_meta": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
         "media_shards": _mm_sql("MEDIA_SHARDS_SQL"),

@@ -1248,3 +1248,161 @@ SELECT doc_id, sha256(norm) AS norm_sha,
        CASE WHEN norm = text THEN 0 ELSE 1 END::BIGINT AS changed
 FROM n ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# URL / host curation (the domain-level web-pipeline steps)
+# ---------------------------------------------------------------------------
+#
+# Two standard curation primitives over URLs found in document text:
+# a per-host rollup (how much of the corpus each domain contributes —
+# the input to domain-level quality decisions) and a broadcast
+# blocklist filter (drop documents citing a banned host).  Host
+# patterns are RE2-compatible so Python ``re`` and DuckDB agree.
+
+URL_HOST_SRC = r"https?://([a-z0-9.-]+)"
+_URL_HOST = re.compile(URL_HOST_SRC)
+
+
+def planted_url_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Append two deterministic URLs per doc (23 cdn hosts, 11 mirror
+    hosts — pure doc_id arithmetic, mirrored in the oracles)."""
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        planted = [
+            f"{t} see https://cdn-{d % 23}.example.org/assets/{d} and "
+            f"https://mirror-{d % 11}.example.net/pkg/{d % 97}"
+            for d, t in zip(ids, texts)]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(planted, pa.string()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def host_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, n_urls, n_docs): per-domain URL count and EXACT distinct
+    document count.  Block combiner emits one row per distinct
+    (host, doc) per block plus its in-block URL count, so the 64-way
+    host-hash exchange carries pairs, never text; the per-host distinct
+    is computed in-group with a sorted-run sweep."""
+    import pandas as pd
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        hosts: list = []
+        dids: list = []
+        cnts: list = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            counts: dict[str, int] = {}
+            for h in _URL_HOST.findall(t):
+                counts[h] = counts.get(h, 0) + 1
+            hosts.extend(counts)
+            dids.extend([d] * len(counts))
+            cnts.extend(counts.values())
+        t_out = pa.Table.from_pydict({
+            "host": pa.array(hosts, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "n": pa.array(cnts, pa.int64())})
+        arr = np.asarray(hosts, dtype=object)
+        hb = (pd.util.hash_array(arr) % 64).astype(np.int32) \
+            if len(arr) else np.array([], np.int32)
+        return t_out.append_column("hb", pa.array(hb, pa.int32()))
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        empty = pa.schema([("host", pa.string()),
+                           ("n_urls", pa.int64()),
+                           ("n_docs", pa.int64())])
+        if group.num_rows == 0:
+            return empty.empty_table()
+        hosts = np.asarray(group.column("host").to_pylist(), dtype=object)
+        dids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ns = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dids, hosts))
+        h_s, d_s, n_s = hosts[order], dids[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        n_urls = np.add.reduceat(n_s, starts)
+        # distinct docs per host: count run boundaries of (host, doc)
+        nd = np.r_[True, (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        n_docs = np.add.reduceat(nd.astype(np.int64), starts)
+        return pa.Table.from_pydict({
+            "host": pa.array(h_s[starts], pa.string()),
+            "n_urls": pa.array(n_urls, pa.int64()),
+            "n_docs": pa.array(n_docs, pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(_rollup, batch_format="pyarrow")
+
+
+def blocklist_filter(docs: ray.data.Dataset,
+                     blocked_hosts: list[str]) -> ray.data.Dataset:
+    """(doc_id, n_urls) of documents citing NO blocked host.  The
+    blocklist is broadcast ONCE via ray.put and resolved per actor —
+    a map-only stage, no shuffle (the blocklist side of a domain-level
+    curation decision; the rollup side is ``host_stats``)."""
+    import ray
+
+    blocked_ref = ray.put(frozenset(blocked_hosts))
+
+    class _Filter:
+        def __init__(self):
+            self._blocked = ray.get(blocked_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep_ids: list = []
+            n_urls: list = []
+            for d, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                hosts = _URL_HOST.findall(t)
+                if not any(h in self._blocked for h in hosts):
+                    keep_ids.append(d)
+                    n_urls.append(len(hosts))
+            return pa.Table.from_pydict({
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "n_urls": pa.array(n_urls, pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _Filter, concurrency=(1, 8), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+# blocked: the cdn hosts whose index is divisible by 3 (0,3,...,21)
+PLANTED_BLOCKED_HOSTS = [f"cdn-{k}.example.org" for k in range(0, 23, 3)]
+
+_URL_PLANT_SQL = """
+  SELECT doc_id,
+         text || ' see https://cdn-' || CAST(doc_id % 23 AS VARCHAR)
+              || '.example.org/assets/' || CAST(doc_id AS VARCHAR)
+              || ' and https://mirror-' || CAST(doc_id % 11 AS VARCHAR)
+              || '.example.net/pkg/' || CAST(doc_id % 97 AS VARCHAR) AS t
+  FROM documents"""
+
+HOST_STATS_SQL = f"""
+WITH p AS ({_URL_PLANT_SQL}),
+h AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t, '{URL_HOST_SRC}', 1)) AS host
+  FROM p)
+SELECT host, count(*)::BIGINT AS n_urls,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM h GROUP BY host ORDER BY host
+"""
+
+BLOCKLIST_SQL = f"""
+WITH p AS ({_URL_PLANT_SQL}),
+f AS (
+  SELECT doc_id,
+         regexp_extract_all(t, '{URL_HOST_SRC}', 1) AS hosts
+  FROM p)
+SELECT doc_id, len(hosts)::BIGINT AS n_urls
+FROM f
+WHERE NOT list_has_any(hosts, [{", ".join(
+    "'" + h + "'" for h in PLANTED_BLOCKED_HOSTS)}])
+ORDER BY doc_id
+"""

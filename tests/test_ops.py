@@ -1452,3 +1452,28 @@ def test_paragraph_dedup_brute_force(ray_session):
     assert got[3]["text_clean"] == ""
     assert got[2]["n_kept"] == 0        # both copies lose to doc 0
     assert got[4]["n_kept"] == 3        # short paras never deduped
+
+
+def test_url_host_ops_edges(ray_session):
+    """host_stats counts multiset URLs but distinct docs; the
+    blocklist filter keeps URL-free docs and drops any doc citing a
+    blocked host even once."""
+    import ray.data
+    from nerfray.ops import text as tx
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "no urls at all"},
+        {"doc_id": 1, "text": "https://a.org/x https://a.org/y"},
+        {"doc_id": 2, "text": "https://a.org/z and https://bad.net/1"},
+        {"doc_id": 3, "text": "HTTPS://UPPER.ORG ignored (pattern is "
+                              "lowercase, like the corpus)"},
+    ])
+    stats = {r["host"]: (r["n_urls"], r["n_docs"])
+             for r in tx.host_stats(ds).take_all()}
+    assert stats["a.org"] == (3, 2)
+    assert stats["bad.net"] == (1, 1)
+    assert "upper.org" not in stats
+
+    kept = {r["doc_id"]: r["n_urls"] for r in
+            tx.blocklist_filter(ds, ["bad.net"]).take_all()}
+    assert kept == {0: 0, 1: 2, 3: 0}
