@@ -297,6 +297,16 @@ def q_kg_degrees(sf_dir: str):
         {"count()": "out_degree"})
 
 
+def q_kg_entity_types(sf_dir: str):
+    """KG post-pass: type every node by majority vote over its
+    (pred, role) incidences — narrow vote rows, vectorized argmax in a
+    node-hash co-group. Oracle: the same vote in SQL over gold."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import triples as tstage
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return tstage.entity_types(trips)
+
+
 def q_kg_xces(sf_dir: str):
     """XCES annotation stage: per-file count of emitted <group> elements
     (= planted mentions incl. the nested vendor group)."""
@@ -355,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sssp_planted": q_kg_sssp_planted,
         "kg_kcore_planted": q_kg_kcore_planted,
         "kg_labelprop_planted": q_kg_labelprop_planted,
+        "kg_entity_types": q_kg_entity_types,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -365,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.stages import graph, validate
     from nerfray.pipelines import kg as __kg
     from nerfray.stages.triples import adjacency_sql as __adj_sql
+    from nerfray.stages.triples import entity_types_sql as __etypes_sql
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
@@ -381,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_constraints":
             validate.constraints_sql(corpus.gold_triples_sql()),
         "kg_adjacency": __adj_sql(corpus.gold_triples_sql()),
+        "kg_entity_types": __etypes_sql(corpus.gold_triples_sql()),
         "kg_delta": __kg.kg_delta_sql(),
         "kg_license_violations":
             validate.license_violations_sql(corpus.gold_triples_sql()),

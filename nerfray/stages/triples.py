@@ -383,3 +383,100 @@ def write_by_subject_hash(triples: ray.data.Dataset, out_dir: str, *,
     directory per subject-hash partition."""
     assign_subject_partition(triples, n_partitions=n_partitions) \
         .write_parquet(out_dir, partition_cols=["pb"])
+
+
+# ---------------------------------------------------------------------------
+# entity typing (predicate-role majority vote)
+# ---------------------------------------------------------------------------
+
+# each (pred, role) pair implies a node type — the KG-construction
+# post-pass that types canonicalized nodes from how triples use them
+TYPE_RULES = {
+    ("licensed-under", "s"): "repo",
+    ("licensed-under", "o"): "license",
+    ("imports", "s"): "repo",
+    ("imports", "o"): "library",
+    ("defines", "s"): "file",
+    ("defines", "o"): "symbol",
+    ("calls", "s"): "file",
+    ("calls", "o"): "method",
+}
+
+_TYPE_SCHEMA = pa.schema([("node", pa.string()),
+                          ("node_type", pa.string()),
+                          ("n_votes", pa.int64())])
+
+
+def entity_types(trips: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, node_type, n_votes): majority type over every triple the
+    node participates in (ties -> lexicographic-min type).  Votes are
+    narrow (node, type) rows; the argmax runs vectorized inside a
+    64-way node-hash co-group — same dispatch shape as the LPA vote."""
+    import pandas as pd
+
+    def _votes(batch: pa.Table) -> pa.Table:
+        nodes: list = []
+        types: list = []
+        preds = batch.column("pred").to_pylist()
+        for col, role in (("subj", "s"), ("obj", "o")):
+            vals = batch.column(col).to_pylist()
+            for v, p in zip(vals, preds):
+                t = TYPE_RULES.get((p, role))
+                if t is not None:
+                    nodes.append(v)
+                    types.append(t)
+        arr = np.asarray(nodes, dtype=object)
+        hb = (pd.util.hash_array(arr) % 64).astype(np.int32) \
+            if len(arr) else np.array([], np.int32)
+        return pa.Table.from_pydict({
+            "node": pa.array(nodes, pa.string()),
+            "vtype": pa.array(types, pa.string()),
+            "hb": pa.array(hb, pa.int32())})
+
+    def _argmax(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _TYPE_SCHEMA.empty_table()
+        nodes = np.asarray(group.column("node").to_pylist(), dtype=object)
+        vt = np.asarray(group.column("vtype").to_pylist(), dtype=object)
+        order = np.lexsort((vt, nodes))
+        n_s, t_s = nodes[order], vt[order]
+        new_run = np.r_[True, (n_s[1:] != n_s[:-1]) | (t_s[1:] != t_s[:-1])]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.r_[starts, len(n_s)])
+        rn, rt = n_s[starts], t_s[starts]
+        pick = np.lexsort((rt, -counts, rn))
+        first = np.r_[True, rn[pick][1:] != rn[pick][:-1]]
+        sel = pick[first]
+        return pa.Table.from_pydict({
+            "node": pa.array(rn[sel], pa.string()),
+            "node_type": pa.array(rt[sel], pa.string()),
+            "n_votes": pa.array(counts[sel], pa.int64())},
+            schema=_TYPE_SCHEMA)
+
+    return trips.select_columns(["subj", "pred", "obj"]) \
+        .map_batches(_votes, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(_argmax, batch_format="pyarrow")
+
+
+def entity_types_sql(gold_sql: str) -> str:
+    cases_s = " ".join(
+        f"WHEN pred = '{p}' THEN '{t}'"
+        for (p, r), t in sorted(TYPE_RULES.items()) if r == "s")
+    cases_o = " ".join(
+        f"WHEN pred = '{p}' THEN '{t}'"
+        for (p, r), t in sorted(TYPE_RULES.items()) if r == "o")
+    return f"""
+WITH g AS ({gold_sql}),
+votes AS (
+  SELECT subj AS node, CASE {cases_s} END AS vtype FROM g
+  UNION ALL
+  SELECT obj, CASE {cases_o} END FROM g),
+ranked AS (
+  SELECT node, vtype, count(*)::BIGINT AS c,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY count(*) DESC, vtype ASC) AS rn
+  FROM votes WHERE vtype IS NOT NULL GROUP BY node, vtype)
+SELECT node, vtype AS node_type, c AS n_votes
+FROM ranked WHERE rn = 1 ORDER BY node
+"""
