@@ -415,17 +415,24 @@ def entity_types(trips: ray.data.Dataset) -> ray.data.Dataset:
     import pandas as pd
 
     def _votes(batch: pa.Table) -> pa.Table:
-        nodes: list = []
-        types: list = []
-        preds = batch.column("pred").to_pylist()
+        """Vectorized: factorize pred once, map the (few) distinct
+        preds through TYPE_RULES, then fancy-index both roles."""
+        preds = np.asarray(batch.column("pred").to_pylist(), dtype=object)
+        uniq, codes = np.unique(preds, return_inverse=True)
+        node_parts: list = []
+        type_parts: list = []
         for col, role in (("subj", "s"), ("obj", "o")):
-            vals = batch.column(col).to_pylist()
-            for v, p in zip(vals, preds):
-                t = TYPE_RULES.get((p, role))
-                if t is not None:
-                    nodes.append(v)
-                    types.append(t)
-        arr = np.asarray(nodes, dtype=object)
+            vals = np.asarray(batch.column(col).to_pylist(), dtype=object)
+            tmap = np.asarray(
+                [TYPE_RULES.get((p, role)) for p in uniq], dtype=object)
+            mask = tmap[codes] != None  # noqa: E711 (elementwise)
+            node_parts.append(vals[mask])
+            type_parts.append(tmap[codes][mask])
+        nodes = np.concatenate(node_parts) if node_parts else \
+            np.array([], dtype=object)
+        types = np.concatenate(type_parts) if type_parts else \
+            np.array([], dtype=object)
+        arr = nodes
         hb = (pd.util.hash_array(arr) % 64).astype(np.int32) \
             if len(arr) else np.array([], np.int32)
         return pa.Table.from_pydict({
