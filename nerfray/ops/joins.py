@@ -1080,3 +1080,166 @@ GROUP BY 1 ORDER BY revenue_e4 DESC
 """
 
 ORACLES["join_q5_nation_revenue"] = Q5_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction (shuffle-volume pre-filter)
+# ---------------------------------------------------------------------------
+#
+# The classic big-big join optimization when the build side is
+# SELECTIVE: build a Bloom filter over the build side's join keys
+# (bounded: m/64 uint64 words regardless of row count), broadcast it,
+# and drop fact rows that cannot match BEFORE the join's exchange.
+# No false negatives => inner / left-semi output is IDENTICAL to the
+# unfiltered hash_join; false positives just ride the join and lose
+# there.  Positions use a splitmix64-style vectorized mixer (no SQL
+# mirror needed — the filter is semantics-invisible, so the oracle is
+# the plain join).
+
+BLOOM_JOIN_M = 1 << 16        # 8 KiB filter
+BLOOM_JOIN_K = 4
+
+
+def _mix64(x: np.ndarray, round_: int) -> np.ndarray:
+    """splitmix64 finalizer over uint64 keys, one stream per round."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15) * np.uint64(round_ + 1)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _key_positions(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit positions for int64 keys."""
+    u = keys.astype(np.int64).view(np.uint64)
+    return np.stack([_mix64(u, j) % np.uint64(m) for j in range(k)],
+                    axis=1)
+
+
+def build_key_bloom(ds: ray.data.Dataset, on: str, *,
+                    m: int = BLOOM_JOIN_M,
+                    k: int = BLOOM_JOIN_K) -> np.ndarray:
+    """Dense m/64-word uint64 Bloom filter over ``ds[on]`` int keys.
+    Each block ORs its keys into a local 8 KiB array and emits only
+    nonzero (word_idx, bits) rows; a word-grain groupby ORs partials;
+    the driver take_all is bounded by m/64 rows — aggregate-to-small,
+    independent of ds size."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = np.unique(batch.column(on).to_numpy(zero_copy_only=False))
+        local = np.zeros(m // 64, np.uint64)
+        if len(keys):
+            p = _key_positions(keys, m, k)
+            np.bitwise_or.at(local, (p >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (p & np.uint64(63)))
+        nz = np.flatnonzero(local)
+        return pa.Table.from_pydict({
+            "word_idx": pa.array(nz.astype(np.int64), pa.int64()),
+            "bits": pa.array(local[nz].view(np.int64), pa.int64())})
+
+    def _or_rows(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema([("word_idx", pa.int64()),
+                              ("bits", pa.int64())]).empty_table()
+        w = group.column("word_idx").to_numpy(zero_copy_only=False)
+        b = group.column("bits").to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        order = np.argsort(w, kind="stable")
+        w_s, b_s = w[order], b[order]
+        starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+        return pa.Table.from_pydict({
+            "word_idx": pa.array(w_s[starts], pa.int64()),
+            "bits": pa.array(
+                np.bitwise_or.reduceat(b_s, starts).view(np.int64),
+                pa.int64())})
+
+    dense = np.zeros(m // 64, np.uint64)
+    rows = ds.select_columns([on]) \
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("word_idx").map_groups(_or_rows, batch_format="pyarrow") \
+        .take_all()  # <= m/64 rows by construction
+    for r in rows:
+        dense[r["word_idx"]] = np.uint64(np.int64(r["bits"]))
+    return dense
+
+
+def bloom_filtered_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                        *, left_on: str, right_on: str,
+                        left_cols: list[str], right_cols: list[str],
+                        how: str = "inner",
+                        m: int = BLOOM_JOIN_M,
+                        k: int = BLOOM_JOIN_K) -> ray.data.Dataset:
+    """hash_join with a Bloom pre-filter on the LEFT (fact) side built
+    from the RIGHT (build) side's keys.  Output is identical to
+    hash_join for duplicate-preserving-left join types; the exchange
+    carries only fact rows that might match."""
+    if how not in ("inner", "left semi"):
+        raise ValueError("bloom pre-filter only preserves semantics "
+                         "for inner / left semi joins")
+    import ray
+
+    filt_ref = ray.put(build_key_bloom(right, right_on, m=m, k=k))
+
+    class _Prefilter:
+        def __init__(self):
+            self._filt = ray.get(filt_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column(left_on).to_numpy(zero_copy_only=False)
+            if not len(keys):
+                return batch
+            p = _key_positions(keys, m, k)
+            w = (p >> np.uint64(6)).astype(np.int64)
+            b = p & np.uint64(63)
+            hit = (((self._filt[w] >> b) & np.uint64(1)) != 0).all(axis=1)
+            return batch.filter(pa.array(hit))
+
+    filtered = left.map_batches(_Prefilter, concurrency=(1, 8),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return hash_join(filtered, right, left_on=left_on, right_on=right_on,
+                     left_cols=left_cols, right_cols=right_cols, how=how)
+
+
+def urgent_lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
+    """lineitem ⋈ (orders WHERE priority = 1-URGENT) via the Bloom
+    pre-filter: ~80% of lineitem rows never enter the join exchange
+    (the build side keeps ~1/5 of orders). Exact integer rollup per
+    (priority, linestatus)."""
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'")
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_quantity", "l_linestatus"])
+    joined = bloom_filtered_join(
+        items, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_quantity", "l_linestatus"],
+        right_cols=["o_orderpriority"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": pc.cast(pc.round(batch.column("l_quantity")),
+                           pa.int64()),
+        })
+
+    return joined.map_batches(_pre, batch_format="pyarrow") \
+        .groupby(["o_orderpriority", "l_linestatus"]).aggregate(
+            ray.data.aggregate.Count(alias_name="n_items"),
+            ray.data.aggregate.Sum("qty", alias_name="sum_qty"))
+
+
+BLOOM_JOIN_SQL = """
+SELECT o.o_orderpriority, l.l_linestatus,
+       count(*)::BIGINT AS n_items,
+       sum(round(l.l_quantity))::BIGINT AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["join_bloom_prefiltered"] = BLOOM_JOIN_SQL

@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_outer": joins.full_outer_coverage,
         "join_q3_topk": joins.q3_shipping_topk,
         "join_q5_nation_revenue": joins.q5_revenue_by_nation,
+        "join_bloom_prefiltered": joins.urgent_lineitem_rollup,
         "events_band_join": joins.events_band_join,
         "events_interval_join": joins.events_interval_join,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,

@@ -487,3 +487,45 @@ def test_q5_matches_duckdb(ray_session):
     loose = con.sql(Q5_SQL.replace(
         "AND c.c_nationkey = s.s_nationkey", "")).fetchall()
     assert sum(r for _, r in loose) > sum(r for _, r in want)
+
+
+def test_bloom_filtered_join_equals_hash_join(ray_session):
+    """Bloom pre-filter is semantics-invisible (no false negatives):
+    inner-join multiset equals plain hash_join; and on a selective
+    build side the filter provably drops fact rows pre-exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import joins as j
+
+    rng = np.random.default_rng(21)
+    fact_keys = rng.integers(0, 1000, 5000).astype(np.int64)
+    fact = ray.data.from_arrow(pa.Table.from_pydict({
+        "fk": pa.array(fact_keys),
+        "val": pa.array(np.arange(5000, dtype=np.int64))})) \
+        .repartition(6)
+    build_keys = np.arange(0, 1000, 13, dtype=np.int64)  # selective
+    build = ray.data.from_arrow(pa.Table.from_pydict({
+        "bk": pa.array(build_keys),
+        "tag": pa.array([f"t{k}" for k in build_keys])}))
+
+    kw = dict(left_on="fk", right_on="bk",
+              left_cols=["val"], right_cols=["tag"])
+    plain = sorted((r["__key"], r["val"], r["tag"]) for r in
+                   j.hash_join(fact, build, **kw).take_all())
+    bloom = sorted((r["__key"], r["val"], r["tag"]) for r in
+                   j.bloom_filtered_join(fact, build, **kw).take_all())
+    assert plain == bloom and len(plain) > 0
+
+    # the filter itself: every build key hits; most non-keys don't
+    filt = j.build_key_bloom(build, "bk")
+    p = j._key_positions(build_keys, j.BLOOM_JOIN_M, j.BLOOM_JOIN_K)
+    w = (p >> np.uint64(6)).astype(np.int64)
+    b = p & np.uint64(63)
+    assert (((filt[w] >> b) & np.uint64(1)) != 0).all()
+    others = np.setdiff1d(np.arange(1000, dtype=np.int64), build_keys)
+    po = j._key_positions(others, j.BLOOM_JOIN_M, j.BLOOM_JOIN_K)
+    wo = (po >> np.uint64(6)).astype(np.int64)
+    bo = po & np.uint64(63)
+    fp = (((filt[wo] >> bo) & np.uint64(1)) != 0).all(axis=1).mean()
+    assert fp < 0.05, fp

@@ -16,6 +16,10 @@ Two input modes:
   Dedup is ``partitioned_checked``: per-block exact dedup when repo
   containment holds on the actual blocks, transparent shuffle fallback
   when it doesn't (arbitrary parquet gives no layout guarantee).
+  With ``--checkpoint-dir DIR`` the triples are additionally cached
+  per INPUT FILE with lineage manifests (path/size/row-count
+  fingerprints, atomic commit): a crashed or repeated run skips every
+  committed file and only the subject-hash export is redone.
 - ``--synthetic N`` — the deterministic benchmark corpus, run through
   the checkpointed shard runner (per-shard lineage manifests, atomic
   commit, idempotent resume — rerun the same command after a kill and
