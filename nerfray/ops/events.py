@@ -1306,3 +1306,99 @@ SELECT strftime(f.fw, '%Y-%m-%d') AS cohort_week,
 FROM uw JOIN f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension history (changelog -> validity intervals)
+# ---------------------------------------------------------------------------
+#
+# The warehouse counterpart of compact_latest (SCD1): instead of
+# keeping only the newest row per key, build the full version history —
+# consecutive events with the SAME tracked attribute collapse into one
+# version row with a [v_start, v_end) validity interval (v_end = -1 for
+# the current version).  One user-hash exchange; the gaps-and-islands
+# sweep is vectorized per bucket (sort + change-flag + run boundaries).
+
+_SCD2_SCHEMA = pa.schema([("user_id", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("v_start_us", pa.int64()),
+                          ("v_end_us", pa.int64()),
+                          ("n_events", pa.int64())])
+
+
+def _scd2_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _SCD2_SCHEMA.empty_table()
+    u = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+    order = np.lexsort((eid, ts, u))
+    u_s, ts_s, et_s = u[order], ts[order], et[order]
+    new_user = np.r_[True, u_s[1:] != u_s[:-1]]
+    chg = new_user | np.r_[False, et_s[1:] != et_s[:-1]]
+    starts = np.flatnonzero(chg)
+    ends = np.r_[starts[1:], len(u_s)]
+    # v_end = next run's start ts when the next run is the same user
+    next_same = np.r_[u_s[starts][1:] == u_s[starts][:-1], False]
+    v_end = np.full(len(starts), -1, np.int64)
+    v_end[next_same] = ts_s[starts[1:]][u_s[starts][1:] == u_s[starts][:-1]]
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u_s[starts], pa.int64()),
+        "event_type": pa.array(et_s[starts], pa.string()),
+        "v_start_us": pa.array(ts_s[starts], pa.int64()),
+        "v_end_us": pa.array(v_end, pa.int64()),
+        "n_events": pa.array(ends - starts, pa.int64()),
+    }, schema=_SCD2_SCHEMA)
+
+
+def scd2_from(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """SCD2 over any (user_id, ts, event_id, event_type) Dataset."""
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "user_id": batch.column("user_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "hb": pc.cast(
+                pc.bit_wise_and(batch.column("user_id"), 63), pa.int32()),
+        })
+
+    return ds.map_batches(_narrow, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("hb").map_groups(_scd2_bucket, batch_format="pyarrow")
+
+
+def scd2_history(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, event_type, v_start_us, v_end_us, n_events): the SCD2
+    version table of each user's event-type attribute."""
+    from nerfray.sources.parquet import read_parquet_clean
+    return scd2_from(read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"]))
+
+
+ORACLES["events_scd2"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, event_type
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+grp AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged),
+runs AS (
+  SELECT user_id, min(event_type) AS event_type,
+         min(ts_us) AS v_start_us, count(*)::BIGINT AS n_events
+  FROM grp GROUP BY user_id, g)
+SELECT user_id, event_type, v_start_us,
+       COALESCE(lead(v_start_us) OVER (PARTITION BY user_id
+                                       ORDER BY v_start_us), -1)::BIGINT
+         AS v_end_us,
+       n_events
+FROM runs ORDER BY user_id, v_start_us
+"""

@@ -546,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": events.cumsum_per_user,
         "events_trend": events.trend_per_user,
         "events_compact": events.compact_latest,
+        "events_scd2": events.scd2_history,
         "events_funnel": events.funnel,
         "events_interarrival": events.interarrival,
         "events_json_schema": semistruct.events_json_schema,

@@ -1477,3 +1477,38 @@ def test_url_host_ops_edges(ray_session):
     kept = {r["doc_id"]: r["n_urls"] for r in
             tx.blocklist_filter(ds, ["bad.net"]).take_all()}
     assert kept == {0: 0, 1: 2, 3: 0}
+
+
+def test_scd2_history_brute_force(ray_session):
+    """SCD2 run-collapse == naive per-user sweep, incl. single-event
+    users, alternating attributes, and a re-appearing earlier value."""
+    import datetime as dt
+    import ray.data
+    from nerfray.ops import events as ev
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a a b a  -> 3 versions (a reappears as a NEW version)
+        (1, 0, "a"), (1, 10, "a"), (1, 20, "b"), (1, 30, "a"),
+        # user 2: single event -> one open version
+        (2, 5, "x"),
+        # user 3: same-ts tie broken by event_id
+        (3, 7, "p"), (3, 7, "q"),
+    ]
+    ds = ray.data.from_items([
+        {"user_id": u, "ts": base + dt.timedelta(microseconds=off),
+         "event_id": i, "event_type": t}
+        for i, (u, off, t) in enumerate(rows)]).repartition(3)
+    got = sorted((r["user_id"], r["v_start_us"], r["event_type"],
+                  r["v_end_us"], r["n_events"])
+                 for r in ev.scd2_from(ds).take_all())
+    b = int(base.timestamp() * 1_000_000)
+    want = sorted([
+        (1, b + 0, "a", b + 20, 2),
+        (1, b + 20, "b", b + 30, 1),
+        (1, b + 30, "a", -1, 1),
+        (2, b + 5, "x", -1, 1),
+        (3, b + 7, "p", b + 7, 1),   # tie: p (event_id 5) then q (6)
+        (3, b + 7, "q", -1, 1),
+    ])
+    assert got == want
