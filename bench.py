@@ -126,7 +126,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "events_interval_join", "docs_range_export",
                  "events_range_export_sampled", "docs_normalized",
                  "emb_quantized", "join_q5_nation_revenue",
-                 "events_hourly_incremental", "emb_pca", "media_shards"):
+                 "events_hourly_incremental", "emb_pca", "media_shards",
+                 "docs_paragraph_dedup", "kg_labelprop_planted",
+                 "kg_entity_types", "join_bloom_prefiltered",
+                 "docs_url_hosts", "docs_blocklist", "events_scd2"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
