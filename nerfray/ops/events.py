@@ -1402,3 +1402,133 @@ SELECT user_id, event_type, v_start_us,
        n_events
 FROM runs ORDER BY user_id, v_start_us
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user z-score outliers (two-pass moments + join back)
+# ---------------------------------------------------------------------------
+#
+# The numeric-anomaly primitive: pass 1 reduces each user's events to
+# (n, sum, sumsq) with a per-block combiner; pass 2 routes the bounded
+# stats and the raw events through ONE user-hash co-group and flags
+# x where (n*x - S)^2 > z^2 * (n*Q - S^2) — the z-score test cleared
+# of divisions, so it is INTEGER-EXACT (cents grain) and SQL-mirrored
+# verbatim.  Exactness bound: |n*x| < ~3e9 (int64 square); at larger
+# per-user volumes switch the comparison to int128/float and keep the
+# same shape.
+
+OUTLIER_Z = 3
+
+_OUTLIER_SCHEMA = pa.schema([("event_id", pa.int64()),
+                             ("user_id", pa.int64()),
+                             ("value_cents", pa.int64()),
+                             ("n_user_events", pa.int64())])
+
+
+def _moment_partial(batch: pa.Table) -> pa.Table:
+    u = batch.column("user_id").to_numpy(zero_copy_only=False)
+    x = batch.column("x").to_numpy(zero_copy_only=False)
+    order = np.argsort(u, kind="stable")
+    u_s, x_s = u[order], x[order]
+    starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u_s[starts], pa.int64()),
+        "n": pa.array(np.diff(np.r_[starts, len(u_s)]), pa.int64()),
+        "s": pa.array(np.add.reduceat(x_s, starts), pa.int64()),
+        "q": pa.array(np.add.reduceat(x_s * x_s, starts), pa.int64()),
+    })
+
+
+def _outlier_bucket(group: pa.Table, *, z: int) -> pa.Table:
+    if group.num_rows == 0:
+        return _OUTLIER_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    st = group.filter(pa.array(side == 1))
+    ev = group.filter(pa.array(side == 0))
+    if ev.num_rows == 0:
+        return _OUTLIER_SCHEMA.empty_table()
+    su = st.column("user_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(su, kind="stable")
+    su_s = su[order]
+    n_s = st.column("n").to_numpy(zero_copy_only=False)[order]
+    s_s = st.column("s").to_numpy(zero_copy_only=False)[order]
+    q_s = st.column("q").to_numpy(zero_copy_only=False)[order]
+    eu = ev.column("user_id").to_numpy(zero_copy_only=False)
+    x = ev.column("x").to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(su_s, eu)
+    n, s, q = n_s[pos], s_s[pos], q_s[pos]
+    lhs = (n * x - s).astype(np.int64)
+    flag = lhs * lhs > z * z * (n * q - s * s)
+    keep = ev.filter(pa.array(flag))
+    return pa.Table.from_pydict({
+        "event_id": keep.column("event_id"),
+        "user_id": keep.column("user_id"),
+        "value_cents": keep.column("x"),
+        "n_user_events": pa.array(n[flag], pa.int64()),
+    }, schema=_OUTLIER_SCHEMA)
+
+
+def value_outliers_from(ds: ray.data.Dataset, *,
+                        z: int = OUTLIER_Z) -> ray.data.Dataset:
+    """Events whose cents value deviates more than z sigma from the
+    user's mean (population variance), integer-exact."""
+    from ray.data.aggregate import Sum
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "x": pc.cast(pc.round(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64()),
+        })
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    stats = narrow.map_batches(_moment_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n"), Sum("s"), Sum("q")) \
+        .rename_columns({"sum(n)": "n", "sum(s)": "s", "sum(q)": "q"})
+
+    def _widen(batch: pa.Table, *, side: int) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        nrows = batch.num_rows
+        nul = lambda: pa.nulls(nrows, pa.int64())  # noqa: E731
+        return pa.Table.from_arrays([
+            pa.array((u & 63).astype(np.int32), pa.int32()),
+            pa.array(np.full(nrows, side, np.int8), pa.int8()),
+            batch.column("user_id"),
+            batch.column("event_id") if side == 0 else nul(),
+            batch.column("x") if side == 0 else nul(),
+            batch.column("n") if side == 1 else nul(),
+            batch.column("s") if side == 1 else nul(),
+            batch.column("q") if side == 1 else nul(),
+        ], names=["hb", "side", "user_id", "event_id", "x",
+                  "n", "s", "q"])
+
+    ew = narrow.map_batches(_widen, fn_kwargs={"side": 0},
+                            batch_format="pyarrow")
+    sw = stats.map_batches(_widen, fn_kwargs={"side": 1},
+                           batch_format="pyarrow")
+    return ew.union(sw).groupby("hb").map_groups(
+        _outlier_bucket, fn_kwargs={"z": z}, batch_format="pyarrow")
+
+
+def value_outliers(sf_dir: str) -> ray.data.Dataset:
+    from nerfray.sources.parquet import read_parquet_clean
+    return value_outliers_from(read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"]))
+
+
+ORACLES["events_outliers"] = f"""
+WITH v AS (
+  SELECT event_id, user_id, round(value * 100)::BIGINT AS x FROM events),
+s AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS q
+  FROM v GROUP BY user_id)
+SELECT v.event_id, v.user_id, v.x AS value_cents, s.n AS n_user_events
+FROM v JOIN s USING (user_id)
+WHERE (s.n * v.x - s.sx) * (s.n * v.x - s.sx)
+      > {OUTLIER_Z * OUTLIER_Z} * (s.n * s.q - s.sx * s.sx)
+ORDER BY event_id
+"""

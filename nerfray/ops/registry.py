@@ -547,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": events.trend_per_user,
         "events_compact": events.compact_latest,
         "events_scd2": events.scd2_history,
+        "events_outliers": events.value_outliers,
         "events_funnel": events.funnel,
         "events_interarrival": events.interarrival,
         "events_json_schema": semistruct.events_json_schema,

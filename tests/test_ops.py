@@ -1512,3 +1512,36 @@ def test_scd2_history_brute_force(ray_session):
         (3, b + 7, "q", -1, 1),
     ])
     assert got == want
+
+
+def test_value_outliers_brute_force(ray_session):
+    """Integer z-score test == naive float z-score on planted data;
+    zero-variance and single-event users flag nothing."""
+    import ray.data
+    from nerfray.ops import events as ev
+
+    rows = []
+    # user 1: tight cluster + one spike
+    vals1 = [10.0] * 20 + [11.0] * 20 + [500.0]
+    rows += [(1, v) for v in vals1]
+    rows += [(2, 7.25)]            # single event
+    rows += [(3, 4.0)] * 10        # zero variance
+    ds = ray.data.from_items([
+        {"event_id": i, "user_id": u, "value": v}
+        for i, (u, v) in enumerate(rows)]).repartition(4)
+    got = sorted(r["event_id"] for r in
+                 ev.value_outliers_from(ds).take_all())
+
+    # naive population z-score over cents
+    import numpy as np
+    by_u: dict = {}
+    for i, (u, v) in enumerate(rows):
+        by_u.setdefault(u, []).append((i, round(v * 100)))
+    want = []
+    for u, evs in by_u.items():
+        xs = np.array([x for _, x in evs], dtype=float)
+        mu, var = xs.mean(), xs.var()
+        for (i, x) in evs:
+            if (x - mu) ** 2 > ev.OUTLIER_Z ** 2 * var:
+                want.append(i)
+    assert got == sorted(want) and len(got) == 1 and got[0] == 40
