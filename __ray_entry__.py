@@ -307,6 +307,16 @@ def q_kg_entity_types(sf_dir: str):
     return tstage.entity_types(trips)
 
 
+def q_kg_lib_assoc(sf_dir: str):
+    """Association rules over co-imports (market-basket on the KG):
+    per-repo pair emit (hub-capped) -> pair-hash count -> two
+    hash_joins against lib supports; confidence as integer permille."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import triples as tstage
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return tstage.lib_associations(trips)
+
+
 def q_kg_xces(sf_dir: str):
     """XCES annotation stage: per-file count of emitted <group> elements
     (= planted mentions incl. the nested vendor group)."""
@@ -366,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore_planted": q_kg_kcore_planted,
         "kg_labelprop_planted": q_kg_labelprop_planted,
         "kg_entity_types": q_kg_entity_types,
+        "kg_lib_assoc": q_kg_lib_assoc,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -377,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.pipelines import kg as __kg
     from nerfray.stages.triples import adjacency_sql as __adj_sql
     from nerfray.stages.triples import entity_types_sql as __etypes_sql
+    from nerfray.stages.triples import lib_associations_sql as __assoc_sql
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
@@ -394,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
             validate.constraints_sql(corpus.gold_triples_sql()),
         "kg_adjacency": __adj_sql(corpus.gold_triples_sql()),
         "kg_entity_types": __etypes_sql(corpus.gold_triples_sql()),
+        "kg_lib_assoc": __assoc_sql(corpus.gold_triples_sql()),
         "kg_delta": __kg.kg_delta_sql(),
         "kg_license_violations":
             validate.license_violations_sql(corpus.gold_triples_sql()),

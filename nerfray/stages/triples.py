@@ -487,3 +487,150 @@ ranked AS (
 SELECT node, vtype AS node_type, c AS n_votes
 FROM ranked WHERE rn = 1 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# co-import association rules (market-basket mining over the KG)
+# ---------------------------------------------------------------------------
+
+ASSOC_RUN_CAP = 64   # libs per repo entering the pair emit (hub cap)
+
+_ASSOC_SCHEMA = pa.schema([("lib_a", pa.string()),
+                           ("lib_b", pa.string()),
+                           ("support_pair", pa.int64()),
+                           ("conf_ab_permille", pa.int64()),
+                           ("conf_ba_permille", pa.int64())])
+
+
+def lib_associations(trips: ray.data.Dataset) -> ray.data.Dataset:
+    """(lib_a, lib_b, support_pair, conf_ab/ba_permille) for every
+    unordered pair of libraries co-imported by >= 1 repo — association
+    rules with integer permille confidence (floor), so the SQL mirror
+    is hash-exact.
+
+    Shape: pair emit inside a repo-hash co-group (per-repo lib runs are
+    capped at ASSOC_RUN_CAP with a logged drop — the hub-repo guard),
+    pair counts in a pair-hash co-group; per-lib supports are
+    aggregate-to-small (bounded library vocabulary) and broadcast via
+    ray.put.  Only narrow (lib, lib) rows shuffle."""
+    import pandas as pd
+
+    il = trips.filter(expr="pred == 'imports'") \
+        .select_columns(["subj", "obj"])
+
+    def _rb(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("subj").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(s) % 64).astype(np.int32) \
+            if len(s) else np.array([], np.int32)
+        return batch.append_column("hb", pa.array(hb, pa.int32()))
+
+    def _pairs_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.schema([("lib_a", pa.string()),
+                           ("lib_b", pa.string())]).empty_table()
+        if group.num_rows == 0:
+            return empty
+        s = np.asarray(group.column("subj").to_pylist(), dtype=object)
+        o = np.asarray(group.column("obj").to_pylist(), dtype=object)
+        order = np.lexsort((o, s))
+        s_s, o_s = s[order], o[order]
+        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+        ends = np.r_[starts[1:], len(s_s)]
+        a_out: list = []
+        b_out: list = []
+        dropped = 0
+        for lo, hi in zip(starts, ends):
+            libs = o_s[lo:hi]
+            if len(libs) > ASSOC_RUN_CAP:
+                dropped += len(libs) - ASSOC_RUN_CAP
+                libs = libs[:ASSOC_RUN_CAP]
+            ii, jj = np.triu_indices(len(libs), k=1)
+            a_out.append(libs[ii])
+            b_out.append(libs[jj])
+        if dropped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "lib_associations: hub repo cap dropped %d libs", dropped)
+        a = np.concatenate(a_out) if a_out else np.array([], object)
+        b = np.concatenate(b_out) if b_out else np.array([], object)
+        return pa.Table.from_pydict({
+            "lib_a": pa.array(a, pa.string()),
+            "lib_b": pa.array(b, pa.string())})
+
+    def _pb(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("lib_a").to_pylist(), dtype=object)
+        b = np.asarray(batch.column("lib_b").to_pylist(), dtype=object)
+        key = np.array([x + "|" + y for x, y in zip(a, b)], dtype=object)
+        hb = (pd.util.hash_array(key) % 64).astype(np.int32) \
+            if len(key) else np.array([], np.int32)
+        return batch.append_column("pb", pa.array(hb, pa.int32()))
+
+    def _count_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.schema([("lib_a", pa.string()),
+                           ("lib_b", pa.string()),
+                           ("support_pair", pa.int64())]).empty_table()
+        if group.num_rows == 0:
+            return empty
+        a = np.asarray(group.column("lib_a").to_pylist(), dtype=object)
+        b = np.asarray(group.column("lib_b").to_pylist(), dtype=object)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        new = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.Table.from_pydict({
+            "lib_a": pa.array(a_s[starts], pa.string()),
+            "lib_b": pa.array(b_s[starts], pa.string()),
+            "support_pair": pa.array(
+                np.diff(np.r_[starts, len(a_s)]), pa.int64())})
+
+    pairs = il.map_batches(_rb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_pairs_bucket, batch_format="pyarrow") \
+        .map_batches(_pb, batch_format="pyarrow") \
+        .groupby("pb").map_groups(_count_bucket, batch_format="pyarrow")
+
+    # per-lib supports: the LIBRARY VOCABULARY is broadcast-sized
+    # (10^5-10^6 package names at world scale, ~MBs) — the groupby
+    # reduce is aggregate-to-small, so the support table broadcasts
+    # via ray.put instead of paying two hash_join exchanges.
+    import ray as _ray
+    supp_rows = il.groupby("obj").count().take_all()
+    supp_ref = _ray.put({r["obj"]: r["count()"] for r in supp_rows})
+
+    class _Conf:
+        def __init__(self):
+            self._supp = _ray.get(supp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("lib_a").to_pylist()
+            b = batch.column("lib_b").to_pylist()
+            sp = batch.column("support_pair").to_numpy(
+                zero_copy_only=False)
+            sa = np.array([self._supp[x] for x in a], np.int64)
+            sb = np.array([self._supp[x] for x in b], np.int64)
+            return pa.Table.from_pydict({
+                "lib_a": batch.column("lib_a"),
+                "lib_b": batch.column("lib_b"),
+                "support_pair": batch.column("support_pair"),
+                "conf_ab_permille": pa.array(sp * 1000 // sa, pa.int64()),
+                "conf_ba_permille": pa.array(sp * 1000 // sb, pa.int64()),
+            }, schema=_ASSOC_SCHEMA)
+
+    return pairs.map_batches(_Conf, concurrency=(1, 4),
+                             batch_format="pyarrow")
+
+
+def lib_associations_sql(gold_sql: str) -> str:
+    return f"""
+WITH g AS ({gold_sql}),
+il AS (SELECT DISTINCT subj, obj FROM g WHERE pred = 'imports'),
+pairs AS (
+  SELECT a.obj AS lib_a, b.obj AS lib_b, count(*)::BIGINT AS support_pair
+  FROM il a JOIN il b ON a.subj = b.subj AND a.obj < b.obj
+  GROUP BY 1, 2),
+supp AS (SELECT obj AS lib, count(*)::BIGINT AS s FROM il GROUP BY obj)
+SELECT p.lib_a, p.lib_b, p.support_pair,
+       (p.support_pair * 1000 // sa.s)::BIGINT AS conf_ab_permille,
+       (p.support_pair * 1000 // sb.s)::BIGINT AS conf_ba_permille
+FROM pairs p JOIN supp sa ON sa.lib = p.lib_a
+             JOIN supp sb ON sb.lib = p.lib_b
+ORDER BY lib_a, lib_b
+"""
