@@ -538,3 +538,52 @@ def test_label_propagation_random_graphs_match_brute_force(ray_session):
                 new[v] = best[0]
             lab = new
         assert got == lab, (trial, rounds)
+
+
+def test_lib_associations_brute_force_and_cap(ray_session):
+    """Pair supports + permille confidences == brute force; a hub repo
+    beyond ASSOC_RUN_CAP is capped (pairs only among the first cap
+    libs, sorted) rather than exploding quadratically."""
+    import itertools
+    import ray.data
+    from nerfray.stages import triples as tstage
+
+    trips = []
+    imports = {
+        "r1": ["lib:a", "lib:b", "lib:c"],
+        "r2": ["lib:a", "lib:b"],
+        "r3": ["lib:b", "lib:c"],
+        "r4": ["lib:a"],
+    }
+    for r, libs in imports.items():
+        trips += [(r, "imports", o) for o in libs]
+    trips.append(("r1", "licensed-under", "license:mit"))  # ignored
+    ds = ray.data.from_items(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o in trips]) \
+        .repartition(3)
+    got = {(r["lib_a"], r["lib_b"]):
+           (r["support_pair"], r["conf_ab_permille"], r["conf_ba_permille"])
+           for r in tstage.lib_associations(ds).take_all()}
+
+    supp: dict = {}
+    pair: dict = {}
+    for libs in imports.values():
+        for o in libs:
+            supp[o] = supp.get(o, 0) + 1
+        for a, b in itertools.combinations(sorted(libs), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    want = {k: (v, v * 1000 // supp[k[0]], v * 1000 // supp[k[1]])
+            for k, v in pair.items()}
+    assert got == want
+
+    # hub cap: one repo importing cap+10 libs yields pairs only among
+    # the first ASSOC_RUN_CAP libs in sorted order
+    n = tstage.ASSOC_RUN_CAP + 10
+    hub = ray.data.from_items(
+        [{"subj": "hub", "pred": "imports", "obj": f"lib:{i:03d}"}
+         for i in range(n)])
+    res = tstage.lib_associations(hub).take_all()
+    cap = tstage.ASSOC_RUN_CAP
+    assert len(res) == cap * (cap - 1) // 2
+    assert max(max(r["lib_a"], r["lib_b"]) for r in res) == \
+        f"lib:{cap - 1:03d}"
