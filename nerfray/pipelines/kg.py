@@ -120,13 +120,30 @@ def kg_nodes(corpus_ds: ray.data.Dataset, tagger: str = "crf",
         linked_of(spans_of(units_of(corpus_ds), tagger)), n_salts=n_salts)
 
 
+_RUN_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
 def run_for(sf_dir: str, tagger: str = "crf",
             dedup: str = "shuffle") -> ray.data.Dataset:
-    n = corpus_source.corpus_rows_for(sf_dir)
-    if dedup == "partitioned":
-        return kg_pipeline(corpus_source.corpus_dataset_by_repo(n), tagger,
-                           dedup="partitioned")
-    return kg_pipeline(corpus_source.corpus_dataset(n), tagger)
+    """Triples for an sf dir, MEMOIZED per (sf_dir, tagger, dedup) and
+    materialized: many catalog queries (degrees, adjacency, typing,
+    components, associations, ...) start from the same triple table, so
+    one Ray session tags the corpus once and the graph ops consume the
+    pinned blocks.  The triple table is the pipeline's SMALL output
+    (node/edge grain, wide content long gone) — the legitimate
+    materialize point.  Datasets are immutable, so sharing is safe."""
+    key = (sf_dir, tagger, dedup)
+    ds = _RUN_CACHE.get(key)
+    if ds is None:
+        n = corpus_source.corpus_rows_for(sf_dir)
+        if dedup == "partitioned":
+            ds = kg_pipeline(corpus_source.corpus_dataset_by_repo(n),
+                             tagger, dedup="partitioned")
+        else:
+            ds = kg_pipeline(corpus_source.corpus_dataset(n), tagger)
+        ds = ds.materialize()
+        _RUN_CACHE[key] = ds
+    return ds
 
 
 # ---------------------------------------------------------------------------
