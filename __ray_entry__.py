@@ -462,8 +462,12 @@ rg AS (SELECT DISTINCT
          array_to_string(list_slice(string_split(subj, '/'), 1, 2), '/')
            AS subj, obj
        FROM gold),
+-- hub-object guard (mirrors graph.CN_CAP): near-universal objects are
+-- EXCLUDED, not truncated
+rgc AS (SELECT * FROM rg WHERE obj IN (
+          SELECT obj FROM rg GROUP BY obj HAVING count(*) <= 200)),
 p AS (SELECT a.subj AS node_a, b.subj AS node_b
-      FROM rg a JOIN rg b ON a.obj = b.obj AND a.subj < b.subj)
+      FROM rgc a JOIN rgc b ON a.obj = b.obj AND a.subj < b.subj)
 SELECT node_a, node_b, count(*)::BIGINT AS n_common
 FROM p GROUP BY node_a, node_b HAVING count(*) >= 2
 ORDER BY node_a, node_b

@@ -498,10 +498,15 @@ def band_join_rollup(events: ray.data.Dataset,
         b = ray.get(bounds_ref)
         v = batch.column("value").to_numpy(zero_copy_only=False)
         band = np.searchsorted(b, v, side="right") - 1
-        cents = np.round(v * 100).astype(np.int64)
+        # inner-join semantics: values outside [b[0], b[-1]) match no
+        # band (searchsorted would otherwise yield -1 / n_bands)
+        ok = (band >= 0) & (band < len(b) - 1)
+        band, v_ok = band[ok], v[ok]
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)[ok]
+        cents = np.round(v_ok * 100).astype(np.int64)
         t = pa.Table.from_pydict({
             "band": pa.array(band, pa.int64()),
-            "user_id": batch.column("user_id"),
+            "user_id": pa.array(u, pa.int64()),
             "cents": pa.array(cents, pa.int64()),
         })
         # block combiner to (band, user) grain before the shuffle

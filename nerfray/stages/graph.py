@@ -1156,11 +1156,16 @@ def _cn_pairs_bucket(group: pa.Table, *, cap: int = CN_CAP) -> pa.Table:
 
     def _emit_run(subjs: list) -> None:
         if len(subjs) > cap:
+            # hub object (e.g. a license shared by most of the corpus):
+            # skip the WHOLE object — a near-universal attribute carries
+            # no link signal, and dropping it entirely (vs truncating)
+            # keeps the result deterministic, unbiased and SQL-exact
+            # (oracle mirrors with HAVING count(*) <= cap per obj)
             import logging
             logging.getLogger(__name__).warning(
-                "common-neighbors hub object: %d subjects, dropping %d "
-                "beyond cap=%d", len(subjs), len(subjs) - cap, cap)
-            subjs = subjs[:cap]
+                "common-neighbors hub object skipped: %d subjects > "
+                "cap=%d", len(subjs), cap)
+            return
         for i in range(len(subjs)):
             for j in range(i + 1, len(subjs)):
                 a.append(subjs[i])

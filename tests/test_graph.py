@@ -439,13 +439,14 @@ def test_common_neighbors_counts_and_cap(ray_session):
     got2 = {(r["node_a"], r["node_b"]): r["n_common"]
             for r in graph.common_neighbors(ds, min_common=2).take_all()}
     assert got2 == {k: v for k, v in want.items() if v >= 2}
-    # hub cap: with cap=2, object o0 (s0,s1,s2) keeps only (s0,s1)
+    # hub guard: with cap=2, object o0 (3 subjects) is EXCLUDED whole —
+    # remaining signal comes from sub-cap objects only
     got3 = {(r["node_a"], r["node_b"]): r["n_common"]
             for r in graph.common_neighbors(ds, min_common=1,
                                             cap=2).take_all()}
-    assert got3[("s0", "s1")] == 2       # s0,s1 kept under the cap
-    assert ("s0", "s2") not in got3      # s2 dropped from hub o0
-    assert got3[("s2", "s3")] == 3       # uncapped objects unaffected
+    assert got3[("s0", "s1")] == 1       # only o1 survives for the pair
+    assert ("s0", "s2") not in got3      # their ONLY shared obj was o0
+    assert got3[("s2", "s3")] == 3       # sub-cap objects unaffected
 
 
 def test_sssp_rounds_vs_brute_force(ray_session):
