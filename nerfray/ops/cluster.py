@@ -377,3 +377,115 @@ def _pca_moments_sql() -> str:
 # exact mirror on the integer-geometry planted corpus: every moment is an
 # integer sum, exact in float64 on both sides
 PCA_MOMENTS_PLANTED_SQL = _pca_moments_sql()
+
+
+# ---------------------------------------------------------------------------
+# class-centroid outliers (embedding-space curation)
+# ---------------------------------------------------------------------------
+#
+# The mislabeled-sample / embedding-outlier primitive: per-class
+# centroids from ONE map-side moment reduce (class count + per-dim
+# sums — aggregate-to-small, classes are bounded), broadcast back, and
+# each row's squared distance to its OWN class centroid flags it.
+# Exactness: the distance test is cleared of divisions —
+#     sum_j (x_j - S_j/n)^2 > theta   <=>   sum_j (n x_j - S_j)^2 > theta n^2
+# — so with integer planted embeddings both sides are hash-identical.
+
+CENTROID_DIM = 8
+CENTROID_THETA = 300
+CENTROID_CLASSES = 4
+
+
+def planted_labeled_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """(vec_id, label, e[8] int): e[j] = (vec_id*(j+3)) % 17 - 8,
+    label = vec_id % 4 — pure arithmetic, mirrored in the oracle."""
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        e = np.stack([(ids * (j + 3)) % 17 - 8
+                      for j in range(CENTROID_DIM)], axis=1)
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "label": pa.array(ids % CENTROID_CLASSES, pa.int64()),
+            "e": pa.array(list(e.astype(np.int64)),
+                          pa.list_(pa.int64())),
+        })
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def centroid_outliers(ds: ray.data.Dataset, *,
+                      theta: int = CENTROID_THETA) -> ray.data.Dataset:
+    """(vec_id, label, dist2_num, flagged) where dist2_num =
+    sum_j (n x_j - S_j)^2 and flagged = dist2_num > theta * n^2."""
+    import ray as _ray
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        e = np.asarray(batch.column("e").to_pylist(), dtype=np.int64)
+        ulab = np.unique(lab)
+        rows_n: list = []
+        rows_s: list = []
+        for lb in ulab:
+            m = lab == lb
+            rows_n.append(int(m.sum()))
+            rows_s.append(e[m].sum(axis=0))
+        return pa.Table.from_pydict({
+            "label": pa.array(ulab, pa.int64()),
+            "n": pa.array(rows_n, pa.int64()),
+            "s": pa.array([r.tolist() for r in rows_s],
+                          pa.list_(pa.int64()))})
+
+    # classes are bounded -> the reduce is aggregate-to-small
+    stats: dict[int, tuple[int, np.ndarray]] = {}
+    for r in ds.map_batches(_partials, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        n0, s0 = stats.get(r["label"], (0, 0))
+        stats[r["label"]] = (n0 + r["n"],
+                             np.asarray(r["s"], np.int64) + s0)
+    stats_ref = _ray.put(stats)
+
+    class _Flag:
+        def __init__(self):
+            self._stats = _ray.get(stats_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lab = batch.column("label").to_numpy(zero_copy_only=False)
+            e = np.asarray(batch.column("e").to_pylist(), dtype=np.int64)
+            n = np.array([self._stats[x][0] for x in lab], np.int64)
+            S = np.stack([self._stats[x][1] for x in lab])
+            diff = n[:, None] * e - S
+            d2 = (diff * diff).sum(axis=1)
+            return pa.Table.from_pydict({
+                "vec_id": batch.column("vec_id"),
+                "label": batch.column("label"),
+                "dist2_num": pa.array(d2, pa.int64()),
+                "flagged": pa.array(
+                    (d2 > theta * n * n).astype(np.int64), pa.int64()),
+            })
+
+    return ds.map_batches(_Flag, concurrency=(1, 8),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+CENTROID_OUTLIERS_SQL = f"""
+WITH long AS (
+  SELECT vec_id, vec_id % {CENTROID_CLASSES} AS label, j,
+         ((vec_id * (j + 3)) % 17 - 8)::BIGINT AS x
+  FROM embeddings, unnest(generate_series(0, {CENTROID_DIM - 1})) AS t(j)),
+s AS (
+  SELECT label, j, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+  FROM long GROUP BY label, j),
+d AS (
+  SELECT l.vec_id, l.label,
+         sum((s.n * l.x - s.sx) * (s.n * l.x - s.sx))::BIGINT
+           AS dist2_num,
+         min(s.n) AS n
+  FROM long l JOIN s ON s.label = l.label AND s.j = l.j
+  GROUP BY 1, 2)
+SELECT vec_id, label, dist2_num,
+       (CASE WHEN dist2_num > {CENTROID_THETA} * n * n
+             THEN 1 ELSE 0 END)::BIGINT AS flagged
+FROM d ORDER BY vec_id
+"""

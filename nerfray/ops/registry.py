@@ -259,6 +259,15 @@ def q_emb_kmeans(sf_dir: str):
     return cluster.kmeans_assignments(_emb(sf_dir), k=4, rounds=2)
 
 
+def q_emb_centroid_outliers(sf_dir: str):
+    # embedding-space curation: per-class centroid via one map-side
+    # moment reduce (classes bounded -> broadcast), division-free
+    # distance flag -> integer-exact SQL oracle on planted embeddings
+    from . import cluster
+    return cluster.centroid_outliers(
+        cluster.planted_labeled_embeddings(_emb(sf_dir)))
+
+
 def q_emb_kmeans_planted(sf_dir: str):
     # one unrolled Lloyd round on the integer-geometry planted corpus:
     # init -> assign -> mean -> assign, bit-exact vs KMEANS_PLANTED_SQL
@@ -469,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_planted": q_sim_ivf_planted,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_planted": q_emb_kmeans_planted,
+        "emb_centroid_outliers": q_emb_centroid_outliers,
         "emb_pca": q_emb_pca,
         "emb_pca_moments_planted": q_emb_pca_moments_planted,
         "emb_quantized": q_emb_quantized,
@@ -814,6 +824,7 @@ def oracles() -> dict[str, str]:
         "sim_ivf_planted": TOPK_PLANTED_SQL,
         # emb_kmeans (real float embeddings): rows-only by design
         "emb_kmeans_planted": _cluster_sql("KMEANS_PLANTED_SQL"),
+        "emb_centroid_outliers": _cluster_sql("CENTROID_OUTLIERS_SQL"),
         # emb_quantized (real float embeddings): rows-only by design
         "emb_quantized_planted": _cluster_sql("QUANTIZE_PLANTED_SQL"),
         # emb_pca (real float embeddings): rows-only by design — the
