@@ -317,6 +317,16 @@ def q_kg_lib_assoc(sf_dir: str):
     return tstage.lib_associations(trips)
 
 
+def q_kg_repo_cards(sf_dir: str):
+    """Per-repo KG summary card (files/libs/syms/apis/licenses as exact
+    distinct counts): narrow (repo, kind, item) exchange with per-block
+    distinct combiner, vectorized distinct sweep per repo-hash bucket."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import triples as tstage
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return tstage.repo_cards(trips)
+
+
 def q_kg_xces(sf_dir: str):
     """XCES annotation stage: per-file count of emitted <group> elements
     (= planted mentions incl. the nested vendor group)."""
@@ -377,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_labelprop_planted": q_kg_labelprop_planted,
         "kg_entity_types": q_kg_entity_types,
         "kg_lib_assoc": q_kg_lib_assoc,
+        "kg_repo_cards": q_kg_repo_cards,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -389,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.stages.triples import adjacency_sql as __adj_sql
     from nerfray.stages.triples import entity_types_sql as __etypes_sql
     from nerfray.stages.triples import lib_associations_sql as __assoc_sql
+    from nerfray.stages.triples import repo_cards_sql as __cards_sql
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
@@ -407,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency": __adj_sql(corpus.gold_triples_sql()),
         "kg_entity_types": __etypes_sql(corpus.gold_triples_sql()),
         "kg_lib_assoc": __assoc_sql(corpus.gold_triples_sql()),
+        "kg_repo_cards": __cards_sql(corpus.gold_triples_sql()),
         "kg_delta": __kg.kg_delta_sql(),
         "kg_license_violations":
             validate.license_violations_sql(corpus.gold_triples_sql()),

@@ -634,3 +634,104 @@ FROM pairs p JOIN supp sa ON sa.lib = p.lib_a
              JOIN supp sb ON sb.lib = p.lib_b
 ORDER BY lib_a, lib_b
 """
+
+
+# ---------------------------------------------------------------------------
+# repo cards (per-repo KG summary)
+# ---------------------------------------------------------------------------
+
+_CARD_SCHEMA = pa.schema([("repo", pa.string()),
+                          ("n_files", pa.int64()),
+                          ("n_libs", pa.int64()),
+                          ("n_syms", pa.int64()),
+                          ("n_apis", pa.int64()),
+                          ("n_licenses", pa.int64())])
+
+_CARD_KINDS = ("file", "lib", "sym", "api", "lic")
+
+
+def repo_cards(trips: ray.data.Dataset) -> ray.data.Dataset:
+    """(repo, n_files, n_libs, n_syms, n_apis, n_licenses): exact
+    distinct counts per repo — the per-entity summary a KG serving
+    layer exports.  One narrow (repo, kind, item) exchange with a
+    per-block distinct combiner; distincts resolved vectorized inside
+    a repo-hash co-group."""
+    import pandas as pd
+
+    def _items(batch: pa.Table) -> pa.Table:
+        subj = batch.column("subj").to_pylist()
+        pred = batch.column("pred").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        rows: set = set()
+        for s, p, o in zip(subj, pred, obj):
+            repo = subject_repo(s)
+            if p == "imports":
+                rows.add((repo, "lib", o))
+            elif p == "defines":
+                rows.add((repo, "sym", o))
+                rows.add((repo, "file", s))
+            elif p == "calls":
+                rows.add((repo, "api", o))
+                rows.add((repo, "file", s))
+            elif p == "licensed-under":
+                rows.add((repo, "lic", o))
+        rs = sorted(rows)
+        repos = np.empty(len(rs), object)
+        repos[:] = [r for r, _, _ in rs]
+        hb = (pd.util.hash_array(repos) % 64).astype(np.int32) \
+            if len(rs) else np.array([], np.int32)
+        return pa.Table.from_pydict({
+            "repo": pa.array(repos, pa.string()),
+            "kind": pa.array([k for _, k, _ in rs], pa.string()),
+            "item": pa.array([i for _, _, i in rs], pa.string()),
+            "hb": pa.array(hb, pa.int32())})
+
+    def _cards(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _CARD_SCHEMA.empty_table()
+        r = np.asarray(group.column("repo").to_pylist(), dtype=object)
+        k = np.asarray(group.column("kind").to_pylist(), dtype=object)
+        it = np.asarray(group.column("item").to_pylist(), dtype=object)
+        order = np.lexsort((it, k, r))
+        r_s, k_s, i_s = r[order], k[order], it[order]
+        distinct = np.r_[True, (r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])
+                         | (i_s[1:] != i_s[:-1])]
+        r_d, k_d = r_s[distinct], k_s[distinct]
+        repo_starts = np.flatnonzero(np.r_[True, r_d[1:] != r_d[:-1]])
+        repo_ends = np.r_[repo_starts[1:], len(r_d)]
+        out: dict = {"repo": r_d[repo_starts]}
+        for kind, col in zip(_CARD_KINDS,
+                             ("n_files", "n_libs", "n_syms",
+                              "n_apis", "n_licenses")):
+            is_k = (k_d == kind).astype(np.int64)
+            out[col] = np.add.reduceat(is_k, repo_starts) \
+                if len(r_d) else np.array([], np.int64)
+            _ = repo_ends  # bounds implicit in reduceat
+        return pa.Table.from_pydict(
+            {c: pa.array(v, _CARD_SCHEMA.field(c).type)
+             for c, v in out.items()}, schema=_CARD_SCHEMA)
+
+    return trips.select_columns(["subj", "pred", "obj"]) \
+        .map_batches(_items, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(_cards, batch_format="pyarrow")
+
+
+def repo_cards_sql(gold_sql: str) -> str:
+    return f"""
+WITH g AS ({gold_sql}),
+t AS (SELECT array_to_string(list_slice(string_split(subj, '/'), 1, 2),
+                             '/') AS repo, subj, pred, obj FROM g)
+SELECT repo,
+  count(DISTINCT CASE WHEN pred IN ('defines', 'calls')
+                      THEN subj END)::BIGINT AS n_files,
+  count(DISTINCT CASE WHEN pred = 'imports' THEN obj END)::BIGINT
+    AS n_libs,
+  count(DISTINCT CASE WHEN pred = 'defines' THEN obj END)::BIGINT
+    AS n_syms,
+  count(DISTINCT CASE WHEN pred = 'calls' THEN obj END)::BIGINT
+    AS n_apis,
+  count(DISTINCT CASE WHEN pred = 'licensed-under' THEN obj END)::BIGINT
+    AS n_licenses
+FROM t GROUP BY repo ORDER BY repo
+"""
