@@ -129,7 +129,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "events_hourly_incremental", "emb_pca", "media_shards",
                  "docs_paragraph_dedup", "kg_labelprop_planted",
                  "kg_entity_types", "join_bloom_prefiltered",
-                 "docs_url_hosts", "docs_blocklist", "events_scd2"):
+                 "docs_url_hosts", "docs_blocklist", "events_scd2",
+                 "events_outliers", "kg_lib_assoc", "kg_repo_cards",
+                 "emb_centroid_outliers"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

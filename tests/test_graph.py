@@ -588,3 +588,29 @@ def test_lib_associations_brute_force_and_cap(ray_session):
     assert len(res) == cap * (cap - 1) // 2
     assert max(max(r["lib_a"], r["lib_b"]) for r in res) == \
         f"lib:{cap - 1:03d}"
+
+
+def test_repo_cards_brute_force(ray_session):
+    """Distinct counts per repo == naive sets; duplicate triples and
+    multi-file repos must not double-count."""
+    import ray.data
+    from nerfray.stages import triples as tstage
+
+    trips = [
+        ("o/r1", "imports", "lib:a"), ("o/r1", "imports", "lib:a"),
+        ("o/r1", "imports", "lib:b"), ("o/r1", "licensed-under", "license:m"),
+        ("o/r1/f1", "defines", "sym:x"), ("o/r1/f1", "calls", "sym:y"),
+        ("o/r1/f2", "defines", "sym:x"),  # same sym, new file
+        ("o/r2", "licensed-under", "license:m"),
+        ("o/r2/f1", "calls", "sym:y"),
+    ]
+    ds = ray.data.from_items(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o in trips]) \
+        .repartition(3)
+    got = {r["repo"]: (r["n_files"], r["n_libs"], r["n_syms"],
+                       r["n_apis"], r["n_licenses"])
+           for r in tstage.repo_cards(ds).take_all()}
+    assert got == {
+        "o/r1": (2, 2, 1, 1, 1),
+        "o/r2": (1, 0, 0, 1, 1),
+    }
