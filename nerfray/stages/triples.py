@@ -385,6 +385,28 @@ def write_by_subject_hash(triples: ray.data.Dataset, out_dir: str, *,
         .write_parquet(out_dir, partition_cols=["pb"])
 
 
+def lookup_subject(out_dir: str, subj: str, *,
+                   n_partitions: int = 64) -> ray.data.Dataset:
+    """Point lookup against a ``write_by_subject_hash`` layout: computes
+    the subject's partition with the SAME hash the writer used and scans
+    ONLY that pb=K directory (1/n_partitions of the data), with the
+    subject equality pushed into the parquet fragment scan.  This is the
+    serve-time payoff of the partitioned materialization — at 100 TB a
+    lookup touches one bucket's files, not the corpus."""
+    import os
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    arr = np.empty(1, object)
+    arr[0] = subj
+    # modulo on the ARRAY, exactly as the writer does: a scalar
+    # np.uint64 % python-int promotes to float64 and corrupts the hash
+    pb = int((pd.util.hash_array(arr) % n_partitions)[0])
+    path = os.path.join(out_dir, f"pb={pb}")
+    return ray.data.read_parquet(path, filter=pc.field("subj") == subj)
+
+
 # ---------------------------------------------------------------------------
 # entity typing (predicate-role majority vote)
 # ---------------------------------------------------------------------------

@@ -107,3 +107,27 @@ def test_kg_job_parquet_checkpoint_resume(ray_session, tmp_path, capsys):
                      .select_columns(["subj", "pred", "obj"]).take_all()}
     assert tri(out1) == tri(out3)
     assert s3["n_triples"] == s1["n_triples"]
+
+
+def test_lookup_subject_prunes_to_one_bucket(ray_session, tmp_path):
+    """Point lookup reads only the subject's pb=K directory and returns
+    exactly the full-scan answer; absent subjects return 0 rows."""
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import triples as tstage
+
+    trips = [(f"org/repo-{i}", "imports", f"lib:l{i % 5}")
+             for i in range(40)]
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "subj": pa.array([t[0] for t in trips]),
+        "pred": pa.array([t[1] for t in trips]),
+        "obj": pa.array([t[2] for t in trips])}))
+    out = os.path.join(str(tmp_path), "hive")
+    tstage.write_by_subject_hash(ds, out, n_partitions=8)
+
+    for subj in ("org/repo-3", "org/repo-17"):
+        got = tstage.lookup_subject(out, subj, n_partitions=8).take_all()
+        assert {(r["subj"], r["pred"], r["obj"]) for r in got} == \
+            {t for t in trips if t[0] == subj}
+    assert tstage.lookup_subject(out, "org/none",
+                                 n_partitions=8).count() == 0
