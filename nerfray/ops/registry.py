@@ -332,6 +332,13 @@ def q_docs_decontam(sf_dir: str):
     return text.decontaminate(_docs(sf_dir))
 
 
+def q_docs_classifier(sf_dir: str):
+    # fastText-style linear bag-of-words model scoring: bounded vocab
+    # fit -> ray.put weight broadcast -> map-only actor-pool inference
+    from . import text
+    return text.classifier_scores(_docs(sf_dir))
+
+
 def q_docs_normalized(sf_dir: str):
     # cleaning stage: byte-exact normalized-text fingerprints
     from . import text
@@ -493,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_df": q_docs_word_df,
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
+        "docs_classifier": q_docs_classifier,
         "docs_crossdup": q_docs_crossdup,
         "docs_normalized": q_docs_normalized,
         "docs_url_hosts": q_docs_url_hosts,
@@ -844,6 +852,7 @@ def oracles() -> dict[str, str]:
         "docs_word_df": _word_df_sql(),
         "docs_repetition": _text_sql("REPETITION_SQL"),
         "docs_decontam": _text_sql("DECONTAM_SQL"),
+        "docs_classifier": _text_sql("CLASSIFIER_SQL"),
         "docs_crossdup": _text_sql("CROSSDUP_SQL"),
         "docs_normalized": _text_sql("NORMALIZE_SQL"),
         "docs_url_hosts": _text_sql("HOST_STATS_SQL"),

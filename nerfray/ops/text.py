@@ -1406,3 +1406,103 @@ WHERE NOT list_has_any(hosts, [{", ".join(
     "'" + h + "'" for h in PLANTED_BLOCKED_HOSTS)}])
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Linear bag-of-words quality classifier (fastText-style model scoring)
+# ---------------------------------------------------------------------------
+#
+# The model-scoring curation step every large pretraining pipeline runs
+# (a linear text classifier over bag-of-words features, as popularized
+# by fastText and used for CCNet/GPT-3-style quality filtering): fit a
+# bounded vocabulary on the corpus, broadcast the (word -> weight) model
+# ONCE via ray.put, then score every document in a map-only actor-pool
+# pass — the text never shuffles and the model loads once per actor.
+#
+# The sandbox has no trained model, so weights are derived
+# deterministically from sha256(word) (integer in [-8, 8]); the POINT is
+# the scale shape — bounded fit, broadcast, vectorized batched inference
+# — and the weights being sha-derived makes the whole thing exactly
+# DuckDB-mirrorable (CLASSIFIER_SQL), so scoring is hash-exact instead
+# of trust-me floats.  Swapping in real learned weights changes only the
+# dict contents.
+#
+# Scale shape: the vocab fit reuses the top_words combiner machinery
+# (block partials -> vocab-grain groupby -> bounded top-k merge; never a
+# global vocabulary sort), the driver holds exactly V rows, and scoring
+# is one zero-copy Arrow pass with a factorize + gather + segmented-sum
+# kernel per batch (no per-token Python in the hot loop beyond the
+# unique-word weight lookup, which is bounded by distinct words per
+# batch).
+
+CLASSIFIER_V = 256  # vocabulary size (driver + broadcast payload is O(V))
+_CLASSIFIER_MOD = 17
+
+
+def _sha_weight(word: str) -> int:
+    """Deterministic integer weight in [-8, 8] from sha256(word) — the
+    exact expression DuckDB mirrors in CLASSIFIER_SQL."""
+    import hashlib as _hl
+    return int(_hl.sha256(word.encode()).hexdigest()[:8], 16) \
+        % _CLASSIFIER_MOD - 8
+
+
+def classifier_scores(docs: ray.data.Dataset,
+                      *, v: int = CLASSIFIER_V) -> ray.data.Dataset:
+    """(doc_id, score, keep): linear bag-of-words score per document
+    under the sha-derived model over the top-``v``-DF vocabulary; every
+    token occurrence contributes its word's weight (out-of-vocabulary
+    words score 0), keep = score >= 0."""
+    import ray as _ray
+
+    vocab_rows = top_words(docs, k=v).take_all()  # bounded: v rows
+    weights_ref = _ray.put({r["word"]: _sha_weight(r["word"])
+                            for r in vocab_rows})
+
+    class _Scorer:
+        def __init__(self):
+            self._w = _ray.get(weights_ref)  # resolved once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = [t.split(" ")
+                    for t in batch.column("text").to_pylist()]
+            # split(" ") yields >= 1 token even for "" -> reduceat-safe
+            counts = np.array([len(ts) for ts in toks], dtype=np.int64)
+            if counts.sum():
+                flat = np.asarray([w for ts in toks for w in ts],
+                                  dtype=object)
+                uniq, inv = np.unique(flat, return_inverse=True)
+                w = self._w
+                uw = np.fromiter((w.get(u, 0) for u in uniq.tolist()),
+                                 dtype=np.int64, count=len(uniq))
+                starts = np.r_[0, np.cumsum(counts)[:-1]]
+                scores = np.add.reduceat(uw[inv], starts)
+            else:
+                scores = np.zeros(0, dtype=np.int64)
+            return pa.Table.from_pydict({
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(scores, pa.int64()),
+                "keep": pa.array((scores >= 0).astype(np.int64),
+                                 pa.int64()),
+            })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _Scorer, concurrency=(1, 8), batch_size=256,
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+CLASSIFIER_SQL = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+vocab AS (
+  SELECT word,
+         (('0x' || substr(sha256(word), 1, 8))::UBIGINT
+            % {_CLASSIFIER_MOD})::BIGINT - 8 AS wt
+  FROM df ORDER BY df DESC, word LIMIT {CLASSIFIER_V}),
+s AS (SELECT w.doc_id, sum(v.wt)::BIGINT AS sc
+      FROM w JOIN vocab v USING (word) GROUP BY w.doc_id)
+SELECT d.doc_id, coalesce(s.sc, 0)::BIGINT AS score,
+       CASE WHEN coalesce(s.sc, 0) >= 0 THEN 1 ELSE 0 END::BIGINT AS keep
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+"""

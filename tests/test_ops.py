@@ -1545,3 +1545,40 @@ def test_value_outliers_brute_force(ray_session):
             if (x - mu) ** 2 > ev.OUTLIER_Z ** 2 * var:
                 want.append(i)
     assert got == sorted(want) and len(got) == 1 and got[0] == 40
+
+
+# -- linear bag-of-words classifier scoring -----------------------------------
+
+
+def test_classifier_matches_duckdb_mirror(ray_session):
+    """Bounded-vocab fit + broadcast weights + batched scoring == the
+    CLASSIFIER_SQL mirror, including empty / OOV-only / repeated-token
+    docs and a vocab cutoff tie."""
+    import duckdb
+    import ray.data
+    texts = ["a b c a b a", "a b zz yy", "", "qq ww ee rr",
+             "b b b b b b b", "a zz zz zz"]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(3)
+    got = sorted((r["doc_id"], r["score"], r["keep"])
+                 for r in tx.classifier_scores(docs, v=3).take_all())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+            ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts)) +
+            ") AS v(doc_id, text)")
+    sql = tx.CLASSIFIER_SQL.replace(f"LIMIT {tx.CLASSIFIER_V}", "LIMIT 3")
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    assert len(got) == len(texts)  # every doc scored, incl. empty text
+
+
+def test_classifier_brute_force_weights(ray_session):
+    """Scores equal a per-token Python sum under the sha-derived model."""
+    import ray.data
+    texts = ["dog cat dog", "cat bird", "bird"]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    rows = {r["doc_id"]: r["score"]
+            for r in tx.classifier_scores(docs, v=2).take_all()}
+    # vocab = top-2 DF with word-asc tie-break: bird(2) cat(2) dog(1)
+    w = {u: tx._sha_weight(u) for u in ("bird", "cat")}
+    for i, t in enumerate(texts):
+        assert rows[i] == sum(w.get(tok, 0) for tok in t.split(" "))
