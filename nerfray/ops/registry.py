@@ -339,6 +339,13 @@ def q_docs_classifier(sf_dir: str):
     return text.classifier_scores(_docs(sf_dir))
 
 
+def q_events_zonemap(sf_dir: str):
+    # file-skipping range scan: time-range layout + footer-only zone
+    # map + pruned rollup (pruning asserted inside, semantics-invisible)
+    from . import zonemap
+    return zonemap.zonemap_scan_query(sf_dir)
+
+
 def q_docs_normalized(sf_dir: str):
     # cleaning stage: byte-exact normalized-text fingerprints
     from . import text
@@ -501,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
         "docs_classifier": q_docs_classifier,
+        "events_zonemap_scan": q_events_zonemap,
         "docs_crossdup": q_docs_crossdup,
         "docs_normalized": q_docs_normalized,
         "docs_url_hosts": q_docs_url_hosts,
@@ -768,6 +776,11 @@ def _text_sql(name: str) -> str:
     return getattr(text, name)
 
 
+def _zonemap_sql() -> str:
+    from . import zonemap
+    return zonemap.ZONEMAP_SQL
+
+
 def _cluster_sql(name: str) -> str:
     from . import cluster
     return getattr(cluster, name)
@@ -853,6 +866,7 @@ def oracles() -> dict[str, str]:
         "docs_repetition": _text_sql("REPETITION_SQL"),
         "docs_decontam": _text_sql("DECONTAM_SQL"),
         "docs_classifier": _text_sql("CLASSIFIER_SQL"),
+        "events_zonemap_scan": _zonemap_sql(),
         "docs_crossdup": _text_sql("CROSSDUP_SQL"),
         "docs_normalized": _text_sql("NORMALIZE_SQL"),
         "docs_url_hosts": _text_sql("HOST_STATS_SQL"),

@@ -1,0 +1,71 @@
+"""Zone-map pruned scan: footer-only statistics, file skipping, and
+oracle equality on a synthetic events table."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nerfray.ops import zonemap as zm
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """200 events across 200 hours, values in cents-exact doubles."""
+    n = 200
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + (np.arange(n) * 3600_000_000).astype("timedelta64[us]")
+    t = pa.Table.from_pydict({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(np.arange(n) % 7, pa.int64()),
+        "event_type": pa.array([f"t{i % 3}" for i in range(n)],
+                               pa.string()),
+        "value": pa.array((np.arange(n) * 13 % 997) / 100.0,
+                          pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    return str(tmp_path)
+
+
+def test_zonemap_scan_matches_oracle_and_prunes(ray_session, events_dir):
+    got = sorted((r["event_type"], r["n_events"], r["sum_cents"])
+                 for r in zm.zonemap_scan_query(events_dir).take_all())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{events_dir}/events.parquet')")
+    want = sorted(map(tuple, con.sql(zm.ZONEMAP_SQL).fetchall()))
+    assert got == want and len(got) == 3
+
+
+def test_zone_map_from_footers_and_skipping(ray_session, events_dir):
+    """The zone map covers every row, ranges are disjoint-ascending,
+    and a narrow probe reads strictly fewer files than exist."""
+    import tempfile
+    import shutil
+    ds = zm._events_ts_us(events_dir)
+    out = tempfile.mkdtemp(prefix="nerfray_zm_test_")
+    try:
+        zm.export_time_layout(ds, out)
+        zmap = zm.build_zone_map(out)
+        assert zmap.column("n_rows").to_pandas().sum() == 200
+        lo = zmap.column("zmin").to_numpy()
+        hi = zmap.column("zmax").to_numpy()
+        assert (lo <= hi).all()
+        # narrow probe inside one file's range -> most files skipped
+        res, stats = zm.pruned_range_rollup(zmap, int(lo[0]), int(hi[0]))
+        assert stats["files_read"] < stats["files_total"]
+        n = sum(r["n_events"] for r in res.take_all())
+        # brute force: rows with ts_us in [lo[0], hi[0]]
+        rows = ds.take_all()
+        want = sum(1 for r in rows if lo[0] <= r["ts_us"] <= hi[0])
+        assert n == want > 0
+        # empty probe: range below the table -> zero files read
+        res0, st0 = zm.pruned_range_rollup(zmap, 0, 1)
+        assert st0["files_read"] == 0 and res0.count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
