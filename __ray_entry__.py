@@ -148,6 +148,27 @@ def q_kg_triples_checkpointed(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_kg_triples_compacted(sf_dir: str):
+    """Checkpointed run + small-file compaction + read back through the
+    compacted layout. Compaction is storage maintenance — the triple
+    set must be byte-identical (same oracle as the uncompacted store)."""
+    import shutil
+    import tempfile
+    from nerfray.state import manifest
+    out = tempfile.mkdtemp(prefix="nerfray_compact_")
+    try:
+        manifest.run_checkpointed(_n(sf_dir), out, n_shards=4,
+                                  tagger="crf")
+        res = manifest.compact_store(out, target_rows=10_000_000)
+        assert res["status"] == "compacted" \
+            and res["n_bins"] < res["n_source_files"], res
+        assert manifest.compact_store(  # idempotence: second call no-op
+            out, target_rows=10_000_000)["status"] == "cached"
+        return manifest.read_triples_compacted(out).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_kg_triples_prov(sf_dir: str):
     """F5-schema output: triples carrying (repo, path, content_sha,
     src span) provenance. Fully oracled: the DuckDB mirror rebuilds the
@@ -373,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q_kg_degrees,
         "kg_neighbor_degree": q_kg_neighbor_degree,
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
+        "kg_triples_compacted": q_kg_triples_compacted,
         "kg_xces": q_kg_xces,
         "kg_triples_prov": q_kg_triples_prov,
         "kg_components": q_kg_components,
@@ -413,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_rule": corpus.gold_triples_sql(),
         "kg_triples_checked": corpus.gold_triples_sql(),
         "kg_triples_checkpointed": corpus.gold_triples_sql(),
+        "kg_triples_compacted": corpus.gold_triples_sql(),
         "kg_nodes": corpus.nodes_sql(),
         "kg_constraints":
             validate.constraints_sql(corpus.gold_triples_sql()),

@@ -322,3 +322,151 @@ def run_checkpointed_parquet(input_path: str, out_dir: str, *,
         summary["shards"][k] = "ran"
     summary["n_shards"] = len(summary["shards"])
     return summary
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction (storage maintenance over the triple store)
+# ---------------------------------------------------------------------------
+#
+# A 100-TB store accumulating shard-grain parquet grows a long tail of
+# small files (every resume, every incremental shard); scan cost and
+# scheduler pressure are per-FILE, so periodic compaction — bin-packing
+# small files into ~target_rows outputs — is routine maintenance.  The
+# compactor follows the same commit discipline as shards: each bin lands
+# via temp + rename, the compaction manifest (fingerprinting the exact
+# source files it covered) is the commit point, and a store whose shards
+# changed since (resume, re-run, different config) invalidates the
+# compaction automatically — readers fall back to the shard files, so a
+# stale or crashed compaction can never change query results.  Bins
+# compact in PARALLEL (one bounded Ray task per bin; a bin holds
+# <= target_rows rows by construction, so per-task memory is capped).
+
+COMPACT_DIR = "_compacted"
+
+
+def _store_files(out_dir: str) -> list[str]:
+    """Data files of the current run config's committed shards, in
+    deterministic order."""
+    return [os.path.join(out_dir, f"shard={m['shard_id']}", f)
+            for m in _valid_shard_manifests(out_dir)
+            for f in sorted(os.listdir(
+                os.path.join(out_dir, f"shard={m['shard_id']}")))
+            if f.endswith(".parquet")]
+
+
+def _store_fp(files: list[str], target_rows: int) -> str:
+    """Fingerprint of the exact bytes a compaction covers."""
+    key = json.dumps({
+        "files": [[os.path.abspath(p), os.stat(p).st_size]
+                  for p in files],
+        "target_rows": target_rows,
+    }, sort_keys=True)
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _compaction_manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, COMPACT_DIR, "manifest.json")
+
+
+def load_compaction(out_dir: str) -> dict | None:
+    path = _compaction_manifest_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def compact_plan(files: list[str], *, target_rows: int
+                 ) -> list[list[str]]:
+    """Greedy consecutive bin-packing of data files into bins of about
+    ``target_rows`` rows (row counts from footers only). A file larger
+    than target_rows forms its own bin — compaction merges, never
+    splits."""
+    import pyarrow.parquet as pq
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_rows = 0
+    for p in files:
+        rows = pq.read_metadata(p).num_rows
+        if cur and cur_rows + rows > target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(p)
+        cur_rows += rows
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+def compact_store(out_dir: str, *, target_rows: int = 1_000_000) -> dict:
+    """Compact the store's committed shard files into ~target_rows
+    bins under ``_compacted/``. Idempotent: a committed compaction
+    whose fingerprint still matches the live shard files is a no-op
+    ('cached'); any shard change re-compacts from scratch."""
+    files = _store_files(out_dir)
+    fp = _store_fp(files, target_rows)
+    existing = load_compaction(out_dir)
+    if existing is not None and existing.get("complete") \
+            and existing.get("store_fp") == fp:
+        return {"status": "cached", "n_bins": existing["n_bins"],
+                "n_source_files": len(files)}
+
+    cdir = os.path.join(out_dir, COMPACT_DIR)
+    if os.path.exists(cdir):
+        shutil.rmtree(cdir)  # stale or crashed previous compaction
+    os.makedirs(cdir)
+    bins = compact_plan(files, target_rows=target_rows)
+
+    @ray.remote
+    def _compact_bin(paths: list[str], dest: str) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        t = pa.concat_tables([pq.read_table(p) for p in paths])
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest),
+                                   suffix=".tmp")
+        os.close(fd)
+        pq.write_table(t, tmp)
+        os.replace(tmp, dest)  # per-bin commit
+        return t.num_rows
+
+    refs = []
+    for k, bin_paths in enumerate(bins):
+        os.makedirs(os.path.join(cdir, f"bin={k}"), exist_ok=True)
+        dest = os.path.join(cdir, f"bin={k}", "part.parquet")
+        refs.append(_compact_bin.remote(bin_paths, dest))
+    rows_per_bin = ray.get(refs)
+
+    payload = {
+        "complete": True,
+        "store_fp": fp,
+        "target_rows": target_rows,
+        "n_bins": len(bins),
+        "n_source_files": len(files),
+        "rows_per_bin": rows_per_bin,
+        "bins": [[os.path.abspath(p) for p in b] for b in bins],
+    }
+    fd, tmp = tempfile.mkstemp(dir=cdir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, _compaction_manifest_path(out_dir))  # commit point
+    return {"status": "compacted", "n_bins": len(bins),
+            "n_source_files": len(files)}
+
+
+def read_triples_compacted(out_dir: str) -> ray.data.Dataset:
+    """read_triples, preferring the compacted layout when its committed
+    manifest still matches the live shard files; otherwise (no
+    compaction, stale compaction, crashed compaction) falls back to the
+    shard files — results are identical either way."""
+    m = load_compaction(out_dir)
+    files = _store_files(out_dir)
+    if m is None or not m.get("complete") \
+            or m.get("store_fp") != _store_fp(files,
+                                              m.get("target_rows", -1)):
+        return read_triples(out_dir)
+    paths = [os.path.join(out_dir, COMPACT_DIR, f"bin={k}",
+                          "part.parquet")
+             for k in range(m["n_bins"])]
+    from ..sources.parquet import read_parquet_clean
+    from ..stages import triples as tr
+    return tr.dedup_triples(read_parquet_clean(paths))

@@ -82,3 +82,58 @@ def test_reconfigured_out_dir_sweeps_stale_shards(ray_session, tmp_path):
     _os.makedirs(_os.path.join(out, "shard=9"), exist_ok=True)
     assert _triples(ray_session, out) == corpus.gold_triples_all(n2)
     assert manifest.counters(out)["n_shards"] == 2
+
+
+def test_compaction_preserves_triples_and_is_idempotent(ray_session,
+                                                        tmp_path):
+    out = str(tmp_path / "store")
+    manifest.run_checkpointed(N, out, n_shards=3, tagger="rule")
+    before = sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in manifest.read_triples(out).take_all())
+    n_files_before = len(manifest._store_files(out))
+
+    r1 = manifest.compact_store(out, target_rows=10_000_000)
+    assert r1["status"] == "compacted"
+    assert r1["n_bins"] < n_files_before  # small files actually merged
+    after = sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in manifest.read_triples_compacted(out).take_all())
+    assert after == before  # compaction is semantics-invisible
+
+    r2 = manifest.compact_store(out, target_rows=10_000_000)
+    assert r2["status"] == "cached"  # committed compaction is a no-op
+
+
+def test_stale_compaction_falls_back_to_shards(ray_session, tmp_path):
+    """A shard change after compaction invalidates it: readers use the
+    live shard files; re-compacting re-covers the new store."""
+    out = str(tmp_path / "store")
+    manifest.run_checkpointed(N, out, n_shards=2, tagger="rule")
+    manifest.compact_store(out, target_rows=10_000_000)
+
+    # invalidate shard 0 and re-run it (simulates resume after change)
+    os.remove(os.path.join(out, manifest.MANIFEST_DIR, "shard-0.json"))
+    manifest.run_checkpointed(N, out, n_shards=2, tagger="rule")
+
+    live = sorted((r["subj"], r["pred"], r["obj"])
+                  for r in manifest.read_triples(out).take_all())
+    via_compacted = sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in manifest.read_triples_compacted(out).take_all())
+    assert via_compacted == live  # stale compaction ignored
+
+    r = manifest.compact_store(out, target_rows=10_000_000)
+    assert r["status"] == "compacted"  # fingerprint change recompacts
+
+
+def test_compact_plan_bins_consecutive_and_bounded(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    paths = []
+    for i, rows in enumerate([10, 10, 10, 50, 10]):
+        p = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(pa.table({"x": list(range(rows))}), p)
+        paths.append(p)
+    bins = manifest.compact_plan(paths, target_rows=25)
+    assert bins == [paths[0:2], [paths[2]], [paths[3]], [paths[4]]]
