@@ -169,6 +169,45 @@ def q_kg_triples_compacted(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_kg_lookup_object(sf_dir: str):
+    """Reverse lookup through the object-side secondary index: write
+    the subject-hash store, index distinct (obj, pb) pairs, then answer
+    "who references object O?" reading one index bucket + only the data
+    partitions it names. Target O = min obj among 'imports' triples
+    (deterministic, mirrored in SQL); result = the full triple set for
+    O, so the oracle is the plain filtered gold set and the index is
+    semantics-invisible."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    from nerfray.pipelines import kg
+    from nerfray.stages import triples as tstage
+
+    trips = kg.run_for(sf_dir, tagger="crf")
+
+    def _minobj(batch: pa.Table) -> pa.Table:
+        objs = batch.column("obj").to_pylist()
+        m = [min(objs)] if objs else []
+        return pa.Table.from_pydict({"obj": pa.array(m, pa.string())})
+
+    partials = trips.filter(expr="pred == 'imports'") \
+        .select_columns(["obj"]) \
+        .map_batches(_minobj, batch_format="pyarrow").take_all()
+    target = min(r["obj"] for r in partials)
+
+    root = tempfile.mkdtemp(prefix="nerfray_objidx_")
+    try:
+        store = f"{root}/store"
+        idx = f"{root}/idx"
+        tstage.write_by_subject_hash(trips, store)
+        tstage.write_object_index(store, idx)
+        res, stats = tstage.lookup_object(store, idx, target)
+        assert stats["partitions_read"] <= stats["partitions_total"]
+        return res.materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_kg_triples_prov(sf_dir: str):
     """F5-schema output: triples carrying (repo, path, content_sha,
     src span) provenance. Fully oracled: the DuckDB mirror rebuilds the
@@ -395,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_degree": q_kg_neighbor_degree,
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_triples_compacted": q_kg_triples_compacted,
+        "kg_lookup_object": q_kg_lookup_object,
         "kg_xces": q_kg_xces,
         "kg_triples_prov": q_kg_triples_prov,
         "kg_components": q_kg_components,
@@ -436,6 +476,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_checked": corpus.gold_triples_sql(),
         "kg_triples_checkpointed": corpus.gold_triples_sql(),
         "kg_triples_compacted": corpus.gold_triples_sql(),
+        "kg_lookup_object": f"""
+WITH gold AS ({corpus.gold_triples_sql()}),
+t AS (SELECT min(obj) AS o FROM gold WHERE pred = 'imports')
+SELECT subj, pred, obj FROM gold, t WHERE obj = t.o
+ORDER BY subj, pred, obj
+""",
         "kg_nodes": corpus.nodes_sql(),
         "kg_constraints":
             validate.constraints_sql(corpus.gold_triples_sql()),

@@ -757,3 +757,88 @@ SELECT repo,
     AS n_licenses
 FROM t GROUP BY repo ORDER BY repo
 """
+
+
+# ---------------------------------------------------------------------------
+# object-side secondary index + pruned reverse lookup
+# ---------------------------------------------------------------------------
+#
+# The subject-hash layout answers "everything about subject S" in one
+# bucket, but the reverse question ("which repos import library L?",
+# "who uses license X?") would scan the whole store.  The classic fix is
+# a SECONDARY INDEX: a small obj-hash-partitioned table of distinct
+# (obj, pb) pairs mapping each object to the subject-partitions that
+# contain it.  A reverse lookup then reads one index bucket (to learn
+# which pb=K directories matter) and only those data partitions, with
+# the obj equality pushed into both fragment scans.  The index holds
+# distinct PAIRS, not triples — at 100 TB it is orders of magnitude
+# smaller than a full reverse copy of the data, the usual
+# index-vs-materialized-view trade.
+
+def write_object_index(store_dir: str, idx_dir: str, *,
+                       n_idx_partitions: int = 64) -> None:
+    """Build the (obj, pb) secondary index from a write_by_subject_hash
+    layout.  Per-block distinct keeps the exchange at pair grain;
+    duplicate pairs across blocks are harmless (lookups dedup the
+    partition list), so no global distinct pass is needed."""
+    import pandas as pd
+
+    store = ray.data.read_parquet(store_dir, columns=["obj", "pb"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        objs = np.asarray(batch.column("obj").to_pylist(), dtype=object)
+        pbs = np.asarray(
+            [int(v) for v in batch.column("pb").to_pylist()], np.int32)
+        seen = set(zip(objs.tolist(), pbs.tolist()))
+        o = np.empty(len(seen), object)
+        o[:] = [p[0] for p in seen]
+        k = np.asarray([p[1] for p in seen], np.int32)
+        ob = (pd.util.hash_array(o) % n_idx_partitions).astype(np.int32) \
+            if len(o) else np.array([], np.int32)
+        return pa.Table.from_pydict({
+            "obj": pa.array(o, pa.string()),
+            "pb": pa.array(k, pa.int32()),
+            "ob": pa.array(ob, pa.int32()),
+        })
+
+    store.map_batches(_pairs, batch_format="pyarrow",
+                      zero_copy_batch=True) \
+        .write_parquet(idx_dir, partition_cols=["ob"])
+
+
+def lookup_object(store_dir: str, idx_dir: str, obj: str, *,
+                  n_partitions: int = 64,
+                  n_idx_partitions: int = 64
+                  ) -> tuple[ray.data.Dataset, dict]:
+    """Reverse point lookup: one index bucket -> the object's
+    subject-partition list (bounded by n_partitions) -> only those
+    pb=K directories, obj equality pushed down everywhere.  Returns
+    (triples, stats) where stats pins how many data partitions were
+    actually opened."""
+    import os
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    arr = np.empty(1, object)
+    arr[0] = obj
+    # modulo on the ARRAY (scalar uint64 % int promotes to float64)
+    ob = int((pd.util.hash_array(arr) % n_idx_partitions)[0])
+    idx_path = os.path.join(idx_dir, f"ob={ob}")
+    pbs = sorted({int(r["pb"]) for r in ray.data.read_parquet(
+        idx_path, filter=pc.field("obj") == obj).take_all()})
+    stats = {"partitions_read": len(pbs),
+             "partitions_total": n_partitions}
+    if not pbs:
+        empty = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                           ("obj", pa.string())])
+        return ray.data.from_arrow(empty.empty_table()), stats
+    paths = [os.path.join(store_dir, f"pb={k}", f)
+             for k in pbs
+             for f in sorted(os.listdir(
+                 os.path.join(store_dir, f"pb={k}")))
+             if f.endswith(".parquet")]
+    res = ray.data.read_parquet(
+        paths, columns=["subj", "pred", "obj"],
+        filter=pc.field("obj") == obj)
+    return res, stats

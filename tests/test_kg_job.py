@@ -131,3 +131,41 @@ def test_lookup_subject_prunes_to_one_bucket(ray_session, tmp_path):
             {t for t in trips if t[0] == subj}
     assert tstage.lookup_subject(out, "org/none",
                                  n_partitions=8).count() == 0
+
+
+def test_lookup_object_via_secondary_index(ray_session, tmp_path):
+    """Reverse lookup returns exactly the full-scan answer while
+    opening only the partitions the index names; a rare object prunes
+    to one partition, an absent object reads zero data partitions."""
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import triples as tstage
+
+    trips = [(f"org/repo-{i}", "imports", f"lib:l{i % 5}")
+             for i in range(40)]
+    trips.append(("org/repo-0", "licensed-under", "license:rare"))
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "subj": pa.array([t[0] for t in trips]),
+        "pred": pa.array([t[1] for t in trips]),
+        "obj": pa.array([t[2] for t in trips])}))
+    store = os.path.join(str(tmp_path), "store")
+    idx = os.path.join(str(tmp_path), "idx")
+    tstage.write_by_subject_hash(ds, store, n_partitions=8)
+    tstage.write_object_index(store, idx, n_idx_partitions=4)
+
+    for obj in ("lib:l2", "license:rare"):
+        got, stats = tstage.lookup_object(store, idx, obj,
+                                          n_partitions=8,
+                                          n_idx_partitions=4)
+        want = {t for t in trips if t[2] == obj}
+        assert {(r["subj"], r["pred"], r["obj"])
+                for r in got.take_all()} == want
+        assert 0 < stats["partitions_read"] <= 8
+    # the rare object lives under exactly one subject -> one partition
+    _, st = tstage.lookup_object(store, idx, "license:rare",
+                                 n_partitions=8, n_idx_partitions=4)
+    assert st["partitions_read"] == 1
+    # absent object: index bucket empty -> zero data partitions opened
+    res, st0 = tstage.lookup_object(store, idx, "lib:none",
+                                    n_partitions=8, n_idx_partitions=4)
+    assert st0["partitions_read"] == 0 and res.count() == 0
