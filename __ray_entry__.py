@@ -208,6 +208,58 @@ def q_kg_lookup_object(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_kg_schema_evolution(sf_dir: str):
+    """Additive schema evolution: generation-1 triple files predate the
+    'conf' column, generation-2 files carry it; one evolved read
+    streams both under the current schema with the registered default
+    (50) filling the old files. The generation split is deterministic
+    row arithmetic ((len(subj)+len(obj)) % 2) so the oracle mirrors it
+    verbatim — no backfill ever touches the v1 files."""
+    import os
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from nerfray.pipelines import kg
+    from nerfray.sources.parquet import read_parquet_evolved
+
+    trips = kg.run_for(sf_dir, tagger="crf")
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        g = pc.binary_length(pc.binary_join_element_wise(
+            batch.column("subj"), batch.column("obj"), ""))
+        return batch.append_column(
+            "gen", pc.cast(pc.bit_wise_and(g, 1), pa.int8()))
+
+    tagged = trips.map_batches(_gen, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    root = tempfile.mkdtemp(prefix="nerfray_evolve_")
+    try:
+        tagged.filter(expr="gen == 0").drop_columns(["gen"]) \
+            .write_parquet(os.path.join(root, "v1"))  # old schema
+
+        def _with_conf(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "conf", pa.array([100] * batch.num_rows, pa.int64()))
+
+        tagged.filter(expr="gen == 1").drop_columns(["gen"]) \
+            .map_batches(_with_conf, batch_format="pyarrow") \
+            .write_parquet(os.path.join(root, "v2"))  # evolved schema
+
+        paths = sorted(os.path.join(r, f)
+                       for r, _d, fs in os.walk(root) for f in fs
+                       if f.endswith(".parquet"))
+        target = pa.schema([("subj", pa.string()),
+                            ("pred", pa.string()),
+                            ("obj", pa.string()),
+                            ("conf", pa.int64())])
+        return read_parquet_evolved(
+            paths, target_schema=target,
+            defaults={"conf": 50}).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_kg_triples_prov(sf_dir: str):
     """F5-schema output: triples carrying (repo, path, content_sha,
     src span) provenance. Fully oracled: the DuckDB mirror rebuilds the
@@ -435,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_triples_compacted": q_kg_triples_compacted,
         "kg_lookup_object": q_kg_lookup_object,
+        "kg_schema_evolution": q_kg_schema_evolution,
         "kg_xces": q_kg_xces,
         "kg_triples_prov": q_kg_triples_prov,
         "kg_components": q_kg_components,
@@ -481,6 +534,13 @@ WITH gold AS ({corpus.gold_triples_sql()}),
 t AS (SELECT min(obj) AS o FROM gold WHERE pred = 'imports')
 SELECT subj, pred, obj FROM gold, t WHERE obj = t.o
 ORDER BY subj, pred, obj
+""",
+        "kg_schema_evolution": f"""
+WITH gold AS ({corpus.gold_triples_sql()})
+SELECT subj, pred, obj,
+       CASE WHEN (length(subj) + length(obj)) % 2 = 0
+            THEN 50 ELSE 100 END::BIGINT AS conf
+FROM gold ORDER BY subj, pred, obj
 """,
         "kg_nodes": corpus.nodes_sql(),
         "kg_constraints":

@@ -53,3 +53,45 @@ def read_small_table(path, columns=None) -> pa.Table:
     import pyarrow.parquet as pq
     return pq.read_table(path, columns=columns) \
         .replace_schema_metadata(None)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: read files from different schema generations as one
+# ---------------------------------------------------------------------------
+#
+# A long-lived 100-TB store is never rewritten when a column is added:
+# old files simply lack it.  The reader owns evolution — it scans with
+# the CURRENT schema (the parquet fragment scan null-fills columns a
+# file predates) and applies each added column's registered default, so
+# v1 and v2 files stream through one scan as a single well-typed
+# Dataset and no backfill job ever touches the old data.  Rename/type
+# changes would need a per-generation cast map; additive evolution (the
+# overwhelmingly common case) is exactly this.
+
+def read_parquet_evolved(paths, *, target_schema: pa.Schema,
+                         defaults: dict, **kwargs) -> ray.data.Dataset:
+    """Read ``paths`` (mixed schema generations) under
+    ``target_schema``; columns absent in older files are null-filled by
+    the scan and then set to ``defaults[name]``.  Defaulted columns
+    have NOT NULL DEFAULT semantics (every null fills — the scan's
+    null-fill for pre-evolution files is indistinguishable from a
+    written null once Ray re-batches across files, so the contract is
+    that evolved columns are written non-null from the evolution point
+    on, exactly as SQL column defaults behave)."""
+    import pyarrow.compute as pc
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        for name, val in defaults.items():
+            idx = batch.schema.get_field_index(name)
+            col = batch.column(idx)
+            if col.null_count:
+                batch = batch.set_column(
+                    idx, name,
+                    pc.fill_null(col, pa.scalar(
+                        val, batch.schema.field(idx).type)))
+        return batch
+
+    return ray.data.read_parquet(paths, schema=target_schema, **kwargs) \
+        .map_batches(_strip_schema_metadata, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .map_batches(_fill, batch_format="pyarrow", zero_copy_batch=True)

@@ -169,3 +169,25 @@ def test_lookup_object_via_secondary_index(ray_session, tmp_path):
     res, st0 = tstage.lookup_object(store, idx, "lib:none",
                                     n_partitions=8, n_idx_partitions=4)
     assert st0["partitions_read"] == 0 and res.count() == 0
+
+
+def test_read_parquet_evolved_defaults(ray_session, tmp_path):
+    """Old files take the registered default (NOT NULL DEFAULT
+    semantics: every null of a defaulted column fills, matching SQL
+    column defaults); non-null values pass through untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nerfray.sources.parquet import read_parquet_evolved
+
+    v1 = os.path.join(str(tmp_path), "v1.parquet")
+    v2 = os.path.join(str(tmp_path), "v2.parquet")
+    pq.write_table(pa.table({"k": ["a", "b"]}), v1)
+    pq.write_table(pa.table({"k": ["c", "d"],
+                             "conf": pa.array([7, None], pa.int64())}),
+                   v2)
+    target = pa.schema([("k", pa.string()), ("conf", pa.int64())])
+    rows = {r["k"]: r["conf"]
+            for r in read_parquet_evolved(
+                [v1, v2], target_schema=target,
+                defaults={"conf": 50}).take_all()}
+    assert rows == {"a": 50, "b": 50, "c": 7, "d": 50}
