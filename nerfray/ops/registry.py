@@ -339,6 +339,13 @@ def q_docs_classifier(sf_dir: str):
     return text.classifier_scores(_docs(sf_dir))
 
 
+def q_events_zorder(sf_dir: str):
+    # Z-order clustering: conjunctive 2-D probe skips files on BOTH
+    # user and time dimensions at once (Morton-curve layout)
+    from . import zonemap
+    return zonemap.zorder_scan_query(sf_dir)
+
+
 def q_events_zonemap(sf_dir: str):
     # file-skipping range scan: time-range layout + footer-only zone
     # map + pruned rollup (pruning asserted inside, semantics-invisible)
@@ -509,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontam": q_docs_decontam,
         "docs_classifier": q_docs_classifier,
         "events_zonemap_scan": q_events_zonemap,
+        "events_zorder_scan": q_events_zorder,
         "docs_crossdup": q_docs_crossdup,
         "docs_normalized": q_docs_normalized,
         "docs_url_hosts": q_docs_url_hosts,
@@ -781,6 +789,11 @@ def _zonemap_sql() -> str:
     return zonemap.ZONEMAP_SQL
 
 
+def _zorder_sql() -> str:
+    from . import zonemap
+    return zonemap.ZORDER_SQL
+
+
 def _cluster_sql(name: str) -> str:
     from . import cluster
     return getattr(cluster, name)
@@ -867,6 +880,7 @@ def oracles() -> dict[str, str]:
         "docs_decontam": _text_sql("DECONTAM_SQL"),
         "docs_classifier": _text_sql("CLASSIFIER_SQL"),
         "events_zonemap_scan": _zonemap_sql(),
+        "events_zorder_scan": _zorder_sql(),
         "docs_crossdup": _text_sql("CROSSDUP_SQL"),
         "docs_normalized": _text_sql("NORMALIZE_SQL"),
         "docs_url_hosts": _text_sql("HOST_STATS_SQL"),

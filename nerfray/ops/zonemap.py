@@ -174,3 +174,204 @@ FROM events, r
 WHERE epoch_us(ts) >= r.lo AND epoch_us(ts) <= r.hi
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-column) clustering + 2-D zone-map pruning
+# ---------------------------------------------------------------------------
+#
+# A table laid out in ranges of ONE key only prunes predicates on that
+# key.  Z-ORDER clustering (Morton-curve bit interleaving, the
+# OPTIMIZE ZORDER of the lakehouse engines) sorts by the interleaved
+# bits of several columns, so files stay tight in EVERY interleaved
+# dimension at once and a conjunctive range predicate skips on all of
+# them.  The curve only changes WHERE rows land — never what they are —
+# so the query oracle is the plain filtered rollup and the pruning is
+# pinned by scan stats, exactly like the 1-D zone map above.
+
+
+def _spread_bits32(v: np.ndarray) -> np.ndarray:
+    """Spread each of the low 32 bits of v to even positions (Morton)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def zorder_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton interleave of two non-negative <2^31 int arrays -> int64
+    (fits: 2x31 bits + 1), vectorized."""
+    z = _spread_bits32(a) | (_spread_bits32(b) << np.uint64(1))
+    return z.astype(np.int64)
+
+
+def build_zone_map_multi(out_dir: str, columns: tuple[str, ...]
+                         ) -> pa.Table:
+    """(path, n_rows, <c>_min, <c>_max per column) per data file, from
+    parquet footers only — the multi-column zone map Z-order layouts
+    need."""
+    paths = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(out_dir) for f in fs
+        if f.endswith(".parquet"))
+
+    def _footer_stats(batch: dict) -> pa.Table:
+        import pyarrow.parquet as pq
+        rows_out: dict[str, list] = {"path": [], "n_rows": []}
+        for c in columns:
+            rows_out[f"{c}_min"] = []
+            rows_out[f"{c}_max"] = []
+        for p in batch["item"]:
+            md = pq.ParquetFile(p).metadata
+            sch = md.schema.to_arrow_schema()
+            rows_out["path"].append(p)
+            rows_out["n_rows"].append(
+                sum(md.row_group(g).num_rows
+                    for g in range(md.num_row_groups)))
+            for c in columns:
+                idx = sch.get_field_index(c)
+                lo, hi = None, None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                rows_out[f"{c}_min"].append(int(lo))
+                rows_out[f"{c}_max"].append(int(hi))
+        t = {"path": pa.array(rows_out["path"], pa.string()),
+             "n_rows": pa.array(rows_out["n_rows"], pa.int64())}
+        for c in columns:
+            t[f"{c}_min"] = pa.array(rows_out[f"{c}_min"], pa.int64())
+            t[f"{c}_max"] = pa.array(rows_out[f"{c}_max"], pa.int64())
+        return pa.Table.from_pydict(t)
+
+    zm = ray.data.from_items(paths).map_batches(
+        _footer_stats, batch_format="numpy").take_all()
+    cols: dict[str, list] = {k: [r[k] for r in zm] for k in
+                             (["path", "n_rows"] +
+                              [f"{c}_{s}" for c in columns
+                               for s in ("min", "max")])}
+    t = {"path": pa.array(cols["path"], pa.string()),
+         "n_rows": pa.array(cols["n_rows"], pa.int64())}
+    for c in columns:
+        t[f"{c}_min"] = pa.array(cols[f"{c}_min"], pa.int64())
+        t[f"{c}_max"] = pa.array(cols[f"{c}_max"], pa.int64())
+    return pa.Table.from_pydict(t)
+
+
+def pruned_conjunctive_rollup(zone_map: pa.Table,
+                              preds: dict[str, tuple[int, int]]
+                              ) -> tuple[ray.data.Dataset, dict]:
+    """Rollup (event_type, n_events, sum_cents) under a conjunction of
+    closed ranges {col: (lo, hi)}, reading only files whose zone-map
+    ranges overlap EVERY predicate."""
+    keep = np.ones(zone_map.num_rows, dtype=bool)
+    for c, (lo, hi) in preds.items():
+        keep &= (zone_map.column(f"{c}_max").to_numpy() >= lo) \
+            & (zone_map.column(f"{c}_min").to_numpy() <= hi)
+    paths = [p for p, k in
+             zip(zone_map.column("path").to_pylist(), keep) if k]
+    stats = {"files_total": zone_map.num_rows, "files_read": len(paths)}
+    from ray.data.aggregate import Count, Sum
+    if not paths:
+        empty = pa.schema([("event_type", pa.string()),
+                           ("n_events", pa.int64()),
+                           ("sum_cents", pa.int64())])
+        return ray.data.from_arrow(empty.empty_table()), stats
+    expr = None
+    for c, (lo, hi) in preds.items():
+        e = (pads.field(c) >= lo) & (pads.field(c) <= hi)
+        expr = e if expr is None else (expr & e)
+    res = ray.data.read_parquet(
+        paths, columns=list(preds) + ["event_type", "cents"],
+        filter=expr) \
+        .groupby("event_type").aggregate(Count(), Sum("cents")) \
+        .rename_columns({"count()": "n_events",
+                         "sum(cents)": "sum_cents"})
+    return res, stats
+
+
+def export_zorder_layout(ds: ray.data.Dataset, out_dir: str, *,
+                         n_parts: int = N_ZONE_PARTS) -> None:
+    """Cluster events by the Morton key of (user_id, absolute hour):
+    compute z per row (map-only — hour = ts_us // 3.6e9 needs no global
+    pass), then the usual sample-sort range layout ON z."""
+
+    def _z(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = (batch.column("ts_us").to_numpy(zero_copy_only=False)
+             // 3_600_000_000)
+        return batch.append_column(
+            "z", pa.array(zorder_key(u.astype(np.uint64),
+                                     h.astype(np.uint64)), pa.int64()))
+
+    write_range_partitioned_sampled(
+        ds.map_batches(_z, batch_format="pyarrow", zero_copy_batch=True),
+        out_dir, value="z", tiebreak="event_id", n_parts=n_parts)
+
+
+def _events_full_ts_us(sf_dir: str) -> ray.data.Dataset:
+    """events with user_id carried (Z-order needs both dimensions)."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _conv(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "ts_us": ts,
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.round(v * 100).astype(np.int64),
+                              pa.int64()),
+        })
+
+    return ev.map_batches(_conv, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def zorder_scan_query(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end 2-D surface: Z-order layout on (user_id, hour), zone
+    map on BOTH user_id and ts_us, then a conjunctive probe — users in
+    the lowest eighth of the id range x the mid-quartile time window
+    (both bounds integer arithmetic on the zone map's global min/max,
+    mirrored verbatim in ZORDER_SQL) — with file skipping on both
+    dimensions."""
+    out = tempfile.mkdtemp(prefix="nerfray_zorder_")
+    try:
+        export_zorder_layout(_events_full_ts_us(sf_dir), out)
+        zmap = build_zone_map_multi(out, ("user_id", "ts_us"))
+        u0 = int(pc.min(zmap.column("user_id_min")).as_py())
+        u1g = int(pc.max(zmap.column("user_id_max")).as_py())
+        g0 = int(pc.min(zmap.column("ts_us_min")).as_py())
+        g1 = int(pc.max(zmap.column("ts_us_max")).as_py())
+        preds = {
+            "user_id": (u0, u0 + (u1g - u0) // 8),
+            "ts_us": (g0 + (g1 - g0) // 4, g0 + (g1 - g0) // 2),
+        }
+        res, stats = pruned_conjunctive_rollup(zmap, preds)
+        res = res.materialize()
+        assert stats["files_read"] < stats["files_total"], stats
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ZORDER_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS g0, max(epoch_us(ts)) AS g1,
+                  min(user_id) AS u0, max(user_id) AS u1
+           FROM events),
+r AS (SELECT g0 + (g1 - g0) // 4 AS lo, g0 + (g1 - g0) // 2 AS hi,
+             u0 AS ulo, u0 + (u1 - u0) // 8 AS uhi FROM b)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events, r
+WHERE epoch_us(ts) >= r.lo AND epoch_us(ts) <= r.hi
+  AND user_id >= r.ulo AND user_id <= r.uhi
+GROUP BY event_type ORDER BY event_type
+"""
