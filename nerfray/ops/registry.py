@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": joins.events_interval_join,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
         "docs_heavy_hitters": sketch.docs_heavy_hitters,
+        "events_hot_users": sketch.events_hot_users,
         "sketch_cms_words": sketch.docs_cms_registers,
         "events_hourly_hll": sketch.hourly_user_registers,
         "events_daily_hll": sketch.daily_user_registers,

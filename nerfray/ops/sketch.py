@@ -611,3 +611,111 @@ FROM parts GROUP BY day, register
 ORDER BY day, register
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# exact heavy-hitter KEYS (join-key skew profiling)
+# ---------------------------------------------------------------------------
+#
+# The diagnostic in front of every skew-salted join: which join keys
+# exceed phi = 1/(k+1) of all rows?  Same two-pass exact scheme as
+# heavy_hitter_words, specialized to int64 keys: pass 1 emits each
+# block's local above-threshold candidates (if a key holds > n/(k+1)
+# globally it must hold > n_b/(k+1) in SOME block, so the candidate
+# union provably contains every answer; <= k keys per block by
+# pigeonhole), pass 2 counts candidates exactly.  Only candidate-grain
+# rows ever shuffle; the driver holds <= k x n_blocks ints.
+
+_HH_SENTINEL = np.int64(-1)  # total-row marker (keys are non-negative)
+
+
+def heavy_hitter_keys(ds: ray.data.Dataset, *, key: str,
+                      k: int = 20) -> ray.data.Dataset:
+    """(key, cnt) for every key occurring > n/(k+1) times — exact."""
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        v = batch.column(key).to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        keep = c * (k + 1) > len(v)
+        return pa.Table.from_pydict({key: pa.array(u[keep], pa.int64())})
+
+    cands = np.unique(np.asarray(
+        [r[key] for r in ds.select_columns([key]).map_batches(
+            _cand, batch_format="pyarrow",
+            zero_copy_batch=True).take_all()], dtype=np.int64))
+
+    out_schema = pa.schema([(key, pa.int64()), ("cnt", pa.int64())])
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        v = batch.column(key).to_numpy(zero_copy_only=False)
+        hits = v[np.isin(v, cands)]
+        u, c = np.unique(hits, return_counts=True)
+        return pa.Table.from_pydict({
+            key: pa.array(np.r_[u, [_HH_SENTINEL]], pa.int64()),
+            "cnt": pa.array(np.r_[c, [len(v)]], pa.int64()),
+        }, schema=out_schema)
+
+    def _one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, np.int32), pa.int32()))
+
+    def _final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ks = group.column(key).to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        total = int(cnt[ks == _HH_SENTINEL].sum())
+        keep = (ks != _HH_SENTINEL) & (cnt * (k + 1) > total)
+        order = np.argsort(ks[keep], kind="stable")
+        return pa.Table.from_pydict({
+            key: pa.array(ks[keep][order], pa.int64()),
+            "cnt": pa.array(cnt[keep][order], pa.int64()),
+        }, schema=out_schema)
+
+    return ds.select_columns([key]).map_batches(
+        _exact, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(key).sum("cnt").rename_columns({"sum(cnt)": "cnt"}) \
+        .map_batches(_one, batch_format="pyarrow") \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+def planted_hot_user_events(sf_dir: str) -> ray.data.Dataset:
+    """events with a planted hot join key: every third event (by
+    event_id) is remapped to user 0 (~n/3 of all rows — far above the
+    1/21 threshold; the untouched users stay far below). Mirrored
+    verbatim in EVENTS_HOT_USERS_SQL."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "user_id"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "user_id": pa.array(np.where(eid % 3 == 0, 0, uid),
+                                pa.int64()),
+        })
+
+    return ev.map_batches(_plant, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def events_hot_users(sf_dir: str) -> ray.data.Dataset:
+    """Join-key skew profile over the planted-hot-key events table."""
+    return heavy_hitter_keys(planted_hot_user_events(sf_dir),
+                             key="user_id", k=20)
+
+
+EVENTS_HOT_USERS_SQL = """
+WITH p AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS user_id
+  FROM events),
+tot AS (SELECT count(*) AS n FROM p),
+c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM p GROUP BY user_id)
+SELECT user_id, cnt FROM c, tot WHERE cnt * 21 > n ORDER BY user_id
+"""
+
+ORACLES["events_hot_users"] = EVENTS_HOT_USERS_SQL

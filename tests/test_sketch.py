@@ -180,3 +180,34 @@ def test_cms_estimate_upper_bound_and_registers(ray_session):
     # the dominant word's estimate error is bounded by the noise floor
     est = sketch.cms_estimate(regs, "dominant")
     assert 500 <= est <= 500 + len(flat) // sketch.CMS_W * 4
+
+
+# -- exact heavy-hitter keys (join-key skew profiling) -------------------------
+
+
+def test_heavy_hitter_keys_exact_vs_brute_force(ray_session):
+    """Two-pass exact key profiler == brute-force threshold count,
+    including a key that is hot in one block only (candidate-union
+    completeness) and keys straddling the phi boundary."""
+    import ray.data
+    from nerfray.ops import sketch as sk
+
+    # 300 rows: key 7 hot overall (90), key 9 hot in block 2 only (40),
+    # the rest spread thin
+    keys = [7] * 90 + [9] * 40 + list(range(100, 270))
+    t = pa.table({"user_id": pa.array(keys, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(3)
+    k = 5  # phi = 1/6 -> threshold 50
+    got = [(r["user_id"], r["cnt"])
+           for r in sk.heavy_hitter_keys(ds, key="user_id",
+                                         k=k).take_all()]
+    n = len(keys)
+    from collections import Counter
+    want = sorted((key, c) for key, c in Counter(keys).items()
+                  if c * (k + 1) > n)
+    assert got == want == [(7, 90)]
+    # lower threshold: key 9 (40 = n/7.5) appears at k=9 (phi=1/10)
+    got2 = dict((r["user_id"], r["cnt"])
+                for r in sk.heavy_hitter_keys(ds, key="user_id",
+                                              k=9).take_all())
+    assert got2 == {7: 90, 9: 40}
