@@ -1248,3 +1248,104 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLES["join_bloom_prefiltered"] = BLOOM_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-filtered big aggregation -> join back -> top-k
+# ---------------------------------------------------------------------------
+#
+# The "large-volume customer" query class: aggregate the FACT table to
+# its key grain, keep only groups passing a HAVING threshold (a tiny
+# surviving set), then join that small set back through two dimension
+# hops and rank.  Scale shape: the lineitem aggregation is map-side
+# combined per block before the one key-grain groupby; the HAVING
+# filter shrinks the stream to the survivors BEFORE any join, so both
+# hash joins carry only qualified orders; the final sort ranks a
+# survivor-sized set, never the fact table.
+
+Q18_MIN_QTY = 250  # HAVING sum(l_quantity) > 250 (top ~1% of orders)
+
+
+def q18_large_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import read_parquet_clean
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("l_orderkey", pa.int64()),
+                                ("qty", pa.int64())])
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        q = np.round(batch.column("l_quantity")
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+        part = pa.Table.from_pydict({
+            "l_orderkey": batch.column("l_orderkey"),
+            "qty": pa.array(q, pa.int64())})
+        return part.group_by(["l_orderkey"]).aggregate(
+            [("qty", "sum")]).rename_columns(["l_orderkey", "qty"]) \
+            .cast(out_schema)
+
+    big = li.map_batches(_qty_partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("l_orderkey").sum("qty") \
+        .rename_columns({"sum(qty)": "qty"}) \
+        .filter(expr=f"qty > {Q18_MIN_QTY}")
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate"])
+
+    def _price_c(batch: pa.Table) -> pa.Table:
+        p = np.round(batch.column("o_totalprice")
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "totalprice_c": pa.array(p, pa.int64()),
+            "o_orderdate": batch.column("o_orderdate")})
+
+    qualified = hash_join(
+        orders.map_batches(_price_c, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        big, left_on="o_orderkey", right_on="l_orderkey",
+        left_cols=["o_custkey", "totalprice_c", "o_orderdate"],
+        right_cols=["qty"], how="inner") \
+        .rename_columns({"__key": "o_orderkey"})
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"])
+
+    return hash_join(
+        qualified, cust, left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey", "totalprice_c", "o_orderdate", "qty"],
+        right_cols=["c_name"], how="inner") \
+        .rename_columns({"__key": "c_custkey"}) \
+        .sort(["totalprice_c", "o_orderkey"], descending=[True, False]) \
+        .limit(k) \
+        .select_columns(["c_name", "c_custkey", "o_orderkey",
+                         "o_orderdate", "totalprice_c", "qty"])
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(round(l_quantity)::BIGINT)::BIGINT AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(round(l_quantity)::BIGINT) > {Q18_MIN_QTY})
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice * 100)::BIGINT AS totalprice_c, big.qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_c DESC, o.o_orderkey LIMIT 20
+"""
+
+ORACLES["join_q18_topk"] = Q18_SQL

