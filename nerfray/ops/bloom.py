@@ -189,3 +189,157 @@ SELECT n.doc_id,
 FROM new_pos n LEFT JOIN corpus_pos c ON c.p = n.p
 GROUP BY n.doc_id ORDER BY n.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# persisted streaming-dedup state: filter + sha catalog, versioned
+# ---------------------------------------------------------------------------
+#
+# The stateful shape of continuous-ingest dedup: the Bloom filter and
+# the sha catalog LIVE BETWEEN BATCHES.  Each ingest (1) probes the
+# persisted filter — "definitely new" rows skip the join entirely,
+# (2) exactly anti-joins only the "maybe" rows against the persisted
+# catalog (so false positives cannot drop rows), (3) appends the batch
+# survivors to the catalog and ORs their bits into the filter, and
+# (4) commits both as a NEW immutable version (temp + rename manifest,
+# same discipline as state/manifest.py) — a crashed ingest leaves the
+# previous version intact and re-runs idempotently.  Output per batch
+# is byte-identical to the stateless incremental_exact_dedup (no false
+# negatives + exact verification of positives = the filter is
+# semantics-invisible), which is exactly why it shares that oracle.
+
+import json as _json
+import os as _os
+import tempfile as _tempfile
+
+
+def _positions_from_shas(shas: list[str]) -> np.ndarray:
+    """(n, k) bit positions from sha256 HEXDIGESTS (the text's sha IS
+    the position source, so state updates never need the text)."""
+    out = np.empty((len(shas), K_HASHES), np.uint64)
+    for i, h in enumerate(shas):
+        for j in range(K_HASHES):
+            out[i, j] = int(h[8 * j: 8 * j + 8], 16) % M_BITS
+    return out
+
+
+def _state_manifest(state_dir: str) -> dict | None:
+    p = _os.path.join(state_dir, "manifest.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _commit_state(state_dir: str, version: int, filt: np.ndarray,
+                  catalog_path: str, n_catalog: int) -> None:
+    fd, tmp = _tempfile.mkstemp(dir=state_dir)
+    with _os.fdopen(fd, "w") as f:
+        _json.dump({"version": version, "filter": f"filter-v{version}.npy",
+                    "catalog": catalog_path, "n_catalog": n_catalog},
+                   f, sort_keys=True)
+    np.save(_os.path.join(state_dir, f"filter-v{version}.npy"), filt)
+    _os.replace(tmp, _os.path.join(state_dir, "manifest.json"))
+
+
+def init_dedup_state(corpus: ray.data.Dataset, state_dir: str) -> None:
+    """Version-1 state: the corpus filter plus its sha catalog (one
+    64-char row per doc; the only corpus-sized artifact, written once,
+    distributed)."""
+    import pyarrow.dataset  # noqa: F401
+    _os.makedirs(state_dir, exist_ok=True)
+    from .dedup import _sha_batch
+    cat_dir = _os.path.join(state_dir, "catalog-v1")
+    corpus.map_batches(_sha_batch, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+        .select_columns(["text_sha"]).write_parquet(cat_dir)
+    _commit_state(state_dir, 1, bloom_array(corpus), "catalog-v1", -1)
+
+
+def ingest_batch(new_docs: ray.data.Dataset, state_dir: str
+                 ) -> tuple[ray.data.Dataset, dict]:
+    """One streaming-dedup step against the persisted state. Returns
+    (survivors (text_sha, doc_id), stats); commits state version+1."""
+    from .dedup import _sha_batch
+    from .joins import hash_join
+
+    m = _state_manifest(state_dir)
+    filt = np.load(_os.path.join(state_dir, m["filter"]))
+
+    def _sha_probe(batch: pa.Table) -> pa.Table:
+        t = _sha_batch(batch)
+        shas = t.column("text_sha").to_pylist()
+        if not shas:
+            return t.append_column("hit", pa.array([], pa.int64()))
+        p = _positions_from_shas(shas)
+        w = (p >> np.uint64(6)).astype(np.int64)
+        b = p & np.uint64(63)
+        hit = ((filt[w] >> b) & np.uint64(1)).all(axis=1) \
+            .astype(np.int64)
+        return t.append_column("hit", pa.array(hit, pa.int64()))
+
+    probed = new_docs.map_batches(_sha_probe, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    n_maybe = probed.filter(expr="hit == 1").count()
+    stats = {"n_new": probed.count(), "n_maybe": n_maybe}
+
+    catalog = ray.data.read_parquet(
+        _os.path.join(state_dir, m["catalog"]))
+    verified = hash_join(
+        probed.filter(expr="hit == 1"), catalog,
+        left_on="text_sha", right_on="text_sha",
+        left_cols=["doc_id"], right_cols=[], how="left anti") \
+        .rename_columns({"__key": "text_sha"})
+    certain = probed.filter(expr="hit == 0") \
+        .select_columns(["text_sha", "doc_id"])
+    survivors = verified.select_columns(["text_sha", "doc_id"]) \
+        .union(certain) \
+        .groupby("text_sha").min("doc_id") \
+        .rename_columns({"min(doc_id)": "doc_id"}).materialize()
+
+    # commit version+1: catalog += survivor shas; filter |= their bits
+    v = m["version"] + 1
+    new_cat = _os.path.join(state_dir, f"catalog-v{v}")
+    _os.makedirs(new_cat, exist_ok=True)
+    old_root = _os.path.join(state_dir, m["catalog"])
+    k = 0
+    for r, _d, fs in _os.walk(old_root):
+        for f in sorted(fs):
+            if f.endswith(".parquet"):
+                _os.link(_os.path.join(r, f),  # hard link: O(1), no copy
+                         _os.path.join(new_cat, f"prev-{k}.parquet"))
+                k += 1
+    survivors.select_columns(["text_sha"]) \
+        .write_parquet(_os.path.join(new_cat, "delta"))
+
+    # filter delta computed distributed (word partials over survivor
+    # shas -> OR co-group); the driver sees <= m/64 packed words, never
+    # the survivor set
+    def _sha_word_partial(batch: pa.Table) -> pa.Table:
+        shas_b = batch.column("text_sha").to_pylist()
+        if not shas_b:
+            return pa.Table.from_pydict({
+                "word_idx": pa.array([], pa.int64()),
+                "bits": pa.array([], pa.int64()),
+                "hb": pa.array([], pa.int32())})
+        p = np.unique(_positions_from_shas(shas_b).ravel())
+        w = (p >> np.uint64(6)).astype(np.int64)
+        b = np.uint64(1) << (p & np.uint64(63))
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        bits = np.bitwise_or.reduceat(b, starts)
+        wi = w[starts]
+        return pa.Table.from_pydict({
+            "word_idx": pa.array(wi, pa.int64()),
+            "bits": pa.array(bits.view(np.int64), pa.int64()),
+            "hb": pa.array((wi % 64).astype(np.int32), pa.int32())})
+
+    filt2 = filt.copy()
+    for r in survivors.select_columns(["text_sha"]) \
+            .map_batches(_sha_word_partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("hb").map_groups(_or_group,
+                                      batch_format="pyarrow") \
+            .take_all():
+        filt2[r["word_idx"]] |= np.uint64(np.int64(r["bits"]))
+    _commit_state(state_dir, v, filt2, f"catalog-v{v}", -1)
+    return survivors, stats

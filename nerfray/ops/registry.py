@@ -87,6 +87,24 @@ def q_docs_paragraph_dedup(sf_dir: str):
         dedup.planted_paragraph_docs(_docs(sf_dir)))
 
 
+def q_dedup_incremental_bloom(sf_dir: str):
+    # stateful streaming dedup: persisted Bloom filter + sha catalog,
+    # probe -> exact-verify maybes -> commit state v+1; output is
+    # byte-identical to the stateless path (shared oracle)
+    import shutil
+    import tempfile
+    from . import bloom, dedup
+    state = tempfile.mkdtemp(prefix="nerfray_dedupstate_")
+    try:
+        corpus = _docs(sf_dir)
+        bloom.init_dedup_state(corpus, state)
+        surv, _stats = bloom.ingest_batch(
+            dedup.planted_new_batch(corpus), state)
+        return surv
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def q_bloom_corpus(sf_dir: str):
     from . import bloom
     return bloom.corpus_bloom_query(sf_dir)
@@ -480,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_drops": q_dedup_simhash_drops,
         "dedup_survivors": q_dedup_survivors,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dedup_editdist": q_dedup_editdist,
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "bloom_corpus": q_bloom_corpus,
@@ -850,6 +869,7 @@ def oracles() -> dict[str, str]:
         "docs_chunks": CHUNKS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_incremental": INCREMENTAL_SQL,
+        "dedup_incremental_bloom": INCREMENTAL_SQL,
         "dedup_editdist": _dedup_sql("EDITDIST_SQL"),
         "docs_paragraph_dedup": _dedup_sql("PARA_DEDUP_PLANTED_SQL"),
         "bloom_corpus": _bloom_sql("BLOOM_TABLE_SQL"),

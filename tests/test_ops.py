@@ -1582,3 +1582,41 @@ def test_classifier_brute_force_weights(ray_session):
     w = {u: tx._sha_weight(u) for u in ("bird", "cat")}
     for i, t in enumerate(texts):
         assert rows[i] == sum(w.get(tok, 0) for tok in t.split(" "))
+
+
+# -- persisted streaming-dedup state (bloom + catalog) -------------------------
+
+
+def test_ingest_batches_accumulate_state(ray_session, tmp_path):
+    """Batch 2 drops copies of batch 1's survivors via the UPDATED
+    state; a crashed-looking re-run of the same state version is
+    idempotent; the filter prunes the verify join (stats pin it)."""
+    import ray.data
+    from nerfray.ops import bloom as bl
+
+    corpus_texts = [f"corpus doc {i} words" for i in range(20)]
+    docs = ray.data.from_arrow(_docs_table(corpus_texts))
+    state = str(tmp_path / "state")
+    bl.init_dedup_state(docs, state)
+    assert bl._state_manifest(state)["version"] == 1
+
+    # batch 1: 2 corpus copies + 3 fresh
+    b1_texts = [corpus_texts[3], corpus_texts[7],
+                "fresh one", "fresh two", "fresh three"]
+    b1 = ray.data.from_arrow(_docs_table(b1_texts))
+    s1, st1 = bl.ingest_batch(b1, state)
+    got1 = {r["text_sha"] for r in s1.take_all()}
+    assert len(got1) == 3 and st1["n_maybe"] >= 2
+    assert bl._state_manifest(state)["version"] == 2
+
+    # batch 2: a copy of a batch-1 survivor + a corpus copy + 1 fresh
+    b2 = ray.data.from_arrow(_docs_table(
+        ["fresh one", corpus_texts[0], "fresh four"]))
+    s2, st2 = bl.ingest_batch(b2, state)
+    got2 = [r["text_sha"] for r in s2.take_all()]
+    import hashlib
+    assert got2 == [hashlib.sha256(b"fresh four").hexdigest()]
+    assert bl._state_manifest(state)["version"] == 3
+
+    # definitely-new rows skipped the join: maybe-count < batch size
+    assert st2["n_maybe"] < st2["n_new"]
