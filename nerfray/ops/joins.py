@@ -1349,3 +1349,99 @@ ORDER BY totalprice_c DESC, o.o_orderkey LIMIT 20
 """
 
 ORACLES["join_q18_topk"] = Q18_SQL
+
+
+# ---------------------------------------------------------------------------
+# adaptive join: cost-based broadcast-vs-shuffle strategy pick
+# ---------------------------------------------------------------------------
+#
+# The AQE move every engine makes: if one join side is small, shipping
+# it whole to every task (a map-only lookup, zero shuffle) beats the
+# all-to-all hash join; if it is not, broadcasting would OOM the
+# workers and the bucketed exchange is correct.  The picker measures
+# the right side (for a parquet-backed Dataset, count() is footer
+# metadata, not a scan), broadcasts under the threshold via ray.put
+# (one object-store copy, resolved per task), and otherwise falls back
+# to hash_join — both paths emit the identical (__key, left_cols,
+# right_cols) schema, so the strategy is invisible to the query.
+
+BROADCAST_THRESHOLD_ROWS = 100_000  # ~10 MB of narrow rows
+
+
+def adaptive_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                  left_on: str, right_on: str,
+                  left_cols: list[str], right_cols: list[str],
+                  threshold: int = BROADCAST_THRESHOLD_ROWS
+                  ) -> tuple[ray.data.Dataset, str]:
+    """Inner join; returns (result, strategy) where strategy is
+    'broadcast' or 'shuffle' — tests pin the pick, queries ignore it."""
+    import ray as _ray
+
+    n_right = right.count()
+    if n_right > threshold:
+        return hash_join(left, right, left_on=left_on,
+                         right_on=right_on, left_cols=left_cols,
+                         right_cols=right_cols, how="inner"), "shuffle"
+
+    small_tbl = pa.concat_tables(
+        _ray.get(right.select_columns([right_on] + right_cols)
+                 .to_arrow_refs())).combine_chunks()
+    small_ref = _ray.put(small_tbl)
+
+    def _lookup(batch: pa.Table) -> pa.Table:
+        sm = _ray.get(small_ref)
+        lhs = batch.select([left_on] + left_cols) \
+            .rename_columns(["__key"] + left_cols)
+        rhs = sm.rename_columns(["__key"] + right_cols)
+        return lhs.join(rhs, keys="__key", join_type="inner")
+
+    res = left.map_batches(_lookup, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return res, "broadcast"
+
+
+def adaptive_orders_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """orders x customer rollup through the adaptive join (customer is
+    dimension-sized at every sf -> the broadcast path fires; the
+    shuffle path is pinned equal in tests)."""
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import read_parquet_clean
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        p = np.round(batch.column("o_totalprice")
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "o_custkey": batch.column("o_custkey"),
+            "price_c": pa.array(p, pa.int64())})
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    joined, _strategy = adaptive_join(
+        orders.map_batches(_cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust, left_on="o_custkey", right_on="c_custkey",
+        left_cols=["price_c"], right_cols=["c_nationkey"])
+    return joined.groupby("c_nationkey") \
+        .aggregate(Count(), Sum("price_c")) \
+        .rename_columns({"count()": "n_orders",
+                         "sum(price_c)": "sum_cents"})
+
+
+ADAPTIVE_SQL = """
+SELECT c.c_nationkey, count(*)::BIGINT AS n_orders,
+       sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+"""
+
+ORACLES["join_adaptive_rollup"] = ADAPTIVE_SQL

@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_outer": joins.full_outer_coverage,
         "join_q3_topk": joins.q3_shipping_topk,
         "join_q18_topk": joins.q18_large_orders,
+        "join_adaptive_rollup": joins.adaptive_orders_by_nation,
         "join_q5_nation_revenue": joins.q5_revenue_by_nation,
         "join_bloom_prefiltered": joins.urgent_lineitem_rollup,
         "events_band_join": joins.events_band_join,

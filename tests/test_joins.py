@@ -550,3 +550,32 @@ def test_q18_having_filter_is_load_bearing(ray_session):
             r["o_orderdate"], r["totalprice_c"], r["qty"])
            for r in rows]
     assert got == [tuple(w) for w in want]
+
+
+def test_adaptive_join_strategies_agree(ray_session):
+    """Both strategy branches produce the same rows; the picker
+    chooses broadcast under the threshold and shuffle above it."""
+    import ray.data
+    import pyarrow as pa
+    from nerfray.ops import joins as j
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+        "lv": pa.array([10, 20, 21, 30, 50], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 4], pa.int64()),
+        "rv": pa.array([100, 200, 400], pa.int64())}))
+
+    res_b, strat_b = j.adaptive_join(
+        left, right, left_on="k", right_on="rk",
+        left_cols=["lv"], right_cols=["rv"], threshold=10)
+    res_s, strat_s = j.adaptive_join(
+        left, right, left_on="k", right_on="rk",
+        left_cols=["lv"], right_cols=["rv"], threshold=0)
+    assert strat_b == "broadcast" and strat_s == "shuffle"
+    rows_b = sorted((r["__key"], r["lv"], r["rv"])
+                    for r in res_b.take_all())
+    rows_s = sorted((r["__key"], r["lv"], r["rv"])
+                    for r in res_s.take_all())
+    assert rows_b == rows_s == [(1, 10, 100), (2, 20, 200),
+                                (2, 21, 200)]
