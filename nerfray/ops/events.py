@@ -1532,3 +1532,128 @@ WHERE (s.n * v.x - s.sx) * (s.n * v.x - s.sx)
       > {OUTLIER_Z * OUTLIER_Z} * (s.n * s.q - s.sx * s.sx)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# dense resampling (gap-filled daily grid per key)
+# ---------------------------------------------------------------------------
+#
+# The time-series regularization step in front of any windowed model:
+# each user's sparse events become a DENSE daily series between their
+# first and last active day, gap days explicit as zero rows.  Per-block
+# (user, day) partials pre-aggregate before the ONE user-hash exchange;
+# the gap fill is fully vectorized per bucket (segmented arange via
+# offset arithmetic + scatter of the observed cells — no per-user
+# Python loop).  Output size is sum of per-user day spans — bounded by
+# users x calendar window, never by event count.
+
+_DAY_US = 86_400_000_000
+
+
+def _day_partial(batch: pa.Table) -> pa.Table:
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("day", pa.int64()),
+                            ("n", pa.int64()),
+                            ("cents", pa.int64())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    day = (pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+           // _DAY_US)
+    cents = np.round(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 100) \
+        .astype(np.int64)
+    part = pa.Table.from_pydict({
+        "user_id": batch.column("user_id"),
+        "day": pa.array(day, pa.int64()),
+        "n": pa.array(np.ones(len(day), np.int64), pa.int64()),
+        "cents": pa.array(cents, pa.int64())})
+    return part.group_by(["user_id", "day"]).aggregate(
+        [("n", "sum"), ("cents", "sum")]) \
+        .rename_columns(["user_id", "day", "n", "cents"]) \
+        .cast(out_schema)
+
+
+def _resample_bucket(group: pa.Table) -> pa.Table:
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("day", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("sum_cents", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    u = group.column("user_id").to_numpy(zero_copy_only=False)
+    d = group.column("day").to_numpy(zero_copy_only=False)
+    n = group.column("n").to_numpy(zero_copy_only=False)
+    c = group.column("cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, u))
+    u_s, d_s, n_s, c_s = u[order], d[order], n[order], c[order]
+    # combine same (user, day) cells arriving from different blocks
+    cell = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])]
+    cs = np.flatnonzero(cell)
+    u_c, d_c = u_s[cs], d_s[cs]
+    n_c = np.add.reduceat(n_s, cs)
+    c_c = np.add.reduceat(c_s, cs)
+    # per-user dense span
+    us = np.flatnonzero(np.r_[True, u_c[1:] != u_c[:-1]])
+    ue = np.r_[us[1:], len(u_c)]
+    lo, hi = d_c[us], d_c[ue - 1]
+    lens = hi - lo + 1
+    total = int(lens.sum())
+    run = np.repeat(np.arange(len(us)), lens)
+    base = np.cumsum(np.r_[0, lens[:-1]])
+    out_day = np.repeat(lo, lens) + (np.arange(total) - base[run])
+    out_user = np.repeat(u_c[us], lens)
+    out_n = np.zeros(total, np.int64)
+    out_c = np.zeros(total, np.int64)
+    cell_run = np.repeat(np.arange(len(us)), ue - us)
+    pos = base[cell_run] + (d_c - lo[cell_run])
+    out_n[pos] = n_c
+    out_c[pos] = c_c
+    return pa.Table.from_pydict({
+        "user_id": pa.array(out_user, pa.int64()),
+        "day": pa.array(out_day, pa.int64()),
+        "n_events": pa.array(out_n, pa.int64()),
+        "sum_cents": pa.array(out_c, pa.int64())},
+        schema=out_schema)
+
+
+def resample_daily(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, day, n_events, sum_cents) on each user's dense daily
+    grid (gap days as zeros); day rendered as DATE."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+
+    def _date(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        lab = np.datetime_as_string(d.astype("datetime64[D]"), unit="D")
+        return pa.Table.from_pydict({
+            "user_id": batch.column("user_id"),
+            "day": pa.array(lab.tolist(), pa.string()),
+            "n_events": batch.column("n_events"),
+            "sum_cents": batch.column("sum_cents")})
+
+    return ev.map_batches(_day_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_resample_bucket,
+                                  batch_format="pyarrow") \
+        .map_batches(_date, batch_format="pyarrow")
+
+
+ORACLES["events_resampled_daily"] = """
+WITH e AS (SELECT user_id, ts::DATE AS day,
+                  round(value * 100)::BIGINT AS cents FROM events),
+g AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+      FROM e GROUP BY user_id),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi,
+                                       INTERVAL 1 DAY))::DATE AS day
+         FROM g),
+a AS (SELECT user_id, day, count(*)::BIGINT AS n_events,
+             sum(cents)::BIGINT AS sum_cents
+      FROM e GROUP BY 1, 2)
+SELECT grid.user_id, strftime(grid.day, '%Y-%m-%d') AS day,
+       coalesce(a.n_events, 0)::BIGINT AS n_events,
+       coalesce(a.sum_cents, 0)::BIGINT AS sum_cents
+FROM grid LEFT JOIN a USING (user_id, day) ORDER BY 1, 2
+"""

@@ -1620,3 +1620,30 @@ def test_ingest_batches_accumulate_state(ray_session, tmp_path):
 
     # definitely-new rows skipped the join: maybe-count < batch size
     assert st2["n_maybe"] < st2["n_new"]
+
+
+# -- dense daily resampling ----------------------------------------------------
+
+
+def test_resample_bucket_gap_fill_brute_force(ray_session):
+    """The vectorized segmented-arange gap fill == a per-user Python
+    loop: gaps become zero rows, spans are inclusive, multi-block
+    partial cells combine."""
+    from nerfray.ops import events as ev
+
+    g = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 1], pa.int64()),
+        "day": pa.array([10, 13, 10, 5, 5, 11], pa.int64()),
+        "n": pa.array([2, 1, 3, 4, 1, 1], pa.int64()),
+        "cents": pa.array([20, 10, 30, 40, 5, 7], pa.int64()),
+    })
+    out = ev._resample_bucket(g)
+    got = list(zip(out.column("user_id").to_pylist(),
+                   out.column("day").to_pylist(),
+                   out.column("n_events").to_pylist(),
+                   out.column("sum_cents").to_pylist()))
+    want = [(1, 10, 5, 50), (1, 11, 1, 7), (1, 12, 0, 0),
+            (1, 13, 1, 10), (2, 5, 5, 45)]
+    assert sorted(got) == want
+    # empty bucket -> schema-complete empty table
+    assert ev._resample_bucket(g.slice(0, 0)).num_rows == 0
