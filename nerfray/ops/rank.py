@@ -377,3 +377,54 @@ SELECT part, count(*)::BIGINT AS n_rows,
        min(cents)::BIGINT AS min_cents, max(cents)::BIGINT AS max_cents
 FROM assigned GROUP BY part ORDER BY part
 """
+
+
+# ---------------------------------------------------------------------------
+# ntile bucketing (equal-frequency bucket ASSIGNMENT per row)
+# ---------------------------------------------------------------------------
+#
+# The row-level companion of equi_depth_histogram: every document gets
+# its global length decile — the curriculum-bucketing / stratification
+# label.  Rides the global-rank machinery (histogram offsets broadcast,
+# one key-bucket co-group), then the decile is pure rank arithmetic:
+# decile = (rank-1) * k // n + 1.  NOTE: this floor split differs from
+# SQL ntile() when n % k != 0 (ntile gives ALL the +1 buckets first;
+# the floor split spreads them), so the oracle mirrors the rank
+# arithmetic rather than calling ntile.
+
+NTILE_K = 10
+
+
+def docs_length_ntile(sf_dir: str, *, k: int = NTILE_K
+                      ) -> ray.data.Dataset:
+    """(doc_id, n_chars, decile) with decile 1..k by ascending
+    (n_chars, doc_id) rank."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "n_chars"])
+    n = docs.count()
+    ranked = global_rank(docs, key="n_chars", tiebreak="doc_id",
+                         ascending=True)
+
+    def _tile(batch: pa.Table) -> pa.Table:
+        rk = batch.column("rank").to_numpy(zero_copy_only=False)
+        d = (rk - 1) * k // n + 1
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "decile": pa.array(d, pa.int64())})
+
+    return ranked.map_batches(_tile, batch_format="pyarrow")
+
+
+ORACLES["docs_length_ntile"] = f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+  FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT doc_id, n_chars, (rk * {NTILE_K} // nn.n + 1)::BIGINT AS decile
+FROM r, nn ORDER BY doc_id
+"""

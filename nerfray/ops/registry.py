@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_range_export": rank.docs_range_export,
         "events_range_export_sampled": rank.events_range_export_sampled,
         "docs_length_histogram": rank.docs_length_histogram,
+        "docs_length_ntile": rank.docs_length_ntile,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,
         "part_type_sizes": relational.part_type_sizes,

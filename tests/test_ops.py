@@ -1647,3 +1647,30 @@ def test_resample_bucket_gap_fill_brute_force(ray_session):
     assert sorted(got) == want
     # empty bucket -> schema-complete empty table
     assert ev._resample_bucket(g.slice(0, 0)).num_rows == 0
+
+
+# -- ntile bucketing -----------------------------------------------------------
+
+
+def test_ntile_floor_split_brute_force(ray_session, tmp_path):
+    """Decile assignment == rank arithmetic on a tie-heavy table whose
+    size is NOT divisible by k (the case where SQL ntile() differs)."""
+    import os
+    import pyarrow.parquet as pq
+    from nerfray.ops import rank as rk
+
+    n = 23
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "n_chars": pa.array([i % 4 for i in range(n)],
+                                      pa.int64())})
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    got = {r["doc_id"]: r["decile"]
+           for r in rk.docs_length_ntile(str(tmp_path), k=5).take_all()}
+    order = sorted(range(n), key=lambda i: (i % 4, i))
+    want = {doc: (pos * 5) // n + 1 for pos, doc in enumerate(order)}
+    assert got == want
+    # every bucket within 1 of n/k (equal-frequency property)
+    from collections import Counter
+    sizes = Counter(got.values())
+    assert set(sizes) == set(range(1, 6))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
