@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_ntile": rank.docs_length_ntile,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,
+        "events_quality_checks": relational.events_quality_checks,
         "part_type_sizes": relational.part_type_sizes,
         "lineitem_by_flag": relational.lineitem_by_flag,
         "join_orders_lineitem": joins.orders_lineitem_rollup,

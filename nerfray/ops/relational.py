@@ -306,3 +306,115 @@ SELECT p_type, count(*)::BIGINT AS n_parts, sum(p_size)::BIGINT AS sum_size
 FROM part WHERE p_size >= 25 GROUP BY p_type ORDER BY p_type
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations (Deequ/Great-Expectations-style checks)
+# ---------------------------------------------------------------------------
+#
+# The validation gate a production table passes before downstream jobs
+# trust it: declared expectations (completeness, uniqueness, ranges,
+# set membership) evaluated as ONE streaming pass of per-block metric
+# partials (one tiny row per block, summed) plus ONE id-grain exchange
+# for the exact-uniqueness check — the only expectation that inherently
+# needs a shuffle.  Output is the audit table (check, value, passed),
+# integers only, mirrored verbatim in SQL.
+
+EXPECTED_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_quality_checks(sf_dir: str) -> ray.data.Dataset:
+    """(check, value, passed) audit rows for the events table."""
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"])
+
+    lo = np.datetime64("2020-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("2030-01-01T00:00:00", "us").astype(np.int64)
+    allowed = set(EXPECTED_EVENT_TYPES)
+
+    def _metric_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ts = pc.cast(batch.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_pylist()
+        return pa.Table.from_pydict({
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+            "null_values": pa.array(
+                [batch.column("value").null_count], pa.int64()),
+            "neg_values": pa.array([int((v < 0).sum())], pa.int64()),
+            "ts_oob": pa.array(
+                [int(((ts < lo) | (ts >= hi)).sum())], pa.int64()),
+            "bad_types": pa.array(
+                [sum(1 for t in types if t not in allowed)], pa.int64()),
+        })
+
+    sums = {k: 0 for k in ("n_rows", "null_values", "neg_values",
+                           "ts_oob", "bad_types")}
+    for r in ev.map_batches(_metric_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        for k in sums:
+            sums[k] += r[k]
+
+    # exact uniqueness: the one check that needs an id-grain exchange
+    n_distinct = ev.select_columns(["event_id"]) \
+        .groupby("event_id").count().count()
+    dup_ids = sums["n_rows"] - n_distinct
+
+    checks = [
+        ("event_id_unique", dup_ids, int(dup_ids == 0)),
+        ("event_type_in_set", sums["bad_types"],
+         int(sums["bad_types"] == 0)),
+        ("row_count_min", sums["n_rows"], int(sums["n_rows"] >= 1)),
+        ("ts_in_range", sums["ts_oob"], int(sums["ts_oob"] == 0)),
+        ("value_nonnegative", sums["neg_values"],
+         int(sums["neg_values"] == 0)),
+        ("value_nonnull", sums["null_values"],
+         int(sums["null_values"] == 0)),
+    ]
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "check": pa.array([c[0] for c in checks], pa.string()),
+        "value": pa.array([c[1] for c in checks], pa.int64()),
+        "passed": pa.array([c[2] for c in checks], pa.int64()),
+    }))
+
+
+_TYPES_IN = ", ".join(f"'{t}'" for t in EXPECTED_EVENT_TYPES)
+
+QUALITY_CHECKS_SQL = f"""
+WITH m AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         (count(*) - count(DISTINCT event_id))::BIGINT AS dup_ids,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS null_values,
+         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT
+           AS neg_values,
+         sum(CASE WHEN ts < TIMESTAMP '2020-01-01'
+                    OR ts >= TIMESTAMP '2030-01-01'
+                  THEN 1 ELSE 0 END)::BIGINT AS ts_oob,
+         sum(CASE WHEN event_type NOT IN ({_TYPES_IN})
+                  THEN 1 ELSE 0 END)::BIGINT AS bad_types
+  FROM events)
+SELECT 'event_id_unique' AS check, dup_ids AS value,
+       CASE WHEN dup_ids = 0 THEN 1 ELSE 0 END::BIGINT AS passed FROM m
+UNION ALL SELECT 'event_type_in_set', bad_types,
+       CASE WHEN bad_types = 0 THEN 1 ELSE 0 END::BIGINT FROM m
+UNION ALL SELECT 'row_count_min', n_rows,
+       CASE WHEN n_rows >= 1 THEN 1 ELSE 0 END::BIGINT FROM m
+UNION ALL SELECT 'ts_in_range', ts_oob,
+       CASE WHEN ts_oob = 0 THEN 1 ELSE 0 END::BIGINT FROM m
+UNION ALL SELECT 'value_nonnegative', neg_values,
+       CASE WHEN neg_values = 0 THEN 1 ELSE 0 END::BIGINT FROM m
+UNION ALL SELECT 'value_nonnull', null_values,
+       CASE WHEN null_values = 0 THEN 1 ELSE 0 END::BIGINT FROM m
+ORDER BY 1
+"""
+
+ORACLES["events_quality_checks"] = QUALITY_CHECKS_SQL

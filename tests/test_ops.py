@@ -1674,3 +1674,41 @@ def test_ntile_floor_split_brute_force(ray_session, tmp_path):
     sizes = Counter(got.values())
     assert set(sizes) == set(range(1, 6))
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+# -- data-quality expectations -------------------------------------------------
+
+
+def test_quality_checks_detect_planted_violations(ray_session, tmp_path):
+    """Every expectation fires on a table planted with exactly one
+    violation of each kind (duplicate id, negative value, null value,
+    out-of-range ts, unknown type)."""
+    import os
+    import numpy as np
+    import pyarrow.parquet as pq
+    from nerfray.ops import relational as rel
+
+    base = np.datetime64("2024-06-01T00:00:00", "us")
+    ts = np.array([base] * 6)
+    ts[3] = np.datetime64("2031-01-01T00:00:00", "us")  # out of range
+    t = pa.table({
+        "event_id": pa.array([1, 2, 2, 4, 5, 6], pa.int64()),  # dup 2
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(["click", "view", "BOGUS", "click",
+                                "view", "click"], pa.string()),
+        "value": pa.array([1.0, -2.0, 3.0, 4.0, None, 6.0],
+                          pa.float64()),  # negative + null
+        "props": pa.array(["{}"] * 6, pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    rows = {r["check"]: (r["value"], r["passed"])
+            for r in rel.events_quality_checks(str(tmp_path)).take_all()}
+    assert rows == {
+        "event_id_unique": (1, 0),
+        "event_type_in_set": (1, 0),
+        "row_count_min": (6, 1),
+        "ts_in_range": (1, 0),
+        "value_nonnegative": (1, 0),
+        "value_nonnull": (1, 0),
+    }
