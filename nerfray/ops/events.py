@@ -1657,3 +1657,156 @@ SELECT grid.user_id, strftime(grid.day, '%Y-%m-%d') AS day,
        coalesce(a.sum_cents, 0)::BIGINT AS sum_cents
 FROM grid LEFT JOIN a USING (user_id, day) ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (temporal) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+#
+# The lookup every SCD2 history exists to serve: "which dimension
+# version was valid when this fact happened?"  Dim = the SCD2 history
+# built from the changelog subset (event_id % 3 == 0 — the 'profile
+# updates'); probe = the remaining events.  Correct-as-of semantics:
+# fact ts in [v_start, v_end) (open-ended for the current version),
+# facts before the user's first version have no match and are dropped
+# (inner-join parity with the SQL mirror).  One user-hash co-group of
+# narrow rows; per bucket the match is a per-user-run searchsorted on
+# version starts — contiguous SCD2 versions make the containment check
+# equivalent to "latest v_start <= ts", i.e. an as-of match.
+
+def _temporal_bucket(group: pa.Table) -> pa.Table:
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("dim_type", pa.string())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    kind = np.asarray(group.column("kind").to_pylist(), dtype=object)
+    u = group.column("user_id").to_numpy(zero_copy_only=False)
+    t = group.column("t_us").to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    typ = np.asarray(group.column("typ").to_pylist(), dtype=object)
+
+    d = kind == "d"
+    p = ~d
+    du, dt, dtyp = u[d], t[d], typ[d]
+    order_d = np.lexsort((dt, du))
+    du, dt, dtyp = du[order_d], dt[order_d], dtyp[order_d]
+    pu, pt, peid = u[p], t[p], eid[p]
+    if len(du) == 0 or len(pu) == 0:
+        return out_schema.empty_table()
+
+    idx = _asof_two_key_search(du, dt, pu, pt)
+    # idx = lexsorted dim index of the user's latest version with
+    # v_start <= ts; -1 / an earlier user's row when none exists —
+    # matched requires the SAME user (contiguous SCD2 versions make
+    # the [v_start, v_end) containment equivalent to this as-of match)
+    matched = (idx >= 0) & (du[np.maximum(idx, 0)] == pu)
+    out = pa.Table.from_pydict({
+        "event_id": pa.array(peid[matched], pa.int64()),
+        "user_id": pa.array(pu[matched], pa.int64()),
+        "dim_type": pa.array(dtyp[idx[matched]], pa.string()),
+    }, schema=out_schema)
+    return out
+
+
+def _asof_two_key_search(du: np.ndarray, dt: np.ndarray,
+                         pu: np.ndarray, pt: np.ndarray) -> np.ndarray:
+    """For each probe (pu, pt), the index into the (du, dt)-lexsorted
+    dim arrays of the LAST dim row with (du, dt) <= (pu, pt) in
+    two-key order — fully vectorized via one merged lexsort + a
+    running maximum (dims sort BEFORE probes at exact (user, ts) ties,
+    so a version starting exactly at the fact's ts matches: closed
+    start).  -1 when no dim row precedes the probe; the CALLER must
+    still check the user matches."""
+    n_d = len(du)
+    order = np.lexsort((np.r_[np.zeros(n_d, np.int8),
+                              np.ones(len(pu), np.int8)],
+                        np.r_[dt, pt],
+                        np.r_[du, pu]))
+    is_dim = order < n_d
+    dim_ord = np.where(is_dim, order, -1)
+    latest = np.maximum.accumulate(dim_ord)
+    probe_pos = np.flatnonzero(~is_dim)
+    res = np.empty(len(pu), dtype=np.int64)
+    res[order[probe_pos] - n_d] = latest[probe_pos]
+    return res
+
+
+def temporal_join(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, dim_type): each fact event joined to the
+    SCD2 version valid at its timestamp."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    def _is_changelog(batch: pa.Table, *, want: bool) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        mask = (eid % 3 == 0) if want else (eid % 3 != 0)
+        return batch.filter(pa.array(mask))
+
+    dim = scd2_from(ev.map_batches(
+        _is_changelog, fn_kwargs={"want": True},
+        batch_format="pyarrow", zero_copy_batch=True))
+
+    def _dim_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "kind": pa.array(["d"] * batch.num_rows, pa.string()),
+            "user_id": batch.column("user_id"),
+            "t_us": batch.column("v_start_us"),
+            "event_id": pa.array(np.zeros(batch.num_rows, np.int64),
+                                 pa.int64()),
+            "typ": batch.column("event_type"),
+        })
+
+    def _probe_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "kind": pa.array(["p"] * batch.num_rows, pa.string()),
+            "user_id": batch.column("user_id"),
+            "t_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_id": batch.column("event_id"),
+            "typ": pa.array([""] * batch.num_rows, pa.string()),
+        })
+
+    a = dim.map_batches(_dim_rows, batch_format="pyarrow") \
+        .union(ev.map_batches(_is_changelog, fn_kwargs={"want": False},
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .map_batches(_probe_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)) \
+        .map_batches(_user_bucket, batch_format="pyarrow")
+    return a.groupby("hb").map_groups(_temporal_bucket,
+                                      batch_format="pyarrow")
+
+
+_SCD2_DIM_CTE = """
+src AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, event_type
+  FROM events WHERE event_id % 3 = 0),
+flagged2 AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+grp2 AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged2),
+dim AS (
+  SELECT user_id, min(event_type) AS event_type,
+         min(ts_us) AS v_start_us,
+         COALESCE(lead(min(ts_us)) OVER (PARTITION BY user_id
+                                         ORDER BY min(ts_us)),
+                  -1)::BIGINT AS v_end_us
+  FROM grp2 GROUP BY user_id, g)
+"""
+
+ORACLES["events_temporal_join"] = f"""
+WITH {_SCD2_DIM_CTE},
+probe AS (
+  SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us
+  FROM events WHERE event_id % 3 <> 0)
+SELECT p.event_id, p.user_id, d.event_type AS dim_type
+FROM probe p JOIN dim d ON p.user_id = d.user_id
+ AND d.v_start_us <= p.ts_us
+ AND (p.ts_us < d.v_end_us OR d.v_end_us = -1)
+ORDER BY p.event_id
+"""

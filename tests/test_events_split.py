@@ -316,3 +316,29 @@ def test_funnel_strict_order_and_ties(ray_session):
     # views: users 1,2,3,4,6; view>click: 1,4,6; full: 1,6
     assert got == {"view": 5, "view>click": 3,
                    "view>click>purchase": 2}
+
+
+def test_temporal_two_key_search_brute_force(ray_session):
+    """The merged-lexsort as-of search == a per-probe Python scan,
+    including exact v_start == ts ties (closed start), probes before
+    any version, and probes of absent users."""
+    import numpy as np
+    from nerfray.ops import events as ev
+
+    du = np.array([1, 1, 1, 2, 2], dtype=np.int64)
+    dt = np.array([10, 20, 30, 5, 50], dtype=np.int64)
+    pu = np.array([1, 1, 1, 2, 2, 3], dtype=np.int64)
+    pt = np.array([9, 20, 35, 4, 60, 100], dtype=np.int64)
+    idx = ev._asof_two_key_search(du, dt, pu, pt)
+
+    def brute(u, t):
+        best = -1
+        for i in range(len(du)):
+            if (du[i], dt[i]) <= (u, t):
+                best = i
+        return best
+
+    assert idx.tolist() == [brute(u, t) for u, t in zip(pu, pt)]
+    # caller-side user check drops cross-user and absent-user hits
+    matched = (idx >= 0) & (du[np.maximum(idx, 0)] == pu)
+    assert matched.tolist() == [False, True, True, False, True, False]
