@@ -131,7 +131,14 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "kg_entity_types", "join_bloom_prefiltered",
                  "docs_url_hosts", "docs_blocklist", "events_scd2",
                  "events_outliers", "kg_lib_assoc", "kg_repo_cards",
-                 "emb_centroid_outliers"):
+                 "emb_centroid_outliers", "docs_classifier",
+                 "events_zonemap_scan", "events_zorder_scan",
+                 "kg_triples_compacted", "kg_lookup_object",
+                 "kg_schema_evolution", "events_hot_users",
+                 "join_q18_topk", "dedup_incremental_bloom",
+                 "join_adaptive_rollup", "events_resampled_daily",
+                 "docs_length_ntile", "events_quality_checks",
+                 "events_temporal_join"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
