@@ -237,3 +237,61 @@ SELECT doc_id, n_bytes, (excl // {SHARD_BYTES})::BIGINT AS shard,
        (excl % {SHARD_BYTES})::BIGINT AS shard_off
 FROM c ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# modality-routed decode (heterogeneous actor pools per media type)
+# ---------------------------------------------------------------------------
+#
+# One decode pool per modality is wrong at scale: image decoding wants
+# large batches on many cheap actors, audio/video want small batches
+# (payloads are wide) on fewer actors.  The router splits the stream by
+# media_type into per-modality actor-pool stages — each with its own
+# batch_size / concurrency — and unions the outputs; unrecognized
+# modalities take the conservative default pool rather than failing
+# the pipeline.  Routing is semantics-invisible (same decoder, same
+# rows), so the meta projection shares MEDIA_META_SQL verbatim and the
+# features are pinned equal to the single-pool run in tests.
+
+MODALITY_POOLS: dict = {
+    "image/fake": {"batch_size": 128, "concurrency": (1, 4)},
+    "audio/fake": {"batch_size": 32, "concurrency": (1, 2)},
+}
+DEFAULT_POOL: dict = {"batch_size": 16, "concurrency": (1, 2)}
+
+
+def _route(batch: pa.Table, *, media_type: str | None) -> pa.Table:
+    import pyarrow.compute as pc
+    col = batch.column("media_type")
+    if media_type is None:  # default branch: everything unrecognized
+        mask = pc.invert(pc.is_in(
+            col, value_set=pa.array(list(MODALITY_POOLS))))
+    else:
+        mask = pc.equal(col, media_type)
+    return batch.filter(mask)
+
+
+def media_features_routed(docs: ray.data.Dataset) -> ray.data.Dataset:
+    media = to_media(docs)
+    branches = []
+    for mt, cfg in sorted(MODALITY_POOLS.items()):
+        branches.append(
+            media.map_batches(_route, fn_kwargs={"media_type": mt},
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .map_batches(FakeDecoder, batch_format="pyarrow", **cfg))
+    branches.append(
+        media.map_batches(_route, fn_kwargs={"media_type": None},
+                          batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(FakeDecoder, batch_format="pyarrow",
+                     **DEFAULT_POOL))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+
+
+def media_meta_routed(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Meta projection of the routed decode (shares MEDIA_META_SQL)."""
+    return media_features_routed(docs).select_columns(
+        ["doc_id", "media_type", "n_bytes", "sha_prefix"])

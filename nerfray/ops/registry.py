@@ -472,6 +472,13 @@ def q_media_meta(sf_dir: str):
     return multimodal.media_meta(_docs(sf_dir))
 
 
+def q_media_meta_routed(sf_dir: str):
+    # per-modality actor pools (batch size / concurrency per media
+    # type); routing is semantics-invisible -> same oracle
+    from . import multimodal
+    return multimodal.media_meta_routed(_docs(sf_dir))
+
+
 def q_media_frames(sf_dir: str):
     from . import multimodal
     return multimodal.media_frames_meta(_docs(sf_dir))
@@ -552,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_packed_split": q_docs_packed_split,
         "docs_chunks": q_docs_chunks,
         "media_meta": q_media_meta,
+        "media_meta_routed": q_media_meta_routed,
         "media_frames": q_media_frames,
         "media_shards": q_media_shards,
         "orders_by_status": relational.orders_by_status,
@@ -913,6 +921,7 @@ def oracles() -> dict[str, str]:
         "docs_url_hosts": _text_sql("HOST_STATS_SQL"),
         "docs_blocklist": _text_sql("BLOCKLIST_SQL"),
         "media_meta": MEDIA_META_SQL,
+        "media_meta_routed": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
         "media_shards": _mm_sql("MEDIA_SHARDS_SQL"),
         "lang_confusion_planted": _lang_sql(),

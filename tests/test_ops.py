@@ -1712,3 +1712,40 @@ def test_quality_checks_detect_planted_violations(ray_session, tmp_path):
         "value_nonnegative": (1, 0),
         "value_nonnull": (1, 0),
     }
+
+
+# -- modality-routed decode ----------------------------------------------------
+
+
+def test_routed_decode_equals_single_pool(ray_session):
+    """Per-modality pools + default branch produce exactly the
+    single-pool rows (features included); an unknown modality rides
+    the default pool instead of failing."""
+    import ray.data
+    from nerfray.ops import multimodal as mm
+
+    docs = ray.data.from_arrow(_docs_table(
+        [f"payload text {i}" for i in range(12)]))
+    single = {r["doc_id"]: (r["media_type"], r["sha_prefix"],
+                            tuple(r["features"]))
+              for r in mm.media_features(docs).take_all()}
+    routed = {r["doc_id"]: (r["media_type"], r["sha_prefix"],
+                            tuple(r["features"]))
+              for r in mm.media_features_routed(docs).take_all()}
+    assert routed == single and len(routed) == 12
+
+    # unknown modality -> default pool (not dropped, not an error)
+    media = mm.to_media(docs)
+
+    def _mutate(batch):
+        import pyarrow as pa
+        types = ["video/fake"] * batch.num_rows
+        return batch.set_column(
+            batch.schema.get_field_index("media_type"), "media_type",
+            pa.array(types, pa.string()))
+
+    weird = media.map_batches(_mutate, batch_format="pyarrow")
+    got = weird.map_batches(
+        mm._route, fn_kwargs={"media_type": None},
+        batch_format="pyarrow").count()
+    assert got == 12
