@@ -470,3 +470,71 @@ def read_triples_compacted(out_dir: str) -> ray.data.Dataset:
     from ..sources.parquet import read_parquet_clean
     from ..stages import triples as tr
     return tr.dedup_triples(read_parquet_clean(paths))
+
+
+# ---------------------------------------------------------------------------
+# store garbage collection (orphans, stale configs, dead compactions)
+# ---------------------------------------------------------------------------
+#
+# Long-lived stores accumulate dead bytes: shard directories from a
+# previous configuration, compactions invalidated by a later resume,
+# tmp files from crashed commits.  GC walks the store, classifies every
+# file as live (reachable from the CURRENT run manifest's shards, the
+# currently-valid compaction, or a manifest itself) or garbage, and —
+# only outside dry-run — deletes the garbage.  Readers never race it:
+# everything GC deletes is by definition unreachable through
+# read_triples / read_triples_compacted, which resolve strictly via
+# manifests.
+
+def gc_store(out_dir: str, *, dry_run: bool = True) -> dict:
+    """Classify (and optionally delete) unreachable files. Returns
+    {n_live, n_garbage, garbage_bytes, removed: [paths], dry_run}."""
+    live: set[str] = set()
+
+    # manifests + run manifest are always live
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            live.add(os.path.join(mdir, f))
+
+    # data files of the current config's committed shards
+    valid_ids = set()
+    for m in _valid_shard_manifests(out_dir):
+        valid_ids.add(m["shard_id"])
+    for k in valid_ids:
+        sdir = os.path.join(out_dir, f"shard={k}")
+        if os.path.isdir(sdir):
+            for f in os.listdir(sdir):
+                live.add(os.path.join(sdir, f))
+
+    # the compaction, iff still valid against the live shard files
+    comp = load_compaction(out_dir)
+    if comp is not None and comp.get("complete") \
+            and comp.get("store_fp") == _store_fp(
+                _store_files(out_dir), comp.get("target_rows", -1)):
+        live.add(_compaction_manifest_path(out_dir))
+        for k in range(comp["n_bins"]):
+            bdir = os.path.join(out_dir, COMPACT_DIR, f"bin={k}")
+            if os.path.isdir(bdir):
+                for f in os.listdir(bdir):
+                    live.add(os.path.join(bdir, f))
+
+    garbage: list[str] = []
+    g_bytes = 0
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            if p not in live:
+                garbage.append(p)
+                g_bytes += os.stat(p).st_size
+    report = {"n_live": len(live), "n_garbage": len(garbage),
+              "garbage_bytes": g_bytes, "removed": sorted(garbage),
+              "dry_run": dry_run}
+    if not dry_run:
+        for p in garbage:
+            os.remove(p)
+        # drop now-empty directories (bottom-up)
+        for root, dirs, files in os.walk(out_dir, topdown=False):
+            if root != out_dir and not os.listdir(root):
+                os.rmdir(root)
+    return report

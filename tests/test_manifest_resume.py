@@ -137,3 +137,42 @@ def test_compact_plan_bins_consecutive_and_bounded(tmp_path):
         paths.append(p)
     bins = manifest.compact_plan(paths, target_rows=25)
     assert bins == [paths[0:2], [paths[2]], [paths[3]], [paths[4]]]
+
+
+def test_gc_removes_only_unreachable_files(ray_session, tmp_path):
+    """GC classifies stale-config shards, invalidated compactions and
+    crashed-commit tmp files as garbage; live data survives and reads
+    are byte-identical before/after."""
+    out = str(tmp_path / "store")
+    manifest.run_checkpointed(N, out, n_shards=2, tagger="rule")
+    manifest.compact_store(out, target_rows=10_000_000)
+
+    # invalidate the compaction by re-running shard 0
+    os.remove(os.path.join(out, manifest.MANIFEST_DIR, "shard-0.json"))
+    manifest.run_checkpointed(N, out, n_shards=2, tagger="rule")
+    # plant a crashed-commit leftover
+    orphan = os.path.join(out, "tmp_crashed_upload")
+    with open(orphan, "w") as f:
+        f.write("partial")
+
+    before = sorted((r["subj"], r["pred"], r["obj"])
+                    for r in manifest.read_triples(out).take_all())
+
+    dry = manifest.gc_store(out, dry_run=True)
+    assert orphan in dry["removed"]
+    assert any(manifest.COMPACT_DIR in p for p in dry["removed"])
+    assert os.path.exists(orphan)  # dry run deletes nothing
+
+    real = manifest.gc_store(out, dry_run=False)
+    assert real["removed"] == dry["removed"]
+    assert not os.path.exists(orphan)
+    assert not os.path.isdir(os.path.join(out, manifest.COMPACT_DIR))
+
+    after = sorted((r["subj"], r["pred"], r["obj"])
+                   for r in manifest.read_triples(out).take_all())
+    assert after == before
+    # a fresh GC pass finds nothing left to collect
+    assert manifest.gc_store(out, dry_run=True)["n_garbage"] == 0
+    # and a valid compaction is LIVE (not collected)
+    manifest.compact_store(out, target_rows=10_000_000)
+    assert manifest.gc_store(out, dry_run=True)["n_garbage"] == 0
