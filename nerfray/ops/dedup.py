@@ -1176,3 +1176,90 @@ SELECT doc_id, count(*)::BIGINT AS n_paras, sum(keep)::BIGINT AS n_kept,
                        FILTER (WHERE keep = 1), '')) AS clean_sha
 FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test splits (split by DUP CLASS, not by doc)
+# ---------------------------------------------------------------------------
+#
+# Hashing each doc_id into a split leaks near-duplicates across the
+# train/test boundary — the classic eval contamination bug.  The safe
+# unit is the near-dup CLASS: pairs -> distributed connected components
+# (the existing survivors machinery) give each doc its class
+# representative; the split hash is computed on the REPRESENTATIVE, so
+# every member of a class lands in the same split by construction.
+# Docs in no dup class are their own representative.  One big-big
+# left-outer hash join attaches the class map to the corpus; the split
+# is per-row sha arithmetic (no shuffle).
+
+def leakproof_splits(docs: ray.data.Dataset, *,
+                     threshold: float = 0.5) -> ray.data.Dataset:
+    """(doc_id, class_rep, split) with split in train/val/test (8/1/1
+    by sha256(class_rep) mod 10) and near-dup classes unsplit."""
+    from nerfray.stages.graph import connected_components
+    from .joins import hash_join
+
+    pairs = minhash_dedup_pairs(docs, threshold=threshold)
+
+    def _as_triples(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "subj": pa.array([_doc_node(a) for a in
+                              batch.column("doc_a").to_pylist()],
+                             pa.string()),
+            "pred": pa.array(["dup"] * batch.num_rows, pa.string()),
+            "obj": pa.array([_doc_node(b) for b in
+                             batch.column("doc_b").to_pylist()],
+                            pa.string()),
+        })
+
+    comp = connected_components(
+        pairs.map_batches(_as_triples, batch_format="pyarrow"))
+
+    def _class_map(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(
+                [int(s[1:]) for s in batch.column("node").to_pylist()],
+                pa.int64()),
+            "rep": pa.array(
+                [int(s[1:]) for s in
+                 batch.column("component").to_pylist()], pa.int64()),
+        })
+
+    cmap = comp.map_batches(_class_map, batch_format="pyarrow")
+    joined = hash_join(
+        docs.select_columns(["doc_id"]), cmap,
+        left_on="doc_id", right_on="doc_id",
+        left_cols=[], right_cols=["rep"], how="left outer")
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("__key").to_numpy(zero_copy_only=False)
+        rep_col = batch.column("rep").to_numpy(zero_copy_only=False)
+        rep = np.where(pa.compute.is_null(batch.column("rep"))
+                       .to_numpy(zero_copy_only=False), ids, rep_col) \
+            .astype(np.int64)
+        buckets = [int(hashlib.sha256(str(r).encode())
+                       .hexdigest()[:8], 16) % 10 for r in rep.tolist()]
+        split = ["train" if b < 8 else ("val" if b == 8 else "test")
+                 for b in buckets]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "class_rep": pa.array(rep, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return joined.map_batches(_assign, batch_format="pyarrow")
+
+
+# planted corpus: classes are exactly {4g..4g+3}, so the whole
+# pairs -> components -> rep -> split flow is pure id arithmetic
+LEAKPROOF_PLANTED_SQL = """
+WITH s AS (SELECT doc_id, 4 * (doc_id // 4) AS rep FROM documents),
+h AS (SELECT doc_id, rep,
+             ('0x' || substr(sha256(CAST(rep AS VARCHAR)), 1, 8))::UBIGINT
+               % 10 AS b
+      FROM s)
+SELECT doc_id, rep::BIGINT AS class_rep,
+       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""

@@ -87,6 +87,15 @@ def q_docs_paragraph_dedup(sf_dir: str):
         dedup.planted_paragraph_docs(_docs(sf_dir)))
 
 
+def q_docs_splits_leakproof(sf_dir: str):
+    # eval-contamination-safe splits: near-dup classes (pairs ->
+    # components) hash into a split by their REPRESENTATIVE, so no
+    # class straddles train/test; planted classes -> full SQL oracle
+    from . import dedup
+    return dedup.leakproof_splits(dedup.planted_neardup_docs(
+        _docs(sf_dir)))
+
+
 def q_dedup_incremental_bloom(sf_dir: str):
     # stateful streaming dedup: persisted Bloom filter + sha catalog,
     # probe -> exact-verify maybes -> commit state v+1; output is
@@ -506,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": q_dedup_survivors,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
+        "docs_splits_leakproof": q_docs_splits_leakproof,
         "dedup_editdist": q_dedup_editdist,
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "bloom_corpus": q_bloom_corpus,
@@ -859,7 +869,8 @@ def _dedup_sql(name: str) -> str:
 
 
 def oracles() -> dict[str, str]:
-    from .dedup import (INCREMENTAL_SQL, MINHASH_PLANTED_SQL,
+    from .dedup import (INCREMENTAL_SQL, LEAKPROOF_PLANTED_SQL,
+                        MINHASH_PLANTED_SQL,
                         MINHASH_SURVIVORS_PLANTED_SQL)
     from .sampling import (CHUNKS_SQL, MIXTURE_SQL, PACKED_SQL,
                        SPLITS_SQL, STRATIFIED_SQL)
@@ -868,6 +879,7 @@ def oracles() -> dict[str, str]:
                        SALIENT_SQL, TOP_QUALITY_SQL, TOP_WORDS_SQL)
     sql = {
         "dedup_survivors_planted": MINHASH_SURVIVORS_PLANTED_SQL,
+        "docs_splits_leakproof": LEAKPROOF_PLANTED_SQL,
         "docs_top_quality": TOP_QUALITY_SQL,
         "docs_top_words": TOP_WORDS_SQL,
         "docs_cooccur": COOCCUR_SQL,

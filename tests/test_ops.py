@@ -1749,3 +1749,35 @@ def test_routed_decode_equals_single_pool(ray_session):
         mm._route, fn_kwargs={"media_type": None},
         batch_format="pyarrow").count()
     assert got == 12
+
+
+# -- leakage-safe splits ---------------------------------------------------------
+
+
+def test_leakproof_splits_keep_classes_together(ray_session):
+    """Every near-dup class lands in ONE split, the representative is
+    the class min, and the 8/1/1 assignment matches the per-rep sha
+    formula (planted corpus: classes are exactly {4g..4g+3})."""
+    import hashlib
+    import ray.data
+    from nerfray.ops import dedup as ddp
+
+    n = 40
+    base = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([""] * n, pa.string())}))
+    docs = ddp.planted_neardup_docs(base)
+    rows = ddp.leakproof_splits(docs).take_all()
+    assert len(rows) == n
+    by_doc = {r["doc_id"]: r for r in rows}
+    for i in range(n):
+        rep = 4 * (i // 4)
+        assert by_doc[i]["class_rep"] == rep
+        b = int(hashlib.sha256(str(rep).encode())
+                .hexdigest()[:8], 16) % 10
+        want = "train" if b < 8 else ("val" if b == 8 else "test")
+        assert by_doc[i]["split"] == want
+    # class integrity: members of a class share one split
+    for g in range(n // 4):
+        splits = {by_doc[4 * g + j]["split"] for j in range(4)}
+        assert len(splits) == 1
