@@ -428,3 +428,58 @@ nn AS (SELECT count(*)::BIGINT AS n FROM documents)
 SELECT doc_id, n_chars, (rk * {NTILE_K} // nn.n + 1)::BIGINT AS decile
 FROM r, nn ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# layout-pruned bottom-k (ORDER BY ... LIMIT k without a global sort)
+# ---------------------------------------------------------------------------
+#
+# The payoff query for a range-partitioned layout: the global k
+# smallest rows live entirely in the first part directories, so ORDER
+# BY ... LIMIT k reads part=0 (then part=1, ... only if k spills past
+# it) instead of sorting the table.  Part row counts come from the
+# hive directory footers, so the reader knows how many parts it needs
+# before opening any data.
+
+def bottomk_via_layout(sf_dir: str, *, k: int = 25) -> ray.data.Dataset:
+    """(doc_id, n_chars) of the k globally smallest (n_chars, doc_id)
+    docs, read from a range layout with only the needed part dirs."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "n_chars"])
+    out = tempfile.mkdtemp(prefix="nerfray_bottomk_")
+    try:
+        write_range_partitioned(ds, out, key="n_chars",
+                                tiebreak="doc_id")
+        # footer-only part sizes, ascending part order
+        parts = sorted(
+            (int(d.split("=")[1]) for d in os.listdir(out)
+             if d.startswith("part=")))
+        need, paths = 0, []
+        for p in parts:
+            pdir = os.path.join(out, f"part={p}")
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    paths.append(os.path.join(pdir, f))
+                    need += pq.read_metadata(
+                        os.path.join(pdir, f)).num_rows
+            if need >= k:
+                break  # later parts hold only larger keys
+        t = ray.data.read_parquet(paths,
+                                  columns=["doc_id", "n_chars"]) \
+            .sort(["n_chars", "doc_id"]).limit(k).materialize()
+        return t.select_columns(["doc_id", "n_chars"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLES["docs_bottomk_layout"] = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars, doc_id LIMIT 25
+"""

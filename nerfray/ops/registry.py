@@ -359,6 +359,13 @@ def q_docs_decontam(sf_dir: str):
     return text.decontaminate(_docs(sf_dir))
 
 
+def q_docs_compression(sf_dir: str):
+    # Gopher-style zlib-ratio quality signal; rows-only (no SQL zlib),
+    # kernel pinned by a brute-force pytest
+    from . import text
+    return text.compression_signals(_docs(sf_dir))
+
+
 def q_docs_classifier(sf_dir: str):
     # fastText-style linear bag-of-words model scoring: bounded vocab
     # fit -> ray.put weight broadcast -> map-only actor-pool inference
@@ -579,6 +586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_export_sampled": rank.events_range_export_sampled,
         "docs_length_histogram": rank.docs_length_histogram,
         "docs_length_ntile": rank.docs_length_ntile,
+        "docs_bottomk_layout":
+            lambda sf: rank.bottomk_via_layout(sf),
+        "docs_compression": q_docs_compression,
         "top_customers": relational.top_customers,
         "customers_per_region": relational.customers_per_region,
         "events_quality_checks": relational.events_quality_checks,

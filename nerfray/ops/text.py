@@ -1506,3 +1506,46 @@ SELECT d.doc_id, coalesce(s.sc, 0)::BIGINT AS score,
        CASE WHEN coalesce(s.sc, 0) >= 0 THEN 1 ELSE 0 END::BIGINT AS keep
 FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (Gopher-style)
+# ---------------------------------------------------------------------------
+#
+# The classic cheap repetition detector (used alongside the explicit
+# repetition signals above): highly repetitive / boilerplate text
+# compresses far below natural prose, so zlib_ratio_permille =
+# 1000 * len(zlib(text)) / len(text) is a strong quality feature.
+# Map-only actor-free stage; zlib level is PINNED (level 6) because
+# the ratio is part of the output contract.  No SQL engine exposes
+# zlib, so this is a rows-only query whose kernel is pinned by a
+# brute-force pytest instead — the one-signal exception to the
+# everything-has-an-oracle rule, worth it because real curation stacks
+# ship exactly this feature.
+
+ZLIB_LEVEL = 6
+
+
+def compression_signals(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bytes, n_zbytes, ratio_permille); empty docs emit
+    ratio_permille = 1000 (incompressible by convention)."""
+    import zlib
+
+    def _comp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        out_nb, out_zb, out_r = [], [], []
+        for t in batch.column("text").to_pylist():
+            raw = t.encode()
+            z = zlib.compress(raw, ZLIB_LEVEL)
+            out_nb.append(len(raw))
+            out_zb.append(len(z))
+            out_r.append(1000 * len(z) // len(raw) if raw else 1000)
+        return pa.Table.from_pydict({
+            "doc_id": ids,
+            "n_bytes": pa.array(out_nb, pa.int64()),
+            "n_zbytes": pa.array(out_zb, pa.int64()),
+            "ratio_permille": pa.array(out_r, pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _comp, batch_format="pyarrow", zero_copy_batch=True)

@@ -1781,3 +1781,46 @@ def test_leakproof_splits_keep_classes_together(ray_session):
     for g in range(n // 4):
         splits = {by_doc[4 * g + j]["split"] for j in range(4)}
         assert len(splits) == 1
+
+
+# -- compression signal + layout-pruned bottom-k --------------------------------
+
+
+def test_compression_signals_brute_force(ray_session):
+    """Kernel == direct zlib at the pinned level; repetitive text
+    compresses far below prose; empty doc hits the 1000 convention."""
+    import zlib
+    import ray.data
+    from nerfray.ops import text as txm
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "ab" * 500, ""]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    rows = {r["doc_id"]: r for r in
+            txm.compression_signals(docs).take_all()}
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        z = zlib.compress(raw, txm.ZLIB_LEVEL)
+        assert rows[i]["n_bytes"] == len(raw)
+        assert rows[i]["n_zbytes"] == len(z)
+        want = 1000 * len(z) // len(raw) if raw else 1000
+        assert rows[i]["ratio_permille"] == want
+    assert rows[1]["ratio_permille"] < rows[0]["ratio_permille"]
+    assert rows[2]["ratio_permille"] == 1000
+
+
+def test_bottomk_reads_prefix_parts_only(ray_session):
+    """The layout-pruned bottom-k equals the full sort's head; with
+    k smaller than part 0 the scan stops at the first directory."""
+    import duckdb
+    from nerfray.ops import rank as rk
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r["doc_id"], r["n_chars"])
+           for r in rk.bottomk_via_layout(sf, k=10).take_all()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.sql("SELECT doc_id, n_chars FROM documents "
+                   "ORDER BY n_chars, doc_id LIMIT 10").fetchall()
+    assert got == [tuple(w) for w in want]
