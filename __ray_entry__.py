@@ -116,6 +116,14 @@ def q_kg_license_violations(sf_dir: str):
     return validate.license_violations(kg.run_for(sf_dir, tagger="crf"))
 
 
+def q_kg_apply_delta(sf_dir: str):
+    """CDC apply: v1 + changelog -> v2 without running the v2 pipeline
+    (tombstone anti-join + add union). Oracle = the v2 gold set, so
+    equality proves delta completeness AND apply exactness."""
+    from nerfray.pipelines import kg
+    return kg.kg_apply_delta(sf_dir, tagger="crf")
+
+
 def q_kg_delta(sf_dir: str):
     """Incremental KG maintenance: triple diff between two deterministic
     corpus versions (added/removed), via two distributed anti-joins on
@@ -480,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_license_violations": q_kg_license_violations,
         "kg_adjacency": q_kg_adjacency,
         "kg_delta": q_kg_delta,
+        "kg_apply_delta": q_kg_apply_delta,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_ox": q_kg_ox,
         "kg_degrees": q_kg_degrees,
@@ -550,6 +559,9 @@ FROM gold ORDER BY subj, pred, obj
         "kg_lib_assoc": __assoc_sql(corpus.gold_triples_sql()),
         "kg_repo_cards": __cards_sql(corpus.gold_triples_sql()),
         "kg_delta": __kg.kg_delta_sql(),
+        "kg_apply_delta": f"""
+{corpus.gold_triples_sql(__kg.V2_WHERE[0])}
+""",
         "kg_license_violations":
             validate.license_violations_sql(corpus.gold_triples_sql()),
         "kg_triples_prov": corpus.prov_triples_sql(),

@@ -241,3 +241,44 @@ SELECT 'del', subj, pred, obj
 FROM (SELECT subj, pred, obj FROM v1 EXCEPT SELECT subj, pred, obj FROM v2)
 ORDER BY op, subj, pred, obj
 """
+
+
+def kg_apply_delta(sf_dir: str, tagger: str = "crf") -> ray.data.Dataset:
+    """CDC apply (the consumer side of kg_delta): v1 triples + the
+    (add/del) changelog -> the v2 triple set, without ever running the
+    v2 pipeline.  Tombstone semantics: 'del' rows anti-join v1 out on
+    the composite key, 'add' rows union in — the standard incremental
+    materialized-view maintenance step, so the oracle is simply the v2
+    gold set (equality proves the delta is complete AND the apply is
+    exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.joins import hash_join
+
+    n = corpus_source.corpus_rows_for(sf_dir)
+    v1 = kg_pipeline(corpus_version(n, mod=V1_WHERE[1],
+                                    drop=V1_WHERE[2]), tagger)
+    delta = kg_delta(sf_dir, tagger).materialize()
+
+    def _with_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch.column("subj"), batch.column("pred"),
+            batch.column("obj"), "\x1f")
+        return batch.append_column("k", k)
+
+    def _only(op: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("op"), op)) \
+                .drop_columns(["op"])
+        return _f
+
+    dels = delta.map_batches(_only("del"), batch_format="pyarrow") \
+        .map_batches(_with_key, batch_format="pyarrow")
+    adds = delta.map_batches(_only("add"), batch_format="pyarrow")
+    cols = ["subj", "pred", "obj"]
+    survivors = hash_join(
+        v1.map_batches(_with_key, batch_format="pyarrow"), dels,
+        left_on="k", right_on="k", left_cols=cols, right_cols=[],
+        how="left anti").select_columns(cols)
+    return survivors.union(adds.select_columns(cols))
