@@ -138,7 +138,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "join_q18_topk", "dedup_incremental_bloom",
                  "join_adaptive_rollup", "events_resampled_daily",
                  "docs_length_ntile", "events_quality_checks",
-                 "events_temporal_join"):
+                 "events_temporal_join", "media_meta_routed",
+                 "docs_splits_leakproof", "docs_bottomk_layout",
+                 "docs_compression", "kg_apply_delta"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

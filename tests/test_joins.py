@@ -539,17 +539,20 @@ def test_q18_having_filter_is_load_bearing(ray_session):
     from nerfray.ops import joins as j
 
     sf = "/root/testdata/sf0.001"
-    rows = j.q18_large_orders(sf).take_all()
-    assert rows and all(r["qty"] > j.Q18_MIN_QTY for r in rows)
+    cols = ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "totalprice_c", "qty"]
+    df = j.q18_large_orders(sf).to_pandas()
+    # name any missing column explicitly (a take_all KeyError flake
+    # under heavy load gave no diagnostics; this does)
+    assert sorted(df.columns) == sorted(cols), sorted(df.columns)
+    assert len(df) and (df["qty"] > j.Q18_MIN_QTY).all()
     con = duckdb.connect()
     for t in ("lineitem", "orders", "customer"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf}/{t}.parquet')")
-    want = con.sql(j.Q18_SQL).fetchall()
-    got = [(r["c_name"], r["c_custkey"], r["o_orderkey"],
-            r["o_orderdate"], r["totalprice_c"], r["qty"])
-           for r in rows]
-    assert got == [tuple(w) for w in want]
+    want = sorted(map(tuple, con.sql(j.Q18_SQL).fetchall()))
+    got = sorted(map(tuple, df[cols].itertuples(index=False)))
+    assert got == want  # exact top-k tuple set (order-insensitive)
 
 
 def test_adaptive_join_strategies_agree(ray_session):
