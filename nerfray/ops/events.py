@@ -1810,3 +1810,98 @@ FROM probe p JOIN dim d ON p.user_id = d.user_id
  AND (p.ts_us < d.v_end_us OR d.v_end_us = -1)
 ORDER BY p.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# pivot (long -> wide): per-day event-type count matrix
+# ---------------------------------------------------------------------------
+#
+# The reshaping operator class (PIVOT): one row per day, one column per
+# event type.  The type vocabulary is DECLARED (the quality-checks
+# expectation set), not discovered — a pivot's output schema must be
+# known before execution in a streaming engine, exactly why SQL PIVOT
+# needs IN (...).  Per-block partials pre-aggregate (day, type) cells,
+# the one day-grain groupby sums, and the widening is a map over the
+# aggregated rows.  Unknown types fall into n_other so rows are never
+# silently dropped.
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_daily_types(sf_dir: str) -> ray.data.Dataset:
+    """(day, n_click, n_error, n_purchase, n_signup, n_view, n_other)."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type"])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("day", pa.int64()),
+                                ("event_type", pa.string()),
+                                ("n", pa.int64())])
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        day = (pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+               // _DAY_US)
+        part = pa.Table.from_pydict({
+            "day": pa.array(day, pa.int64()),
+            "event_type": batch.column("event_type"),
+            "n": pa.array(np.ones(len(day), np.int64), pa.int64())})
+        return part.group_by(["day", "event_type"]).aggregate(
+            [("n", "sum")]).rename_columns(["day", "event_type", "n"]) \
+            .cast(out_schema)
+
+    def _widen(group: pa.Table) -> pa.Table:
+        fields = [("day", pa.string())] + \
+            [(f"n_{t}", pa.int64()) for t in PIVOT_TYPES] + \
+            [("n_other", pa.int64())]
+        out_schema = pa.schema(fields)
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        days = group.column("day").to_numpy(zero_copy_only=False)
+        types = np.asarray(group.column("event_type").to_pylist(),
+                           dtype=object)
+        ns = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(days, kind="stable")
+        d_s, t_s, n_s = days[order], types[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        uniq_days = d_s[starts]
+        cols = {f"n_{t}": np.zeros(len(uniq_days), np.int64)
+                for t in PIVOT_TYPES}
+        other = np.zeros(len(uniq_days), np.int64)
+        run = np.cumsum(np.r_[False, d_s[1:] != d_s[:-1]])
+        for t in PIVOT_TYPES:
+            m = t_s == t
+            np.add.at(cols[f"n_{t}"], run[m], n_s[m])
+        m_other = ~np.isin(t_s, np.array(PIVOT_TYPES, dtype=object))
+        np.add.at(other, run[m_other], n_s[m_other])
+        lab = np.datetime_as_string(uniq_days.astype("datetime64[D]"),
+                                    unit="D")
+        out = {"day": pa.array(lab.tolist(), pa.string())}
+        for t in PIVOT_TYPES:
+            out[f"n_{t}"] = pa.array(cols[f"n_{t}"], pa.int64())
+        out["n_other"] = pa.array(other, pa.int64())
+        return pa.Table.from_pydict(out, schema=out_schema)
+
+    def _day_bucket(batch: pa.Table) -> pa.Table:
+        hb = pc.cast(pc.bit_wise_and(batch.column("day"), 63),
+                     pa.int32())
+        return batch.append_column("hb", hb)
+
+    return ev.map_batches(_cells, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["day", "event_type"]).sum("n") \
+        .rename_columns({"sum(n)": "n"}) \
+        .map_batches(_day_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_widen, batch_format="pyarrow")
+
+
+ORACLES["events_pivot_daily"] = f"""
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+       {", ".join(
+           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+           f"::BIGINT AS n_{t}" for t in PIVOT_TYPES)},
+       sum(CASE WHEN event_type NOT IN ({", ".join(
+           "'" + t + "'" for t in PIVOT_TYPES)})
+           THEN 1 ELSE 0 END)::BIGINT AS n_other
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -1824,3 +1824,43 @@ def test_bottomk_reads_prefix_parts_only(ray_session):
     want = con.sql("SELECT doc_id, n_chars FROM documents "
                    "ORDER BY n_chars, doc_id LIMIT 10").fetchall()
     assert got == [tuple(w) for w in want]
+
+
+# -- pivot (long -> wide) --------------------------------------------------------
+
+
+def test_pivot_widen_kernel_brute_force(ray_session):
+    """The pivot == its SQL mirror on a synthetic table that exercises
+    unknown types (n_other) and multi-day widening."""
+    from nerfray.ops import events as ev
+    import os
+    import tempfile
+    import numpy as np
+    import pyarrow.parquet as pq
+    import duckdb
+    with tempfile.TemporaryDirectory() as td:
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        n = 50
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(base + (np.arange(n) % 3).astype(
+                "timedelta64[D]").astype("timedelta64[us]"),
+                pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(
+                [("click", "view", "weird")[i % 3] for i in range(n)],
+                pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+        pq.write_table(t, os.path.join(td, "events.parquet"))
+        got = sorted(
+            (r["day"], r["n_click"], r["n_view"], r["n_other"])
+            for r in ev.pivot_daily_types(td).take_all())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{td}/events.parquet')")
+        want = sorted((d, c, v, o) for d, c, _e, _p, _s, v, o in
+                      con.sql(ev.ORACLES["events_pivot_daily"])
+                      .fetchall())
+        assert got == want and len(got) == 3
