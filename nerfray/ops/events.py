@@ -1905,3 +1905,51 @@ SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
            THEN 1 ELSE 0 END)::BIGINT AS n_other
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# unpivot (wide -> long): melt the daily pivot back to (day, type, n)
+# ---------------------------------------------------------------------------
+#
+# The inverse reshaping: each wide row explodes into one long row per
+# nonzero counter (zero cells vanish — the grouped long form has no
+# zero rows to round-trip to).  Composed over pivot_daily_types, the
+# pair proves pivot ∘ unpivot == the plain long rollup, which is
+# exactly what the oracle states (with out-of-vocabulary types named
+# 'other', the only name the wide form retains for them).
+
+def unpivot_daily_types(sf_dir: str) -> ray.data.Dataset:
+    """(day, event_type, n) melted from the daily pivot."""
+    wide = pivot_daily_types(sf_dir)
+    names = list(PIVOT_TYPES) + ["other"]
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("day", pa.string()),
+                                ("event_type", pa.string()),
+                                ("n", pa.int64())])
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        days = np.asarray(batch.column("day").to_pylist(), dtype=object)
+        mats = np.stack([batch.column(f"n_{t}")
+                         .to_numpy(zero_copy_only=False)
+                         for t in names], axis=1)  # (rows, types)
+        r, c = np.nonzero(mats)
+        return pa.Table.from_pydict({
+            "day": pa.array(days[r], pa.string()),
+            "event_type": pa.array(
+                np.array(names, dtype=object)[c], pa.string()),
+            "n": pa.array(mats[r, c], pa.int64()),
+        }, schema=out_schema)
+
+    return wide.map_batches(_melt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+ORACLES["events_unpivot_daily"] = f"""
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+       CASE WHEN event_type IN ({", ".join(
+           "'" + t + "'" for t in PIVOT_TYPES)})
+            THEN event_type ELSE 'other' END AS event_type,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1864,3 +1864,43 @@ def test_pivot_widen_kernel_brute_force(ray_session):
                       con.sql(ev.ORACLES["events_pivot_daily"])
                       .fetchall())
         assert got == want and len(got) == 3
+
+
+def test_unpivot_round_trip_drops_zero_cells(ray_session):
+    """melt(pivot(x)) == the plain long rollup; zero cells vanish and
+    out-of-vocabulary types melt back under 'other'."""
+    from nerfray.ops import events as ev
+    import os
+    import tempfile
+    import numpy as np
+    import pyarrow.parquet as pq
+    import duckdb
+    with tempfile.TemporaryDirectory() as td:
+        base = np.datetime64("2024-03-01T00:00:00", "us")
+        n = 30
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(base + (np.arange(n) % 2).astype(
+                "timedelta64[D]").astype("timedelta64[us]"),
+                pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(
+                [("click", "strange")[i % 2] for i in range(n)],
+                pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+        pq.write_table(t, os.path.join(td, "events.parquet"))
+        got = sorted((r["day"], r["event_type"], r["n"])
+                     for r in ev.unpivot_daily_types(td).take_all())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{td}/events.parquet')")
+        want = sorted(map(tuple,
+                          con.sql(ev.ORACLES["events_unpivot_daily"])
+                          .fetchall()))
+        assert got == want
+        # zero cells never appear; 'strange' melted back as 'other'
+        assert all(n_ > 0 for _d, _t, n_ in got)
+        assert {"other"} == {t_ for _d, t_, _n in got} - set(
+            ev.PIVOT_TYPES)
