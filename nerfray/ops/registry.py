@@ -204,6 +204,13 @@ def q_sim_lsh(sf_dir: str):
         source_path=os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def q_sim_knn_graph(sf_dir: str):
+    # all-vectors kNN graph (IVF-co-grouped, multi-probe assignment);
+    # rows-only (float scores) — recall pinned by planted-cluster pytest
+    from . import similarity
+    return similarity.sim_knn_graph(sf_dir)
+
+
 def q_sim_ivf(sf_dir: str):
     from . import similarity
     return similarity.ivf_topk(
@@ -539,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_lsh": q_sim_lsh,
         "sim_lsh_planted": q_sim_lsh_planted,
         "sim_ivf": q_sim_ivf,
+        "sim_knn_graph": q_sim_knn_graph,
         "sim_ivf_planted": q_sim_ivf_planted,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_planted": q_emb_kmeans_planted,

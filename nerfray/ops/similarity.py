@@ -465,3 +465,127 @@ def jaccard_vs_queries(docs: ray.data.Dataset,
     return docs.select_columns(["doc_id", "text"]).map_batches(
         JaccardVsQueries, fn_constructor_kwargs={"queries_ref": q_ref},
         concurrency=(1, 4), batch_size=512, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kNN graph construction (every vector's top-k neighbors)
+# ---------------------------------------------------------------------------
+#
+# The all-vectors companion of the query-side ANN ops: semantic-dedup,
+# graph-based diversity sampling and cluster labeling all start from a
+# kNN graph.  Exact all-pairs is O(n^2); the scale path is the IVF
+# shape inverted — vectors co-locate into their ``n_assign`` nearest
+# centroid lists (ONE list-hash exchange of (id, vector)), each list
+# computes its members' pairwise-cosine top-k with one matmul, and a
+# second tiny vec-hash co-group merges each vector's per-list partials
+# into its global top-k.  Neighbors are missed only when a true
+# neighbor shares none of the vector's n_assign lists (multi-probe
+# assignment is exactly the standard mitigation); recall is pinned by
+# a planted-cluster pytest.  List sizes are data-distribution bounded
+# (~n*n_assign/n_lists); a hot list would be split by the same
+# range-split pattern as the keyed event ops (documented, not needed
+# on the synthetic corpora).
+
+def knn_graph(emb: ray.data.Dataset, *, k: int = 5, n_lists: int = 16,
+              n_assign: int = 2, sample_size: int = 2048
+              ) -> ray.data.Dataset:
+    """(vec_id, rank, nbr_id, score): each vector's approximate top-k
+    cosine neighbors (self excluded), rank 1..k by (-score, nbr_id)."""
+    sample_rows = emb.select_columns(["embedding"]).limit(sample_size) \
+        .take_all()
+    cents = _kmeans(np.array([r["embedding"] for r in sample_rows],
+                             dtype=np.float64), n_lists)
+    cents_ref = ray.put(cents)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        if not len(ids):
+            return pa.schema([("vec_id", pa.int64()),
+                              ("embedding",
+                               pa.list_(pa.float64())),
+                              ("lst", pa.int32())]).empty_table()
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        lists = np.argsort(-(vn @ c.T), axis=1)[:, :n_assign]
+        rep_ids = np.repeat(ids, n_assign)
+        rep_vecs = np.repeat(vn, n_assign, axis=0)
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(rep_ids, pa.int64()),
+            "embedding": pa.array(rep_vecs.tolist(),
+                                  pa.list_(pa.float64())),
+            "lst": pa.array(lists.ravel().astype(np.int32),
+                            pa.int32()),
+        })
+
+    def _list_knn(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("vec_id", pa.int64()),
+                                ("nbr_id", pa.int64()),
+                                ("score", pa.float64()),
+                                ("hb", pa.int32())])
+        if group.num_rows < 2:
+            return out_schema.empty_table()
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        vn = np.array(group.column("embedding").to_pylist(),
+                      dtype=np.float64)
+        s = vn @ vn.T
+        np.fill_diagonal(s, -np.inf)
+        kk = min(k, len(ids) - 1)
+        # per-row top-kk by (-score, nbr_id)
+        ord2 = np.lexsort((ids[None, :].repeat(len(ids), 0), -s),
+                          axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = ord2.ravel()
+        keep = np.isfinite(s[rows, cols])
+        va, nb = ids[rows[keep]], ids[cols[keep]]
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(va, pa.int64()),
+            "nbr_id": pa.array(nb, pa.int64()),
+            "score": pa.array(s[rows[keep], cols[keep]], pa.float64()),
+            "hb": pa.array((va % 64).astype(np.int32), pa.int32()),
+        }, schema=out_schema)
+
+    def _merge_topk(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("vec_id", pa.int64()),
+                                ("rank", pa.int64()),
+                                ("nbr_id", pa.int64()),
+                                ("score", pa.float64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        v = group.column("vec_id").to_numpy(zero_copy_only=False)
+        nb = group.column("nbr_id").to_numpy(zero_copy_only=False)
+        sc = group.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, -sc, v))
+        v, nb, sc = v[order], nb[order], sc[order]
+        # drop duplicate (vec, nbr) pairs from shared lists
+        first = np.r_[True, (v[1:] != v[:-1]) | (nb[1:] != nb[:-1])]
+        v, nb, sc = v[first], nb[first], sc[first]
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        run = np.cumsum(np.r_[False, v[1:] != v[:-1]])
+        pos = np.arange(len(v)) - starts[run]
+        keep = pos < k
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(v[keep], pa.int64()),
+            "rank": pa.array(pos[keep] + 1, pa.int64()),
+            "nbr_id": pa.array(nb[keep], pa.int64()),
+            "score": pa.array(sc[keep], pa.float64()),
+        }, schema=out_schema)
+
+    return emb.select_columns(["vec_id", "embedding"]) \
+        .map_batches(_assign, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("lst").map_groups(_list_knn, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_merge_topk, batch_format="pyarrow")
+
+
+def sim_knn_graph(sf_dir: str) -> ray.data.Dataset:
+    """kNN graph over the embeddings table (rows-only: float scores;
+    recall pinned by the planted-cluster pytest)."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    return knn_graph(read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]))

@@ -1904,3 +1904,46 @@ def test_unpivot_round_trip_drops_zero_cells(ray_session):
         assert all(n_ > 0 for _d, _t, n_ in got)
         assert {"other"} == {t_ for _d, t_, _n in got} - set(
             ev.PIVOT_TYPES)
+
+
+# -- kNN graph -------------------------------------------------------------------
+
+
+def test_knn_graph_recall_on_planted_clusters(ray_session):
+    """On well-separated planted clusters the IVF-co-grouped kNN graph
+    equals brute force exactly (every true neighbor shares a list);
+    ranks are 1..k with self excluded."""
+    import ray.data
+    from nerfray.ops import similarity as sim
+
+    rng_dirs = []
+    n_clusters, per, dim, k = 6, 10, 16, 4
+    vecs, ids = [], []
+    for c in range(n_clusters):
+        d = np.zeros(dim)
+        d[c % dim] = 1.0
+        d[(c * 3 + 1) % dim] = 0.5
+        for j in range(per):
+            v = d.copy()
+            v[(j + 7) % dim] += 0.01 * (j + 1)  # tiny in-cluster spread
+            vecs.append(v)
+            ids.append(c * per + j)
+        rng_dirs.append(d)
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64()))})).repartition(3)
+    got = {}
+    for r in sim.knn_graph(emb, k=k, n_lists=6, n_assign=2,
+                           sample_size=2048).take_all():
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["nbr_id"]))
+    x = np.array(vecs)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    s = xn @ xn.T
+    np.fill_diagonal(s, -np.inf)
+    idv = np.array(ids)
+    for i, vid in enumerate(ids):
+        order = np.lexsort((idv, -s[i]))[:k]
+        want = [(r + 1, int(idv[j])) for r, j in enumerate(order)]
+        assert sorted(got[vid]) == want, (vid, got[vid], want)
+        assert vid not in [nb for _r, nb in got[vid]]  # self excluded
