@@ -373,6 +373,13 @@ def q_docs_compression(sf_dir: str):
     return text.compression_signals(_docs(sf_dir))
 
 
+def q_docs_curation_scored(sf_dir: str):
+    # the full three-stage curation composition: gates + exact dedup +
+    # model keep, all narrow-row exchanges; oracle = CTE conjunction
+    from . import text
+    return text.curation_scored(_docs(sf_dir))
+
+
 def q_docs_classifier(sf_dir: str):
     # fastText-style linear bag-of-words model scoring: bounded vocab
     # fit -> ray.put weight broadcast -> map-only actor-pool inference
@@ -566,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
         "docs_classifier": q_docs_classifier,
+        "docs_curation_scored": q_docs_curation_scored,
         "events_zonemap_scan": q_events_zonemap,
         "events_zorder_scan": q_events_zorder,
         "docs_crossdup": q_docs_crossdup,
@@ -799,6 +807,41 @@ WHERE n_words >= 30 AND n_uniq_words * 100 >= n_words * 25
 ORDER BY doc_id
 """
 
+def _curation_scored_sql() -> str:
+    from .text import CLASSIFIER_V, _CLASSIFIER_MOD
+    return f"""
+WITH s AS (
+  SELECT doc_id, sha256(text) AS text_sha,
+         len(string_split(text, ' '))::BIGINT AS n_words,
+         len(list_distinct(string_split(text, ' ')))::BIGINT
+           AS n_uniq_words
+  FROM documents
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text_sha
+                                 ORDER BY doc_id) AS rn FROM s)
+  WHERE rn = 1
+),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+vocab AS (
+  SELECT word,
+         (('0x' || substr(sha256(word), 1, 8))::UBIGINT
+            % {_CLASSIFIER_MOD})::BIGINT - 8 AS wt
+  FROM df ORDER BY df DESC, word LIMIT {CLASSIFIER_V}),
+sc AS (SELECT w.doc_id, sum(v.wt)::BIGINT AS sc
+       FROM w JOIN vocab v USING (word) GROUP BY w.doc_id)
+SELECT surv.doc_id, surv.text_sha,
+       coalesce(sc.sc, 0)::BIGINT AS score
+FROM surv LEFT JOIN sc USING (doc_id)
+WHERE surv.n_words >= 30 AND surv.n_uniq_words * 100 >= surv.n_words * 25
+  AND coalesce(sc.sc, 0) >= 0
+ORDER BY surv.doc_id
+"""
+
+
 DEDUP_EXACT_SQL = """
 SELECT sha256(text) AS text_sha, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY 1 ORDER BY 1
@@ -946,6 +989,7 @@ def oracles() -> dict[str, str]:
         "docs_repetition": _text_sql("REPETITION_SQL"),
         "docs_decontam": _text_sql("DECONTAM_SQL"),
         "docs_classifier": _text_sql("CLASSIFIER_SQL"),
+        "docs_curation_scored": _curation_scored_sql(),
         "events_zonemap_scan": _zonemap_sql(),
         "events_zorder_scan": _zorder_sql(),
         "docs_crossdup": _text_sql("CROSSDUP_SQL"),

@@ -1549,3 +1549,39 @@ def compression_signals(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _comp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# full curation composition: heuristic gates + exact dedup + model score
+# ---------------------------------------------------------------------------
+#
+# The three-stage shape every production curation run composes
+# (RefinedWeb/CCNet-style): heuristic quality gates and exact dedup
+# (curation_pipeline — one narrow sha/counters exchange) intersected
+# with the learned-model keep decision (classifier_scores — bounded
+# vocab fit + broadcast weights, map-only).  The intersection is a
+# narrow-row hash join on doc_id; document text moves through NOTHING.
+# Every stage already has its own exact oracle, and the composition's
+# oracle is their CTE conjunction — end-to-end hash-exact.
+
+def curation_scored(docs: ray.data.Dataset,
+                    *, v: int = CLASSIFIER_V) -> ray.data.Dataset:
+    """(doc_id, text_sha, score): exact-dup survivors passing BOTH the
+    integer quality gates and the linear-model keep (score >= 0)."""
+    from .joins import hash_join
+
+    surv = curation_pipeline(docs)
+    scores = classifier_scores(docs, v=v)
+
+    def _keepers(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("score"), 0)) \
+            .select(["doc_id", "score"])
+
+    kept = scores.map_batches(_keepers, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_join(surv, kept, left_on="doc_id", right_on="doc_id",
+                     left_cols=["text_sha"], right_cols=["score"],
+                     how="inner") \
+        .rename_columns({"__key": "doc_id"}) \
+        .select_columns(["doc_id", "text_sha", "score"])

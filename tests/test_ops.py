@@ -1947,3 +1947,25 @@ def test_knn_graph_recall_on_planted_clusters(ray_session):
         want = [(r + 1, int(idv[j])) for r, j in enumerate(order)]
         assert sorted(got[vid]) == want, (vid, got[vid], want)
         assert vid not in [nb for _r, nb in got[vid]]  # self excluded
+
+
+def test_curation_scored_is_a_true_intersection(ray_session):
+    """The composed output = gates∩dedup∩model: it is a subset of the
+    heuristic pipeline's survivors, and every returned doc's score is
+    the classifier's (non-negative)."""
+    import os
+    import ray.data
+    from nerfray.ops import text as txm
+
+    sf = "/root/testdata/sf0.001"
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(os.path.join(sf, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    scored = {r["doc_id"]: r["score"]
+              for r in txm.curation_scored(docs).take_all()}
+    heur = {r["doc_id"] for r in txm.curation_pipeline(docs).take_all()}
+    model = {r["doc_id"]: r["score"]
+             for r in txm.classifier_scores(docs).take_all()}
+    assert set(scored) <= heur
+    assert set(scored) == {d for d in heur if model[d] >= 0}
+    assert all(scored[d] == model[d] >= 0 for d in scored)
