@@ -140,7 +140,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_length_ntile", "events_quality_checks",
                  "events_temporal_join", "media_meta_routed",
                  "docs_splits_leakproof", "docs_bottomk_layout",
-                 "docs_compression", "kg_apply_delta"):
+                 "docs_compression", "kg_apply_delta",
+                 "events_pivot_daily", "events_unpivot_daily",
+                 "sim_knn_graph", "docs_curation_scored"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
