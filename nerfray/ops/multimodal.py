@@ -272,6 +272,11 @@ def _route(batch: pa.Table, *, media_type: str | None) -> pa.Table:
 
 
 def media_features_routed(docs: ray.data.Dataset) -> ray.data.Dataset:
+    # each branch re-runs the (column-pruned, cheap) upstream scan —
+    # the deliberate trade: materializing the media table to share it
+    # would pin the corpus's binary payloads in the object store, and
+    # per-branch scans stream with backpressure exactly like
+    # predicate-split reads do
     media = to_media(docs)
     branches = []
     for mt, cfg in sorted(MODALITY_POOLS.items()):
