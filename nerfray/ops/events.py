@@ -1953,3 +1953,113 @@ SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# two-sample A/B test (experiment analysis, integer-exact z-test)
+# ---------------------------------------------------------------------------
+#
+# The experiment-analysis operator class: compare a metric between two
+# cohorts with a two-sample z-test.  Same moment-space discipline as
+# value_outliers_from: per-block (cohort, n, sum, sumsq) partials at
+# cents grain, one tiny cohort groupby, and the z-test cleared of every
+# division by cross-multiplying —
+#   (m1-m2)^2 > z^2 (v1/n1 + v2/n2)
+# with m_i = S_i/n_i and v_i = (n_i Q_i - S_i^2)/n_i^2 becomes
+#   (n2 S1 - n1 S2)^2 n1 n2 > z^2 [ (n1 Q1 - S1^2) n2^3
+#                                   + (n2 Q2 - S2^2) n1^3 ]
+# — integer-exact, so the verdict is hash-identical to the SQL mirror.
+# The planted treatment (+500 cents for even users' purchases) is
+# doc-arithmetic, making the whole test deterministic.
+
+AB_Z = 3
+AB_LIFT_CENTS = 500
+
+
+def ab_test(sf_dir: str) -> ray.data.Dataset:
+    """One audit row: cohort moments + the integer z-test verdict for
+    the planted treatment on purchase values."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_type", "value"])
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("cohort", pa.int64()),
+                                ("n", pa.int64()),
+                                ("s", pa.int64()),
+                                ("q", pa.int64())])
+        m = pc.equal(batch.column("event_type"), "purchase")
+        t = batch.filter(m)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = np.round(t.column("value").to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        cohort = (u % 2 == 0).astype(np.int64)  # 1 = treatment
+        c = c + cohort * AB_LIFT_CENTS          # planted lift
+        rows = []
+        for g in (0, 1):
+            sel = c[cohort == g]
+            if len(sel):
+                rows.append((g, len(sel), int(sel.sum()),
+                             int((sel * sel).sum())))
+        return pa.Table.from_pydict({
+            "cohort": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2] for r in rows], pa.int64()),
+            "q": pa.array([r[3] for r in rows], pa.int64()),
+        }, schema=out_schema)
+
+    agg = {r["cohort"]: r for r in
+           ev.map_batches(_moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("cohort").sum(["n", "s", "q"])
+           .rename_columns({"sum(n)": "n", "sum(s)": "s",
+                            "sum(q)": "q"}).take_all()}
+    n1, s1, q1 = (agg[1][k] for k in ("n", "s", "q"))  # treatment
+    n0, s0, q0 = (agg[0][k] for k in ("n", "s", "q"))  # control
+    lhs = (n0 * s1 - n1 * s0) ** 2 * n1 * n0
+    rhs = AB_Z * AB_Z * ((n1 * q1 - s1 * s1) * n0 ** 3
+                         + (n0 * q0 - s0 * s0) * n1 ** 3)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "n_treat": pa.array([n1], pa.int64()),
+        "n_ctrl": pa.array([n0], pa.int64()),
+        "sum_treat": pa.array([s1], pa.int64()),
+        "sum_ctrl": pa.array([s0], pa.int64()),
+        "significant": pa.array([int(lhs > rhs)], pa.int64()),
+        "treat_higher": pa.array(
+            [int(n0 * s1 > n1 * s0)], pa.int64()),
+    }))
+
+
+ORACLES["events_ab_test"] = f"""
+WITH p AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS cohort,
+         round(value * 100)::BIGINT
+           + CASE WHEN user_id % 2 = 0
+                  THEN {AB_LIFT_CENTS} ELSE 0 END AS c
+  FROM events WHERE event_type = 'purchase'),
+m AS (SELECT cohort, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+             sum(c * c)::HUGEINT AS q
+      FROM p GROUP BY cohort),
+x AS (SELECT
+        (SELECT n FROM m WHERE cohort = 1) AS n1,
+        (SELECT s FROM m WHERE cohort = 1) AS s1,
+        (SELECT q FROM m WHERE cohort = 1) AS q1,
+        (SELECT n FROM m WHERE cohort = 0) AS n0,
+        (SELECT s FROM m WHERE cohort = 0) AS s0,
+        (SELECT q FROM m WHERE cohort = 0) AS q0),
+y AS (SELECT n1, s1, q1, n0, s0, q0,
+             n0::HUGEINT * s1 - n1::HUGEINT * s0 AS d
+      FROM x)
+SELECT n1::BIGINT AS n_treat, n0::BIGINT AS n_ctrl,
+       s1::BIGINT AS sum_treat, s0::BIGINT AS sum_ctrl,
+       CASE WHEN d * d * n1 * n0
+               > {AB_Z * AB_Z} * ((n1 * q1 - s1::HUGEINT * s1)
+                                  * n0::HUGEINT * n0 * n0
+                                  + (n0 * q0 - s0::HUGEINT * s0)
+                                  * n1::HUGEINT * n1 * n1)
+            THEN 1 ELSE 0 END::BIGINT AS significant,
+       CASE WHEN d > 0 THEN 1 ELSE 0 END::BIGINT AS treat_higher
+FROM y
+"""

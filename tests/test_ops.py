@@ -2029,3 +2029,40 @@ def test_new_ops_block_invariant(ray_session, tmp_path):
             want = got
         # 150 * (2+1) = 450 > 430 total -> key 3 is the only hitter
         assert got == want == [(3, 150)], (parts, got)
+
+
+def test_ab_test_integer_z_brute_force(ray_session, tmp_path):
+    """The cross-multiplied integer z-test == a float z-test computed
+    directly, on planted cohorts both with and without a real lift."""
+    import os
+    import numpy as np
+    import pyarrow.parquet as pq
+    from nerfray.ops import events as ev
+
+    n = 600
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    vals = (np.arange(n) * 37 % 211) / 100.0 + 1.0
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(np.repeat(base, n), pa.timestamp("us")),
+        "user_id": pa.array(np.arange(n) % 20, pa.int64()),
+        "event_type": pa.array(["purchase"] * n, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    row = ev.ab_test(str(tmp_path)).take_all()[0]
+
+    c = np.round(vals * 100).astype(np.int64)
+    cohort = (np.arange(n) % 20 % 2 == 0)
+    treat = c[cohort] + ev.AB_LIFT_CENTS
+    ctrl = c[~cohort]
+    m1, m0 = treat.mean(), ctrl.mean()
+    v1 = treat.var()  # population variance, matches (nQ - S^2)/n^2
+    v0 = ctrl.var()
+    z2 = (m1 - m0) ** 2 / (v1 / len(treat) + v0 / len(ctrl))
+    assert row["significant"] == int(z2 > ev.AB_Z ** 2)
+    assert row["treat_higher"] == int(m1 > m0)
+    assert row["n_treat"] == len(treat) and row["n_ctrl"] == len(ctrl)
+    # the planted +500-cent lift on ~uniform(1, 3.1) values is real
+    assert row["significant"] == 1 and row["treat_higher"] == 1
