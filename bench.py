@@ -142,7 +142,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_splits_leakproof", "docs_bottomk_layout",
                  "docs_compression", "kg_apply_delta",
                  "events_pivot_daily", "events_unpivot_daily",
-                 "sim_knn_graph", "docs_curation_scored"):
+                 "sim_knn_graph", "docs_curation_scored",
+                 "events_ab_test"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
