@@ -1266,6 +1266,23 @@ ORACLES["join_bloom_prefiltered"] = BLOOM_JOIN_SQL
 Q18_MIN_QTY = 250  # HAVING sum(l_quantity) > 250 (top ~1% of orders)
 
 
+def _rename_batches(ds: ray.data.Dataset,
+                    mapping: dict[str, str]) -> ray.data.Dataset:
+    """Batch-level column rename. Dataset.rename_columns is UNSAFE as
+    a hash_join input: the join inspects ``schema()``, which samples
+    ONE bundle, and Ray can surface a bundle that predates the rename
+    (observed as intermittent 'Column ... does not exist in schema'
+    KeyErrors — the mixed-schema RefBundle warning). Renaming inside
+    map_batches applies to every batch deterministically."""
+
+    def _r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(_r, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q18_large_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     import os
 
@@ -1312,13 +1329,14 @@ def q18_large_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
             "totalprice_c": pa.array(p, pa.int64()),
             "o_orderdate": batch.column("o_orderdate")})
 
-    qualified = hash_join(
-        orders.map_batches(_price_c, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        big, left_on="o_orderkey", right_on="l_orderkey",
-        left_cols=["o_custkey", "totalprice_c", "o_orderdate"],
-        right_cols=["qty"], how="inner") \
-        .rename_columns({"__key": "o_orderkey"})
+    qualified = _rename_batches(
+        hash_join(
+            orders.map_batches(_price_c, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            big, left_on="o_orderkey", right_on="l_orderkey",
+            left_cols=["o_custkey", "totalprice_c", "o_orderdate"],
+            right_cols=["qty"], how="inner"),
+        {"__key": "o_orderkey"})
 
     cust = read_parquet_clean(
         os.path.join(sf_dir, "customer.parquet"),

@@ -680,9 +680,12 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     or at 100 TB swap the encode for a (u, v) composite-key join)."""
     import pyarrow.compute as pc
 
-    from nerfray.ops.joins import hash_join
+    from nerfray.ops.joins import _rename_batches, hash_join
 
-    a = edges.rename_columns({"u": "a_u", "v": "a_v"})
+    # batch-level rename: Dataset.rename_columns before a hash_join is
+    # racy when the upstream schema needs a peek execution (see
+    # ops/joins.py::_rename_batches)
+    a = _rename_batches(edges, {"u": "a_u", "v": "a_v"})
     # wedge build: a_u -> __key -> w  (join a.v against e.u)
     wedges = hash_join(a, edges, left_on="a_v", right_on="u",
                        left_cols=["a_u"], right_cols=["v"])
