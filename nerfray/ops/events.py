@@ -2063,3 +2063,83 @@ SELECT n1::BIGINT AS n_treat, n0::BIGINT AS n_ctrl,
        CASE WHEN d > 0 THEN 1 ELSE 0 END::BIGINT AS treat_higher
 FROM y
 """
+
+
+# ---------------------------------------------------------------------------
+# row-frame moving aggregate (ROWS BETWEEN k-1 PRECEDING AND CURRENT)
+# ---------------------------------------------------------------------------
+#
+# The frame-window class the time-based sliding op doesn't cover: a
+# moving sum over each user's last k EVENTS (row frame, not time
+# range).  One user-hash exchange; per bucket the moving sum is the
+# cumsum-difference trick over (user, ts, event_id)-sorted runs —
+# frames never cross user boundaries because the subtrahend index is
+# clamped to the run start.  Cents-exact, ties broken by event_id
+# exactly as the SQL window ORDER BY does.
+
+MOVING_K = 3
+
+
+def moving_sum(sf_dir: str, *, k: int = MOVING_K) -> ray.data.Dataset:
+    """(event_id, user_id, msum_cents): sum of the event's and its
+    k-1 preceding events' cents within its user's (ts, event_id)
+    order."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        c = np.round(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    def _msum_bucket(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("msum_cents", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        e = group.column("event_id").to_numpy(zero_copy_only=False)
+        c = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u_s, e_s, c_s = u[order], e[order], c[order]
+        cum = np.cumsum(c_s)
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        run = np.cumsum(np.r_[False, u_s[1:] != u_s[:-1]])
+        pos = np.arange(len(u_s)) - starts[run]
+        # frame start j = max(run_start, i-k+1); msum = cum[i] -
+        # cum[j-1] sums exactly j..i, never crossing the user boundary
+        # (j >= run_start, and cum[run_start-1] removes every earlier
+        # element including the previous user's)
+        prev_idx = np.arange(len(u_s)) - np.minimum(pos, k - 1) - 1
+        msum = cum - np.where(prev_idx >= 0,
+                              cum[np.maximum(prev_idx, 0)], 0)
+        return pa.Table.from_pydict({
+            "event_id": pa.array(e_s, pa.int64()),
+            "user_id": pa.array(u_s, pa.int64()),
+            "msum_cents": pa.array(msum, pa.int64()),
+        }, schema=out_schema)
+
+    return ev.map_batches(_narrow, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_msum_bucket, batch_format="pyarrow")
+
+
+ORACLES["events_moving_sum"] = f"""
+SELECT event_id, user_id,
+       sum(round(value * 100)::BIGINT) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {MOVING_K - 1} PRECEDING AND CURRENT ROW
+       )::BIGINT AS msum_cents
+FROM events ORDER BY event_id
+"""

@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": events.pivot_daily_types,
         "events_unpivot_daily": events.unpivot_daily_types,
         "events_ab_test": events.ab_test,
+        "events_moving_sum": events.moving_sum,
         "events_sliding": events.sliding_counts,
         "events_window_selfjoin": events.window_selfjoin,
         "events_cumsum": events.cumsum_per_user,

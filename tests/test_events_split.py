@@ -342,3 +342,36 @@ def test_temporal_two_key_search_brute_force(ray_session):
     # caller-side user check drops cross-user and absent-user hits
     matched = (idx >= 0) & (du[np.maximum(idx, 0)] == pu)
     assert matched.tolist() == [False, True, True, False, True, False]
+
+
+def test_moving_sum_frame_never_crosses_users(ray_session, tmp_path):
+    """Brute-force check of the cumsum-difference frame: first events
+    of a user must NOT see the previous user's values, partial frames
+    sum what exists, ties order by event_id."""
+    import os
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nerfray.ops import events as ev
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # two users interleaved, one ts tie inside user 1
+    rows = [  # (event_id, user, ts_offset_s, cents)
+        (0, 1, 0, 100), (1, 2, 0, 7), (2, 1, 10, 200),
+        (3, 1, 10, 400), (4, 2, 5, 11), (5, 1, 20, 800),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[2], "s") for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([r[3] / 100 for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = {r["event_id"]: r["msum_cents"]
+           for r in ev.moving_sum(str(tmp_path), k=3).take_all()}
+    # user 1 order: 0(100), 2(200), 3(400) [tie by event_id], 5(800)
+    # user 2 order: 1(7), 4(11)
+    assert got == {0: 100, 2: 300, 3: 700, 5: 1400, 1: 7, 4: 18}
