@@ -268,6 +268,37 @@ def q_kg_schema_evolution(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_kg_time_travel(sf_dir: str):
+    """Snapshot time travel over the versioned triple store: commit 1 =
+    the v1 pipeline's triples, commit 2 = the CDC delta (new data files
+    + a merge-on-read DELETE file; v1's files untouched). Reading as-of
+    each snapshot must reproduce each corpus version's gold set exactly
+    — one result tagged by snapshot id, one oracle."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    from nerfray.state import snapshots
+
+    store = tempfile.mkdtemp(prefix="nerfray_tt_")
+    try:
+        s1, s2 = snapshots.build_versioned_store(sf_dir, store,
+                                                 tagger="crf")
+
+        def _tag(snap: int):
+            def _f(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "snap", pa.array([snap] * batch.num_rows, pa.int64()))
+            return _f
+
+        t1 = snapshots.read_asof(store, s1).map_batches(
+            _tag(1), batch_format="pyarrow")
+        t2 = snapshots.read_asof(store, s2).map_batches(
+            _tag(2), batch_format="pyarrow")
+        return t1.union(t2).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_kg_triples_prov(sf_dir: str):
     """F5-schema output: triples carrying (repo, path, content_sha,
     src span) provenance. Fully oracled: the DuckDB mirror rebuilds the
@@ -499,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_schema_evolution": q_kg_schema_evolution,
         "kg_xces": q_kg_xces,
         "kg_triples_prov": q_kg_triples_prov,
+        "kg_time_travel": q_kg_time_travel,
         "kg_components": q_kg_components,
         "kg_components_repo": q_kg_components_repo,
         "kg_common_neighbors": q_kg_common_neighbors,
@@ -561,6 +593,14 @@ FROM gold ORDER BY subj, pred, obj
         "kg_delta": __kg.kg_delta_sql(),
         "kg_apply_delta": f"""
 {corpus.gold_triples_sql(__kg.V2_WHERE[0])}
+""",
+        "kg_time_travel": f"""
+SELECT 1::BIGINT AS snap, subj, pred, obj
+FROM ({corpus.gold_triples_sql(__kg.V1_WHERE[0])})
+UNION ALL
+SELECT 2::BIGINT, subj, pred, obj
+FROM ({corpus.gold_triples_sql(__kg.V2_WHERE[0])})
+ORDER BY snap, subj, pred, obj
 """,
         "kg_license_violations":
             validate.license_violations_sql(corpus.gold_triples_sql()),
