@@ -429,6 +429,13 @@ def q_docs_crossdup(sf_dir: str):
     return text.crossdup_signals(_docs(sf_dir))
 
 
+def q_docs_dup_spans(sf_dir: str):
+    # the actionable substring-dedup output (Lee et al. 2022 recipe):
+    # per-doc merged word-index intervals covered by cross-doc 5-grams
+    from . import text
+    return text.dup_spans(_docs(sf_dir))
+
+
 def q_lang_confusion(sf_dir: str):
     # raw-doc classification: rows-only by design (documents.lang is
     # synthetic metadata unrelated to the text, so there is no accuracy
@@ -577,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zonemap_scan": q_events_zonemap,
         "events_zorder_scan": q_events_zorder,
         "docs_crossdup": q_docs_crossdup,
+        "docs_dup_spans": q_docs_dup_spans,
         "docs_normalized": q_docs_normalized,
         "docs_url_hosts": q_docs_url_hosts,
         "docs_blocklist": q_docs_blocklist,
@@ -995,6 +1003,7 @@ def oracles() -> dict[str, str]:
         "events_zonemap_scan": _zonemap_sql(),
         "events_zorder_scan": _zorder_sql(),
         "docs_crossdup": _text_sql("CROSSDUP_SQL"),
+        "docs_dup_spans": _text_sql("DUP_SPANS_SQL"),
         "docs_normalized": _text_sql("NORMALIZE_SQL"),
         "docs_url_hosts": _text_sql("HOST_STATS_SQL"),
         "docs_blocklist": _text_sql("BLOCKLIST_SQL"),

@@ -1201,6 +1201,140 @@ ORDER BY g.doc_id
 """
 
 
+# -- substring-dedup removal intervals ----------------------------------------
+#
+# The actionable form of the cross-dup signal (the published
+# train-data recipe: find substrings duplicated across documents and
+# CUT them, rather than dropping whole near-dup docs): for every doc,
+# the merged word-index intervals covered by word k-grams that occur in
+# >= 2 distinct documents corpus-wide. Dataflow is two narrow
+# exchanges — (gram, doc, positions) rows bucket by gram hash to get
+# the corpus-wide df and keep only duplicated grams' positions, then
+# (doc, pos) rows bucket by doc hash for a vectorized interval merge.
+# Document text never shuffles; position rows exist only for
+# DUPLICATED grams after the first exchange. Integer word indices end
+# to end -> hash-exact SQL mirror (gaps-and-islands window merge).
+
+
+def dup_spans(docs: ray.data.Dataset,
+              *, k: int = CROSSDUP_K) -> ray.data.Dataset:
+    """(doc_id, s, e): merged word-index intervals (e exclusive) of all
+    k-gram occurrences whose gram appears in >= 2 distinct docs.
+    Overlapping or touching intervals merge (with equal gram length and
+    sorted starts, an island breaks exactly when start > prev + k)."""
+
+    def _gram_positions(batch: pa.Table) -> pa.Table:
+        g_col: list = []
+        d_col: list = []
+        p_col: list = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            ws = t.split(" ")
+            pos: dict[str, list[int]] = {}
+            for i in range(len(ws) - k + 1):
+                pos.setdefault(" ".join(ws[i:i + k]), []).append(i)
+            g_col.extend(pos.keys())
+            d_col.extend([d] * len(pos))
+            p_col.extend(pos.values())
+        return pa.Table.from_pydict({
+            "gram": pa.array(g_col, pa.string()),
+            "doc_id": pa.array(d_col, pa.int64()),
+            "poss": pa.array(p_col, pa.list_(pa.int64()))})
+
+    def _gram_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        arr = np.asarray(batch.column("gram").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(arr) % 64).astype(np.int32)
+        return batch.append_column("hb", pa.array(hb))
+
+    _POS_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("pos", pa.int64())])
+
+    def _dup_positions(group: pa.Table) -> pa.Table:
+        """df per gram inside the bucket (one row per (gram, doc), so
+        row count per gram == distinct-doc count); flatten positions of
+        df>=2 grams to (doc_id, pos) rows."""
+        if group.num_rows == 0:
+            return _POS_SCHEMA.empty_table()
+        grams = np.asarray(group.column("gram").to_pylist(), dtype=object)
+        order = np.argsort(grams, kind="stable")
+        g_s = grams[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        df_per_gram = np.diff(np.r_[starts, len(g_s)])
+        gidx = np.cumsum(np.r_[False, g_s[1:] != g_s[:-1]])
+        df_per_row = np.empty(len(grams), dtype=np.int64)
+        df_per_row[order] = df_per_gram[gidx]
+        keep = df_per_row >= 2
+        sub = group.filter(pa.array(keep))
+        poss = sub.column("poss").combine_chunks()
+        d_flat = sub.column("doc_id").to_numpy(zero_copy_only=False)[
+            pc.list_parent_indices(poss).to_numpy(zero_copy_only=False)]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(d_flat, pa.int64()),
+            "pos": poss.flatten()}, schema=_POS_SCHEMA)
+
+    def _doc_bucket(batch: pa.Table) -> pa.Table:
+        from ._shuffle import key_bucket
+        return batch.append_column(
+            "hb", key_bucket(batch.column("doc_id"), 64))
+
+    _SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                              ("s", pa.int64()), ("e", pa.int64())])
+
+    def _merge_intervals(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SPAN_SCHEMA.empty_table()
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        p = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d_s, p_s = d[order], p[order]
+        brk = np.r_[True, (d_s[1:] != d_s[:-1]) |
+                    (p_s[1:] > p_s[:-1] + k)]
+        isl = np.flatnonzero(brk)
+        ends = np.r_[isl[1:], len(p_s)] - 1
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(d_s[isl], pa.int64()),
+            "s": pa.array(p_s[isl], pa.int64()),
+            "e": pa.array(p_s[ends] + k, pa.int64())}, schema=_SPAN_SCHEMA)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _gram_positions, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(_gram_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_dup_positions, batch_format="pyarrow") \
+        .map_batches(_doc_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_merge_intervals,
+                                  batch_format="pyarrow")
+
+
+DUP_SPANS_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+gi AS (
+  SELECT doc_id, ws, unnest(generate_series(0, len(ws)-{CROSSDUP_K})) AS i
+  FROM w WHERE len(ws) >= {CROSSDUP_K}
+),
+g AS (
+  SELECT doc_id, i,
+         ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         ws[i+4] || ' ' || ws[i+5] AS gram
+  FROM gi
+),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+p AS (SELECT DISTINCT doc_id, i FROM g JOIN dup USING (gram)),
+m AS (SELECT doc_id, i,
+             CASE WHEN i <= lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                           + {CROSSDUP_K}
+                  THEN 0 ELSE 1 END AS brk
+      FROM p),
+isl AS (SELECT doc_id, i,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM m)
+SELECT doc_id, min(i)::BIGINT AS s, (max(i) + {CROSSDUP_K})::BIGINT AS e
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, s
+"""
+
+
 # -- text normalization (cleaning) --------------------------------------------
 #
 # The canonical pre-dedup cleaning stage: lowercase + collapse whitespace

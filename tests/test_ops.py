@@ -2066,3 +2066,29 @@ def test_ab_test_integer_z_brute_force(ray_session, tmp_path):
     assert row["n_treat"] == len(treat) and row["n_ctrl"] == len(ctrl)
     # the planted +500-cent lift on ~uniform(1, 3.1) values is real
     assert row["significant"] == 1 and row["treat_higher"] == 1
+
+
+def test_dup_spans_planted(ray_session):
+    """dup_spans: interval positions, merging (overlap AND touch), and
+    exclusion of within-doc-only repeats, on a hand-derivable corpus."""
+    import ray.data
+
+    shared = "one two three four five six seven"          # 7 words
+    t0 = shared + " u0a u0b u0c"                          # dup at [0,7)
+    t1 = "x0 x1 " + shared + " y0 y1"                     # dup at [2,9)
+    # within-doc repeat only (df counts DISTINCT docs): no spans
+    t2 = "p q r s t p q r s t p q r s t p q r s t"
+    # two occurrences of the shared run separated by one word: the
+    # 5-gram intervals [0,7) and [8,15) must NOT merge (gap > touch)
+    t3 = shared + " z " + shared
+    docs = ray.data.from_arrow(_docs_table([t0, t1, t2, t3]))
+    spans = {(r["doc_id"], r["s"], r["e"])
+             for r in tx.dup_spans(docs).take_all()}
+    per_doc = {}
+    for d, s, e in spans:
+        per_doc.setdefault(d, []).append((s, e))
+    # doc0: grams 0..2 (k=5) all duplicated -> merged [0, 7)
+    assert per_doc[0] == [(0, 7)]
+    assert per_doc[1] == [(2, 9)]
+    assert 2 not in per_doc
+    assert sorted(per_doc[3]) == [(0, 7), (8, 15)]
