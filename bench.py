@@ -143,7 +143,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_compression", "kg_apply_delta",
                  "events_pivot_daily", "events_unpivot_daily",
                  "sim_knn_graph", "docs_curation_scored",
-                 "events_ab_test", "events_moving_sum"):
+                 "events_ab_test", "events_moving_sum",
+                 "docs_dup_spans", "kg_time_travel"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

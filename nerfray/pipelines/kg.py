@@ -38,8 +38,13 @@ def units_of(corpus_ds: ray.data.Dataset) -> ray.data.Dataset:
                                  zero_copy_batch=True)
 
 
-def spans_of(units: ray.data.Dataset, tagger: str = "crf",
-             concurrency=None) -> ray.data.Dataset:
+def spans_of(units: ray.data.Dataset, tagger="crf",
+             concurrency=None, tagger_kwargs: dict | None = None
+             ) -> ray.data.Dataset:
+    """``tagger`` is "crf", "rule", or any actor CLASS taking a
+    ``model_ref`` ctor kwarg (the reference's injectable-tagger surface,
+    /root/reference/src/NLP/Nerf/XCES.hs:320-328 — ``nerXCES`` accepts
+    any String -> NeForest function; here any batch-tagging actor)."""
     if concurrency is None:
         # min > 1 only on big clusters: pre-warming half the pool cuts
         # the autoscale ramp that dominates short runs at high CPU
@@ -55,9 +60,11 @@ def spans_of(units: ray.data.Dataset, tagger: str = "crf",
                                  batch_size=TAG_BATCH,
                                  batch_format="pyarrow",
                                  zero_copy_batch=True)
-    model_ref = ray.put(model_mod.model_artifact())
-    return units.map_batches(tagging.TagUnits,
-                             fn_constructor_kwargs={"model_ref": model_ref},
+    cls = tagging.TagUnits if tagger == "crf" else tagger
+    kwargs = {"model_ref": ray.put(model_mod.model_artifact())}
+    kwargs.update(tagger_kwargs or {})
+    return units.map_batches(cls,
+                             fn_constructor_kwargs=kwargs,
                              concurrency=concurrency, batch_size=TAG_BATCH,
                              batch_format="pyarrow", zero_copy_batch=True)
 

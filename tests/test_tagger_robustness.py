@@ -67,3 +67,31 @@ def test_pipeline_handles_degenerate_files(ray_session):
     trips = kg.kg_pipeline(ds, tagger="crf").take_all()
     got = {(r["subj"], r["pred"], r["obj"]) for r in trips}
     assert ("r/a", "imports", "lib:os") in got
+
+
+def test_midrun_actor_death_is_transparent(ray_session, tmp_path):
+    """A tagging actor dying mid-run (hard process exit, not a Python
+    exception) must be retried by Ray transparently and leave the
+    triple set exactly equal to a clean run — the retry-idempotency the
+    checkpoint/lineage story assumes of every stage. The chaos actor
+    lives in the library (stages/chaos.py) because workers must import
+    actor classes by module path; see its docstring."""
+    import os
+
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+    from nerfray.stages.chaos import KillOnceTagUnits
+
+    n = 200
+    clean = kg.kg_pipeline(corpus_source.corpus_dataset_by_repo(n),
+                           tagger="crf", dedup="partitioned")
+    want = {(r["subj"], r["pred"], r["obj"]) for r in clean.take_all()}
+
+    marker = str(tmp_path / "chaos_fired")
+    units = kg.units_of(corpus_source.corpus_dataset_by_repo(n))
+    spans = kg.spans_of(units, tagger=KillOnceTagUnits,
+                        tagger_kwargs={"marker": marker})
+    trips = kg.triples_of(kg.linked_of(spans), dedup="partitioned")
+    got = {(r["subj"], r["pred"], r["obj"]) for r in trips.take_all()}
+    assert os.path.exists(marker), "chaos hook never fired"
+    assert got == want
