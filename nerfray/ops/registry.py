@@ -356,6 +356,11 @@ def q_docs_word_df(sf_dir: str):
     return text.word_df_stats(_docs(sf_dir))
 
 
+def q_docs_lm_score(sf_dir: str):
+    from . import text
+    return text.lm_familiarity(_docs(sf_dir))
+
+
 def q_docs_repetition(sf_dir: str):
     from . import text
     return text.repetition_signals(_docs(sf_dir))
@@ -577,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curated": q_docs_curated,
         "docs_pipeline": q_docs_pipeline,
         "docs_word_df": q_docs_word_df,
+        "docs_lm_score": q_docs_lm_score,
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
         "docs_classifier": q_docs_classifier,
@@ -996,6 +1002,7 @@ def oracles() -> dict[str, str]:
         "docs_curated": DOCS_CURATED_SQL,
         "docs_pipeline": DOCS_PIPELINE_SQL,
         "docs_word_df": _word_df_sql(),
+        "docs_lm_score": _text_sql("LM_SCORE_SQL"),
         "docs_repetition": _text_sql("REPETITION_SQL"),
         "docs_decontam": _text_sql("DECONTAM_SQL"),
         "docs_classifier": _text_sql("CLASSIFIER_SQL"),

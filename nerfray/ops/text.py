@@ -549,6 +549,139 @@ GROUP BY wd.doc_id ORDER BY wd.doc_id
 """
 
 
+def lm_familiarity(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, sum_bg_cnt, avg_cnt_x1000): CCNet-style LM
+    quality scoring with an EXACT integer surrogate — a corpus bigram
+    model is "trained" (pass 1: global bigram occurrence counts) and
+    every doc is scored by how familiar its bigrams are to the corpus
+    (sum of the global counts of its bigram tokens; the permille mean
+    ``avg_cnt_x1000`` is the filterable signal, low = out-of-domain /
+    gibberish).  All integers, so the mirror (LM_SCORE_SQL) is
+    hash-exact; a real run would swap counts for quantized log-probs
+    without changing any exchange.
+
+    Scale shape (the word-DF single-exchange pattern): the block
+    combiner emits ONE ROW PER DISTINCT BIGRAM PER BLOCK —
+    (bigram, doc-list, per-doc-occurrence-list) — so bigram incidences
+    never shuffle individually.  The ONE bigram-hash-bucket co-group
+    holds every partial of a bigram, computes its global count
+    IN-GROUP (reduceat over the flattened occurrence lists), unrolls
+    the doc lists vectorized with each incidence carrying
+    occ x global_cnt, and a final tiny groupby(doc_id) reduces the
+    <= 64 per-bucket doc partials.  Docs with < 2 words have no
+    bigrams and emit no row (mirrored: the SQL join drops them)."""
+    from ray.data.aggregate import Sum
+
+    def _block_bigram_partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        words = pc.split_pattern(batch.column("text"), " ")
+        flat = words.combine_chunks().flatten()
+        par = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        empty = pa.Table.from_pydict({
+            "bg": pa.array([], pa.string()),
+            "docs": pa.array([], pa.list_(pa.int64())),
+            "occ": pa.array([], pa.list_(pa.int64()))})
+        if len(flat) < 2:
+            return empty
+        adj = par[1:] == par[:-1]  # bigram stays inside one doc
+        if not adj.any():
+            return empty
+        bgs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dfr = pd.DataFrame({
+            "bg": np.asarray(bgs.to_pylist(), dtype=object)[adj],
+            "d": ids[par[:-1][adj]]})
+        occ = dfr.groupby(["bg", "d"], sort=True).size()
+        g = occ.reset_index().groupby("bg", sort=True).agg(list)
+        return pa.Table.from_pydict({
+            "bg": pa.array(g.index.tolist(), pa.string()),
+            "docs": pa.array(g["d"].tolist(), pa.list_(pa.int64())),
+            "occ": pa.array(g[0].tolist(), pa.list_(pa.int64())),
+        })
+
+    def _bg_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        arr = np.asarray(batch.column("bg").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(arr) % 64).astype(np.int32)
+        return batch.append_column("hb", pa.array(hb))
+
+    def _doc_partials(group: pa.Table) -> pa.Table:
+        """One bigram hash bucket: global cnt per bigram via reduceat
+        over its partials, then per-incidence occ x cnt summed per
+        doc."""
+        empty = pa.Table.from_pydict({
+            "doc_id": pa.array([], pa.int64()),
+            "nb": pa.array([], pa.int64()),
+            "sc": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        bgs = np.asarray(group.column("bg").to_pylist(), dtype=object)
+        docs_col = group.column("docs").combine_chunks()
+        occ_col = group.column("occ").combine_chunks()
+        occ_flat = occ_col.flatten().to_numpy(zero_copy_only=False)
+        row_of = pc.list_parent_indices(occ_col).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(bgs, kind="stable")
+        inv = np.empty(len(bgs), dtype=np.int64)
+        inv[order] = np.arange(len(bgs))
+        b_s = bgs[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        gidx = np.cumsum(np.r_[False, b_s[1:] != b_s[:-1]])
+        # global count per bigram = sum of ALL its occurrence values
+        row_sum = np.zeros(len(bgs), dtype=np.int64)
+        np.add.at(row_sum, row_of, occ_flat)
+        cnt_per_bg = np.add.reduceat(row_sum[order], starts)
+        cnt_per_row = cnt_per_bg[gidx[inv]]
+        d_flat = docs_col.flatten().to_numpy(zero_copy_only=False)
+        c_flat = cnt_per_row[row_of]
+        order2 = np.argsort(d_flat, kind="stable")
+        d_s = d_flat[order2]
+        starts2 = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(d_s[starts2], pa.int64()),
+            "nb": pa.array(np.add.reduceat(occ_flat[order2], starts2),
+                           pa.int64()),
+            "sc": pa.array(
+                np.add.reduceat((occ_flat * c_flat)[order2], starts2),
+                pa.int64()),
+        })
+
+    def _score(batch: pa.Table) -> pa.Table:
+        nb = batch.column("n_bigrams").to_numpy(zero_copy_only=False)
+        sc = batch.column("sum_bg_cnt").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "avg_cnt_x1000",
+            pa.array((1000 * sc) // np.maximum(nb, 1), pa.int64()))
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _block_bigram_partials, batch_format="pyarrow",
+        zero_copy_batch=True) \
+        .map_batches(_bg_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_doc_partials, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("nb"), Sum("sc")) \
+        .rename_columns({"sum(nb)": "n_bigrams", "sum(sc)": "sum_bg_cnt"}) \
+        .map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+LM_SCORE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+cnt AS (SELECT bg, count(*)::BIGINT AS c FROM bg GROUP BY bg)
+SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(c)::BIGINT AS sum_bg_cnt,
+       ((1000 * sum(c)) // count(*))::BIGINT AS avg_cnt_x1000
+FROM bg JOIN cnt USING (bg)
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # global top-k by quality (partial top-k combiner, never a full sort)
 # ---------------------------------------------------------------------------

@@ -828,6 +828,32 @@ def test_repetition_matches_duckdb_mirror(ray_session):
     assert sorted(got) == sorted(want)
 
 
+def test_lm_familiarity_matches_duckdb_mirror(ray_session):
+    """Bigram-LM familiarity scoring == the LM_SCORE_SQL mirror on a
+    corpus with repeated, partially-shared and degenerate docs (empty
+    text and one-word docs emit NO row in both engines)."""
+    import duckdb
+    import ray.data
+    texts = ["", "solo", "the cat sat on the mat",
+             "the cat sat on a rug", "the cat sat on the mat",
+             "a rug on the mat", "zz qq ww zz qq"]
+    docs = ray.data.from_arrow(_docs_table(texts))
+    got = [(r["doc_id"], r["n_bigrams"], r["sum_bg_cnt"],
+            r["avg_cnt_x1000"])
+           for r in tx.lm_familiarity(docs).take_all()]
+    assert not any(d in (0, 1) for d, *_ in got)  # degenerate docs drop
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+            ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts)) +
+            ") AS v(doc_id, text)")
+    want = con.sql(tx.LM_SCORE_SQL).fetchall()
+    assert sorted(got) == sorted(want)
+    # identical twin docs (2 and 4) score identically, and higher than
+    # the unrelated-bigram doc 6 whose bigrams are near-unique
+    by_id = {d: a for d, _n, _s, a in got}
+    assert by_id[2] == by_id[4] > by_id[6]
+
+
 def test_decontaminate_planted(ray_session):
     """Docs sharing a 5-gram with the benchmark subset (doc_id % 20 == 0)
     are flagged; short docs and non-overlapping docs are not."""
