@@ -448,6 +448,17 @@ def q_kg_degrees(sf_dir: str):
         {"count()": "out_degree"})
 
 
+def q_kg_random_walks(sf_dir: str):
+    """DeepWalk-style walk-corpus sampling over the KG: one
+    deterministic (sha256-argmin next hop) length-3 walk per node —
+    the graph-embedding training-corpus primitive. FULL SQL oracle:
+    per-step row_number-over-sha256 transition tables, chained."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return graph.random_walks(trips, length=3)
+
+
 def q_kg_entity_types(sf_dir: str):
     """KG post-pass: type every node by majority vote over its
     (pred, role) incidences — narrow vote rows, vectorized argmax in a
@@ -542,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore_planted": q_kg_kcore_planted,
         "kg_labelprop_planted": q_kg_labelprop_planted,
         "kg_entity_types": q_kg_entity_types,
+        "kg_random_walks": q_kg_random_walks,
         "kg_lib_assoc": q_kg_lib_assoc,
         "kg_repo_cards": q_kg_repo_cards,
     }
@@ -588,6 +600,8 @@ FROM gold ORDER BY subj, pred, obj
             validate.constraints_sql(corpus.gold_triples_sql()),
         "kg_adjacency": __adj_sql(corpus.gold_triples_sql()),
         "kg_entity_types": __etypes_sql(corpus.gold_triples_sql()),
+        "kg_random_walks":
+            graph.random_walks_sql(corpus.gold_triples_sql(), length=3),
         "kg_lib_assoc": __assoc_sql(corpus.gold_triples_sql()),
         "kg_repo_cards": __cards_sql(corpus.gold_triples_sql()),
         "kg_delta": __kg.kg_delta_sql(),

@@ -1617,3 +1617,101 @@ def lpa_planted_query(sf_dir: str) -> ray.data.Dataset:
                              columns=["vec_id"])
     return label_propagation(planted_lpa_edges(ids, ids.count()),
                              rounds=LPA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk sampling (DeepWalk/node2vec corpus generation)
+# ---------------------------------------------------------------------------
+#
+# The walk-corpus primitive graph-embedding trainers consume (Perozzi et
+# al., KDD'14 "DeepWalk"): one fixed-length walk per node over the
+# undirected KG.  The "random" next-hop pick is a deterministic
+# hash-argmin — next(cur, step) = argmin_b sha256(cur|step|b) over cur's
+# neighbors — so the sampled corpus is reproducible across runs/engines
+# and carries a FULL SQL mirror (row_number over the same sha256).  A
+# production run would salt the digest with a walk index to draw many
+# walks per node; the exchange shape is unchanged.
+#
+# Scale shape: the pick depends only on (cur, step), so each step's
+# transition table nxt_k (ONE row per node) is built by a bucketed
+# argmin co-group over the edge set (O(buckets) dispatch, numpy argmin
+# inside), and the walk extension is one hash_join per step — walks
+# never co-locate with the full adjacency of their current node.
+
+
+def _walk_next_bucket(group: pa.Table, *, step: int) -> pa.Table:
+    """One u-hash bucket: per source node, the sha256-argmin neighbor
+    (tie-break by neighbor string; every partial of a node's
+    neighborhood is in this bucket)."""
+    import hashlib
+    empty = pa.Table.from_pydict({"a": pa.array([], pa.string()),
+                                  "b": pa.array([], pa.string())})
+    if group.num_rows == 0:
+        return empty
+    u = np.asarray(group.column("u").to_pylist(), dtype=object)
+    v = np.asarray(group.column("v").to_pylist(), dtype=object)
+    dig = np.asarray([hashlib.sha256(f"{a}|{step}|{b}".encode())
+                      .hexdigest() for a, b in zip(u, v)], dtype=object)
+    order = np.lexsort((v, dig, u))
+    first = np.r_[True, u[order][1:] != u[order][:-1]]
+    sel = order[first]
+    return pa.Table.from_pydict({"a": pa.array(u[sel], pa.string()),
+                                 "b": pa.array(v[sel], pa.string())})
+
+
+def random_walks(triples: ray.data.Dataset, *,
+                 length: int = 3) -> ray.data.Dataset:
+    """(start, hop1..hopN): one deterministic length-``length`` walk
+    from every node of the undirected KG (self-loops dropped; a node
+    with no proper neighbor starts no walk — mirrored in SQL).  Edges
+    are materialized once (narrow string pairs) and re-grouped per
+    step; each extension is one hash_join of the walk table against
+    that step's one-row-per-node transition table."""
+    from nerfray.ops.joins import hash_join
+
+    edges = triples.select_columns(["subj", "obj"]) \
+        .map_batches(_init_edges, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .filter(expr="a != b") \
+        .map_batches(_symmetrize, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .map_batches(_hash_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    def _nxt(step: int) -> ray.data.Dataset:
+        return edges.groupby("bucket").map_groups(
+            _walk_next_bucket, fn_kwargs={"step": step},
+            batch_format="pyarrow")
+
+    walks = _nxt(1).rename_columns({"a": "start", "b": "hop1"})
+    for k in range(2, length + 1):
+        nk = _nxt(k).rename_columns({"a": f"src{k}", "b": f"hop{k}"})
+        prev = ["start"] + [f"hop{j}" for j in range(1, k - 1)]
+        walks = hash_join(walks, nk, left_on=f"hop{k - 1}",
+                          right_on=f"src{k}", left_cols=prev,
+                          right_cols=[f"hop{k}"]) \
+            .rename_columns({"__key": f"hop{k - 1}"})
+    return walks.select_columns(
+        ["start"] + [f"hop{k}" for k in range(1, length + 1)])
+
+
+def random_walks_sql(gold_sql: str, *, length: int = 3) -> str:
+    """Unrolled mirror: per step a row_number()-over-sha256 transition
+    table, chained by joins."""
+    nxts = [
+        f"""n{k} AS (SELECT a, b FROM (
+  SELECT a, b, row_number() OVER (
+    PARTITION BY a ORDER BY sha256(a || '|{k}|' || b), b) AS rk
+  FROM e) WHERE rk = 1)""" for k in range(1, length + 1)]
+    joins = "n1"
+    sel = ["n1.a AS start", "n1.b AS hop1"]
+    for k in range(2, length + 1):
+        joins += f" JOIN n{k} ON n{k}.a = n{k - 1}.b"
+        sel.append(f"n{k}.b AS hop{k}")
+    return f"""
+WITH gold AS ({gold_sql}),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM gold WHERE subj <> obj
+      UNION SELECT obj, subj FROM gold WHERE subj <> obj),
+{",".join(nxts)}
+SELECT {", ".join(sel)} FROM {joins} ORDER BY start
+"""

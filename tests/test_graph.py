@@ -614,3 +614,35 @@ def test_repo_cards_brute_force(ray_session):
         "o/r1": (2, 2, 1, 1, 1),
         "o/r2": (1, 0, 0, 1, 1),
     }
+
+
+def test_random_walks_deterministic_vs_brute_force(ray_session, tiny_graph):
+    """Every node with a proper neighbor starts one length-3 walk; each
+    hop is the sha256-argmin neighbor, matching a per-step brute-force
+    walk over the symmetrized edge set."""
+    import hashlib
+
+    from nerfray.stages import graph
+
+    und = set()
+    for a, b in [("a", "x"), ("b", "x"), ("c", "y"), ("x", "y"), ("q", "r")]:
+        und.add((a, b))
+        und.add((b, a))
+    nbrs: dict[str, list[str]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+
+    def nxt(cur: str, step: int) -> str:
+        return min(nbrs[cur], key=lambda b: (
+            hashlib.sha256(f"{cur}|{step}|{b}".encode()).hexdigest(), b))
+
+    want = {}
+    for n in nbrs:
+        h1 = nxt(n, 1)
+        h2 = nxt(h1, 2)
+        h3 = nxt(h2, 3)
+        want[n] = (h1, h2, h3)
+
+    got = {r["start"]: (r["hop1"], r["hop2"], r["hop3"])
+           for r in graph.random_walks(tiny_graph, length=3).take_all()}
+    assert got == want
