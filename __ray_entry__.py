@@ -459,6 +459,32 @@ def q_kg_random_walks(sf_dir: str):
     return graph.random_walks(trips, length=3)
 
 
+def q_kg_walk_skipgrams(sf_dir: str):
+    """Skip-gram (center, context) co-occurrence counts within a
+    2-position window over the deterministic walk corpus — the word2vec
+    training grain of the DeepWalk recipe. Pair emission is a
+    vectorized per-block flat-map with a block-level count combiner;
+    only (pair, partial_n) rows reach the 64-way pair-hash exchange.
+    FULL SQL oracle: walk CTE chain unpivoted + windowed self-join."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return graph.walk_skipgrams(trips, length=3)
+
+
+def q_kg_hash_embedding(sf_dir: str):
+    """Signed-random-projection node embedding: dim j of a node is the
+    exact-integer sum of ±1 signs (parity of hex digit j of
+    sha256(neighbor)) over its distinct proper neighbors — a
+    structure-level analogue of simhash that feeds the ANN/near-dup
+    stack. One u-hash bucket exchange; long-format output. FULL SQL
+    oracle (integer-exact)."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return graph.hash_embedding(trips)
+
+
 def q_kg_entity_types(sf_dir: str):
     """KG post-pass: type every node by majority vote over its
     (pred, role) incidences — narrow vote rows, vectorized argmax in a
@@ -554,6 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_labelprop_planted": q_kg_labelprop_planted,
         "kg_entity_types": q_kg_entity_types,
         "kg_random_walks": q_kg_random_walks,
+        "kg_walk_skipgrams": q_kg_walk_skipgrams,
+        "kg_hash_embedding": q_kg_hash_embedding,
         "kg_lib_assoc": q_kg_lib_assoc,
         "kg_repo_cards": q_kg_repo_cards,
     }
@@ -602,6 +630,10 @@ FROM gold ORDER BY subj, pred, obj
         "kg_entity_types": __etypes_sql(corpus.gold_triples_sql()),
         "kg_random_walks":
             graph.random_walks_sql(corpus.gold_triples_sql(), length=3),
+        "kg_walk_skipgrams":
+            graph.walk_skipgrams_sql(corpus.gold_triples_sql(), length=3),
+        "kg_hash_embedding":
+            graph.hash_embedding_sql(corpus.gold_triples_sql()),
         "kg_lib_assoc": __assoc_sql(corpus.gold_triples_sql()),
         "kg_repo_cards": __cards_sql(corpus.gold_triples_sql()),
         "kg_delta": __kg.kg_delta_sql(),

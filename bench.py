@@ -144,7 +144,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "events_pivot_daily", "events_unpivot_daily",
                  "sim_knn_graph", "docs_curation_scored",
                  "events_ab_test", "events_moving_sum",
-                 "docs_dup_spans", "kg_time_travel"):
+                 "docs_dup_spans", "kg_time_travel", "docs_lm_score",
+                 "kg_random_walks", "kg_walk_skipgrams",
+                 "kg_hash_embedding"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

@@ -1715,3 +1715,194 @@ e AS (SELECT DISTINCT subj AS a, obj AS b FROM gold WHERE subj <> obj
 {",".join(nxts)}
 SELECT {", ".join(sel)} FROM {joins} ORDER BY start
 """
+
+# ---------------------------------------------------------------------------
+# Skip-gram pair extraction over the walk corpus (word2vec input grain)
+# ---------------------------------------------------------------------------
+#
+# The second half of the DeepWalk recipe: the walk corpus is consumed as
+# (center, context) co-occurrence counts within a token window (Mikolov
+# et al. 2013).  Scale shape: pair emission is a vectorized per-block
+# flat-map over the walk table (position-pair concat, no per-row loop)
+# with a BLOCK-LEVEL COMBINER (pandas groupby partial counts), so the
+# only exchange ships (center, context, partial_n) rows — bounded by
+# distinct pairs per block, never raw pair occurrences — routed by a
+# 64-way pair hash (dispatch-grain rule; a sort-groupby over two string
+# columns is the slow path this avoids).
+
+SKIPGRAM_WINDOW = 2
+
+_SG_SCHEMA = pa.schema([("center", pa.string()), ("context", pa.string()),
+                        ("n_pairs", pa.int64()), ("hb", pa.int32())])
+_SG_OUT = pa.schema([("center", pa.string()), ("context", pa.string()),
+                     ("n_pairs", pa.int64())])
+
+
+def _skipgram_partial(batch: pa.Table, *, length: int,
+                      window: int) -> pa.Table:
+    """Walk rows -> per-block (center, context, partial count, pair-hash
+    bucket)."""
+    import pandas as pd
+    if batch.num_rows == 0:
+        return _SG_SCHEMA.empty_table()
+    names = ["start"] + [f"hop{k}" for k in range(1, length + 1)]
+    toks = [np.asarray(batch.column(n).to_pylist(), dtype=object)
+            for n in names]
+    centers, contexts = [], []
+    for i in range(length + 1):
+        for j in range(length + 1):
+            if i != j and abs(i - j) <= window:
+                centers.append(toks[i])
+                contexts.append(toks[j])
+    df = pd.DataFrame({"center": np.concatenate(centers),
+                       "context": np.concatenate(contexts)})
+    g = df.groupby(["center", "context"], sort=True) \
+        .size().reset_index(name="n_pairs")
+    hb = (pd.util.hash_pandas_object(g[["center", "context"]], index=False)
+          .to_numpy() % 64).astype(np.int32)
+    return pa.Table.from_pydict({
+        "center": pa.array(g["center"], pa.string()),
+        "context": pa.array(g["context"], pa.string()),
+        "n_pairs": pa.array(g["n_pairs"].to_numpy(np.int64), pa.int64()),
+        "hb": pa.array(hb, pa.int32()),
+    }, schema=_SG_SCHEMA)
+
+
+def _skipgram_sum(group: pa.Table) -> pa.Table:
+    import pandas as pd
+    if group.num_rows == 0:
+        return _SG_OUT.empty_table()
+    df = group.select(["center", "context", "n_pairs"]).to_pandas()
+    g = df.groupby(["center", "context"], sort=True, as_index=False).sum()
+    return pa.Table.from_pydict({
+        "center": pa.array(g["center"], pa.string()),
+        "context": pa.array(g["context"], pa.string()),
+        "n_pairs": pa.array(g["n_pairs"].to_numpy(np.int64), pa.int64()),
+    }, schema=_SG_OUT)
+
+
+def walk_skipgrams(triples: ray.data.Dataset, *, length: int = 3,
+                   window: int = SKIPGRAM_WINDOW) -> ray.data.Dataset:
+    """(center, context, n_pairs): skip-gram co-occurrence counts within
+    ``window`` positions over the deterministic walk corpus (both
+    directions; a pair is counted once per ordered position pair per
+    walk)."""
+    walks = random_walks(triples, length=length)
+    return walks.map_batches(
+        _skipgram_partial, fn_kwargs={"length": length, "window": window},
+        batch_format="pyarrow") \
+        .groupby("hb").map_groups(_skipgram_sum, batch_format="pyarrow")
+
+
+def walk_skipgrams_sql(gold_sql: str, *, length: int = 3,
+                       window: int = SKIPGRAM_WINDOW) -> str:
+    """Mirror: the walk CTE chain, unpivoted to (walk, pos, tok), then a
+    windowed position self-join + count."""
+    nxts = [
+        f"""n{k} AS (SELECT a, b FROM (
+  SELECT a, b, row_number() OVER (
+    PARTITION BY a ORDER BY sha256(a || '|{k}|' || b), b) AS rk
+  FROM e) WHERE rk = 1)""" for k in range(1, length + 1)]
+    joins = "n1"
+    sel = ["n1.a AS t0", "n1.b AS t1"]
+    for k in range(2, length + 1):
+        joins += f" JOIN n{k} ON n{k}.a = n{k - 1}.b"
+        sel.append(f"n{k}.b AS t{k}")
+    unpiv = " UNION ALL ".join(
+        f"SELECT t0 AS walk, {p} AS pos, t{p} AS tok FROM walks"
+        for p in range(length + 1))
+    return f"""
+WITH gold AS ({gold_sql}),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM gold WHERE subj <> obj
+      UNION SELECT obj, subj FROM gold WHERE subj <> obj),
+{",".join(nxts)},
+walks AS (SELECT {", ".join(sel)} FROM {joins}),
+tok AS ({unpiv})
+SELECT a.tok AS center, b.tok AS context, count(*)::BIGINT AS n_pairs
+FROM tok a JOIN tok b
+  ON a.walk = b.walk AND a.pos <> b.pos AND abs(a.pos - b.pos) <= {window}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed adjacency embedding (signed random projection)
+# ---------------------------------------------------------------------------
+#
+# A dense integer node embedding: dim j of a node is the sum of
+# deterministic ±1 signs of its distinct proper neighbors (sign_j(b) =
+# parity of hex digit j of sha256(b)).  This is a signed random
+# projection of the adjacency row (Achlioptas 2003 database-friendly
+# projections; Charikar 2002 simhash applied to neighbor sets): nodes
+# with similar neighborhoods get nearby vectors, so it feeds the same
+# ANN/near-dup stack as text embeddings — but over graph structure.
+# Exact-integer, so it carries a FULL SQL oracle (no float tolerance).
+#
+# Scale shape: ONE u-hash bucket exchange co-locates each node's
+# neighborhood; inside a bucket the distinct contraction is a pandas
+# drop-duplicates, sha256 is computed once per DISTINCT neighbor string
+# (memoized dict), and the per-node sums are one groupby-sum over a
+# (rows x dims) sign matrix.  Output is long-format (node, dim, val) —
+# EMB_HASH_DIMS columns never widen the shuffle.
+
+EMB_HASH_DIMS = 8
+
+_EMBH_SCHEMA = pa.schema([("node", pa.string()), ("dim", pa.int64()),
+                          ("val", pa.int64())])
+
+
+def _emb_hash_bucket(group: pa.Table) -> pa.Table:
+    """One u-hash bucket: distinct (u, v) -> per-u signed sums per dim."""
+    import hashlib
+
+    import pandas as pd
+    if group.num_rows == 0:
+        return _EMBH_SCHEMA.empty_table()
+    df = pd.DataFrame({"u": group.column("u").to_pylist(),
+                       "v": group.column("v").to_pylist()}) \
+        .drop_duplicates()
+    signs: dict[str, np.ndarray] = {}
+    for b in pd.unique(df["v"]):
+        h = hashlib.sha256(str(b).encode()).hexdigest()
+        signs[b] = np.array([1 if int(h[j], 16) % 2 == 0 else -1
+                             for j in range(EMB_HASH_DIMS)], np.int64)
+    mat = np.stack([signs[b] for b in df["v"]])
+    sums = pd.DataFrame(mat, index=df["u"]).groupby(level=0, sort=True).sum()
+    n = len(sums)
+    nodes = np.repeat(np.asarray(sums.index, dtype=object), EMB_HASH_DIMS)
+    dims = np.tile(np.arange(EMB_HASH_DIMS, dtype=np.int64), n)
+    vals = sums.to_numpy(np.int64).reshape(-1)
+    return pa.Table.from_pydict({
+        "node": pa.array(nodes, pa.string()),
+        "dim": pa.array(dims, pa.int64()),
+        "val": pa.array(vals, pa.int64()),
+    }, schema=_EMBH_SCHEMA)
+
+
+def hash_embedding(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, dim, val): signed-random-projection embedding of every
+    node's distinct proper-neighbor set (undirected; self-loops
+    dropped).  val is an exact integer in [-deg, deg]."""
+    return triples.select_columns(["subj", "obj"]) \
+        .map_batches(_init_edges, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .filter(expr="a != b") \
+        .map_batches(_symmetrize, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .map_batches(_hash_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_emb_hash_bucket,
+                                      batch_format="pyarrow")
+
+
+def hash_embedding_sql(gold_sql: str) -> str:
+    dims = ", ".join(f"({j})" for j in range(EMB_HASH_DIMS))
+    return f"""
+WITH gold AS ({gold_sql}),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM gold WHERE subj <> obj
+      UNION SELECT obj, subj FROM gold WHERE subj <> obj),
+dims(j) AS (VALUES {dims})
+SELECT a AS node, j::BIGINT AS dim,
+       SUM(CASE WHEN strpos('02468ace', substr(sha256(b), j + 1, 1)) > 0
+                THEN 1 ELSE -1 END)::BIGINT AS val
+FROM e, dims GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -646,3 +646,62 @@ def test_random_walks_deterministic_vs_brute_force(ray_session, tiny_graph):
     got = {r["start"]: (r["hop1"], r["hop2"], r["hop3"])
            for r in graph.random_walks(tiny_graph, length=3).take_all()}
     assert got == want
+
+
+def test_walk_skipgrams_brute_force(ray_session, tiny_graph):
+    """Skip-gram counts equal the naive window-pair count over the
+    brute-force walk corpus."""
+    import hashlib
+    from collections import Counter
+
+    from nerfray.stages import graph
+
+    und = set()
+    for a, b in [("a", "x"), ("b", "x"), ("c", "y"), ("x", "y"), ("q", "r")]:
+        und.add((a, b))
+        und.add((b, a))
+    nbrs: dict[str, list[str]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+
+    def nxt(cur: str, step: int) -> str:
+        return min(nbrs[cur], key=lambda b: (
+            hashlib.sha256(f"{cur}|{step}|{b}".encode()).hexdigest(), b))
+
+    want: Counter = Counter()
+    for n in nbrs:
+        walk = [n]
+        for step in (1, 2, 3):
+            walk.append(nxt(walk[-1], step))
+        for i in range(4):
+            for j in range(4):
+                if i != j and abs(i - j) <= graph.SKIPGRAM_WINDOW:
+                    want[(walk[i], walk[j])] += 1
+
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in graph.walk_skipgrams(tiny_graph, length=3).take_all()}
+    assert got == dict(want)
+
+
+def test_hash_embedding_brute_force(ray_session, tiny_graph):
+    """Each (node, dim) value equals the naive ±1 sum over distinct
+    proper neighbors; self-loop-only nodes are absent."""
+    import hashlib
+
+    from nerfray.stages import graph
+
+    und: dict[str, set] = {}
+    for a, b in [("a", "x"), ("b", "x"), ("c", "y"), ("x", "y"), ("q", "r")]:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+
+    want = {}
+    for n, ns in und.items():
+        for j in range(graph.EMB_HASH_DIMS):
+            want[(n, j)] = sum(
+                1 if int(hashlib.sha256(b.encode()).hexdigest()[j], 16)
+                % 2 == 0 else -1 for b in ns)
+
+    got = {(r["node"], r["dim"]): r["val"]
+           for r in graph.hash_embedding(tiny_graph).take_all()}
+    assert got == want
