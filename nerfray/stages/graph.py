@@ -766,77 +766,136 @@ GROUP BY a.u ORDER BY a.u
 
 
 # ---------------------------------------------------------------------------
-# k-hop BFS (min-hop distance from a seed set)
+# fused min-relaxation rounds (shared by k-hop BFS and weighted SSSP)
 # ---------------------------------------------------------------------------
+#
+# ONE 64-way keyed co-group per round: the bucket for node-hash h holds
+# (a) every distance CANDIDATE targeted at its nodes — the previous
+# round's relaxations, duplicates allowed, the per-node min is taken
+# here — and (b) every edge whose SOURCE node hashes to h.  The bucket
+# re-emits each node's resolved min as its own candidate and relaxes it
+# along the co-located out-edges into next-round candidates; a final
+# edge-free co-group collapses the last candidate set.  rounds+1
+# exchanges total, the whole unroll ONE lazy plan — no per-round driver
+# barrier, and no per-round block-count growth from union-of-materialized
+# frontiers (the previous join-per-round shape grew 48 -> 496 blocks
+# over 4 rounds at sf0.01, turning 36-row SSSP into a 90 s query).
+
+_RELAX_BUCKETS = 64
+_RELAX_SCHEMA = pa.schema([
+    ("k", pa.int64()),    # candidate: target node | edge: source u
+    ("d", pa.int64()),    # candidate: distance    | edge: unused
+    ("v", pa.int64()),    # edge: destination
+    ("w", pa.int64()),    # edge: weight
+    ("side", pa.int8()),  # 0 = candidate, 1 = edge
+    ("hb", pa.int32()),
+])
+
+
+def _relax_edge_rows(batch: pa.Table, *, unit_weight: bool = False) \
+        -> pa.Table:
+    u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    if unit_weight:
+        w = np.ones(len(u), np.int64)
+    else:
+        w = batch.column("w").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    return pa.Table.from_pydict({
+        "k": u, "d": np.zeros(len(u), np.int64), "v": v, "w": w,
+        "side": np.ones(len(u), np.int8),
+        "hb": (u % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_RELAX_SCHEMA)
+
+
+def _relax_seed_rows(batch: pa.Table) -> pa.Table:
+    n = batch.column("node").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    z = np.zeros(len(n), np.int64)
+    return pa.Table.from_pydict({
+        "k": n, "d": z, "v": z, "w": z,
+        "side": np.zeros(len(n), np.int8),
+        "hb": (n % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_RELAX_SCHEMA)
+
+
+def _relax_min(k: np.ndarray, d: np.ndarray):
+    """Per-node min over candidate rows (vectorized run sweep)."""
+    order = np.lexsort((d, k))
+    k_s, d_s = k[order], d[order]
+    starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+    return k_s[starts], d_s[starts]
+
+
+def _relax_round_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _RELAX_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    k = group.column("k").to_numpy(zero_copy_only=False)
+    d = group.column("d").to_numpy(zero_copy_only=False)
+    is_c = side == 0
+    if not is_c.any():
+        return _RELAX_SCHEMA.empty_table()
+    nodes, dists = _relax_min(k[is_c], d[is_c])
+    # relax along co-located out-edges (sorted-array lookup, no join)
+    is_e = ~is_c
+    eu = k[is_e]
+    idx = np.searchsorted(nodes, eu)
+    idx[idx >= len(nodes)] = 0
+    hit = nodes[idx] == eu
+    ev = group.column("v").to_numpy(zero_copy_only=False)[is_e][hit]
+    ed = dists[idx[hit]] \
+        + group.column("w").to_numpy(zero_copy_only=False)[is_e][hit]
+    out_k = np.concatenate([nodes, ev])
+    out_d = np.concatenate([dists, ed])
+    z = np.zeros(len(out_k), np.int64)
+    return pa.Table.from_pydict({
+        "k": out_k, "d": out_d, "v": z, "w": z,
+        "side": np.zeros(len(out_k), np.int8),
+        "hb": (out_k % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_RELAX_SCHEMA)
+
+
+def _relax_final_bucket(group: pa.Table, *, kcol: str,
+                        dcol: str) -> pa.Table:
+    out_schema = pa.schema([(kcol, pa.int64()), (dcol, pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    is_c = side == 0
+    nodes, dists = _relax_min(
+        group.column("k").to_numpy(zero_copy_only=False)[is_c],
+        group.column("d").to_numpy(zero_copy_only=False)[is_c])
+    return pa.Table.from_pydict({kcol: nodes, dcol: dists},
+                                schema=out_schema)
+
+
+def _min_relax_rounds(edges_tagged: ray.data.Dataset,
+                      seeds: ray.data.Dataset, *, rounds: int,
+                      kcol: str, dcol: str) -> ray.data.Dataset:
+    plan = seeds.map_batches(_relax_seed_rows, batch_format="pyarrow")
+    for _ in range(rounds):
+        plan = edges_tagged.union(plan).groupby("hb").map_groups(
+            _relax_round_bucket, batch_format="pyarrow")
+    return plan.groupby("hb").map_groups(
+        functools.partial(_relax_final_bucket, kcol=kcol, dcol=dcol),
+        batch_format="pyarrow")
 
 
 def bfs_hops(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
              max_hops: int = 3) -> ray.data.Dataset:
     """(node, hop): minimum hop distance from the seed set, bounded at
     ``max_hops`` — the neighborhood-expansion primitive (impact radius,
-    k-hop subgraph extraction).  Frontier-iterated entirely as
-    Datasets: each round is one hash_join of the frontier against the
-    edge list plus one anti join against the visited set; the driver
-    sees only per-round COUNTS.  Input: directed int64 (u, v) edges;
-    seeds as a (node) Dataset."""
-    import pyarrow.compute as pc
-
-    from nerfray.ops.joins import hash_join
-
-    def _with_hop(ds: ray.data.Dataset, h: int) -> ray.data.Dataset:
-        def _f(batch: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict({
-                "node": pc.cast(batch.column("node"), pa.int64()),
-                "hop": pa.array(
-                    np.full(batch.num_rows, h, np.int64), pa.int64())})
-        return ds.map_batches(_f, batch_format="pyarrow")
-
-    def _nodes_of(ds: ray.data.Dataset, col: str,
-                  old: int) -> ray.data.Dataset:
-        def _p(batch: pa.Table) -> pa.Table:
-            u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
-            return pa.Table.from_pydict({
-                "node": pa.array(u, pa.int64()),
-                "old": pa.array(np.full(len(u), old, np.int8), pa.int8()),
-                "hb": pa.array((u & 63).astype(np.int32), pa.int32())})
-        return ds.map_batches(_p, batch_format="pyarrow")
-
-    def _new_only(group: pa.Table) -> pa.Table:
-        """Bucketed set difference + distinct in ONE co-group: emit
-        each node seen as new and never as old (per-round exchange
-        count is the whole BFS cost model — keep it at two)."""
-        out_schema = pa.schema([("node", pa.int64())])
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        n = group.column("node").to_numpy(zero_copy_only=False)
-        o = group.column("old").to_numpy(zero_copy_only=False)
-        order = np.argsort(n, kind="stable")
-        n_s, o_s = n[order], o[order]
-        starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
-        any_old = np.maximum.reduceat(o_s, starts)
-        return pa.Table.from_pydict(
-            {"node": pa.array(n_s[starts][any_old == 0], pa.int64())},
-            schema=out_schema)
-
-    def _global_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
-        return _nodes_of(ds, col, 0).groupby("hb") \
-            .map_groups(_new_only, batch_format="pyarrow")
-
-    dist = _with_hop(_global_distinct(seeds, "node"), 0).materialize()
-    frontier = dist
-    for h in range(1, max_hops + 1):
-        reached = hash_join(frontier.select_columns(["node"]), edges,
-                            left_on="node", right_on="u",
-                            left_cols=[], right_cols=["v"])
-        new = _nodes_of(reached, "v", 0) \
-            .union(_nodes_of(dist, "node", 1)) \
-            .groupby("hb").map_groups(_new_only, batch_format="pyarrow")
-        new_dist = _with_hop(new, h).materialize()
-        if new_dist.count() == 0:
-            break
-        dist = dist.union(new_dist).materialize()
-        frontier = new_dist
-    return dist
+    k-hop subgraph extraction).  BFS is min-relaxation with unit
+    weights, so it shares the fused one-co-group-per-round kernel;
+    the driver never sees a row.  Input: directed int64 (u, v) edges;
+    seeds as a (node) Dataset (hop 0)."""
+    e = edges.map_batches(_relax_edge_rows,
+                          fn_kwargs={"unit_weight": True},
+                          batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    return _min_relax_rounds(e, seeds, rounds=max_hops,
+                             kcol="node", dcol="hop")
 
 
 def bfs_planted_query(sf_dir: str) -> ray.data.Dataset:
@@ -1242,10 +1301,9 @@ def common_neighbors(triples: ray.data.Dataset, *, min_common: int = 2,
 #
 # The weighted companion to bfs_hops: R relaxation rounds compute the
 # exact min-cost path using <= R edges (integer weights -> integer
-# distances, no float drift).  Each round is one hash_join of the
-# current distance table against the edge list plus one bucketed
-# min-co-group; both distances and edges live entirely as Datasets and
-# the driver sees only per-round counts.  Fixed R (not
+# distances, no float drift).  Each round is ONE keyed co-group (the
+# fused kernel above); both distances and edges live entirely as
+# Datasets and the driver sees nothing.  Fixed R (not
 # run-to-convergence) keeps the round structure identical to the
 # unrolled SQL oracle.
 
@@ -1257,53 +1315,13 @@ def sssp_rounds(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
                 rounds: int = SSSP_ROUNDS) -> ray.data.Dataset:
     """(node, dist): exact shortest distance from the seed set using at
     most ``rounds`` edges.  ``edges`` has int64 (u, v, w); ``seeds`` a
-    (node) column (distance 0)."""
-    import pyarrow.compute as pc
-
-    from nerfray.ops.joins import hash_join
-
-    _SCHEMA = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
-
-    def _zero(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({
-            "node": pc.cast(batch.column("node"), pa.int64()),
-            "dist": pa.array(np.zeros(batch.num_rows, np.int64),
-                             pa.int64())}, schema=_SCHEMA)
-
-    def _relaxed(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({
-            "node": batch.column("v"),
-            "dist": pc.add(batch.column("dist"), batch.column("w")),
-        }, schema=_SCHEMA)
-
-    def _hb(batch: pa.Table) -> pa.Table:
-        hb = pc.cast(pc.bit_wise_and(batch.column("node"), 63), pa.int32())
-        return batch.append_column("hb", hb)
-
-    def _min_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return _SCHEMA.empty_table()
-        n = group.column("node").to_numpy(zero_copy_only=False)
-        d = group.column("dist").to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, n))
-        n_s, d_s = n[order], d[order]
-        starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
-        return pa.Table.from_pydict({
-            "node": pa.array(n_s[starts], pa.int64()),
-            "dist": pa.array(d_s[starts], pa.int64()),
-        }, schema=_SCHEMA)
-
-    dist = seeds.map_batches(_zero, batch_format="pyarrow").materialize()
-    for _ in range(rounds):
-        relaxed = hash_join(dist, edges, left_on="node", right_on="u",
-                            left_cols=["dist"], right_cols=["v", "w"]) \
-            .map_batches(_relaxed, batch_format="pyarrow")
-        dist = dist.union(relaxed) \
-            .map_batches(_hb, batch_format="pyarrow") \
-            .groupby("hb").map_groups(_min_bucket,
-                                      batch_format="pyarrow") \
-            .materialize()
-    return dist
+    (node) column (distance 0).  Shares the fused
+    one-co-group-per-round kernel with ``bfs_hops`` (rounds+1
+    exchanges total, one lazy plan, no driver barriers)."""
+    e = edges.map_batches(_relax_edge_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    return _min_relax_rounds(e, seeds, rounds=rounds,
+                             kcol="node", dcol="dist")
 
 
 def planted_weighted_edges(ids: ray.data.Dataset,
@@ -1480,85 +1498,139 @@ def neighbor_degree(triples: ray.data.Dataset) -> ray.data.Dataset:
 # ties broken by the SMALLEST label.  Deterministic under any
 # parallelism, so the unrolled rounds are SQL-mirrorable.
 #
-# Scale shape: labels stay a Dataset the whole time; one round = one
-# hash_join (attach each neighbor's current label) + one 64-way
-# dest-hash co-group (vectorized per-(node,label) run counts + argmax).
+# Scale shape: labels stay a Dataset the whole time; ONE 64-way keyed
+# co-group per round (fused, same recipe as the min-relax kernel): the
+# bucket for node-hash h receives every VOTE targeted at its nodes (the
+# previous round's label emissions) plus every edge whose source hashes
+# to h; it computes the per-node argmax label and emits next-round
+# votes along the co-located edges.  Round-1 votes are map-side (the
+# initial label of u IS u).  rounds exchanges total, one lazy plan.
 # The driver holds nothing node-sized.
 
 LPA_ROUNDS = 2
 _LPA_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+_LPA_ROW_SCHEMA = pa.schema([
+    ("k", pa.int64()),    # vote: target node | edge: source node
+    ("lab", pa.int64()),  # vote: label       | edge: unused
+    ("v", pa.int64()),    # edge: destination
+    ("side", pa.int8()),  # 0 = vote, 1 = edge
+    ("hb", pa.int32()),
+])
 
 
-def _lpa_sym(batch: pa.Table) -> pa.Table:
-    a = batch.column("a").to_numpy(zero_copy_only=False)
-    b = batch.column("b").to_numpy(zero_copy_only=False)
+def _lpa_sym_pair(batch: pa.Table):
+    a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.concatenate([a, b]), np.concatenate([b, a])
+
+
+def _lpa_vote1_rows(batch: pa.Table) -> pa.Table:
+    """Round-1 votes straight from the edge batch: label_0(u) = u, so
+    edge u -> v votes (v, u).  No exchange needed."""
+    src, dst = _lpa_sym_pair(batch)
     return pa.Table.from_pydict({
-        "v": pa.array(np.concatenate([a, b]), pa.int64()),
-        "u": pa.array(np.concatenate([b, a]), pa.int64()),
-    })
+        "k": dst, "lab": src, "v": np.zeros(len(dst), np.int64),
+        "side": np.zeros(len(dst), np.int8),
+        "hb": (dst % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_LPA_ROW_SCHEMA)
 
 
-def _lpa_init_partial(batch: pa.Table) -> pa.Table:
-    u = np.unique(batch.column("v").to_numpy(zero_copy_only=False))
+def _lpa_edge_rows(batch: pa.Table) -> pa.Table:
+    src, dst = _lpa_sym_pair(batch)
     return pa.Table.from_pydict({
-        "node": pa.array(u, pa.int64()),
-        "hb": pa.array((u & 63).astype(np.int32), pa.int32())})
+        "k": src, "lab": np.zeros(len(src), np.int64), "v": dst,
+        "side": np.ones(len(src), np.int8),
+        "hb": (src % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_LPA_ROW_SCHEMA)
 
 
-def _lpa_init_bucket(group: pa.Table) -> pa.Table:
-    if group.num_rows == 0:
-        return _LPA_SCHEMA.empty_table()
-    u = np.unique(group.column("node").to_numpy(zero_copy_only=False))
-    return pa.Table.from_pydict({"node": u, "label": u},
-                                schema=_LPA_SCHEMA)
-
-
-def _lpa_vote_bucket(group: pa.Table) -> pa.Table:
-    """One dest-hash bucket: every (v, neighbor-label) incidence of its
-    nodes is here.  Run-count per (v, label), then per-v argmax with
-    (count DESC, label ASC) order — two lexsorts, no Python loop."""
-    if group.num_rows == 0:
-        return _LPA_SCHEMA.empty_table()
-    v = group.column("v").to_numpy(zero_copy_only=False)
-    lab = group.column("label").to_numpy(zero_copy_only=False)
-    order = np.lexsort((lab, v))
-    v_s, l_s = v[order], lab[order]
-    new_run = np.r_[True, (v_s[1:] != v_s[:-1]) | (l_s[1:] != l_s[:-1])]
+def _lpa_argmax(k: np.ndarray, lab: np.ndarray):
+    """Per-node argmax label with (count DESC, label ASC) tie order —
+    run counts per (node, label) then a pick lexsort, no Python loop."""
+    order = np.lexsort((lab, k))
+    k_s, l_s = k[order], lab[order]
+    new_run = np.r_[True, (k_s[1:] != k_s[:-1]) | (l_s[1:] != l_s[:-1])]
     starts = np.flatnonzero(new_run)
-    counts = np.diff(np.r_[starts, len(v_s)])
-    rv, rl = v_s[starts], l_s[starts]
+    counts = np.diff(np.r_[starts, len(k_s)])
+    rv, rl = k_s[starts], l_s[starts]
     pick = np.lexsort((rl, -counts, rv))
     first = np.r_[True, rv[pick][1:] != rv[pick][:-1]]
     sel = pick[first]
-    return pa.Table.from_pydict({"node": rv[sel], "label": rl[sel]},
+    return rv[sel], rl[sel]
+
+
+def _lpa_round_bucket(group: pa.Table) -> pa.Table:
+    """One fused LPA round inside a node-hash bucket: argmax the
+    incoming votes, then emit next-round votes along the co-located
+    out-edges (sorted-array lookup, no join)."""
+    if group.num_rows == 0:
+        return _LPA_ROW_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    k = group.column("k").to_numpy(zero_copy_only=False)
+    is_vote = side == 0
+    if not is_vote.any():
+        return _LPA_ROW_SCHEMA.empty_table()
+    nodes, labels = _lpa_argmax(
+        k[is_vote],
+        group.column("lab").to_numpy(zero_copy_only=False)[is_vote])
+    is_e = ~is_vote
+    eu = k[is_e]
+    idx = np.searchsorted(nodes, eu)
+    idx[idx >= len(nodes)] = 0
+    hit = nodes[idx] == eu
+    ev = group.column("v").to_numpy(zero_copy_only=False)[is_e][hit]
+    el = labels[idx[hit]]
+    return pa.Table.from_pydict({
+        "k": ev, "lab": el, "v": np.zeros(len(ev), np.int64),
+        "side": np.zeros(len(ev), np.int8),
+        "hb": (ev % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_LPA_ROW_SCHEMA)
+
+
+def _lpa_final_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _LPA_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    is_vote = side == 0
+    nodes, labels = _lpa_argmax(
+        group.column("k").to_numpy(zero_copy_only=False)[is_vote],
+        group.column("lab").to_numpy(zero_copy_only=False)[is_vote])
+    return pa.Table.from_pydict({"node": nodes, "label": labels},
                                 schema=_LPA_SCHEMA)
 
 
-def _lpa_dest_bucket(batch: pa.Table) -> pa.Table:
-    v = batch.column("v").to_numpy(zero_copy_only=False)
-    return batch.append_column(
-        "db", pa.array((v & 63).astype(np.int32), pa.int32()))
+def _lpa_init_rows(batch: pa.Table) -> pa.Table:
+    """rounds=0 path: every endpoint labelled by itself (as votes, so
+    the final argmax collapses duplicates)."""
+    src, _dst = _lpa_sym_pair(batch)
+    return pa.Table.from_pydict({
+        "k": src, "lab": src, "v": np.zeros(len(src), np.int64),
+        "side": np.zeros(len(src), np.int8),
+        "hb": (src % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_LPA_ROW_SCHEMA)
 
 
 def label_propagation(edges: ray.data.Dataset, *,
                       rounds: int = LPA_ROUNDS) -> ray.data.Dataset:
     """(node, label) after ``rounds`` synchronous LPA rounds over
-    undirected int64 (a, b) edges (one row per edge; symmetrized here).
-    Nodes are the edge endpoints, so every node has >= 1 vote."""
-    from nerfray.ops.joins import hash_join
-
-    sym = edges.map_batches(_lpa_sym, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    labels = sym.map_batches(_lpa_init_partial, batch_format="pyarrow") \
-        .groupby("hb").map_groups(_lpa_init_bucket, batch_format="pyarrow")
-    for _ in range(rounds):
-        votes = hash_join(sym, labels, left_on="u", right_on="node",
-                          left_cols=["v"], right_cols=["label"])
-        labels = votes.map_batches(_lpa_dest_bucket,
-                                   batch_format="pyarrow") \
-            .groupby("db").map_groups(_lpa_vote_bucket,
-                                      batch_format="pyarrow")
-    return labels
+    undirected int64 (a, b) edges (one row per edge; symmetrized here —
+    parallel edges vote twice).  Nodes are the edge endpoints, so every
+    node has >= 1 vote per round."""
+    if rounds == 0:
+        votes = edges.map_batches(_lpa_init_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return votes.groupby("hb").map_groups(_lpa_final_bucket,
+                                              batch_format="pyarrow")
+    votes = edges.map_batches(_lpa_vote1_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if rounds >= 2:
+        e = edges.map_batches(_lpa_edge_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+        for _ in range(rounds - 1):
+            votes = e.union(votes).groupby("hb").map_groups(
+                _lpa_round_bucket, batch_format="pyarrow")
+    return votes.groupby("hb").map_groups(_lpa_final_bucket,
+                                          batch_format="pyarrow")
 
 
 def planted_lpa_edges(ids: ray.data.Dataset, n: int) -> ray.data.Dataset:

@@ -1,10 +1,17 @@
 """Simulate the driver's correctness gate locally.
 
-Usage: python tools/driver_sim.py [sf_dir] [query ...]
+Usage: python tools/driver_sim.py [sf_dir] [--budget SEC] [query ...]
 
 Runs each __ray_entry__.queries() callable at sf_dir (default sf0.01),
 compares against oracle_sql() via DuckDB: row count, column names, and
 order-insensitive value comparison (columns sorted by name, rows sorted).
+
+``--budget SEC`` turns slowness into failure: any single query whose
+Ray-side wall exceeds SEC is reported and fails the run (the real
+driver runs the whole catalog under a wall budget — round 3 went
+all-green but banked an EMPTY correctness file because the catalog
+outgrew it; the round-close soak runs this mode so that never
+silently recurs).  A total-wall line is always printed.
 """
 
 from __future__ import annotations
@@ -37,8 +44,14 @@ def normalize(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    budget = None
+    if "--budget" in args:
+        i = args.index("--budget")
+        budget = float(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
     import numpy as np
@@ -61,6 +74,8 @@ def main() -> int:
     qs = e.queries()
     sqls = e.oracle_sql()
     n_fail = 0
+    timings: dict[str, float] = {}
+    t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,6 +87,7 @@ def main() -> int:
             n_fail += 1
             continue
         dt = time.time() - t0
+        timings[name] = dt
         if name not in sqls:
             print(f"ok   {name}: rows-only, {len(mine)} rows  [{dt:.1f}s]")
             continue
@@ -111,6 +127,15 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(mine)} rows == oracle  [{dt:.1f}s]")
     ray.shutdown()
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print("TOTAL WALL: %.1fs over %d queries; slowest: %s"
+          % (time.time() - t_start, len(timings),
+             ", ".join(f"{k}={v:.1f}s" for k, v in slow)))
+    if budget is not None:
+        over = {k: v for k, v in timings.items() if v > budget}
+        for k, v in sorted(over.items(), key=lambda kv: -kv[1]):
+            print(f"OVER BUDGET ({budget:.0f}s): {k} took {v:.1f}s")
+        n_fail += len(over)
     print("FAILURES:", n_fail)
     return 1 if n_fail else 0
 
