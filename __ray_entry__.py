@@ -19,6 +19,14 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# drop Ray's internal empty-schema RefBundle log noise (sort shuffles
+# emit schema-less zero-row bundles for empty reduce partitions — see
+# nerfray.quiet_empty_bundle_warnings for the reproduction); real
+# schema mismatches still log
+import nerfray as _nerfray
+
+_nerfray.quiet_empty_bundle_warnings()
+
 
 def entry() -> Any:
     """Flagship pipeline: corpus @ sf0.001 -> CRF tag -> link -> triples."""
@@ -82,6 +90,25 @@ def q_kg_triples_checked(sf_dir: str):
     n = corpus_source.corpus_rows_for(sf_dir)
     return kg.kg_pipeline(corpus_source.corpus_dataset_by_repo(n),
                           tagger="crf", dedup="partitioned_checked")
+
+
+def q_kg_triples_from_parquet(sf_dir: str):
+    """The production ingestion boundary under kg_triples' oracle: the
+    corpus is materialized to parquet ONCE, then the whole pipeline
+    runs from ``ray.data.read_parquet`` (column-pruned scan over the
+    input_hint schema — the exact shape a real run uses via
+    tools/kg_job.py, previously only pytest-covered)."""
+    import shutil
+    import tempfile
+    from nerfray.pipelines import kg
+    from nerfray.sources import corpus_source
+    out = tempfile.mkdtemp(prefix="nerfray_corpus_pq_")
+    try:
+        corpus_source.corpus_dataset_for(sf_dir).write_parquet(out)
+        return kg.kg_pipeline(corpus_source.corpus_from_parquet(out),
+                              tagger="crf").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q_kg_nodes(sf_dir: str):
@@ -362,11 +389,12 @@ def q_kg_pagerank_planted(sf_dir: str):
     """PageRank with a FULL SQL oracle: a planted 256-node dyadic-exact
     graph (out-degree 2 everywhere, damping 1/2) makes every float64
     operation exact under any summation order, so the same distributed
-    operator is bit-equal to an unrolled 20-step SQL power iteration
-    (graph.pagerank_planted_sql) — the float op's regression pin."""
+    operator is bit-equal to an unrolled PLANTED_PR_ITERS-step SQL
+    power iteration (graph.pagerank_planted_sql) — the float op's
+    regression pin."""
     from nerfray.stages import graph
     return graph.pagerank(graph.planted_pagerank_triples(),
-                          damping=0.5, iters=20)
+                          damping=0.5, iters=graph.PLANTED_PR_ITERS)
 
 
 def q_kg_bfs_planted(sf_dir: str):
@@ -550,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_triples_rule": q_kg_triples_rule,
         "kg_triples_checked": q_kg_triples_checked,
+        "kg_triples_from_parquet": q_kg_triples_from_parquet,
         "kg_nodes": q_kg_nodes,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_constraints": q_kg_constraints,
@@ -608,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": corpus.gold_triples_sql(),
         "kg_triples_rule": corpus.gold_triples_sql(),
         "kg_triples_checked": corpus.gold_triples_sql(),
+        "kg_triples_from_parquet": corpus.gold_triples_sql(),
         "kg_triples_checkpointed": corpus.gold_triples_sql(),
         "kg_triples_compacted": corpus.gold_triples_sql(),
         "kg_lookup_object": f"""

@@ -29,23 +29,8 @@ BENCH_MULT = int(os.environ.get("NERFRAY_BENCH_MULT", "20"))
 
 
 def _quiet_empty_bundle_warnings() -> None:
-    """Drop ONLY the 'RefBundle with a different schema ... new schema: .'
-    warnings — Ray's sort-based aggregate emits zero-row, schema-LESS
-    bundles for empty reduce partitions; user UDFs never observe them
-    (map_batches skips empty blocks) and every combiner in this repo
-    returns schema-complete empty tables.  Real schema mismatches (a
-    non-empty differing schema) still log."""
-    import logging
-
-    class _EmptyBundleFilter(logging.Filter):
-        def filter(self, record: logging.LogRecord) -> bool:
-            msg = record.getMessage()
-            return not ("RefBundle with a different schema" in msg
-                        and "new schema: ." in msg)
-
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).addFilter(_EmptyBundleFilter())
+    from nerfray import quiet_empty_bundle_warnings
+    quiet_empty_bundle_warnings()
 
 
 def run_headline(sf_dir: str, num_cpus: int) -> dict:

@@ -1237,27 +1237,44 @@ def leakproof_splits(docs: ray.data.Dataset, *,
         rep = np.where(pa.compute.is_null(batch.column("rep"))
                        .to_numpy(zero_copy_only=False), ids, rep_col) \
             .astype(np.int64)
-        buckets = [int(hashlib.sha256(str(r).encode())
-                       .hexdigest()[:8], 16) % 10 for r in rep.tolist()]
-        split = ["train" if b < 8 else ("val" if b == 8 else "test")
-                 for b in buckets]
+        b = splitmix64(rep.astype(np.uint64)) % np.uint64(10)
+        split = np.where(b < 8, "train", np.where(b == 8, "val", "test"))
         return pa.Table.from_pydict({
             "doc_id": pa.array(ids, pa.int64()),
             "class_rep": pa.array(rep, pa.int64()),
-            "split": pa.array(split, pa.string()),
+            "split": pa.array(split.tolist(), pa.string()),
         })
 
     return joined.map_batches(_assign, batch_format="pyarrow")
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 array — the split-bucket
+    hash (the r3 shape called hashlib.sha256 once per row).  Bit-exact
+    SQL mirror: the UHUGEINT modular-arithmetic CTE chain in
+    LEAKPROOF_PLANTED_SQL."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 # planted corpus: classes are exactly {4g..4g+3}, so the whole
-# pairs -> components -> rep -> split flow is pure id arithmetic
+# pairs -> components -> rep -> split flow is pure id arithmetic; the
+# z1..z3/h chain is splitmix64 step for step (UHUGEINT keeps the
+# mod-2^64 wraparound exact)
 LEAKPROOF_PLANTED_SQL = """
 WITH s AS (SELECT doc_id, 4 * (doc_id // 4) AS rep FROM documents),
-h AS (SELECT doc_id, rep,
-             ('0x' || substr(sha256(CAST(rep AS VARCHAR)), 1, 8))::UBIGINT
-               % 10 AS b
-      FROM s)
+z1 AS (SELECT doc_id, rep,
+              ((rep::UBIGINT::UHUGEINT + 11400714819323198485)
+               % 18446744073709551616)::UBIGINT AS z FROM s),
+z2 AS (SELECT doc_id, rep,
+              ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+               % 18446744073709551616)::UBIGINT AS z FROM z1),
+z3 AS (SELECT doc_id, rep,
+              ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+               % 18446744073709551616)::UBIGINT AS z FROM z2),
+h AS (SELECT doc_id, rep, xor(z, z >> 31) % 10 AS b FROM z3)
 SELECT doc_id, rep::BIGINT AS class_rep,
        CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
             ELSE 'test' END AS split

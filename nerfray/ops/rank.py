@@ -2,20 +2,27 @@
 DESC, tiebreak ASC)`` over a Dataset without a global sort OR any
 row-proportional driver state.
 
-Two-phase shape (the classic range-partitioned rank):
-  1. histogram — ``groupby(key).count()``: one tiny shuffle whose
-     output is the key's DISTINCT-value histogram. The driver folds it
-     into a cumulative-offset table (rows = distinct key values — for
-     bounded keys like document lengths, scores, or dates this is a
-     histogram, not the data; for unbounded continuous keys, range-
-     partition on sampled quantiles first so the table stays bounded).
-  2. intra-key rank — rows shuffle ONCE by a 64-way hash of the key
-     (dispatch-grain rule: one Python call per bucket, each bucket
-     vectorized), every key's rows rank locally by the tiebreak, and
-     the broadcast offset table lifts local ranks to global ones.
+Sample-sort shape (the classic range-partitioned rank):
+  1. boundaries — a DETERMINISTIC bounded sample (the SAMPLE_N
+     lowest-``tiebreak`` rows, per-block min-k combiner — never the
+     data) yields n_parts-1 element-pick key boundaries.  Driver
+     state: n_parts-1 ints, regardless of key cardinality (the r3
+     shape collected a groupby(key).count() histogram — O(distinct
+     keys) driver rows, silently degrading on continuous keys).
+  2. part counts — rows route to part = searchsorted(bounds, key,
+     'right'); per-block bincount partials give the driver the
+     n_parts part sizes (<= blocks x n_parts tiny rows), folded into
+     a cumulative offset vector.
+  3. rank — ONE part co-group: rows lexsort locally by
+     (key, tiebreak) and the broadcast offsets lift local ordinals to
+     global ranks.
 
-Equal keys never split across buckets (the bucket is a function of the
-key), so local rank + global offset is exact for ANY block structure.
+Routing is a function of the key with one consistent side rule, so
+every row of part p orders strictly before every row of part p+1 —
+local ordinal + part offset is exact for ANY block structure and any
+(even adversarially imbalanced) sample.  Sample bias affects only
+balance, never correctness; balance skew is bounded by the usual
+sample-sort argument when the tiebreak is value-independent.
 """
 
 from __future__ import annotations
@@ -30,54 +37,68 @@ N_RANK_BUCKETS = 64
 
 
 def global_rank(ds: ray.data.Dataset, *, key: str, tiebreak: str,
-                out_col: str = "rank",
-                ascending: bool = False) -> ray.data.Dataset:
+                out_col: str = "rank", ascending: bool = False,
+                n_parts: int = N_RANK_BUCKETS) -> ray.data.Dataset:
     """Append ``out_col`` = global 1-based row number in
     (key DESC, tiebreak ASC) order — or (key ASC, tiebreak ASC) with
     ``ascending=True``. ``key`` and ``tiebreak`` must be integer
     columns; ties on (key, tiebreak) must not exist."""
-    hist = ds.groupby(key).count().take_all()
-    vals = np.array(sorted((r[key] for r in hist), reverse=not ascending),
-                    dtype=np.int64)
-    counts = {r[key]: r["count()"] for r in hist}
-    offsets = np.concatenate(
-        [[0], np.cumsum([counts[v] for v in vals])[:-1]]).astype(np.int64)
-    # ascending copy for np.searchsorted (rank offsets ride along)
-    if ascending:
-        asc_vals, asc_offsets = vals, offsets
-    else:
-        asc_vals = vals[::-1].copy()
-        asc_offsets = offsets[::-1].copy()
-    table_ref = ray.put((asc_vals, asc_offsets))
+    sort_key = "__s"
 
-    def _bucket(batch: pa.Table) -> pa.Table:
-        hb = pc.cast(pc.bit_wise_and(batch.column(key),
-                                     N_RANK_BUCKETS - 1), pa.int32())
-        return batch.append_column("hb", hb)
+    def _with_s(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            sort_key, pa.array(k if ascending else -k, pa.int64()))
 
-    def _rank_bucket(group: pa.Table) -> pa.Table:
-        out_schema = pa.schema(list(group.select([c for c in
-                                                  group.column_names
-                                                  if c != "hb"]).schema)
+    work = ds.map_batches(_with_s, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    bounds = sampled_boundaries(work, value=sort_key, tiebreak=tiebreak,
+                                n_parts=n_parts, sample_n=SAMPLE_N)
+    b_ref = ray.put(bounds)
+
+    def _part(batch: pa.Table) -> pa.Table:
+        b = ray.get(b_ref) if isinstance(b_ref, ray.ObjectRef) else b_ref
+        s = batch.column(sort_key).to_numpy(zero_copy_only=False)
+        p = np.searchsorted(b, s, side="right").astype(np.int64)
+        return batch.append_column("__p", pa.array(p, pa.int64()))
+
+    routed = work.map_batches(_part, batch_format="pyarrow")
+
+    def _cnt_partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("__p").to_numpy(zero_copy_only=False)
+        c = np.bincount(p, minlength=n_parts)
+        nz = np.nonzero(c)[0]
+        return pa.Table.from_pydict({
+            "p": pa.array(nz, pa.int64()),
+            "c": pa.array(c[nz], pa.int64())})
+
+    counts = np.zeros(n_parts, dtype=np.int64)
+    for row in routed.map_batches(_cnt_partial,
+                                  batch_format="pyarrow").take_all():
+        counts[row["p"]] += row["c"]  # <= blocks x n_parts tiny rows
+    offsets = np.r_[0, np.cumsum(counts)[:-1]].astype(np.int64)
+    off_ref = ray.put(offsets)
+
+    def _rank_part(group: pa.Table) -> pa.Table:
+        keep = [c for c in group.column_names
+                if c not in ("__p", sort_key)]
+        out_schema = pa.schema(list(group.select(keep).schema)
                                + [pa.field(out_col, pa.int64())])
         if group.num_rows == 0:
             return out_schema.empty_table()
-        avals, aoffs = ray.get(table_ref)
-        k = group.column(key).to_numpy(zero_copy_only=False)
+        offs = ray.get(off_ref) \
+            if isinstance(off_ref, ray.ObjectRef) else off_ref
+        s = group.column(sort_key).to_numpy(zero_copy_only=False)
         tb = group.column(tiebreak).to_numpy(zero_copy_only=False)
-        order = np.lexsort((tb, k if ascending else -k))
-        ks = k[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        seg_len = np.diff(np.r_[starts, len(ks)])
-        local = np.arange(len(ks), dtype=np.int64) - np.repeat(
-            starts, seg_len)
-        seg_off = aoffs[np.searchsorted(avals, ks[starts])]
-        rank = local + np.repeat(seg_off, seg_len) + 1
-        out = group.drop_columns(["hb"]).take(pa.array(order, pa.int64()))
+        order = np.lexsort((tb, s))
+        p0 = int(group.column("__p")[0].as_py())
+        rank = offs[p0] + np.arange(1, len(s) + 1, dtype=np.int64)
+        out = group.select(keep).take(pa.array(order, pa.int64()))
         return out.append_column(out_col, pa.array(rank, pa.int64()))
 
-    return ds.map_batches(_bucket, batch_format="pyarrow") \
-        .groupby("hb").map_groups(_rank_bucket, batch_format="pyarrow")
+    return routed.groupby("__p").map_groups(_rank_part,
+                                            batch_format="pyarrow")
 
 
 def docs_global_rank(sf_dir: str) -> ray.data.Dataset:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -428,33 +429,66 @@ FROM m WHERE rank <= 10 ORDER BY query_id, rank
 class JaccardVsQueries:
     """Word-set Jaccard of every doc against the broadcast query docs.
     Counts are ints; jaccard is a single division — bit-identical to the
-    DuckDB mirror."""
+    DuckDB mirror.  Vectorized per batch (the r3 shape ran Python set
+    ops per doc x query): one Arrow split + factorize gives the
+    distinct (doc, word) pairs; per query, a sorted-array membership
+    mask and two bincounts yield all intersections at once."""
+
+    _SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("query_doc", pa.int64()),
+        ("n_common", pa.int64()), ("n_union", pa.int64()),
+        ("jaccard", pa.float64())])
 
     def __init__(self, queries_ref):
         qs = ray.get(queries_ref) \
             if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.queries = [(qid, set(t.split(" "))) for qid, t in qs]
+        self.queries = [
+            (qid, np.sort(np.array(sorted(set(t.split(" "))),
+                                   dtype=object)))
+            for qid, t in qs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, q_ids, inters, unions, jacs = [], [], [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            ws = set(text.split(" "))
-            for qid, qset in self.queries:
-                inter = len(ws & qset)
-                union = len(ws | qset)
-                doc_ids.append(did)
-                q_ids.append(qid)
-                inters.append(inter)
-                unions.append(union)
-                jacs.append(inter / union if union else 0.0)
+        import pandas as pd
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return self._SCHEMA.empty_table()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        wl = pc.split_pattern(col, " ")
+        parent = pc.list_parent_indices(wl).to_numpy(
+            zero_copy_only=False)
+        wcode, wvals = pd.factorize(wl.flatten().to_pandas())
+        key = parent.astype(np.int64) * len(wvals) + wcode
+        uk = np.unique(key)
+        up = uk // len(wvals)
+        uwc = uk % len(wvals)
+        nset = np.bincount(up, minlength=n_docs).astype(np.int64)
+        wv = np.asarray(wvals, dtype=object)
+        out_d, out_q, out_i, out_u = [], [], [], []
+        for qid, qarr in self.queries:
+            if len(qarr) and len(wv):
+                pos = np.searchsorted(qarr, wv)
+                pos[pos >= len(qarr)] = 0
+                member = (qarr[pos] == wv)[uwc]
+                inter = np.bincount(up, weights=member,
+                                    minlength=n_docs).astype(np.int64)
+            else:
+                inter = np.zeros(n_docs, np.int64)
+            out_d.append(doc_ids)
+            out_q.append(np.full(n_docs, qid, np.int64))
+            out_i.append(inter)
+            out_u.append(nset + len(qarr) - inter)
+        inters = np.concatenate(out_i)
+        unions = np.concatenate(out_u)
         return pa.Table.from_pydict({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "query_doc": pa.array(q_ids, pa.int64()),
-            "n_common": pa.array(inters, pa.int64()),
-            "n_union": pa.array(unions, pa.int64()),
-            "jaccard": pa.array(jacs, pa.float64()),
-        })
+            "doc_id": np.concatenate(out_d),
+            "query_doc": np.concatenate(out_q),
+            "n_common": inters,
+            "n_union": unions,
+            "jaccard": np.where(unions > 0, inters / unions, 0.0),
+        }, schema=self._SCHEMA)
 
 
 def jaccard_vs_queries(docs: ray.data.Dataset,

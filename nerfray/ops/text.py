@@ -174,20 +174,39 @@ def word_df_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     def _block_word_partials(batch: pa.Table) -> pa.Table:
         """Block combiner: (word, docs-in-block); emit grain is distinct
-        words per block, not (word, doc) incidences."""
+        words per block, not (word, doc) incidences.  Fully vectorized
+        (the r3 shape looped a Python set per doc): Arrow split ->
+        flatten + parent indices -> factorized (word, doc) code pairs
+        -> np.unique -> ListArray offsets."""
         import pandas as pd
-        flat_w: list = []
-        flat_d: list = []
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            ws = set(t.split(" "))
-            flat_w.extend(ws)
-            flat_d.extend([d] * len(ws))
-        g = pd.Series(flat_d).groupby(
-            pd.Series(flat_w), sort=True).agg(list)
+        empty = pa.Table.from_pydict({
+            "word": pa.array([], pa.string()),
+            "docs": pa.array([], pa.list_(pa.int64()))})
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        wl = pc.split_pattern(col, " ")
+        flat = wl.flatten()
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(wl).to_numpy(
+            zero_copy_only=False)
+        wcode, wvals = pd.factorize(flat.to_pandas(), sort=True)
+        dcode, dvals = pd.factorize(doc_ids[parent])
+        key = wcode.astype(np.int64) * len(dvals) + dcode
+        uk = np.unique(key)
+        uw = uk // len(dvals)
+        ud = np.asarray(dvals)[uk % len(dvals)].astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, uw[1:] != uw[:-1]])
+        offsets = np.r_[starts, len(uk)].astype(np.int32)
         return pa.Table.from_pydict({
-            "word": pa.array(g.index.tolist(), pa.string()),
-            "docs": pa.array(g.tolist(), pa.list_(pa.int64())),
+            "word": pa.array(
+                np.asarray(wvals, dtype=object)[uw[starts]].tolist(),
+                pa.string()),
+            "docs": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(ud, pa.int64())),
         })
 
     def _word_bucket(batch: pa.Table) -> pa.Table:

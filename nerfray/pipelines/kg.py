@@ -191,6 +191,23 @@ def corpus_version(n: int, *, mod: int, drop: int,
                      batch_format="pyarrow", zero_copy_batch=True)
 
 
+def run_version_for(sf_dir: str, which: int,
+                    tagger: str = "crf") -> ray.data.Dataset:
+    """Triples of corpus VERSION 1 or 2, memoized + materialized like
+    ``run_for`` — kg_delta, kg_apply_delta and the snapshot store all
+    start from the same two version pipelines, so each version is
+    tagged once per session."""
+    key = (sf_dir, f"version{which}", tagger)
+    ds = _RUN_CACHE.get(key)
+    if ds is None:
+        n = corpus_source.corpus_rows_for(sf_dir)
+        _w, mod, drop = V1_WHERE if which == 1 else V2_WHERE
+        ds = kg_pipeline(corpus_version(n, mod=mod, drop=drop),
+                         tagger).materialize()
+        _RUN_CACHE[key] = ds
+    return ds
+
+
 def kg_delta(sf_dir: str, tagger: str = "crf") -> ray.data.Dataset:
     """(op, subj, pred, obj): triples added ('add') or removed ('del')
     going v1 -> v2. Both versions run the full pipeline; the diff is
@@ -201,11 +218,8 @@ def kg_delta(sf_dir: str, tagger: str = "crf") -> ray.data.Dataset:
 
     from ..ops.joins import hash_join
 
-    n = corpus_source.corpus_rows_for(sf_dir)
-    t1 = kg_pipeline(corpus_version(n, mod=V1_WHERE[1], drop=V1_WHERE[2]),
-                     tagger)
-    t2 = kg_pipeline(corpus_version(n, mod=V2_WHERE[1], drop=V2_WHERE[2]),
-                     tagger)
+    t1 = run_version_for(sf_dir, 1, tagger)
+    t2 = run_version_for(sf_dir, 2, tagger)
 
     def _with_key(batch: pa.Table) -> pa.Table:
         k = pc.binary_join_element_wise(
@@ -263,9 +277,7 @@ def kg_apply_delta(sf_dir: str, tagger: str = "crf") -> ray.data.Dataset:
 
     from ..ops.joins import hash_join
 
-    n = corpus_source.corpus_rows_for(sf_dir)
-    v1 = kg_pipeline(corpus_version(n, mod=V1_WHERE[1],
-                                    drop=V1_WHERE[2]), tagger)
+    v1 = run_version_for(sf_dir, 1, tagger)
     delta = kg_delta(sf_dir, tagger).materialize()
 
     def _with_key(batch: pa.Table) -> pa.Table:

@@ -609,15 +609,19 @@ def connected_components(triples: ray.data.Dataset,
 # perturbs the last ulp).  This planted graph removes the float freedom
 # entirely: n = 256 (power of two) nodes, out-degree exactly 2
 # everywhere, damping 1/2 — so every intermediate value is a dyadic
-# rational m * 2^-k with k <= 9 + 2*iters <= 49 and m < 2^49 < 2^53,
+# rational m * 2^-k with k <= 9 + 2*iters <= 29 and m < 2^29 < 2^53,
 # meaning EVERY float64 addition/multiplication is exact under ANY
 # summation order (numpy bincount partials, Ray groupby reduce order,
 # DuckDB aggregation order all agree bit-for-bit).  The oracle is a
-# genuinely computed, unrolled 20-step SQL power iteration over the
-# same id-arithmetic edge set — not a pasted constant.
+# genuinely computed, unrolled PLANTED_PR_ITERS-step SQL power
+# iteration over the same id-arithmetic edge set — not a pasted
+# constant.
 
 PLANTED_PR_N = 256
-PLANTED_PR_ITERS = 20
+# 10 exact power steps (k <= 9 + 2*10 = 29 < 53, so every float64 op is
+# still exact under any order); 20 steps proved nothing extra and cost
+# the gate an additional ~5 s of per-iteration reduce + driver sync
+PLANTED_PR_ITERS = 10
 
 
 def planted_pagerank_edges(n: int = PLANTED_PR_N):
@@ -664,22 +668,79 @@ def pagerank_planted_sql(n: int = PLANTED_PR_N,
 # triangle counting (join-composed: wedges ⋈ closing edges)
 # ---------------------------------------------------------------------------
 
-_TRI_M = 1 << 21  # pair-encoding base; node ids must be < _TRI_M
+_TRI_ROW_SCHEMA = pa.schema([
+    ("u", pa.int64()), ("w", pa.int64()),
+    ("side", pa.int8()),  # 0 = wedge (u, w) pair, 1 = closing edge
+    ("hb", pa.int32()),
+])
+_TRI_OUT_SCHEMA = pa.schema([("u", pa.int64()), ("n", pa.int64())])
+
+
+def _tri_pair_rows(batch: pa.Table, *, ucol: str, wcol: str,
+                   side: int) -> pa.Table:
+    u = batch.column(ucol).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    w = batch.column(wcol).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    hb = ((u * np.int64(1000003)) ^ w) & 63
+    return pa.Table.from_pydict({
+        "u": u, "w": w,
+        "side": np.full(len(u), side, np.int8),
+        "hb": hb.astype(np.int32),
+    }, schema=_TRI_ROW_SCHEMA)
+
+
+def _tri_close_bucket(group: pa.Table) -> pa.Table:
+    """One pair-hash bucket of the closure test: every wedge (u, w)
+    pair AND every edge with the same pair hash land here; a wedge row
+    counts iff its pair is an edge.  Matching is on BUCKET-LOCAL dense
+    codes (np.unique of the values actually present), so there is no
+    global node-id cap — the former pair encoding u * 2^21 + w broke
+    past 2^21 ids.  (The local code product needs distinct-values <
+    2^31 per bucket; a bucket co-group holding that many distinct ids
+    is tens of GB of keys and dies of memory first — checked anyway.)
+    Emits per-u partial counts; duplicated CLOSING edges cannot inflate
+    (edge pairs are deduped here); duplicated ARM edges would multiply
+    wedge rows, hence the distinct-edges input contract."""
+    if group.num_rows == 0:
+        return _TRI_OUT_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    u = group.column("u").to_numpy(zero_copy_only=False)
+    w = group.column("w").to_numpy(zero_copy_only=False)
+    is_w = side == 0
+    if not is_w.any() or is_w.all():
+        return _TRI_OUT_SCHEMA.empty_table()
+    vals = np.unique(np.concatenate([u, w]))
+    if len(vals) >= 1 << 31:
+        raise ValueError("triangle bucket exceeds 2^31 distinct ids")
+    key = np.searchsorted(vals, u).astype(np.int64) * len(vals) \
+        + np.searchsorted(vals, w)
+    ek = np.unique(key[~is_w])
+    wk = key[is_w]
+    pos = np.searchsorted(ek, wk)
+    pos[pos >= len(ek)] = 0
+    hit = ek[pos] == wk
+    wu = np.sort(u[is_w][hit])
+    if len(wu) == 0:
+        return _TRI_OUT_SCHEMA.empty_table()
+    starts = np.flatnonzero(np.r_[True, wu[1:] != wu[:-1]])
+    return pa.Table.from_pydict({
+        "u": wu[starts],
+        "n": np.diff(np.r_[starts, len(wu)]).astype(np.int64),
+    }, schema=_TRI_OUT_SCHEMA)
 
 
 def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Per-source directed triangle count: for each node u, the number
-    of (v, w) with edges u->v, v->w and u->w (wedge closure).  Composed
-    from two ``ops.joins.hash_join`` exchanges — the standard
-    distributed-join formulation (wedges joined back against the edge
-    set) — so cost scales with wedge count, never with a driver-side
-    adjacency.  Input contract: int64 columns (u, v); edges must be
-    DISTINCT (a duplicated arm edge multiplies wedge rows — only the
-    CLOSING side is duplicate-insensitive); node ids < 2^21 per
-    pair-encoding (checked at runtime; raise _TRI_M for bigger graphs,
-    or at 100 TB swap the encode for a (u, v) composite-key join)."""
-    import pyarrow.compute as pc
-
+    of (v, w) with edges u->v, v->w and u->w (wedge closure).  One
+    ``ops.joins.hash_join`` exchange builds the wedges, one 64-way
+    pair-hash co-group tests closure on the (u, w) COMPOSITE key
+    (bucket-local dense codes — works for the full int64 id range),
+    and a final rollup sums the per-bucket partials — cost scales with
+    wedge count, never with a driver-side adjacency.  Input contract:
+    int64 columns (u, v); edges must be DISTINCT (a duplicated arm
+    edge multiplies wedge rows — only the CLOSING side is
+    duplicate-insensitive)."""
     from nerfray.ops.joins import _rename_batches, hash_join
 
     # batch-level rename: Dataset.rename_columns before a hash_join is
@@ -689,43 +750,17 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     # wedge build: a_u -> __key -> w  (join a.v against e.u)
     wedges = hash_join(a, edges, left_on="a_v", right_on="u",
                        left_cols=["a_u"], right_cols=["v"])
-
-    def _check_range(tbl: pa.Table, cols: tuple[str, ...]) -> None:
-        for c in cols:
-            mm = pc.min_max(tbl.column(c)).as_py()
-            if tbl.num_rows and (mm["min"] < 0 or mm["max"] >= _TRI_M):
-                raise ValueError(
-                    f"triangle_counts pair-encoding requires "
-                    f"0 <= node id < {_TRI_M}; got {c} range {mm}")
-
-    def _enc_wedge(batch: pa.Table) -> pa.Table:
-        _check_range(batch, ("a_u", "v"))
-        return pa.Table.from_pydict({
-            "p": pc.add(pc.multiply(batch.column("a_u"),
-                                    pa.scalar(_TRI_M, pa.int64())),
-                        batch.column("v")),
-            "a_u": batch.column("a_u"),
-        })
-
-    def _enc_edge(batch: pa.Table) -> pa.Table:
-        _check_range(batch, ("u", "v"))
-        return pa.Table.from_pydict({
-            "p": pc.add(pc.multiply(batch.column("u"),
-                                    pa.scalar(_TRI_M, pa.int64())),
-                        batch.column("v")),
-        })
-
-    wp = wedges.map_batches(_enc_wedge, batch_format="pyarrow")
-    ep = edges.map_batches(_enc_edge, batch_format="pyarrow")
-    # closure test: left semi emits each wedge ROW once iff its (u, w)
-    # pair is an edge — wedges sharing (u, w) through different middles
-    # are distinct rows and each count; a duplicated CLOSING edge cannot
-    # inflate (semi joins are right-multiplicity-insensitive), which is
-    # why the input contract requires distinct edges only for the arms
-    closed = hash_join(wp, ep, left_on="p", right_on="p",
-                       left_cols=["a_u"], right_cols=[], how="left semi")
-    return closed.groupby("a_u").count() \
-        .rename_columns({"count()": "n_triangles", "a_u": "u"})
+    rows = wedges.map_batches(
+        _tri_pair_rows, fn_kwargs={"ucol": "a_u", "wcol": "v", "side": 0},
+        batch_format="pyarrow") \
+        .union(edges.map_batches(
+            _tri_pair_rows, fn_kwargs={"ucol": "u", "wcol": "v",
+                                       "side": 1},
+            batch_format="pyarrow", zero_copy_batch=True))
+    return rows.groupby("hb") \
+        .map_groups(_tri_close_bucket, batch_format="pyarrow") \
+        .groupby("u").sum("n") \
+        .rename_columns({"sum(n)": "n_triangles"})
 
 
 TRI_OFFSETS = (7, 13, 20)  # 7 + 13 = 20 -> two triangles per node

@@ -32,30 +32,55 @@ SPAN_SCHEMA = pa.schema([
 CARRY = ("repo", "path", "lang", "content_sha", "unit_id")
 
 
-def spans_to_batch(batch: pa.Table, spans_per_row) -> pa.Table:
-    """Expand per-unit span lists into the flat SPAN_SCHEMA table.
-    Carry columns replicate via one vectorized ``pc.take`` over a
-    repeat-index (the list-flatten emit pattern) instead of per-span
-    Python appends; only the ragged span fields remain comprehensions."""
+def span_arrays(spans, text: str):
+    """One unit's spans as column-shaped arrays (labels, starts, ends,
+    depths, surfaces) — computed ONCE per distinct text and memoized by
+    the tagger cache, so the batch emit is pure concatenation."""
+    import numpy as np
+    n = len(spans)
+    return (
+        [sp.label for sp in spans],
+        np.fromiter((sp.start for sp in spans), np.int32, n),
+        np.fromiter((sp.end for sp in spans), np.int32, n),
+        np.fromiter((sp.depth for sp in spans), np.int32, n),
+        [text[sp.start:sp.end] for sp in spans],
+    )
+
+
+def arrays_to_batch(batch: pa.Table, arrays_per_row) -> pa.Table:
+    """Expand per-unit span-array tuples into the flat SPAN_SCHEMA
+    table.  Carry columns replicate via one vectorized ``pc.take``
+    over a repeat-index; span fields are np.concatenate / list-extend
+    over the (cache-shared) per-text arrays — no per-span attribute
+    walk in the batch path."""
     import numpy as np
     import pyarrow.compute as pc
 
-    spans_list = [list(s) for s in spans_per_row]
-    counts = np.fromiter((len(s) for s in spans_list), dtype=np.int64,
-                         count=len(spans_list))
-    parent = pa.array(np.repeat(np.arange(len(spans_list)), counts))
-    texts = batch.column("text").to_pylist()
-    flat = [(sp, texts[r]) for r, spans in enumerate(spans_list)
-            for sp in spans]
+    rows = list(arrays_per_row)
+    counts = np.fromiter((len(a[0]) for a in rows), dtype=np.int64,
+                         count=len(rows))
+    parent = pa.array(np.repeat(np.arange(len(rows)), counts))
+    empty_i = np.array([], np.int32)
     arrays = [pc.take(batch.column(name), parent) for name in CARRY]
     arrays += [
-        pa.array([sp.label for sp, _ in flat], pa.string()),
-        pa.array([sp.start for sp, _ in flat], pa.int32()),
-        pa.array([sp.end for sp, _ in flat], pa.int32()),
-        pa.array([sp.depth for sp, _ in flat], pa.int32()),
-        pa.array([t[sp.start:sp.end] for sp, t in flat], pa.string()),
+        pa.array([lb for a in rows for lb in a[0]], pa.string()),
+        pa.array(np.concatenate([a[1] for a in rows]) if rows
+                 else empty_i, pa.int32()),
+        pa.array(np.concatenate([a[2] for a in rows]) if rows
+                 else empty_i, pa.int32()),
+        pa.array(np.concatenate([a[3] for a in rows]) if rows
+                 else empty_i, pa.int32()),
+        pa.array([s for a in rows for s in a[4]], pa.string()),
     ]
     return pa.Table.from_arrays(arrays, schema=SPAN_SCHEMA)
+
+
+def spans_to_batch(batch: pa.Table, spans_per_row) -> pa.Table:
+    """Span-object variant of ``arrays_to_batch`` (non-cached taggers)."""
+    texts = batch.column("text").to_pylist()
+    return arrays_to_batch(
+        batch, (span_arrays(list(s), texts[r])
+                for r, s in enumerate(spans_per_row)))
 
 
 class TagUnits:
@@ -81,17 +106,17 @@ class TagUnits:
         self.tagger = model_mod.Tagger(crf, conf)
         self._cache: dict[str, list] = {}
 
-    def _tag(self, text: str) -> list:
-        spans = self._cache.get(text)
-        if spans is None:
+    def _tag(self, text: str):
+        arrs = self._cache.get(text)
+        if arrs is None:
             if len(self._cache) >= self.CACHE_MAX:
                 self._cache.clear()
-            spans = self.tagger.tag(text)
-            self._cache[text] = spans
-        return spans
+            arrs = span_arrays(self.tagger.tag(text), text)
+            self._cache[text] = arrs
+        return arrs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return spans_to_batch(
+        return arrays_to_batch(
             batch, (self._tag(t) for t in batch.column("text").to_pylist()))
 
 

@@ -215,12 +215,8 @@ def build_versioned_store(sf_dir: str, store: str,
     import pyarrow.compute as pc
 
     from ..pipelines import kg
-    from ..sources import corpus_source
 
-    n = corpus_source.corpus_rows_for(sf_dir)
-    v1 = kg.kg_pipeline(
-        kg.corpus_version(n, mod=kg.V1_WHERE[1], drop=kg.V1_WHERE[2]),
-        tagger)
+    v1 = kg.run_version_for(sf_dir, 1, tagger)
     s1 = commit(store, adds=write_data_files(v1, store, "s1"),
                 note="v1 pipeline run")
 

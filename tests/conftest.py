@@ -11,5 +11,7 @@ def ray_session():
     import ray
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    from nerfray import quiet_empty_bundle_warnings
+    quiet_empty_bundle_warnings()
     yield ray
     ray.shutdown()

@@ -235,7 +235,8 @@ def test_pagerank_planted_bit_equals_sql(ray_session):
     import duckdb
     from nerfray.stages import graph
     got = {r["node"]: r["rank"] for r in graph.pagerank(
-        graph.planted_pagerank_triples(), damping=0.5, iters=20).take_all()}
+        graph.planted_pagerank_triples(), damping=0.5,
+        iters=graph.PLANTED_PR_ITERS).take_all()}
     sql = dict(duckdb.sql(graph.pagerank_planted_sql()).fetchall())
     assert got == sql
     assert sum(got.values()) == 1.0           # exact mass conservation
@@ -276,6 +277,34 @@ def test_planted_triangles_two_per_node(ray_session):
         g.planted_triangle_edges(ids, n)).take_all()
     assert len(rows) == n
     assert all(r["n_triangles"] == 2 for r in rows)
+
+
+def test_triangle_counts_huge_node_ids(ray_session):
+    """Node ids far past 2^21 (the r3 pair-encoding cap) and past
+    2^32: the composite-key closure must stay exact — same random
+    graph as the brute-force test, ids shifted into the huge range."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import graph as g
+    rng = np.random.default_rng(5)
+    n = 40
+    base = (1 << 40) + 12345
+    step = (1 << 22) + 7  # consecutive ids straddle the old cap
+    e = {(int(a), int(b)) for a, b in rng.integers(0, n, (200, 2))
+         if a != b}
+    es = sorted(e)
+    edges = ray.data.from_arrow(pa.Table.from_pydict({
+        "u": pa.array([base + x[0] * step for x in es], pa.int64()),
+        "v": pa.array([base + x[1] * step for x in es], pa.int64())}))
+    mine = {r["u"]: r["n_triangles"]
+            for r in g.triangle_counts(edges).take_all()}
+    brute = {}
+    for (u, v) in e:
+        for (v2, w) in e:
+            if v2 == v and (u, w) in e:
+                brute[base + u * step] = brute.get(base + u * step, 0) + 1
+    assert mine == brute and brute
 
 
 def test_pagerank_dataset_rank_bit_equals_broadcast(ray_session):

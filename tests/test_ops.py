@@ -775,6 +775,43 @@ def test_global_rank_matches_window_fn(ray_session):
         assert got == want, parts
 
 
+def test_global_rank_continuous_key_bounded_driver_state(
+        ray_session, monkeypatch):
+    """ALL-DISTINCT (continuous) keys: the rank must stay exact AND no
+    intermediate driver fetch may be key-cardinality-proportional —
+    the r3 histogram pass collected O(distinct keys) driver rows and
+    degraded silently on exactly this input.  Sample-sort driver state
+    is n_parts boundaries + <= blocks x n_parts count partials."""
+    import ray.data
+    from nerfray.ops import rank as rk
+
+    fetches: list[int] = []
+    orig_take = ray.data.Dataset.take_all
+
+    def guarded_take(self, *a, **k):
+        rows = orig_take(self, *a, **k)
+        fetches.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", guarded_take)
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = rng.permutation(n).astype(np.int64) * 1_000_003  # all distinct
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "k": pa.array(keys, pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = rk.global_rank(ds, key="k", tiebreak="doc_id")
+    got = {r["doc_id"]: r["rank"] for r in orig_take(out)}
+    want_order = sorted(range(n), key=lambda i: (-keys[i], i))
+    assert got == {i: pos + 1 for pos, i in enumerate(want_order)}
+    # every intermediate fetch (sample merge, count partials) bounded
+    # far below key cardinality
+    assert fetches and max(fetches) <= rk.SAMPLE_N, fetches
+
+
 def _naive_repetition(text):
     ws = text.split(" ")
     bigrams = list(zip(ws, ws[1:]))
@@ -1782,9 +1819,9 @@ def test_routed_decode_equals_single_pool(ray_session):
 
 def test_leakproof_splits_keep_classes_together(ray_session):
     """Every near-dup class lands in ONE split, the representative is
-    the class min, and the 8/1/1 assignment matches the per-rep sha
-    formula (planted corpus: classes are exactly {4g..4g+3})."""
-    import hashlib
+    the class min, and the 8/1/1 assignment matches the per-rep
+    splitmix64 formula (planted corpus: classes are exactly
+    {4g..4g+3})."""
     import ray.data
     from nerfray.ops import dedup as ddp
 
@@ -1799,8 +1836,9 @@ def test_leakproof_splits_keep_classes_together(ray_session):
     for i in range(n):
         rep = 4 * (i // 4)
         assert by_doc[i]["class_rep"] == rep
-        b = int(hashlib.sha256(str(rep).encode())
-                .hexdigest()[:8], 16) % 10
+        # int() BEFORE the mod: np.uint64 % python-int promotes to
+        # float64 and corrupts the low digits of 2^63-range hashes
+        b = int(ddp.splitmix64(np.array([rep], np.uint64))[0]) % 10
         want = "train" if b < 8 else ("val" if b == 8 else "test")
         assert by_doc[i]["split"] == want
     # class integrity: members of a class share one split

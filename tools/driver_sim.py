@@ -63,7 +63,7 @@ def main() -> int:
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    import __ray_entry__ as e
+    import __ray_entry__ as e  # installs quiet_empty_bundle_warnings
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
