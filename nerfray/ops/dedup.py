@@ -471,9 +471,20 @@ def _key_bucket(batch: pa.Table) -> pa.Table:
     return batch.append_column("hb", hb)
 
 
+# Session-level memo for the dedup family's shared sub-pipelines, the
+# same pattern (and rationale) as kg._RUN_CACHE: within one driver
+# session several catalog queries start from the identical pairs /
+# component table (dedup_minhash_planted, dedup_survivors_planted and
+# docs_splits_leakproof all share planted pairs -> CC).  Both memoized
+# datasets are PAIR/CLASS grain — tiny next to the corpus — so they are
+# legitimate materialize points; Datasets are immutable, sharing is safe.
+_MEMO: dict[tuple, ray.data.Dataset] = {}
+
+
 def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
                         k: int = 64, n_bands: int = 16,
-                        shingle_k: int = 8) -> ray.data.Dataset:
+                        shingle_k: int = 8,
+                        cache_key: tuple | None = None) -> ray.data.Dataset:
     """Verified near-duplicate pairs (exact Jaccard >= threshold).
 
     Scale shape: candidates come from the banded LSH groupby; the exact
@@ -481,6 +492,11 @@ def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
     and then doc_b (groupby(key).map_groups co-groups). The driver never
     holds doc texts or shingles — contrast the broadcast-map approach,
     which is a driver OOM at corpus scale."""
+    if cache_key is not None:
+        memo = ("pairs", *cache_key, threshold, k, n_bands, shingle_k)
+        got = _MEMO.get(memo)
+        if got is not None:
+            return got
     cands = minhash_candidates(docs, k=k, n_bands=n_bands,
                                shingle_k=shingle_k)
     sh = docs.select_columns(["doc_id", "text"]).map_batches(
@@ -496,14 +512,18 @@ def minhash_dedup_pairs(docs: ray.data.Dataset, *, threshold: float = 0.6,
         .map_batches(_key_bucket, batch_format="pyarrow") \
         .groupby("hb").map_groups(_attach_a, batch_format="pyarrow")
 
-    return j1.map_batches(_pairs_as_join_left, fn_kwargs={"side": "doc_b"},
-                          batch_format="pyarrow") \
+    out = j1.map_batches(_pairs_as_join_left, fn_kwargs={"side": "doc_b"},
+                         batch_format="pyarrow") \
         .union(sh.map_batches(_shingles_as_join_right,
                               batch_format="pyarrow")) \
         .map_batches(_key_bucket, batch_format="pyarrow") \
         .groupby("hb").map_groups(
             _verify_b, fn_kwargs={"threshold": threshold},
             batch_format="pyarrow")
+    if cache_key is not None:
+        out = out.materialize()
+        _MEMO[memo] = out
+    return out
 
 
 # -- planted near-dup corpus: SQL-oracled end-to-end MinHash check ----------
@@ -577,29 +597,54 @@ def _doc_node(i: int) -> str:
     return f"d{i:012d}"  # zero-padded: min-string == min-int
 
 
+def _pairs_as_dup_triples(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "subj": pa.array([_doc_node(a) for a in
+                          batch.column("doc_a").to_pylist()],
+                         pa.string()),
+        "pred": pa.array(["dup"] * batch.num_rows, pa.string()),
+        "obj": pa.array([_doc_node(b) for b in
+                         batch.column("doc_b").to_pylist()],
+                        pa.string()),
+    })
+
+
+def minhash_components(docs: ray.data.Dataset, *,
+                       threshold: float = 0.6, k: int = 64,
+                       n_bands: int = 16, shingle_k: int = 8,
+                       cache_key: tuple | None = None) -> ray.data.Dataset:
+    """(node, component) table of the MinHash near-dup classes — the
+    pairs -> distributed-CC composition shared by survivor selection and
+    leakproof splits; memoized at class grain when ``cache_key`` names
+    the corpus (see ``_MEMO``)."""
+    from nerfray.stages.graph import connected_components
+
+    if cache_key is not None:
+        memo = ("cc", *cache_key, threshold, k, n_bands, shingle_k)
+        got = _MEMO.get(memo)
+        if got is not None:
+            return got
+    pairs = minhash_dedup_pairs(docs, threshold=threshold, k=k,
+                                n_bands=n_bands, shingle_k=shingle_k,
+                                cache_key=cache_key)
+    comp = connected_components(
+        pairs.map_batches(_pairs_as_dup_triples, batch_format="pyarrow"))
+    if cache_key is not None:
+        comp = comp.materialize()
+        _MEMO[memo] = comp
+    return comp
+
+
 def minhash_dedup_survivors(docs: ray.data.Dataset, *,
                             threshold: float = 0.6, k: int = 64,
                             n_bands: int = 16,
-                            shingle_k: int = 8) -> ray.data.Dataset:
+                            shingle_k: int = 8,
+                            cache_key: tuple | None = None
+                            ) -> ray.data.Dataset:
     """(doc_id) rows that survive MinHash near-dedup."""
-    from nerfray.stages.graph import connected_components
-
-    pairs = minhash_dedup_pairs(docs, threshold=threshold, k=k,
-                                n_bands=n_bands, shingle_k=shingle_k)
-
-    def _as_triples(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({
-            "subj": pa.array([_doc_node(a) for a in
-                              batch.column("doc_a").to_pylist()],
-                             pa.string()),
-            "pred": pa.array(["dup"] * batch.num_rows, pa.string()),
-            "obj": pa.array([_doc_node(b) for b in
-                             batch.column("doc_b").to_pylist()],
-                            pa.string()),
-        })
-
-    comp = connected_components(
-        pairs.map_batches(_as_triples, batch_format="pyarrow"))
+    comp = minhash_components(docs, threshold=threshold, k=k,
+                              n_bands=n_bands, shingle_k=shingle_k,
+                              cache_key=cache_key)
 
     # losers = class members that are not the class min
     def _losers(batch: pa.Table) -> pa.Table:
@@ -1193,27 +1238,14 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 # is per-row sha arithmetic (no shuffle).
 
 def leakproof_splits(docs: ray.data.Dataset, *,
-                     threshold: float = 0.5) -> ray.data.Dataset:
+                     threshold: float = 0.5,
+                     cache_key: tuple | None = None) -> ray.data.Dataset:
     """(doc_id, class_rep, split) with split in train/val/test (8/1/1
     by sha256(class_rep) mod 10) and near-dup classes unsplit."""
-    from nerfray.stages.graph import connected_components
     from .joins import hash_join
 
-    pairs = minhash_dedup_pairs(docs, threshold=threshold)
-
-    def _as_triples(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({
-            "subj": pa.array([_doc_node(a) for a in
-                              batch.column("doc_a").to_pylist()],
-                             pa.string()),
-            "pred": pa.array(["dup"] * batch.num_rows, pa.string()),
-            "obj": pa.array([_doc_node(b) for b in
-                             batch.column("doc_b").to_pylist()],
-                            pa.string()),
-        })
-
-    comp = connected_components(
-        pairs.map_batches(_as_triples, batch_format="pyarrow"))
+    comp = minhash_components(docs, threshold=threshold,
+                              cache_key=cache_key)
 
     def _class_map(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({

@@ -32,7 +32,8 @@ def q_dedup_exact(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     from . import dedup
-    return dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+    return dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.5,
+                                     cache_key=(sf_dir, "raw"))
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -51,7 +52,8 @@ def q_dedup_survivors(sf_dir: str):
     # the composed dedup a curation run executes: pairs -> distributed
     # connected components -> min-id survivor per duplicate class
     from . import dedup
-    return dedup.minhash_dedup_survivors(_docs(sf_dir), threshold=0.5)
+    return dedup.minhash_dedup_survivors(_docs(sf_dir), threshold=0.5,
+                                         cache_key=(sf_dir, "raw"))
 
 
 def q_dedup_survivors_planted(sf_dir: str):
@@ -60,7 +62,8 @@ def q_dedup_survivors_planted(sf_dir: str):
     # whole pairs->components->survivor composition
     from . import dedup
     return dedup.minhash_dedup_survivors(
-        dedup.planted_neardup_docs(_docs(sf_dir)), threshold=0.5)
+        dedup.planted_neardup_docs(_docs(sf_dir)), threshold=0.5,
+        cache_key=(sf_dir, "planted"))
 
 
 def q_dedup_incremental(sf_dir: str):
@@ -92,8 +95,9 @@ def q_docs_splits_leakproof(sf_dir: str):
     # components) hash into a split by their REPRESENTATIVE, so no
     # class straddles train/test; planted classes -> full SQL oracle
     from . import dedup
-    return dedup.leakproof_splits(dedup.planted_neardup_docs(
-        _docs(sf_dir)))
+    return dedup.leakproof_splits(
+        dedup.planted_neardup_docs(_docs(sf_dir)),
+        cache_key=(sf_dir, "planted"))
 
 
 def q_dedup_incremental_bloom(sf_dir: str):
@@ -184,7 +188,8 @@ def q_dedup_minhash_planted(sf_dir: str):
     # completeness guaranteed by construction -> full SQL oracle
     from . import dedup
     return dedup.minhash_dedup_pairs(
-        dedup.planted_neardup_docs(_docs(sf_dir)), threshold=0.5)
+        dedup.planted_neardup_docs(_docs(sf_dir)), threshold=0.5,
+        cache_key=(sf_dir, "planted"))
 
 
 # -- similarity -------------------------------------------------------------
