@@ -278,15 +278,104 @@ def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
                            zero_copy_batch=True)
 
 
+_PR_SCHEMA = pa.schema([
+    ("k", pa.int64()),      # rank/skel: node id | edge: src | partial: dst
+    ("v", pa.int64()),      # edge: dst
+    ("outp", pa.float64()),  # rank/skel: out-degree
+    ("rank", pa.float64()),  # rank rows only
+    ("p", pa.float64()),    # partial rows only: contribution sum
+    ("side", pa.int8()),    # 0 = rank, 1 = edge, 2 = partial, 3 = skeleton
+    ("hb", pa.int32()),
+])
+
+
+def _pr_contrib_bucket(group: pa.Table) -> pa.Table:
+    """One PageRank round, stage A (bucket = hash of src/id): join the
+    co-located rank rows to the co-located out-edges by sorted-array
+    lookup and emit per-dst PRE-COMBINED contribution partials."""
+    if group.num_rows == 0:
+        return _PR_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    k = group.column("k").to_numpy(zero_copy_only=False)
+    is_r = side == 0
+    if not is_r.any():
+        return _PR_SCHEMA.empty_table()
+    nodes = k[is_r]
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    outp = group.column("outp").to_numpy(
+        zero_copy_only=False)[is_r][order]
+    rank = group.column("rank").to_numpy(
+        zero_copy_only=False)[is_r][order]
+    contrib = np.where(outp > 0, rank / np.maximum(outp, 1.0), 0.0)
+    is_e = side == 1
+    eu = k[is_e]
+    idx = np.searchsorted(nodes, eu)
+    idx[idx >= len(nodes)] = 0
+    hit = nodes[idx] == eu
+    ev = group.column("v").to_numpy(zero_copy_only=False)[is_e][hit]
+    ec = contrib[idx[hit]]
+    # per-dst combine inside the bucket (sort + reduceat)
+    o2 = np.argsort(ev, kind="stable")
+    d_s, c_s = ev[o2], ec[o2]
+    starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+    dst = d_s[starts]
+    p = np.add.reduceat(c_s, starts) if len(c_s) else c_s
+    z = np.zeros(len(dst), np.float64)
+    return pa.Table.from_pydict({
+        "k": dst, "v": np.zeros(len(dst), np.int64), "outp": z,
+        "rank": z, "p": p,
+        "side": np.full(len(dst), 2, np.int8),
+        "hb": (dst % N_ID_BUCKETS).astype(np.int32),
+    }, schema=_PR_SCHEMA)
+
+
+def _pr_rank_bucket(group: pa.Table, *, base: float,
+                    damping: float) -> pa.Table:
+    """Stage B (bucket = hash of id/dst): sum the contribution partials
+    per node and rebuild the rank rows from the co-located skeleton."""
+    if group.num_rows == 0:
+        return _PR_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    k = group.column("k").to_numpy(zero_copy_only=False)
+    is_s = side == 3
+    if not is_s.any():
+        return _PR_SCHEMA.empty_table()
+    nodes = k[is_s]
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    outp = group.column("outp").to_numpy(
+        zero_copy_only=False)[is_s][order]
+    is_p = side == 2
+    pd_, pp = k[is_p], group.column("p").to_numpy(
+        zero_copy_only=False)[is_p]
+    o2 = np.argsort(pd_, kind="stable")
+    pd_s, pp_s = pd_[o2], pp[o2]
+    starts = np.flatnonzero(np.r_[True, pd_s[1:] != pd_s[:-1]])
+    sums = np.zeros(len(nodes), np.float64)
+    if len(pd_s):
+        pos = np.searchsorted(nodes, pd_s[starts])
+        sums[pos] = np.add.reduceat(pp_s, starts)
+    rank = base + damping * sums
+    z = np.zeros(len(nodes), np.float64)
+    return pa.Table.from_pydict({
+        "k": nodes, "v": np.zeros(len(nodes), np.int64), "outp": outp,
+        "rank": rank, "p": z,
+        "side": np.zeros(len(nodes), np.int8),
+        "hb": (nodes % N_ID_BUCKETS).astype(np.int32),
+    }, schema=_PR_SCHEMA)
+
+
 def pagerank_dataset_rank(triples: ray.data.Dataset, *,
                           damping: float = 0.85,
                           iters: int = 20) -> ray.data.Dataset:
     """The beyond-driver-RAM PageRank path: the rank vector never
     exists as a driver array — it lives as a Dataset (id, outp, rank)
-    and each power iteration is two ``ops.joins.hash_join`` exchanges
-    (contrib onto edges by src; summed contributions back onto the
-    rank table by id) plus one groupby(dst) reduce.  The driver holds
-    only SCALARS (n, per-iteration dangling mass).  ~3 exchanges ×
+    and each power iteration is TWO node-hash bucket co-groups (rank ∪
+    src-bucketed edges → pre-combined (dst, p) partials; skeleton ∪
+    partials → new rank rows), the fused-round shape shared with
+    ``_min_relax_rounds``.  The driver holds only SCALARS (n,
+    per-iteration dangling mass).  2 exchanges ×
     iters of fixed shuffle cost, so use it when nodes outgrow driver
     RAM (~10^10 raw-float ranks at repo grain); the broadcast-vector
     ``pagerank`` is the fast path below that.  On the dyadic-exact
@@ -342,63 +431,82 @@ def pagerank_dataset_rank(triples: ray.data.Dataset, *,
         _init_rank, batch_format="pyarrow",
         zero_copy_batch=True).materialize()
 
-    def _contrib(batch: pa.Table) -> pa.Table:
-        outp = batch.column("outp").to_numpy(zero_copy_only=False)
-        r = batch.column("rank").to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict({
-            "id": batch.column("id"),
-            "c": pa.array(np.where(outp > 0, r / np.maximum(outp, 1.0),
-                                   0.0), pa.float64()),
-        })
-
-    def _dst_partial(batch: pa.Table) -> pa.Table:
-        """Block combiner: per-dst partial sums (sort + reduceat — no
-        n-sized array anywhere)."""
+    # fused-round power iteration (same shape as _min_relax_rounds):
+    # edge rows are bucketed by src ONCE; each round is exactly TWO
+    # node-hash co-groups — (rank ∪ edges) emits per-bucket-combined
+    # (dst, p) contribution partials, then (skeleton ∪ partials)
+    # rebuilds the rank table — instead of the previous two hash_joins
+    # + groupby(dst).sum (three sort exchanges + two unions per round).
+    # All rows share _PR_SCHEMA; `side` tags the role.
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
         d = batch.column("dst").to_numpy(zero_copy_only=False)
-        c = batch.column("c").to_numpy(zero_copy_only=False)
-        order = np.argsort(d, kind="stable")
-        d_s, c_s = d[order], c[order]
-        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        z = np.zeros(len(s), np.float64)
         return pa.Table.from_pydict({
-            "dst": pa.array(d_s[starts], pa.int64()),
-            "p": pa.array(np.add.reduceat(c_s, starts), pa.float64()),
-        })
+            "k": s, "v": d, "outp": z, "rank": z, "p": z,
+            "side": np.ones(len(s), np.int8),
+            "hb": (s % N_ID_BUCKETS).astype(np.int32),
+        }, schema=_PR_SCHEMA)
+
+    def _skel_rows(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy(zero_copy_only=False)
+        o = batch.column("outp").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        z = np.zeros(len(i), np.float64)
+        return pa.Table.from_pydict({
+            "k": i, "v": np.zeros(len(i), np.int64), "outp": o,
+            "rank": z, "p": z,
+            "side": np.full(len(i), 3, np.int8),
+            "hb": (i % N_ID_BUCKETS).astype(np.int32),
+        }, schema=_PR_SCHEMA)
+
+    def _rank_rows(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "k": i, "v": np.zeros(len(i), np.int64),
+            "outp": batch.column("outp").to_numpy(
+                zero_copy_only=False).astype(np.float64),
+            "rank": batch.column("rank").to_numpy(zero_copy_only=False),
+            "p": np.zeros(len(i), np.float64),
+            "side": np.zeros(len(i), np.int8),
+            "hb": (i % N_ID_BUCKETS).astype(np.int32),
+        }, schema=_PR_SCHEMA)
+
+    ebuck = iedges.map_batches(_edge_rows, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    skel = rank_ds.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"id": b.column("id"), "outp": b.column("outp")}),
+        batch_format="pyarrow").map_batches(
+        _skel_rows, batch_format="pyarrow").materialize()
+    state = rank_ds.map_batches(_rank_rows, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
 
     for _ in range(iters):
-        # dangling mass: one scalar to the driver
-        mass = rank_ds.map_batches(
+        # dangling mass: one scalar to the driver (map + tiny reduce)
+        mass = state.map_batches(
             lambda b: pa.Table.from_pydict({"m": pa.array(
                 [float(b.column("rank").to_numpy(zero_copy_only=False)[
                     b.column("outp").to_numpy(zero_copy_only=False)
                     == 0].sum())], pa.float64())}),
             batch_format="pyarrow").sum("m") or 0.0
         base = (1.0 - damping) / n + damping * mass / n
-        contrib = rank_ds.map_batches(_contrib, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-        joined = hash_join(iedges, contrib, left_on="src", right_on="id",
-                           left_cols=["dst"], right_cols=["c"])
-        sums = joined.select_columns(["dst", "c"]) \
-            .map_batches(_dst_partial, batch_format="pyarrow") \
-            .groupby("dst").sum("p")
-        nxt = hash_join(rank_ds.select_columns(["id", "outp"]), sums,
-                        left_on="id", right_on="dst",
-                        left_cols=["outp"], right_cols=["sum(p)"],
-                        how="left outer")
+        partials = ebuck.union(state).groupby("hb").map_groups(
+            _pr_contrib_bucket, batch_format="pyarrow")
+        state = skel.union(partials).groupby("hb").map_groups(
+            functools.partial(_pr_rank_bucket, base=base,
+                              damping=damping),
+            batch_format="pyarrow").materialize()
 
-        def _new_rank(batch: pa.Table, *, base=base) -> pa.Table:
-            s = batch.column("sum(p)").to_numpy(zero_copy_only=False)
-            s = np.nan_to_num(s, nan=0.0)
-            return pa.Table.from_pydict({
-                "id": batch.column("__key"),
-                "outp": batch.column("outp"),
-                "rank": pa.array(base + damping * s, pa.float64()),
-            })
-
-        rank_ds = nxt.map_batches(_new_rank,
-                                  batch_format="pyarrow").materialize()
+    def _decode(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "id": batch.column("k"),
+            "rank": batch.column("rank"),
+        })
 
     # final decoration: co-group join of (node, id) with the rank table
-    out = hash_join(ids.select_columns(["node", "id"]), rank_ds,
+    out = hash_join(ids.select_columns(["node", "id"]),
+                    state.map_batches(_decode, batch_format="pyarrow"),
                     left_on="id", right_on="id",
                     left_cols=["node"], right_cols=["rank"])
     return out.select_columns(["node", "rank"])
