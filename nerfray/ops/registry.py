@@ -538,6 +538,48 @@ def q_media_shards(sf_dir: str):
     return multimodal.media_shards(_docs(sf_dir))
 
 
+def q_docs_bpe_pairs(sf_dir: str):
+    # BPE round-one statistics: top-20 adjacent within-word char pairs
+    # with multiplicity; replace()-exact self-pair counting
+    from . import tokenizer
+    return tokenizer.bpe_pair_counts(_docs(sf_dir))
+
+
+def q_docs_bpe_merges(sf_dir: str):
+    # distributed BPE training, 3 rounds: per round one pair-grain
+    # exchange + a broadcast merge rule; SQL replays the same rounds
+    # with replace() (non-overlap semantics identical by construction)
+    from . import tokenizer
+    return tokenizer.bpe_train_merges(_docs(sf_dir), rounds=3)
+
+
+def q_docs_bm25_topk(sf_dir: str):
+    # ranked keyword retrieval: integer-pinned BM25 (df/N/avglen as
+    # tiny aggregates, one scoring map, per-block top-k pruning)
+    from . import retrieval
+    return retrieval.bm25_topk(_docs(sf_dir))
+
+
+def q_docs_containment_planted(sf_dir: str):
+    # asymmetric near-dup (doc A's shingles ⊂ doc B's): shingle
+    # inverted index -> composite-key pair reduce -> size join; planted
+    # container/contained/partial groups -> full SQL oracle
+    from . import retrieval
+    return retrieval.containment_pairs(
+        retrieval.planted_containment_docs(_docs(sf_dir)))
+
+
+def q_events_late_planted(sf_dir: str):
+    # watermark semantics over a replayed stream: late = behind the
+    # running event-time max by > allowed lateness at its arrival slot
+    from . import streaming
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "user_id", "ts"])
+    return streaming.late_events(
+        streaming.planted_disordered_events(ev))
+
+
 # -- assembly ---------------------------------------------------------------
 
 
@@ -614,6 +656,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta_routed": q_media_meta_routed,
         "media_frames": q_media_frames,
         "media_shards": q_media_shards,
+        "docs_bpe_pairs": q_docs_bpe_pairs,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "docs_containment_planted": q_docs_containment_planted,
+        "events_late_planted": q_events_late_planted,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
         "docs_global_rank": rank.docs_global_rank,
@@ -952,6 +999,31 @@ def _dedup_sql(name: str) -> str:
     return getattr(dedup, name)
 
 
+def _tokenizer_sql(name: str) -> str:
+    from . import tokenizer
+    return getattr(tokenizer, name)
+
+
+def _bpe_merges_sql() -> str:
+    from .tokenizer import bpe_merges_sql
+    return bpe_merges_sql(3)
+
+
+def _bm25_sql() -> str:
+    from .retrieval import bm25_sql
+    return bm25_sql()
+
+
+def _retrieval_sql(name: str) -> str:
+    from . import retrieval
+    return getattr(retrieval, name)
+
+
+def _streaming_sql(name: str) -> str:
+    from . import streaming
+    return getattr(streaming, name)
+
+
 def oracles() -> dict[str, str]:
     from .dedup import (INCREMENTAL_SQL, LEAKPROOF_PLANTED_SQL,
                         MINHASH_PLANTED_SQL,
@@ -984,6 +1056,12 @@ def oracles() -> dict[str, str]:
         "bloom_corpus": _bloom_sql("BLOOM_TABLE_SQL"),
         "bloom_probe": _bloom_sql("BLOOM_PROBE_SQL"),
         "dedup_minhash_planted": MINHASH_PLANTED_SQL,
+        "docs_bpe_pairs": _tokenizer_sql("BPE_PAIRS_SQL"),
+        "docs_bpe_merges": _bpe_merges_sql(),
+        "docs_bm25_topk": _bm25_sql(),
+        "docs_containment_planted":
+            _retrieval_sql("CONTAINMENT_PLANTED_SQL"),
+        "events_late_planted": _streaming_sql("LATE_EVENTS_SQL"),
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
         "sim_lsh_planted": TOPK_PLANTED_SQL,
         "sim_ivf_planted": TOPK_PLANTED_SQL,
