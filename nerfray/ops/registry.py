@@ -580,6 +580,30 @@ def q_events_late_planted(sf_dir: str):
         streaming.planted_disordered_events(ev))
 
 
+def q_docs_bpe_encoded(sf_dir: str):
+    # per-doc symbol count after encoding with the 3 merges learned
+    # from the same corpus (sequence-length budget of a tokenizer
+    # change); SQL replays training AND encoding with replace()
+    from . import tokenizer
+    return tokenizer.bpe_encode_stats(_docs(sf_dir), rounds=3)
+
+
+def q_docs_hash_sample(sf_dir: str):
+    # deterministic uniform sample without replacement: bottom-k by
+    # splitmix64(doc_id) (= distributed reservoir sampling); per-block
+    # bottom-k partials, one bounded merge
+    from . import sampling
+    return sampling.hash_sample_topk(_docs(sf_dir))
+
+
+def q_docs_containment_drops(sf_dir: str):
+    # the df-cap recall-loss audit on a planted-boilerplate corpus:
+    # exactly the two interior boilerplate shingles exceed the cap
+    from . import retrieval
+    return retrieval.containment_drop_summary(
+        retrieval.planted_boilerplate_docs(_docs(sf_dir)))
+
+
 # -- assembly ---------------------------------------------------------------
 
 
@@ -661,6 +685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk": q_docs_bm25_topk,
         "docs_containment_planted": q_docs_containment_planted,
         "events_late_planted": q_events_late_planted,
+        "docs_bpe_encoded": q_docs_bpe_encoded,
+        "docs_hash_sample": q_docs_hash_sample,
+        "docs_containment_drops": q_docs_containment_drops,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
         "docs_global_rank": rank.docs_global_rank,
@@ -1009,6 +1036,16 @@ def _bpe_merges_sql() -> str:
     return bpe_merges_sql(3)
 
 
+def _bpe_encode_sql() -> str:
+    from .tokenizer import bpe_merges_sql
+    return bpe_merges_sql(3, encode=True)
+
+
+def _sampling_sql(name: str) -> str:
+    from . import sampling
+    return getattr(sampling, name)
+
+
 def _bm25_sql() -> str:
     from .retrieval import bm25_sql
     return bm25_sql()
@@ -1062,6 +1099,10 @@ def oracles() -> dict[str, str]:
         "docs_containment_planted":
             _retrieval_sql("CONTAINMENT_PLANTED_SQL"),
         "events_late_planted": _streaming_sql("LATE_EVENTS_SQL"),
+        "docs_bpe_encoded": _bpe_encode_sql(),
+        "docs_hash_sample": _sampling_sql("HASH_SAMPLE_SQL"),
+        "docs_containment_drops":
+            _retrieval_sql("CONTAINMENT_DROPS_SQL"),
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
         "sim_lsh_planted": TOPK_PLANTED_SQL,
         "sim_ivf_planted": TOPK_PLANTED_SQL,

@@ -370,6 +370,81 @@ def containment_pairs(docs: ray.data.Dataset, *,
     return joined.map_batches(_filter, batch_format="pyarrow")
 
 
+def containment_drop_counts(docs: ray.data.Dataset, *,
+                            shingle_words: int = SHINGLE_WORDS,
+                            df_cap: int = DF_CAP) -> ray.data.Dataset:
+    """(sh, df) per shingle whose document frequency exceeds df_cap —
+    the measured-recall-loss side channel, same contract as
+    minhash/setjoin drop counts: a capped shingle is dropped WHOLE
+    from pair generation, and this Dataset says exactly which and how
+    ubiquitous."""
+    import functools
+
+    sh = docs.select_columns(["doc_id", "text"]).map_batches(
+        _doc_shingles, fn_kwargs={"w": shingle_words},
+        batch_format="pyarrow")
+    return sh.groupby("hb").map_groups(
+        functools.partial(_cooccur_bucket, df_cap=df_cap,
+                          emit_drops=True),
+        batch_format="pyarrow")
+
+
+def planted_boilerplate_docs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Prepend a fixed 5-word boilerplate to every doc: its two interior
+    4-gram shingles then sit in EVERY doc (df = corpus size >> df_cap),
+    exercising the drop channel with SQL-checkable counts (the straddle
+    shingles mix in per-doc words and stay far below the cap)."""
+    import pyarrow.compute as pc
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            pa.array(["bp0 bp1 bp2 bp3 bp4"] * batch.num_rows),
+            batch.column("text"), " ")
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"), "text": txt})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def containment_drop_summary(docs: ray.data.Dataset, *,
+                             shingle_words: int = SHINGLE_WORDS,
+                             df_cap: int = DF_CAP) -> pa.Table:
+    """One row (n_dropped, sum_df): how many shingles the df cap
+    dropped and how many (shingle, doc) incidences that covered — the
+    recall-loss audit a capped containment run reports.  Scalars only
+    reach the driver."""
+    drops = containment_drop_counts(docs, shingle_words=shingle_words,
+                                    df_cap=df_cap).materialize()
+    n = drops.count()
+    s = int(drops.sum("df") or 0) if n else 0
+    return pa.Table.from_pydict({
+        "n_dropped": pa.array([n], pa.int64()),
+        "sum_df": pa.array([s], pa.int64()),
+    })
+
+
+CONTAINMENT_DROPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, 'bp0 bp1 bp2 bp3 bp4 ' || text AS text FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}),
+           i -> array_to_string(list_slice(string_split(text, ' '),
+                                           i + 1,
+                                           i + {SHINGLE_WORDS}), ' ')
+         ))) AS s
+  FROM d
+),
+df AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s)
+SELECT count(*)::BIGINT AS n_dropped,
+       coalesce(sum(df), 0)::BIGINT AS sum_df
+FROM df WHERE df > {DF_CAP}
+"""
+
+
 # -- planted containment corpus: full SQL oracle ----------------------------
 #
 # group g = doc_id // 5:

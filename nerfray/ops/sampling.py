@@ -513,3 +513,71 @@ def pack_sequences_split(docs: ray.data.Dataset,
     return a.filter(expr="kind == 'd'").union(bases) \
         .map_batches(_src_rng_bucket, batch_format="pyarrow") \
         .groupby("hb").map_groups(_stitch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# hash-order uniform sampling (distributed reservoir equivalent)
+# ---------------------------------------------------------------------------
+
+HASH_SAMPLE_K = 50
+
+
+def hash_sample_topk(docs: ray.data.Dataset, *,
+                     k: int = HASH_SAMPLE_K) -> ray.data.Dataset:
+    """(rank, doc_id): the k docs with the smallest splitmix64(doc_id)
+    — a uniform sample WITHOUT replacement, deterministic and
+    re-runnable (the distributed equivalent of reservoir sampling:
+    hash order is a random permutation, and bottom-k by hash commutes
+    with partitioning).  Per-block bottom-k partials -> one bounded
+    final merge; nothing corpus-proportional shuffles or reaches the
+    driver.  Mirrored by HASH_SAMPLE_SQL (the UHUGEINT splitmix chain).
+    """
+    from nerfray.ops.dedup import splitmix64
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        order = np.argsort(h, kind="stable")[:k]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            # int64-shifted key: uint64 order is preserved under >> 1
+            # (ties impossible below: splitmix64 is a bijection, and
+            # two distinct full hashes that share h >> 1 order by
+            # doc_id, which the final lexsort uses as tiebreak)
+            "hk": pa.array((h[order] >> np.uint64(1)).astype(np.int64),
+                           pa.int64()),
+            "g": pa.array(np.zeros(len(order), np.int32), pa.int32()),
+        })
+
+    def _final(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        hk = group.column("hk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hk))[:k]
+        return pa.Table.from_pydict({
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id"]) \
+        .map_batches(_local, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+HASH_SAMPLE_SQL = """
+WITH z1 AS (SELECT doc_id,
+              ((doc_id::UBIGINT::UHUGEINT + 11400714819323198485)
+               % 18446744073709551616)::UBIGINT AS z FROM documents),
+z2 AS (SELECT doc_id,
+              ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+               % 18446744073709551616)::UBIGINT AS z FROM z1),
+z3 AS (SELECT doc_id,
+              ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+               % 18446744073709551616)::UBIGINT AS z FROM z2),
+h AS (SELECT doc_id, xor(z, z >> 31) AS h FROM z3),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY h >> 1, doc_id) AS rank
+      FROM h)
+SELECT rank::BIGINT AS rank, doc_id FROM r WHERE rank <= 50
+ORDER BY rank
+"""

