@@ -489,3 +489,163 @@ SELECT vec_id, label, dist2_num,
              THEN 1 ELSE 0 END)::BIGINT AS flagged
 FROM d ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means clusters -> within-cluster cosine
+# prune (Abbas et al., "SemDeDup", arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+#
+# The 100-TB shape: centroids are a tiny (k, d) broadcast; assignment is
+# one embarrassingly-parallel pass; the ONLY shuffle is the (vec_id,
+# cluster, embedding) co-group on cluster, and the O(m^2) cosine prune
+# runs inside each cluster, vectorized (one matmul per cluster).  The
+# paper's premise is that k is sized so clusters stay small (corpus/k
+# rows each) - dispatch grain here is a 32-way cluster-hash bucket per
+# the SCALE.md rule, each bucket looping its own few clusters.
+#
+# Keep rule (deterministic, SQL-mirrorable): within a cluster, a vector
+# is DROPPED iff an earlier (lower vec_id) vector of the same cluster
+# has cosine >= tau with it; survivors are the min-id representative of
+# each cosine-connected-at-tau chain.  The planted corpus (below) keeps
+# every decision far from the tau boundary so the float matmul and the
+# integer oracle agree exactly.
+
+SEMDEDUP_TAU = 0.95
+SEMDEDUP_G = 8   # planted clusters (sign-pattern directions)
+SEMDEDUP_S = 4   # planted subgroups per cluster (2-position sign flips)
+
+
+def planted_semdedup_embeddings(emb: ray.data.Dataset, *,
+                                g: int = SEMDEDUP_G,
+                                s: int = SEMDEDUP_S) -> ray.data.Dataset:
+    """Two-level planted geometry over the +-1/8 sign-pattern designs of
+    ops/similarity.py: cluster c = vec_id % g uses direction P_c;
+    subgroup (vec_id // g) % s flips sign at positions (2s, 2s+1).
+    Exact-dyadic cosines: within-subgroup exactly 1.0 (byte-identical
+    vectors, norm exactly 1.0); cross-subgroup same cluster exactly
+    (64-8)/64 = 0.875 < tau; vs own centroid (64-4)/64 = 0.9375; vs any
+    other centroid <= (64-2*(h-2))/64 where h = pairwise hamming of the
+    seeded patterns (asserted >= 5 at construction, so assignment is
+    unambiguous).  Survivors = min vec_id per (cluster, subgroup) ->
+    pure id arithmetic for the SQL oracle."""
+    from .similarity import _planted_direction
+
+    dirs = np.stack([_planted_direction(c) for c in range(g)])
+    signs = np.sign(dirs)
+    ham = ((signs[:, None, :] != signs[None, :, :]).sum(axis=2)
+           + np.eye(g, dtype=np.int64) * 64)
+    assert ham.min() >= 5, "seeded sign patterns too close for planting"
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        c = ids % g
+        sg = (ids // g) % s
+        vecs = dirs[c].copy()
+        rows = np.arange(len(ids))
+        vecs[rows, 2 * sg] *= -1.0
+        vecs[rows, 2 * sg + 1] *= -1.0
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+        })
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def planted_semdedup_centroids(*, g: int = SEMDEDUP_G) -> np.ndarray:
+    from .similarity import _planted_direction
+    return np.stack([_planted_direction(c) for c in range(g)])
+
+
+class _AssignCos:
+    """Actor-pool assignment by max cosine against broadcast centroids
+    (rows L2-normalized once in __init__); carries the embedding through
+    for the in-cluster prune."""
+
+    def __init__(self, cent_ref, n_buckets: int):
+        c = ray.get(cent_ref).astype(np.float64)
+        self._c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        self._nb = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _vecs_of(batch)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-300)
+        lab = (xn @ self._c.T).argmax(axis=1).astype(np.int64)
+        return pa.Table.from_pydict({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(lab, pa.int64()),
+            "cb": pa.array((lab % self._nb).astype(np.int32), pa.int32()),
+            "embedding": batch.column("embedding"),
+        })
+
+
+def _semdedup_bucket(group: pa.Table, *, tau: float) -> pa.Table:
+    """All clusters of one hash bucket: per cluster, sort by vec_id,
+    one normalized matmul, drop rows with an earlier >=tau neighbor."""
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("cluster", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+    cl = group.column("cluster").to_numpy(zero_copy_only=False)
+    vecs = _vecs_of(group)
+    keep_ids, keep_cl = [], []
+    for c in np.unique(cl):
+        m = cl == c
+        cids = ids[m]
+        order = np.argsort(cids, kind="stable")
+        v = vecs[m][order]
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                           1e-300)
+        sim = v @ v.T
+        dup = (np.tril(sim >= tau, k=-1)).any(axis=1)
+        keep_ids.append(cids[order][~dup])
+        keep_cl.append(np.full(int((~dup).sum()), c, np.int64))
+    return pa.Table.from_pydict({
+        "vec_id": pa.array(np.concatenate(keep_ids), pa.int64()),
+        "cluster": pa.array(np.concatenate(keep_cl), pa.int64()),
+    })
+
+
+def semdedup(emb: ray.data.Dataset, *, centroids: np.ndarray,
+             tau: float = SEMDEDUP_TAU,
+             n_buckets: int = 32) -> ray.data.Dataset:
+    """(vec_id, cluster) survivors after semantic dedup under the given
+    centroid matrix."""
+    import functools
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    assigned = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _AssignCos, fn_constructor_args=(ref, n_buckets),
+        concurrency=(1, 8), batch_size=4096, batch_format="pyarrow")
+    return assigned.groupby("cb").map_groups(
+        functools.partial(_semdedup_bucket, tau=tau),
+        batch_format="pyarrow")
+
+
+def semdedup_planted(emb: ray.data.Dataset) -> ray.data.Dataset:
+    return semdedup(planted_semdedup_embeddings(emb),
+                    centroids=planted_semdedup_centroids())
+
+
+def semdedup_kmeans(emb: ray.data.Dataset, *, k: int = 8,
+                    rounds: int = 2) -> ray.data.Dataset:
+    """The paper pipeline on the REAL embeddings: learn centroids with
+    k-means, then prune (rows-only vs the oracle; the planted twin pins
+    values)."""
+    cents = kmeans_fit(emb.select_columns(["vec_id", "embedding"]),
+                       k=k, rounds=rounds)
+    return semdedup(emb, centroids=cents)
+
+
+SEMDEDUP_PLANTED_SQL = f"""
+SELECT vec_id, (vec_id % {SEMDEDUP_G})::BIGINT AS cluster FROM (
+  SELECT vec_id, row_number() OVER (
+      PARTITION BY vec_id % {SEMDEDUP_G},
+                   (vec_id // {SEMDEDUP_G}) % {SEMDEDUP_S}
+      ORDER BY vec_id) AS rn
+  FROM embeddings) WHERE rn = 1 ORDER BY vec_id
+"""

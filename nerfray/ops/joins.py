@@ -1496,3 +1496,89 @@ GROUP BY c.c_nationkey ORDER BY c.c_nationkey
 """
 
 ORACLES["join_adaptive_rollup"] = ADAPTIVE_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14: promotion-revenue share per ship month (lineitem x part)
+# ---------------------------------------------------------------------------
+#
+# Fact side is pre-shrunk to (l_partkey, month, revenue-units) before
+# the join; part rides the adaptive broadcast-vs-shuffle pick (at this
+# sf the measured footer count fires the broadcast path; at 100 TB part
+# outgrows the threshold and the same call degrades gracefully to the
+# 64-way bucket hash join).  Revenue uses integer cent x percent units
+# round(price*100) * (100 - round(discount*100)) so the per-month sums
+# are order-independent and hash-exact; the promo/total split is a
+# vectorized conditional sum, never a second scan.
+
+
+def q14_promo_share(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import read_parquet_clean
+    from ray.data.aggregate import Sum
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        month = sd.astype("datetime64[M]").astype(str)
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "l_partkey": batch.column("l_partkey"),
+            "month": pa.array(month, pa.string()),
+            "rev": pa.array(price * (100 - disc), pa.int64()),
+        })
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"])
+    joined, _strategy = adaptive_join(
+        li.map_batches(_prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        part, left_on="l_partkey", right_on="p_partkey",
+        left_cols=["month", "rev"], right_cols=["p_type"])
+
+    def _split(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        promo = pc.equal(batch.column("p_type"),
+                         pa.scalar("PROMO")).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "month": batch.column("month"),
+            "promo_units": pa.array(np.where(promo, rev, 0), pa.int64()),
+            "total_units": pa.array(rev, pa.int64()),
+        })
+
+    return joined.map_batches(_split, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("month") \
+        .aggregate(Sum("promo_units", alias_name="promo_units"),
+                   Sum("total_units", alias_name="total_units"))
+
+
+Q14_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       sum(CASE WHEN p_type = 'PROMO'
+                THEN round(l_extendedprice * 100)::BIGINT
+                     * (100 - round(l_discount * 100)::BIGINT)
+                ELSE 0 END)::BIGINT AS promo_units,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+         AS total_units
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["join_q14_promo"] = Q14_SQL

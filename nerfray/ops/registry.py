@@ -315,6 +315,23 @@ def q_emb_kmeans_planted(sf_dir: str):
         cluster.planted_kmeans_embeddings(_emb(sf_dir)), rounds=1)
 
 
+def q_emb_semdedup_planted(sf_dir: str):
+    # SemDeDup (arXiv:2303.09540) on the two-level planted geometry:
+    # exact-dyadic cosines keep every decision far from tau, so the
+    # survivor set is pure id arithmetic -> full SQL oracle for the
+    # assign -> cluster co-group -> in-cluster cosine prune composition
+    from . import cluster
+    return cluster.semdedup_planted(_emb(sf_dir))
+
+
+def q_emb_semdedup(sf_dir: str):
+    # the paper pipeline on the real float embeddings (k-means centroids
+    # then prune): rows-only by design; the planted twin above pins the
+    # values and a brute-force pytest pins the prune rule
+    from . import cluster
+    return cluster.semdedup_kmeans(_emb(sf_dir))
+
+
 def q_emb_pca(sf_dir: str):
     # distributed PCA on the real float embeddings: rows-only
     # (eigenvectors are iterative-LAPACK floats, not SQL-statable; the
@@ -596,6 +613,29 @@ def q_docs_hash_sample(sf_dir: str):
     return sampling.hash_sample_topk(_docs(sf_dir))
 
 
+def q_docs_weighted_sample(sf_dir: str):
+    # weight-proportional deterministic sampling: keep iff
+    # splitmix64(doc_id) % 1000 < least(n_chars, cap) — per-row integer
+    # arithmetic, zero shuffle, identical UHUGEINT chain in SQL
+    from . import sampling
+    return sampling.weighted_sample(_docs(sf_dir))
+
+
+def q_lineitem_q6_revenue(sf_dir: str):
+    # TPC-H Q6: predicate pushed into the parquet read (row-group
+    # min/max pruning) + integer cent x percent revenue partials; the
+    # global reduce moves two int64s per block
+    from . import relational
+    return relational.q6_revenue(sf_dir)
+
+
+def q_join_q14_promo(sf_dir: str):
+    # TPC-H Q14: fact side pre-shrunk to (partkey, month, rev-units),
+    # part joined via the adaptive broadcast-vs-shuffle pick
+    from . import joins
+    return joins.q14_promo_share(sf_dir)
+
+
 def q_docs_containment_drops(sf_dir: str):
     # the df-cap recall-loss audit on a planted-boilerplate corpus:
     # exactly the two interior boilerplate shingles exceed the cap
@@ -687,6 +727,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_planted": q_events_late_planted,
         "docs_bpe_encoded": q_docs_bpe_encoded,
         "docs_hash_sample": q_docs_hash_sample,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "emb_semdedup": q_emb_semdedup,
+        "emb_semdedup_planted": q_emb_semdedup_planted,
+        "lineitem_q6_revenue": q_lineitem_q6_revenue,
+        "join_q14_promo": q_join_q14_promo,
         "docs_containment_drops": q_docs_containment_drops,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
@@ -1101,6 +1146,9 @@ def oracles() -> dict[str, str]:
         "events_late_planted": _streaming_sql("LATE_EVENTS_SQL"),
         "docs_bpe_encoded": _bpe_encode_sql(),
         "docs_hash_sample": _sampling_sql("HASH_SAMPLE_SQL"),
+        "docs_weighted_sample": _sampling_sql("WEIGHTED_SAMPLE_SQL"),
+        # emb_semdedup (real float embeddings): rows-only by design
+        "emb_semdedup_planted": _cluster_sql("SEMDEDUP_PLANTED_SQL"),
         "docs_containment_drops":
             _retrieval_sql("CONTAINMENT_DROPS_SQL"),
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,

@@ -418,3 +418,85 @@ ORDER BY 1
 """
 
 ORACLES["events_quality_checks"] = QUALITY_CHECKS_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecasting-revenue filter + single-row aggregate
+# ---------------------------------------------------------------------------
+#
+# The classic selective scan: shipdate-year window x discount band x
+# quantity cap, then ONE global sum.  Everything is pushed to the read
+# (column pruning + a pyarrow row filter, so non-matching row groups
+# never leave storage via min/max statistics); the per-block partials
+# are two int64s, so the "shuffle" is a constant-size reduction no
+# matter the corpus size.  Revenue is computed in integer
+# cent x percent units (round(price*100) * round(discount*100)) so the
+# distributed sum is order-independent and hash-exact vs the oracle.
+
+
+Q6_SHIP_LO = "1996-01-01"
+Q6_SHIP_HI = "1997-01-01"
+
+
+def q6_revenue(sf_dir: str) -> pa.Table:
+    """Single-row (n_rows, revenue_units) — driver holds two ints."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from nerfray.sources.parquet import read_parquet_clean
+
+    lo = np.datetime64(Q6_SHIP_LO, "us")
+    hi = np.datetime64(Q6_SHIP_HI, "us")
+    # shipdate window pushed INTO the read: row groups whose min/max
+    # statistics miss the window never leave storage
+    f = pads.field("l_shipdate")
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+        filter=(f >= pa.scalar(lo)) & (f < pa.scalar(hi)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        mask = ((sd >= lo) & (sd < hi)
+                & (disc >= 5) & (disc <= 7) & (qty < 24))
+        return pa.Table.from_pydict({
+            "n_rows": pa.array([int(mask.sum())], pa.int64()),
+            "revenue_units": pa.array(
+                [int((price[mask] * disc[mask]).sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = parts.aggregate(
+        ray.data.aggregate.Sum("n_rows", alias_name="n_rows"),
+        ray.data.aggregate.Sum("revenue_units",
+                               alias_name="revenue_units"))
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+        "revenue_units": pa.array([int(agg["revenue_units"])],
+                                  pa.int64()),
+    })
+
+
+Q6_SQL = f"""
+SELECT count(*)::BIGINT AS n_rows,
+       coalesce(sum(round(l_extendedprice * 100)::BIGINT
+                    * round(l_discount * 100)::BIGINT), 0)::BIGINT
+         AS revenue_units
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_SHIP_LO}'
+  AND l_shipdate < TIMESTAMP '{Q6_SHIP_HI}'
+  AND round(l_discount * 100)::BIGINT BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+ORACLES["lineitem_q6_revenue"] = Q6_SQL

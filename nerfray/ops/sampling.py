@@ -581,3 +581,54 @@ r AS (SELECT doc_id,
 SELECT rank::BIGINT AS rank, doc_id FROM r WHERE rank <= 50
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted hash sampling: inclusion probability proportional to a
+# per-row weight, deterministic and re-runnable
+# ---------------------------------------------------------------------------
+#
+# keep(doc) iff splitmix64(doc_id) % 1000 < weight_permille(doc), with
+# weight_permille = least(n_chars, cap) - longer documents are
+# proportionally more likely to survive (importance sampling by a
+# quality/length weight).  Pure per-row integer arithmetic: no shuffle,
+# no driver state, and the identical UHUGEINT splitmix chain replays in
+# SQL, so the sample is hash-exact and stable under any partitioning.
+
+WEIGHTED_CAP = 900  # permille ceiling: no row is kept with certainty
+
+
+def weighted_sample(docs: ray.data.Dataset, *,
+                    cap: int = WEIGHTED_CAP) -> ray.data.Dataset:
+    from nerfray.ops.dedup import splitmix64
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = np.minimum(batch.column("n_chars")
+                       .to_numpy(zero_copy_only=False), cap)
+        h = splitmix64(ids.astype(np.uint64)) % np.uint64(1000)
+        mask = h.astype(np.int64) < w
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[mask], pa.int64()),
+            "weight_permille": pa.array(w[mask].astype(np.int64),
+                                        pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "n_chars"]).map_batches(
+        _keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH z1 AS (SELECT doc_id, least(n_chars, {WEIGHTED_CAP}) AS w,
+              ((doc_id::UBIGINT::UHUGEINT + 11400714819323198485)
+               % 18446744073709551616)::UBIGINT AS z FROM documents),
+z2 AS (SELECT doc_id, w,
+              ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+               % 18446744073709551616)::UBIGINT AS z FROM z1),
+z3 AS (SELECT doc_id, w,
+              ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+               % 18446744073709551616)::UBIGINT AS z FROM z2),
+h AS (SELECT doc_id, w, xor(z, z >> 31) AS h FROM z3)
+SELECT doc_id, w::BIGINT AS weight_permille
+FROM h WHERE (h % 1000)::BIGINT < w ORDER BY doc_id
+"""
