@@ -131,7 +131,13 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "events_ab_test", "events_moving_sum",
                  "docs_dup_spans", "kg_time_travel", "docs_lm_score",
                  "kg_random_walks", "kg_walk_skipgrams",
-                 "kg_hash_embedding"):
+                 "kg_hash_embedding", "emb_semdedup",
+                 "lineitem_q6_revenue", "join_q14_promo",
+                 "join_q10_returned", "join_q12_priority",
+                 "join_q22_idle_rich", "docs_novelty",
+                 "docs_weighted_sample", "orders_q13_distribution",
+                 "join_q15_top_supplier", "lineitem_q17_small_qty",
+                 "join_q19_disjunctive"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

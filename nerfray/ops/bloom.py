@@ -288,12 +288,23 @@ def ingest_batch(new_docs: ray.data.Dataset, state_dir: str
     verified = hash_join(
         probed.filter(expr="hit == 1"), catalog,
         left_on="text_sha", right_on="text_sha",
-        left_cols=["doc_id"], right_cols=[], how="left anti") \
-        .rename_columns({"__key": "text_sha"})
+        left_cols=["doc_id"], right_cols=[], how="left anti")
+
+    # batch-level rename: Dataset.rename_columns is a lazily-sampled
+    # Project, so the union below can surface pre-rename (__key) and
+    # post-rename (text_sha) bundles side by side — the executor's
+    # mixed-schema RefBundle warning (cf. joins._rename_batches)
+    def _as_sha(batch):
+        return batch.rename_columns(
+            ["text_sha" if c == "__key" else c
+             for c in batch.column_names]) \
+            .select(["text_sha", "doc_id"])
+
+    verified = verified.map_batches(_as_sha, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     certain = probed.filter(expr="hit == 0") \
         .select_columns(["text_sha", "doc_id"])
-    survivors = verified.select_columns(["text_sha", "doc_id"]) \
-        .union(certain) \
+    survivors = verified.union(certain) \
         .groupby("text_sha").min("doc_id") \
         .rename_columns({"min(doc_id)": "doc_id"}).materialize()
 

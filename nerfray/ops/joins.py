@@ -160,17 +160,43 @@ def detect_hot_keys(ds: ray.data.Dataset, *, on: str,
     at most total_rows / threshold keys can exceed the threshold."""
     import pyarrow.compute as pc
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([on]).group_by([on]).aggregate([([], "count_all")])
-        return t.rename_columns([on, "c"])
+    key_type = ds.schema().base_schema.field(on).type \
+        if hasattr(ds.schema(), "base_schema") \
+        else ds.schema().field(on).type
+    part_schema = pa.schema([(on, key_type), ("c", pa.int64()),
+                             ("hb", pa.int32())])
+    out_schema = pa.schema([(on, key_type), ("csum", pa.int64())])
 
-    counts = ds.select_columns([on]) \
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        t = batch.select([on]).group_by([on]).aggregate([([], "count_all")])
+        t = t.rename_columns([on, "c"])
+        return t.append_column(
+            "hb", _key_bucket(t.column(on), N_JOIN_BUCKETS)) \
+            .cast(part_schema)
+
+    def _sum_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        return group.select([on, "c"]).group_by([on]) \
+            .aggregate([("c", "sum")]) \
+            .rename_columns([on, "csum"]).cast(out_schema)
+
+    def _hot_only(batch: pa.Table) -> pa.Table:
+        # filter + project in ONE map: Ray's fused Filter->Project
+        # passes empty bundles through unprojected, which trips the
+        # executor's mixed-schema RefBundle warning
+        return batch.filter(
+            pc.greater(batch.column("csum"),
+                       pa.scalar(int(threshold)))).select([on])
+
+    hot = ds.select_columns([on]) \
         .map_batches(_partial, batch_format="pyarrow",
                      zero_copy_batch=True) \
-        .groupby(on).sum("c") \
-        .rename_columns({"sum(c)": "csum"})
-    hot = counts.filter(expr=f"csum > {int(threshold)}") \
-        .select_columns([on]).take_all()
+        .groupby("hb").map_groups(_sum_bucket, batch_format="pyarrow") \
+        .map_batches(_hot_only, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
     return [r[on] for r in hot]
 
 
@@ -1582,3 +1608,452 @@ GROUP BY 1 ORDER BY 1
 """
 
 ORACLES["join_q14_promo"] = Q14_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item revenue — top-20 customers by lost revenue
+# ---------------------------------------------------------------------------
+#
+# Three-hop shape: the returned lineitems are filtered AT THE READ and
+# pre-combined to order grain (the repo's 64-way key-hash co-group, so
+# the first join ships order-grain partials, never raw lineitems); the
+# windowed orders ride the adaptive broadcast-vs-shuffle pick; and the
+# customer / nation dimension hops broadcast when small and degrade to
+# the bucketed hash join past the threshold.  Only the final top-k
+# sort+limit touches the driver, and it moves k rows.
+
+Q10_DATE_LO = "1996-01-01"
+Q10_DATE_HI = "1997-01-01"
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R")
+
+    _REV_SCHEMA = pa.schema([("l_orderkey", pa.int64()),
+                             ("rev", pa.int64()), ("hb", pa.int32())])
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("l_returnflag"), pa.scalar("R"))
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return _REV_SCHEMA.empty_table()
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        part = pa.Table.from_pydict({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev": pa.array(price * (100 - disc), pa.int64())})
+        part = part.group_by(["l_orderkey"]).aggregate(
+            [("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
+        hb = pa.array((part.column("l_orderkey")
+                       .to_numpy(zero_copy_only=False) & 63)
+                      .astype(np.int32), pa.int32())
+        return part.append_column("hb", hb).cast(_REV_SCHEMA)
+
+    def _rev_bucket(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("l_orderkey", pa.int64()),
+                                ("rev", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        return group.select(["l_orderkey", "rev"]) \
+            .group_by(["l_orderkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "rev"]).cast(out_schema)
+
+    order_rev = li.map_batches(_rev_partial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("hb").map_groups(_rev_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    lo = np.datetime64(Q10_DATE_LO, "us")
+    hi = np.datetime64(Q10_DATE_HI, "us")
+    f = pads.field("o_orderdate")
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(f >= pa.scalar(lo)) & (f < pa.scalar(hi)))
+
+    def _win(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        return pa.Table.from_pydict({
+            "o_orderkey": batch.column("o_orderkey").filter(
+                pa.array(keep)),
+            "o_custkey": batch.column("o_custkey").filter(
+                pa.array(keep))})
+
+    joined, _ = adaptive_join(
+        order_rev, orders.map_batches(_win, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rev"], right_cols=["o_custkey"])
+
+    from ray.data.aggregate import Sum
+    cust_rev = joined.groupby("o_custkey") \
+        .aggregate(Sum("rev", alias_name="revenue_units"))
+
+    cust = read_small_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    nation = read_small_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    ckey = cust.column("c_custkey").to_numpy()
+    order_ = np.argsort(ckey)
+    cname = np.asarray(cust.column("c_name").to_pylist(),
+                       dtype=object)[order_]
+    cnat = cust.column("c_nationkey").to_numpy()[order_]
+    cbal = np.round(cust.column("c_acctbal").to_numpy() * 100) \
+        .astype(np.int64)[order_]
+    ckey_s = ckey[order_]
+    cust_ref = ray.put((ckey_s, cname, cnat, cbal))
+
+    def _dim(batch: pa.Table) -> pa.Table:
+        keys, names, nats, bals = ray.get(cust_ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        return pa.Table.from_pydict({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "c_name": pa.array(names[pos].tolist(), pa.string()),
+            "n_name": pa.array([n_name[int(v)] for v in nats[pos]],
+                               pa.string()),
+            "acctbal_c": pa.array(bals[pos], pa.int64()),
+            "revenue_units": batch.column("revenue_units"),
+        })
+
+    return cust_rev.map_batches(_dim, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .sort(["revenue_units", "c_custkey"], descending=[True, False]) \
+        .limit(k)
+
+
+Q10_SQL = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(c.c_acctbal * 100)::BIGINT AS acctbal_c,
+       sum(round(l.l_extendedprice * 100)::BIGINT
+           * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+         AS revenue_units
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{Q10_DATE_HI}'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_units DESC, c.c_custkey LIMIT 20
+"""
+
+ORACLES["join_q10_returned"] = Q10_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 (adapted): priority split per return flag for a ship year
+# ---------------------------------------------------------------------------
+#
+# The testdata lineitem has no l_shipmode/commitdate/receiptdate, so
+# the classic Q12 grouping rides l_returnflag instead: for lineitems
+# shipped in the window, count critical- (1-URGENT / 2-HIGH) vs
+# other-priority orders per flag.  Same plan shape as the original:
+# fact side filtered at the read and pre-projected to (orderkey, flag),
+# one adaptive join against orders' (orderkey, priority), then a
+# conditional integer aggregate.
+
+Q12_SHIP_LO = "1996-01-01"
+Q12_SHIP_HI = "1997-01-01"
+
+
+def q12_priority_split(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from nerfray.sources.parquet import read_parquet_clean
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(Q12_SHIP_LO, "us")
+    hi = np.datetime64(Q12_SHIP_HI, "us")
+    f = pads.field("l_shipdate")
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=(f >= pa.scalar(lo)) & (f < pa.scalar(hi)))
+
+    def _win(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = pa.array((sd >= lo) & (sd < hi))
+        return pa.Table.from_pydict({
+            "l_orderkey": batch.column("l_orderkey").filter(keep),
+            "l_returnflag": batch.column("l_returnflag").filter(keep)})
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+
+    joined, _ = adaptive_join(
+        li.map_batches(_win, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_returnflag"], right_cols=["o_orderpriority"])
+
+    def _split(batch: pa.Table) -> pa.Table:
+        pr = batch.column("o_orderpriority")
+        high = pc.or_(pc.equal(pr, pa.scalar("1-URGENT")),
+                      pc.equal(pr, pa.scalar("2-HIGH"))) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "l_returnflag": batch.column("l_returnflag"),
+            "high_count": pa.array(high.astype(np.int64), pa.int64()),
+            "low_count": pa.array((~high).astype(np.int64), pa.int64()),
+        })
+
+    return joined.map_batches(_split, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("high_count", alias_name="high_count"),
+                   Sum("low_count", alias_name="low_count"))
+
+
+Q12_SQL = f"""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_SHIP_LO}'
+  AND l_shipdate < TIMESTAMP '{Q12_SHIP_HI}'
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["join_q12_priority"] = Q12_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 (adapted): idle rich customers — above-average balance,
+# no orders
+# ---------------------------------------------------------------------------
+#
+# The scalar-subquery + NOT EXISTS classic.  The global average is a
+# constant-size distributed reduction (two int64s reach the driver);
+# the comparison stays in integers (cents * n_pos > sum_pos avoids the
+# float divide); NOT EXISTS is the repo's bucketed "left anti" hash
+# join against the orders fact, so no side materializes and the only
+# exchange is the anti-join's key bucket co-group.  The anti side is
+# URGENT orders (the synthetic generator gives every customer at
+# least one order, so the literal Q22 "no orders" predicate is
+# degenerate here; "no urgent orders" keeps the identical plan shape
+# with a non-empty answer).
+
+
+def q22_idle_rich(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import read_parquet_clean
+    from ray.data.aggregate import Sum
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        bal = np.round(batch.column("c_acctbal")
+                       .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "c_custkey": batch.column("c_custkey"),
+            "c_nationkey": pa.array(
+                batch.column("c_nationkey")
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "bal_c": pa.array(bal, pa.int64())})
+
+    cents = cust.map_batches(_cents, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def _pos_partial(batch: pa.Table) -> pa.Table:
+        b = batch.column("bal_c").to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        return pa.Table.from_pydict({
+            "n_pos": pa.array([len(pos)], pa.int64()),
+            "sum_pos": pa.array([int(pos.sum())], pa.int64())})
+
+    g = cents.map_batches(_pos_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .aggregate(Sum("n_pos", alias_name="n_pos"),
+                   Sum("sum_pos", alias_name="sum_pos"))
+    n_pos, sum_pos = int(g["n_pos"]), int(g["sum_pos"])
+
+    def _rich(batch: pa.Table) -> pa.Table:
+        # integer threshold from the global reduction: bal*N > S avoids
+        # the float divide (Dataset.filter exprs don't parse arithmetic)
+        b = batch.column("bal_c").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b * n_pos > sum_pos))
+
+    rich = cents.map_batches(_rich, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    import pyarrow.dataset as pads
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT")
+
+    def _urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("o_orderpriority"),
+                     pa.scalar("1-URGENT"))).select(["o_custkey"])
+
+    idle = hash_join(
+        rich, orders.map_batches(_urgent, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+        left_on="c_custkey", right_on="o_custkey",
+        left_cols=["c_nationkey", "bal_c"], right_cols=[],
+        how="left anti")
+
+    from ray.data.aggregate import Count
+    return idle.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_cust"),
+        Sum("bal_c", alias_name="total_bal_c"))
+
+
+Q22_SQL = """
+WITH cents AS (
+  SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+         round(c_acctbal * 100)::BIGINT AS bal_c FROM customer),
+avgpos AS (
+  SELECT count(*)::BIGINT AS n_pos, sum(bal_c)::BIGINT AS sum_pos
+  FROM cents WHERE bal_c > 0)
+SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+       sum(bal_c)::BIGINT AS total_bal_c
+FROM cents, avgpos
+WHERE bal_c * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = cents.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["join_q22_idle_rich"] = Q22_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19: disjunctive-predicate revenue (brand x size x qty bands)
+# ---------------------------------------------------------------------------
+#
+# The OR-of-conjunctions classic that defeats naive pushdown.  The
+# part side collapses to a broadcast (partkey -> brand-band id) array
+# for ONLY the parts that can satisfy ANY branch (union of the brand/
+# size conjunctions, a dimension-side prune); the fact side is pruned
+# at the read by the qty envelope (the union of all qty bands), and
+# the residual per-branch (brand-band, qty-band) conjunction is one
+# vectorized mask — no join exchange at all, the whole query is
+# map-side + a 2-int64 reduction.
+
+Q19_BRANCHES = (("Brand#1", 1, 5, 1, 11),
+                ("Brand#2", 1, 10, 10, 20),
+                ("Brand#3", 1, 15, 20, 30))
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+    from ray.data.aggregate import Sum
+
+    part = read_small_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    brand = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    size = part.column("p_size").to_numpy()
+    # branch id per partkey (-1 = no branch's brand/size conjunction)
+    bid = np.full(len(pk), -1, np.int8)
+    for i, (b, slo, shi, _qlo, _qhi) in enumerate(Q19_BRANCHES):
+        m = (brand == b) & (size >= slo) & (size <= shi)
+        bid[m] = i
+    keep = bid >= 0
+    keys = pk[keep]
+    order = np.argsort(keys)
+    lut_ref = ray.put((keys[order], bid[keep][order]))
+
+    qlo = min(b[3] for b in Q19_BRANCHES)
+    qhi = max(b[4] for b in Q19_BRANCHES)
+    f = pads.field("l_quantity")
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=(f >= pa.scalar(float(qlo))) & (f <= pa.scalar(float(qhi))))
+
+    qbands = np.array([(b[3], b[4]) for b in Q19_BRANCHES], np.int64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ks, bids = ray.get(lut_ref)
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = np.round(batch.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        pos = np.searchsorted(ks, lpk)
+        pos[pos >= len(ks)] = 0
+        hit = (len(ks) > 0) & (ks[pos] == lpk)
+        b = np.where(hit, bids[pos], -1)
+        ok = (b >= 0) & (qty >= qbands[b, 0]) & (qty <= qbands[b, 1])
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        rev = price * (100 - disc)
+        return pa.Table.from_pydict({
+            "n_rows": pa.array([int(ok.sum())], pa.int64()),
+            "revenue_units": pa.array([int(rev[ok].sum())], pa.int64())})
+
+    agg = li.map_batches(_partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("revenue_units", alias_name="revenue_units"))
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+        "revenue_units": pa.array([int(agg["revenue_units"])],
+                                  pa.int64())})
+
+
+def _q19_branch_sql(b, slo, shi, qlo, qhi):
+    return (f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+            f"AND round(l_quantity)::BIGINT BETWEEN {qlo} AND {qhi})")
+
+
+Q19_SQL = f"""
+SELECT count(*)::BIGINT AS n_rows,
+       coalesce(sum(round(l_extendedprice * 100)::BIGINT
+                    * (100 - round(l_discount * 100)::BIGINT)),
+                0)::BIGINT AS revenue_units
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {" OR ".join(_q19_branch_sql(*b) for b in Q19_BRANCHES)}
+"""
+
+ORACLES["join_q19_disjunctive"] = Q19_SQL

@@ -636,6 +636,62 @@ def q_join_q14_promo(sf_dir: str):
     return joins.q14_promo_share(sf_dir)
 
 
+def q_join_q10_returned(sf_dir: str):
+    # TPC-H Q10: returned lineitems pre-combined to order grain, windowed
+    # orders via the adaptive join, customer/nation broadcast, top-20
+    from . import joins
+    return joins.q10_returned_revenue(sf_dir)
+
+
+def q_join_q12_priority(sf_dir: str):
+    # TPC-H Q12 adapted to this schema (returnflag for shipmode):
+    # read-filtered fact x orders priority, conditional integer counts
+    from . import joins
+    return joins.q12_priority_split(sf_dir)
+
+
+def q_join_q22_idle_rich(sf_dir: str):
+    # TPC-H Q22 adapted: scalar-subquery global average (two int64s on
+    # the driver) + NOT EXISTS as the bucketed left-anti hash join
+    from . import joins
+    return joins.q22_idle_rich(sf_dir)
+
+
+def q_orders_q13_distribution(sf_dir: str):
+    # TPC-H Q13: order counts pre-combined to customer grain, LEFT
+    # join back so zero-order customers survive, tiny histogram groupby
+    from . import relational
+    return relational.q13_order_distribution(sf_dir)
+
+
+def q_join_q15_top_supplier(sf_dir: str):
+    # TPC-H Q15: per-supplier revenue view, global max as a 1-int64
+    # reduction, tie-preserving winner filter
+    from . import relational
+    return relational.q15_top_supplier(sf_dir)
+
+
+def q_lineitem_q17_small_qty(sf_dir: str):
+    # TPC-H Q17: correlated per-part average cross-multiplied into
+    # integers (5*qty*cnt < sum_qty); brand prune broadcasts first
+    from . import relational
+    return relational.q17_small_quantity(sf_dir)
+
+
+def q_join_q19_disjunctive(sf_dir: str):
+    # TPC-H Q19: OR-of-conjunctions via a broadcast (partkey ->
+    # branch) lut + qty-envelope read prune; map-side only
+    from . import joins
+    return joins.q19_disjunctive_revenue(sf_dir)
+
+
+def q_docs_novelty(sf_dir: str):
+    # vocabulary-novelty audit: words first introduced per doc; one
+    # word-bucket co-group (block partials are (word, min-doc) rows)
+    from . import text
+    return text.vocab_novelty(_docs(sf_dir))
+
+
 def q_docs_containment_drops(sf_dir: str):
     # the df-cap recall-loss audit on a planted-boilerplate corpus:
     # exactly the two interior boilerplate shingles exceed the cap
@@ -732,6 +788,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup_planted": q_emb_semdedup_planted,
         "lineitem_q6_revenue": q_lineitem_q6_revenue,
         "join_q14_promo": q_join_q14_promo,
+        "join_q10_returned": q_join_q10_returned,
+        "join_q12_priority": q_join_q12_priority,
+        "join_q22_idle_rich": q_join_q22_idle_rich,
+        "docs_novelty": q_docs_novelty,
+        "orders_q13_distribution": q_orders_q13_distribution,
+        "join_q15_top_supplier": q_join_q15_top_supplier,
+        "lineitem_q17_small_qty": q_lineitem_q17_small_qty,
+        "join_q19_disjunctive": q_join_q19_disjunctive,
         "docs_containment_drops": q_docs_containment_drops,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
@@ -1147,6 +1211,7 @@ def oracles() -> dict[str, str]:
         "docs_bpe_encoded": _bpe_encode_sql(),
         "docs_hash_sample": _sampling_sql("HASH_SAMPLE_SQL"),
         "docs_weighted_sample": _sampling_sql("WEIGHTED_SAMPLE_SQL"),
+        "docs_novelty": _text_sql("NOVELTY_SQL"),
         # emb_semdedup (real float embeddings): rows-only by design
         "emb_semdedup_planted": _cluster_sql("SEMDEDUP_PLANTED_SQL"),
         "docs_containment_drops":

@@ -11,7 +11,9 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -500,3 +502,252 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_SHIP_LO}'
 """
 
 ORACLES["lineitem_q6_revenue"] = Q6_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer distribution by order count
+# ---------------------------------------------------------------------------
+#
+# The two-level aggregate: orders pre-combined to customer grain (the
+# 64-way key-hash co-group — block partials first, so the exchange
+# ships (custkey, count) partials, never order rows), LEFT-joined back
+# to customer so zero-order customers land in the c_count=0 bucket,
+# then the distribution itself is a tiny second groupby whose key
+# domain is the max order count (bounded).
+
+
+def q13_order_distribution(sf_dir: str) -> ray.data.Dataset:
+    from nerfray.sources.parquet import read_parquet_clean
+    from ray.data.aggregate import Sum
+    from .joins import hash_join
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    part_schema = pa.schema([("o_custkey", pa.int64()),
+                             ("n", pa.int64()), ("hb", pa.int32())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        t = batch.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        t = t.rename_columns(["o_custkey", "n"])
+        hb = (t.column("o_custkey").to_numpy(zero_copy_only=False) & 63) \
+            .astype(np.int32)
+        return t.append_column("hb", pa.array(hb, pa.int32())) \
+            .cast(part_schema)
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        out = pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
+        if group.num_rows == 0:
+            return out.empty_table()
+        return group.select(["o_custkey", "n"]).group_by(["o_custkey"]) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["o_custkey", "n"]).cast(out)
+
+    per_cust = orders.map_batches(_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby("hb").map_groups(_bucket, batch_format="pyarrow")
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    joined = hash_join(cust, per_cust, left_on="c_custkey",
+                       right_on="o_custkey", left_cols=[],
+                       right_cols=["n"], how="left outer")
+
+    def _fill0(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").fill_null(0)
+        return pa.Table.from_pydict({
+            "c_count": n, "n_cust_unit": pa.array(
+                np.ones(batch.num_rows, np.int64), pa.int64())})
+
+    return joined.map_batches(_fill0, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("c_count") \
+        .aggregate(Sum("n_cust_unit", alias_name="n_cust"))
+
+
+Q13_SQL = """
+WITH per AS (
+  SELECT c_custkey, count(o_custkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+SELECT c_count, count(*)::BIGINT AS n_cust
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["orders_q13_distribution"] = Q13_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier(s) by shipped revenue in a quarter
+# ---------------------------------------------------------------------------
+#
+# The view + scalar-max classic: per-supplier revenue partials combine
+# per block (supplier grain is bounded), one groupby, then the global
+# max is a ONE-int64 reduction and the winners a map-side filter —
+# ties all survive, exactly as the SQL view semantics require.
+
+Q15_SHIP_LO = "1996-01-01"
+Q15_SHIP_HI = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.dataset as pads
+
+    from nerfray.sources.parquet import read_parquet_clean
+    from ray.data.aggregate import Max, Sum
+
+    lo = np.datetime64(Q15_SHIP_LO, "us")
+    hi = np.datetime64(Q15_SHIP_HI, "us")
+    f = pads.field("l_shipdate")
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+        filter=(f >= pa.scalar(lo)) & (f < pa.scalar(hi)))
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        batch = batch.filter(pa.array(keep))
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "l_suppkey": batch.column("l_suppkey"),
+            "rev": pa.array(price * (100 - disc), pa.int64())})
+
+    per_supp = li.map_batches(_rev, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("l_suppkey") \
+        .aggregate(Sum("rev", alias_name="total_rev")).materialize()
+
+    best = int(per_supp.aggregate(Max("total_rev"))["max(total_rev)"])
+
+    def _winners(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("total_rev"), pa.scalar(best))) \
+            .rename_columns(["s_suppkey", "total_rev"])
+
+    return per_supp.map_batches(_winners, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_SHIP_LO}'
+    AND l_shipdate < TIMESTAMP '{Q15_SHIP_HI}'
+  GROUP BY 1)
+SELECT s_suppkey, total_rev FROM rev
+WHERE total_rev = (SELECT max(total_rev) FROM rev) ORDER BY s_suppkey
+"""
+
+ORACLES["join_q15_top_supplier"] = Q15_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity orders for one brand (correlated average)
+# ---------------------------------------------------------------------------
+#
+# The correlated-scalar-subquery classic: revenue of lineitems whose
+# quantity is under 20% of their part's average.  Per-part (cnt,
+# sum_qty) is the same order-grain pre-combine as Q18; the correlated
+# comparison is cross-multiplied into integers (5*qty*cnt < sum_qty
+# <=> qty < 0.2*avg since l_quantity is integer-valued), so the whole
+# pipeline stays hash-exact.  The brand filter prunes the part side to
+# a broadcast-sized id set BEFORE any lineitem work.
+
+Q17_BRAND = "Brand#1"
+
+
+def q17_small_quantity(sf_dir: str) -> pa.Table:
+    from nerfray.sources.parquet import read_parquet_clean, \
+        read_small_table
+    from .joins import adaptive_join
+
+    part = read_small_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"])
+    keys = part.filter(
+        pc.equal(part.column("p_brand"), pa.scalar(Q17_BRAND))) \
+        .column("p_partkey").to_numpy()
+    keys = np.sort(keys)
+    keys_ref = ray.put(keys)
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _brand_only(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, pk)
+        pos[pos >= len(ks)] = 0
+        keep = (len(ks) > 0) & (ks[pos] == pk)
+        batch = batch.filter(pa.array(keep))
+        qty = np.round(batch.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "l_partkey": batch.column("l_partkey"),
+            "qty": pa.array(qty, pa.int64()),
+            "price_c": pa.array(price, pa.int64())})
+
+    brand_li = li.map_batches(_brand_only, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    from ray.data.aggregate import Count, Sum
+    stats = brand_li.groupby("l_partkey").aggregate(
+        Count(alias_name="cnt"), Sum("qty", alias_name="sum_qty"))
+
+    joined, _ = adaptive_join(
+        brand_li, stats, left_on="l_partkey", right_on="l_partkey",
+        left_cols=["qty", "price_c"], right_cols=["cnt", "sum_qty"])
+
+    def _small(batch: pa.Table) -> pa.Table:
+        qty = batch.column("qty").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        sq = batch.column("sum_qty").to_numpy(zero_copy_only=False)
+        price = batch.column("price_c").to_numpy(zero_copy_only=False)
+        keep = 5 * qty * cnt < sq
+        return pa.Table.from_pydict({
+            "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            "revenue_c": pa.array([int(price[keep].sum())], pa.int64())})
+
+    agg = joined.map_batches(_small, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("revenue_c", alias_name="revenue_c"))
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+        "revenue_c": pa.array([int(agg["revenue_c"])], pa.int64())})
+
+
+Q17_SQL = f"""
+WITH brand_li AS (
+  SELECT l_partkey, round(l_quantity)::BIGINT AS qty,
+         round(l_extendedprice * 100)::BIGINT AS price_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'),
+stats AS (
+  SELECT l_partkey, count(*)::BIGINT AS cnt,
+         sum(qty)::BIGINT AS sum_qty
+  FROM brand_li GROUP BY 1)
+SELECT count(*)::BIGINT AS n_rows,
+       coalesce(sum(price_c), 0)::BIGINT AS revenue_c
+FROM brand_li b JOIN stats s USING (l_partkey)
+WHERE 5 * b.qty * s.cnt < s.sum_qty
+"""
+
+ORACLES["lineitem_q17_small_qty"] = Q17_SQL

@@ -493,8 +493,17 @@ class JaccardVsQueries:
 
 def jaccard_vs_queries(docs: ray.data.Dataset,
                        n_queries: int = 3) -> ray.data.Dataset:
-    qrows = docs.filter(expr=f"doc_id < {n_queries}") \
-        .select_columns(["doc_id", "text"]).take_all()
+    def _qpick(batch: pa.Table) -> pa.Table:
+        # filter + project in ONE map (the fused Filter->Project pair
+        # passes empty bundles through unprojected -> mixed-schema
+        # RefBundle warning)
+        import pyarrow.compute as pc
+        return batch.filter(
+            pc.less(batch.column("doc_id"),
+                    pa.scalar(n_queries))).select(["doc_id", "text"])
+
+    qrows = docs.map_batches(_qpick, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
     q_ref = ray.put([(r["doc_id"], r["text"]) for r in qrows])
     return docs.select_columns(["doc_id", "text"]).map_batches(
         JaccardVsQueries, fn_constructor_kwargs={"queries_ref": q_ref},

@@ -1871,3 +1871,91 @@ def curation_scored(docs: ray.data.Dataset,
                      how="inner") \
         .rename_columns({"__key": "doc_id"}) \
         .select_columns(["doc_id", "text_sha", "score"])
+
+
+# ---------------------------------------------------------------------------
+# vocabulary novelty: words FIRST INTRODUCED by each document
+# ---------------------------------------------------------------------------
+#
+# The memorization/novelty audit a training-data pipeline runs before
+# ordering a curriculum: for every word in the corpus, its OWNER is the
+# lowest doc_id containing it; a document's novelty is how many words
+# it owns.  Same single-exchange shape as word_df_stats: pass 1 emits
+# one (word, min-doc) row per DISTINCT WORD PER BLOCK (never a (word,
+# doc) incidence stream), the one word-hash-bucket co-group resolves
+# the global min per word in-group, counts words per owner inside the
+# bucket (<= 64 partials per doc), and a tiny groupby(doc_id) reduces.
+# All integers -> hash-exact SQL mirror (NOVELTY_SQL).
+
+
+def vocab_novelty(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_new_words) for docs owning >= 1 word."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("word", pa.string()),
+                             ("mdoc", pa.int64()),
+                             ("hb", pa.int32())])
+    own_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_new", pa.int64())])
+
+    def _block_min_owner(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        wl = pc.split_pattern(col, " ")
+        flat = wl.flatten()
+        if len(flat) == 0:
+            return part_schema.empty_table()
+        parent = pc.list_parent_indices(wl).to_numpy(zero_copy_only=False)
+        wcode, wvals = pd.factorize(flat.to_pandas(), sort=True)
+        d = doc_ids[parent]
+        order = np.argsort(wcode, kind="stable")
+        wc_s, d_s = wcode[order], d[order]
+        starts = np.flatnonzero(np.r_[True, wc_s[1:] != wc_s[:-1]])
+        mdoc = np.minimum.reduceat(d_s, starts)
+        words = np.asarray(wvals, dtype=object)[wc_s[starts]]
+        hb = (pd.util.hash_array(words) % 64).astype(np.int32)
+        return pa.Table.from_pydict({
+            "word": pa.array(words.tolist(), pa.string()),
+            "mdoc": pa.array(mdoc, pa.int64()),
+            "hb": pa.array(hb, pa.int32())}).cast(part_schema)
+
+    def _owner_counts(group: pa.Table) -> pa.Table:
+        """One word bucket: global min doc per word, then words-per-
+        owner counts (sort + reduceat, no Python loop)."""
+        if group.num_rows == 0:
+            return own_schema.empty_table()
+        words = np.asarray(group.column("word").to_pylist(), dtype=object)
+        mdoc = group.column("mdoc").to_numpy(zero_copy_only=False)
+        order = np.argsort(words, kind="stable")
+        w_s, m_s = words[order], mdoc[order]
+        starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+        owner = np.minimum.reduceat(m_s, starts)
+        o_s = np.sort(owner)
+        ostarts = np.flatnonzero(np.r_[True, o_s[1:] != o_s[:-1]])
+        n_new = np.diff(np.r_[ostarts, len(o_s)])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(o_s[ostarts], pa.int64()),
+            "n_new": pa.array(n_new.astype(np.int64), pa.int64()),
+        }).cast(own_schema)
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_block_min_owner, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(_owner_counts, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Sum("n_new", alias_name="n_new_words"))
+
+
+NOVELTY_SQL = """
+WITH wd AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents),
+own AS (SELECT w, min(doc_id) AS doc_id FROM wd GROUP BY w)
+SELECT doc_id, count(*)::BIGINT AS n_new_words
+FROM own GROUP BY doc_id ORDER BY doc_id
+"""

@@ -17,9 +17,17 @@ import ray.data
 
 
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
-    if batch.schema.metadata is None:
+    schema = batch.schema
+    clean_fields = schema.metadata is None and all(
+        schema.field(i).metadata is None for i in range(len(schema)))
+    if clean_fields:
         return batch
-    return batch.replace_schema_metadata(None)
+    # field-level metadata survives replace_schema_metadata and still
+    # makes consecutive RefBundles compare unequal (the executor's
+    # mixed-schema warning) — rebuild the schema with bare fields
+    bare = pa.schema([schema.field(i).remove_metadata()
+                      for i in range(len(schema))])
+    return pa.Table.from_arrays(batch.columns, schema=bare)
 
 
 def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:

@@ -1,0 +1,152 @@
+"""TPC-H Q10/Q12/Q22 adaptations and the vocabulary-novelty audit:
+DuckDB pins at sf0.001 plus structural checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con(*tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_q10_matches_duckdb(ray_session):
+    from nerfray.ops.joins import Q10_SQL, q10_returned_revenue
+
+    got = q10_returned_revenue(SF).to_pandas().reset_index(drop=True)
+    con = _con("lineitem", "orders", "customer", "nation")
+    want = con.sql(Q10_SQL).df()
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 20
+    # ordered by lost revenue, custkey tiebreak
+    rv = got["revenue_units"].to_numpy()
+    assert (rv[:-1] >= rv[1:]).all()
+
+
+def test_q12_matches_duckdb(ray_session):
+    from nerfray.ops.joins import Q12_SQL, q12_priority_split
+
+    got = q12_priority_split(SF).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    con = _con("lineitem", "orders")
+    want = con.sql(Q12_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["l_returnflag"]) == {"A", "N", "R"}
+    assert int((got["high_count"] + got["low_count"]).sum()) > 0
+
+
+def test_q22_matches_duckdb(ray_session):
+    from nerfray.ops.joins import Q22_SQL, q22_idle_rich
+
+    got = q22_idle_rich(SF).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    con = _con("customer", "orders")
+    want = con.sql(Q22_SQL).df()
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0  # predicate is non-degenerate on the testdata
+
+
+def test_novelty_matches_duckdb(ray_session):
+    from nerfray.ops.text import NOVELTY_SQL, vocab_novelty
+
+    got = vocab_novelty(_docs()).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = _con("documents")
+    want = con.sql(NOVELTY_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
+    # every corpus word is owned exactly once: novelty sums to |vocab|
+    vocab = con.sql(
+        "SELECT count(DISTINCT w)::BIGINT v FROM (SELECT "
+        "unnest(string_split(text, ' ')) w FROM documents)").df()
+    assert int(got["n_new_words"].sum()) == int(vocab["v"].iloc[0])
+
+
+def _docs():
+    import ray.data
+    from nerfray.sources.parquet import read_parquet_clean
+    return read_parquet_clean(f"{SF}/documents.parquet")
+
+
+def test_novelty_first_doc_owns_everything(ray_session):
+    """Planted: doc 0 contains the union vocabulary, so it owns every
+    word and later docs own none."""
+    import ray.data
+    from nerfray.ops.text import vocab_novelty
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c d", "a b", "c d a"], pa.string())})
+    out = vocab_novelty(ray.data.from_arrow(docs)).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    assert out["n_new_words"].tolist() == [4]
+
+
+def test_detect_hot_keys_exact(ray_session):
+    """The rewritten bucket-co-group hot-key detector: exact counts,
+    order-free."""
+    import ray.data
+    from nerfray.ops.joins import detect_hot_keys
+
+    keys = np.r_[np.zeros(500, np.int64), np.full(300, 7, np.int64),
+                 np.arange(100, 200)]
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    hot = sorted(detect_hot_keys(ds, on="k", threshold=250))
+    assert hot == [0, 7]
+    assert detect_hot_keys(ds, on="k", threshold=600) == []
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 / Q15 / Q17 / Q19
+# ---------------------------------------------------------------------------
+
+
+def test_q13_matches_duckdb(ray_session):
+    from nerfray.ops.relational import Q13_SQL, q13_order_distribution
+
+    got = q13_order_distribution(SF).to_pandas() \
+        .sort_values("c_count").reset_index(drop=True)
+    con = _con("customer", "orders")
+    want = con.sql(Q13_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
+    # total customers conserved across the histogram
+    n_cust = con.sql("SELECT count(*) FROM customer").fetchone()[0]
+    assert int(got["n_cust"].sum()) == n_cust
+
+
+def test_q15_matches_duckdb(ray_session):
+    from nerfray.ops.relational import Q15_SQL, q15_top_supplier
+
+    got = q15_top_supplier(SF).to_pandas() \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    con = _con("lineitem")
+    want = con.sql(Q15_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) >= 1  # ties all survive
+
+
+def test_q17_matches_duckdb(ray_session):
+    from nerfray.ops.relational import Q17_SQL, q17_small_quantity
+
+    got = q17_small_quantity(SF).to_pandas()
+    con = _con("lineitem", "part")
+    want = con.sql(Q17_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_q19_matches_duckdb(ray_session):
+    from nerfray.ops.joins import Q19_SQL, q19_disjunctive_revenue
+
+    got = q19_disjunctive_revenue(SF).to_pandas()
+    con = _con("lineitem", "part")
+    want = con.sql(Q19_SQL).df()
+    pd.testing.assert_frame_equal(got, want)
