@@ -2057,3 +2057,133 @@ WHERE {" OR ".join(_q19_branch_sql(*b) for b in Q19_BRANCHES)}
 """
 
 ORACLES["join_q19_disjunctive"] = Q19_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: shipping volume between two nations by year
+# ---------------------------------------------------------------------------
+#
+# The two-role nation classic: the supplier side prunes the FACT rows
+# before the only big-big exchange (suppkey -> nationkey broadcast;
+# rows whose supplier is in neither nation never enter the join), the
+# orders hop is the one real exchange, and the customer role resolves
+# via a second broadcast with the cross-pair filter (supp != cust,
+# both in the pair).  Revenue in integer cent x percent units; group
+# key (supp_nation, cust_nation, year) has a tiny bounded domain.
+
+Q7_NATIONS = (1, 2)
+
+
+def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+    from ray.data.aggregate import Sum
+
+    n1, n2 = Q7_NATIONS
+    nation = read_small_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+
+    supp = read_small_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    order_ = np.argsort(sk)
+    supp_ref = ray.put((sk[order_], sn[order_]))
+
+    cust = read_small_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    cn = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    order_ = np.argsort(ck)
+    cust_ref = ray.put((ck[order_], cn[order_]))
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        ks, ns = ray.get(supp_ref)
+        lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, lsk)
+        pos[pos >= len(ks)] = 0
+        nat = np.where(ks[pos] == lsk, ns[pos], -1)
+        keep = (nat == n1) | (nat == n2)
+        batch = batch.filter(pa.array(keep))
+        nat = nat[keep]
+        sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        year = sd.astype("datetime64[Y]").astype(np.int64) + 1970
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "l_orderkey": batch.column("l_orderkey"),
+            "supp_nat": pa.array(nat, pa.int64()),
+            "year": pa.array(year, pa.int64()),
+            "rev": pa.array(price * (100 - disc), pa.int64())})
+
+    fact = li.map_batches(_fact, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    joined, _ = adaptive_join(
+        fact, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["supp_nat", "year", "rev"], right_cols=["o_custkey"])
+
+    def _pair(batch: pa.Table) -> pa.Table:
+        ks, ns = ray.get(cust_ref)
+        ock = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, ock)
+        pos[pos >= len(ks)] = 0
+        cnat = np.where(ks[pos] == ock, ns[pos], -1)
+        snat = batch.column("supp_nat").to_numpy(zero_copy_only=False)
+        keep = (((snat == n1) & (cnat == n2))
+                | ((snat == n2) & (cnat == n1)))
+        batch = batch.filter(pa.array(keep))
+        snat, cnat = snat[keep], cnat[keep]
+        return pa.Table.from_pydict({
+            "supp_nation": pa.array([n_name[int(v)] for v in snat],
+                                    pa.string()),
+            "cust_nation": pa.array([n_name[int(v)] for v in cnat],
+                                    pa.string()),
+            "year": batch.column("year"),
+            "rev": batch.column("rev")})
+
+    return joined.map_batches(_pair, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby(["supp_nation", "cust_nation", "year"]) \
+        .aggregate(Sum("rev", alias_name="revenue_units"))
+
+
+Q7_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS year,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+         AS revenue_units
+FROM lineitem
+JOIN supplier s ON s.s_suppkey = l_suppkey
+JOIN orders o ON o.o_orderkey = l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE (s.s_nationkey = {Q7_NATIONS[0]} AND c.c_nationkey = {Q7_NATIONS[1]})
+   OR (s.s_nationkey = {Q7_NATIONS[1]} AND c.c_nationkey = {Q7_NATIONS[0]})
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["join_q7_nation_volume"] = Q7_SQL

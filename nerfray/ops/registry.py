@@ -678,6 +678,13 @@ def q_lineitem_q17_small_qty(sf_dir: str):
     return relational.q17_small_quantity(sf_dir)
 
 
+def q_join_q7_nation_volume(sf_dir: str):
+    # TPC-H Q7: supplier-nation broadcast prunes the fact BEFORE the
+    # one big-big orders hop; customer role via a second broadcast
+    from . import joins
+    return joins.q7_nation_volume(sf_dir)
+
+
 def q_join_q19_disjunctive(sf_dir: str):
     # TPC-H Q19: OR-of-conjunctions via a broadcast (partkey ->
     # branch) lut + qty-envelope read prune; map-side only
@@ -796,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q15_top_supplier": q_join_q15_top_supplier,
         "lineitem_q17_small_qty": q_lineitem_q17_small_qty,
         "join_q19_disjunctive": q_join_q19_disjunctive,
+        "join_q7_nation_volume": q_join_q7_nation_volume,
         "docs_containment_drops": q_docs_containment_drops,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,

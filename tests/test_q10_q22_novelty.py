@@ -150,3 +150,23 @@ def test_q19_matches_duckdb(ray_session):
     con = _con("lineitem", "part")
     want = con.sql(Q19_SQL).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_q7_matches_duckdb(ray_session):
+    # sf0.01: the sf0.001 corpus has only 10 suppliers, none in the
+    # query's nation pair — the query would be degenerate there
+    from nerfray.ops.joins import Q7_SQL, q7_nation_volume
+
+    sf = "/root/testdata/sf0.01"
+    got = q7_nation_volume(sf).to_pandas() \
+        .sort_values(["supp_nation", "cust_nation", "year"]) \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "orders", "customer", "nation"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+    want = con.sql(Q7_SQL).df()
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want)
+    # both directions of the pair are present
+    assert got["supp_nation"].nunique() == 2
