@@ -911,8 +911,14 @@ _ED_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                         ("editdist", pa.int64())])
 
 
-def _levenshtein(a: str, b: str) -> int:
-    """Vectorized row-sweep Levenshtein (prefix-min insertion chain)."""
+def _levenshtein(a: str, b: str, k: int | None = None) -> int:
+    """Vectorized row-sweep Levenshtein (prefix-min insertion chain).
+
+    With ``k`` set, exits early once the row minimum exceeds k (the row
+    min is non-decreasing, so the final distance is already > k) and
+    returns k+1 as a sentinel — distances <= k stay exact.  Candidate
+    pairs that passed the weak counting filter but aren't real dups
+    bail after ~k rows instead of sweeping the full text."""
     ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
     cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
     if not len(ca):
@@ -925,6 +931,8 @@ def _levenshtein(a: str, b: str) -> int:
         sub = prev[:-1] + (cb != ca[i])
         d = np.r_[i + 1, np.minimum(sub, prev[1:] + 1)]
         prev = j + np.minimum.accumulate(d - j)
+        if k is not None and prev.min() > k:
+            return k + 1
     return int(prev[-1])
 
 
@@ -972,7 +980,7 @@ def _ed_band_pairs(group: pa.Table, *, k: int) -> pa.Table:
     iu, ju = iu[ok], ju[ok]
     out_a, out_b, out_d = [], [], []
     for x, y in zip(iu, ju):
-        ed = _levenshtein(texts[x], texts[y])
+        ed = _levenshtein(texts[x], texts[y], k)
         if ed <= k:
             out_a.append(int(ids[x]))
             out_b.append(int(ids[y]))
