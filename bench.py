@@ -137,7 +137,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "join_q22_idle_rich", "docs_novelty",
                  "docs_weighted_sample", "orders_q13_distribution",
                  "join_q15_top_supplier", "lineitem_q17_small_qty",
-                 "join_q19_disjunctive", "join_q7_nation_volume"):
+                 "join_q19_disjunctive", "join_q7_nation_volume",
+                 "docs_csv_roundtrip", "docs_jsonl_roundtrip"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

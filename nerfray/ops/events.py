@@ -606,9 +606,18 @@ def asof_last_order_split(sf_dir: str) -> ray.data.Dataset:
         .groupby("hb").map_groups(_asof_split_bucket,
                                   batch_format="pyarrow").materialize()
 
-    matched = a.filter(expr="kind == 'm'") \
-        .select_columns(["event_id", "val"]) \
-        .rename_columns({"val": "last_order"})
+    def _matched_rows(batch: pa.Table) -> pa.Table:
+        # filter + project + rename in ONE map: the fused
+        # Filter->Project pair passes empty bundles through
+        # unprojected (mixed-schema RefBundle warning at the union)
+        sel = batch.filter(pc.equal(batch.column("kind"),
+                                    pa.scalar("m")))
+        return pa.Table.from_pydict({
+            "event_id": sel.column("event_id"),
+            "last_order": sel.column("val")})
+
+    matched = a.map_batches(_matched_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     wq = a.filter(expr="kind == 'w' or kind == 'q'")
     carries = wq.map_batches(_ub, batch_format="pyarrow") \

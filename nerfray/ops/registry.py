@@ -692,6 +692,58 @@ def q_join_q19_disjunctive(sf_dir: str):
     return joins.q19_disjunctive_revenue(sf_dir)
 
 
+def _roundtrip_rollup(ds) -> "ray.data.Dataset":
+    """(source, n_docs, sum_chars, sum_text_len): exact integers that
+    would expose any quoting/escaping infidelity in the read path —
+    sum_text_len recomputes length from the decoded text itself."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        tl = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        one = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.Table.from_pydict({
+            "source": batch.column("source"),
+            "n_docs": one,
+            "sum_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            "sum_text_len": tl})
+
+    return ds.map_batches(_prep, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("source") \
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"),
+                   Sum("sum_text_len", alias_name="sum_text_len"))
+
+
+def q_docs_csv_roundtrip(sf_dir: str):
+    # source-format breadth: documents exported once to CSV, read back
+    # through the distributed CSV reader; the parquet-view oracle
+    # catches any quoting/escaping infidelity (sum_text_len recomputes
+    # length from the decoded text)
+    from nerfray.sources.parquet import export_table_once, read_csv_clean
+    path = export_table_once(sf_dir, "documents", "csv")
+    return _roundtrip_rollup(read_csv_clean(path))
+
+
+def q_docs_jsonl_roundtrip(sf_dir: str):
+    # same rollup through the JSONL reader (unicode \uXXXX escapes
+    # decode back to identical text)
+    from nerfray.sources.parquet import (export_table_once,
+                                         read_json_clean)
+    path = export_table_once(sf_dir, "documents", "jsonl")
+    return _roundtrip_rollup(read_json_clean(path))
+
+
+ROUNDTRIP_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(length(text))::BIGINT AS sum_text_len
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_docs_novelty(sf_dir: str):
     # vocabulary-novelty audit: words first introduced per doc; one
     # word-bucket co-group (block partials are (word, min-doc) rows)
@@ -804,6 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q17_small_qty": q_lineitem_q17_small_qty,
         "join_q19_disjunctive": q_join_q19_disjunctive,
         "join_q7_nation_volume": q_join_q7_nation_volume,
+        "docs_csv_roundtrip": q_docs_csv_roundtrip,
+        "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "docs_containment_drops": q_docs_containment_drops,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
@@ -1220,6 +1274,8 @@ def oracles() -> dict[str, str]:
         "docs_hash_sample": _sampling_sql("HASH_SAMPLE_SQL"),
         "docs_weighted_sample": _sampling_sql("WEIGHTED_SAMPLE_SQL"),
         "docs_novelty": _text_sql("NOVELTY_SQL"),
+        "docs_csv_roundtrip": ROUNDTRIP_SQL,
+        "docs_jsonl_roundtrip": ROUNDTRIP_SQL,
         # emb_semdedup (real float embeddings): rows-only by design
         "emb_semdedup_planted": _cluster_sql("SEMDEDUP_PLANTED_SQL"),
         "docs_containment_drops":

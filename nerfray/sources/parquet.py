@@ -31,7 +31,23 @@ def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
 
 
 def read_parquet_clean(path, **kwargs) -> ray.data.Dataset:
-    """``ray.data.read_parquet`` + schema-metadata strip (zero-copy)."""
+    """``ray.data.read_parquet`` + schema-metadata strip (zero-copy).
+
+    The strip happens TWICE by design: an explicit bare ``schema=`` on
+    the read itself (so the read operator's own output blocks are
+    already metadata-free — otherwise every shuffle-reduce task logs
+    ``Failed to hash the schemas`` trying to ``set()`` an unhashable
+    pandas-metadata schema) plus the map for readers that re-attach
+    fragment metadata."""
+    if "schema" not in kwargs and isinstance(path, str):
+        try:
+            import pyarrow.parquet as pq
+            s = pq.read_schema(path)
+            names = kwargs.get("columns") or s.names
+            kwargs["schema"] = pa.schema(
+                [s.field(n).remove_metadata() for n in names])
+        except Exception:
+            pass  # directories / remote paths: fall back to the map
     return ray.data.read_parquet(path, **kwargs).map_batches(
         _strip_schema_metadata, batch_format="pyarrow",
         zero_copy_batch=True)
@@ -103,3 +119,45 @@ def read_parquet_evolved(paths, *, target_schema: pa.Schema,
         .map_batches(_strip_schema_metadata, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .map_batches(_fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-format round-trips: the same table via CSV / JSONL readers
+# ---------------------------------------------------------------------------
+#
+# Source-format breadth evidence: a table is exported ONCE per session
+# to /tmp (driver-side pyarrow write of the small gate corpus; at real
+# scale the export would itself be a Dataset.write_csv/write_json), and
+# the query path reads it back through the distributed CSV/JSONL
+# readers — so the oracle (plain SQL over the parquet view) checks the
+# byte-level fidelity of quoting/escaping through the whole read path.
+
+_EXPORT_CACHE: dict = {}
+
+
+def export_table_once(sf_dir: str, table: str, fmt: str) -> str:
+    import os
+
+    key = (sf_dir, table, fmt)
+    path = _EXPORT_CACHE.get(key)
+    if path is not None and os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    out_dir = os.path.join("/tmp/nerfray_exports",
+                           os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{table}.{fmt}")
+    tmp = path + ".tmp"
+    if fmt == "csv":
+        import pyarrow.csv as pacsv
+        pacsv.write_csv(t, tmp)
+    elif fmt == "jsonl":
+        # pyarrow has no JSON writer: pandas emits JSONL with exact
+        # int64 / escaped-string fidelity for this schema
+        t.to_pandas().to_json(tmp, orient="records", lines=True)
+    else:
+        raise ValueError(fmt)
+    os.replace(tmp, path)
+    _EXPORT_CACHE[key] = path
+    return path

@@ -170,3 +170,31 @@ def test_q7_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # both directions of the pair are present
     assert got["supp_nation"].nunique() == 2
+
+
+def test_csv_jsonl_roundtrip_pathological(ray_session, tmp_path):
+    """Quotes, commas, newlines, unicode, empty strings survive both
+    distributed read paths byte-exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+    from nerfray.sources import parquet as psrc
+
+    texts = ['a,b,"c"', "line1\nline2", "emoji é中\U0001F600",
+             "", "   ", 'tab\tsep', "back\\slash"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["xx"] * len(texts), pa.string()),
+        "source": pa.array(["s0", "s1"] * 3 + ["s0"], pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    sf = str(tmp_path)
+    pq.write_table(t, os.path.join(sf, "documents.parquet"))
+
+    for fmt, reader in (("csv", psrc.read_csv_clean),
+                        ("jsonl", psrc.read_json_clean)):
+        path = psrc.export_table_once(sf, "documents", fmt)
+        got = reader(path).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        assert got["text"].tolist() == texts, fmt
+        assert got["n_chars"].tolist() == [len(x) for x in texts], fmt
