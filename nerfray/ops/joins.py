@@ -2016,10 +2016,12 @@ def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
         lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
         qty = np.round(batch.column("l_quantity")
                        .to_numpy(zero_copy_only=False)).astype(np.int64)
-        pos = np.searchsorted(ks, lpk)
-        pos[pos >= len(ks)] = 0
-        hit = (len(ks) > 0) & (ks[pos] == lpk)
-        b = np.where(hit, bids[pos], -1)
+        if len(ks) == 0:
+            b = np.full(len(lpk), -1, np.int64)
+        else:
+            pos = np.searchsorted(ks, lpk)
+            pos[pos >= len(ks)] = 0
+            b = np.where(ks[pos] == lpk, bids[pos], -1)
         ok = (b >= 0) & (qty >= qbands[b, 0]) & (qty <= qbands[b, 1])
         price = np.round(batch.column("l_extendedprice")
                          .to_numpy(zero_copy_only=False) * 100) \

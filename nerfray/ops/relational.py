@@ -690,9 +690,12 @@ def q17_small_quantity(sf_dir: str) -> pa.Table:
     def _brand_only(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ks, pk)
-        pos[pos >= len(ks)] = 0
-        keep = (len(ks) > 0) & (ks[pos] == pk)
+        if len(ks) == 0:
+            keep = np.zeros(len(pk), bool)
+        else:
+            pos = np.searchsorted(ks, pk)
+            pos[pos >= len(ks)] = 0
+            keep = ks[pos] == pk
         batch = batch.filter(pa.array(keep))
         qty = np.round(batch.column("l_quantity")
                        .to_numpy(zero_copy_only=False)).astype(np.int64)
