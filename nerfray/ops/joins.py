@@ -2189,3 +2189,329 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 ORACLES["join_q7_nation_volume"] = Q7_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 — national market share.  The reference engine has no
+# relational surface (SURVEY.md §2.5 gap); this is part of the repo's
+# beyond-reference join family.  Shape: the part filter broadcasts a
+# sorted key array (ray.put once, searchsorted membership per batch —
+# the q17/q19 pattern), customer→region and supplier→nation are
+# broadcast dimension lookups, and the single big-big exchange is the
+# fact→orders adaptive join.  Output is exact integer volume units
+# (numerator and denominator separately) so the DuckDB oracle hashes
+# bit-identically — the float share is a trivial driver-side divide.
+# ---------------------------------------------------------------------------
+
+Q8_REGION = 2          # ASIA
+Q8_NATION = 2          # NATION_2 (inside ASIA)
+Q8_TYPE = "MEDIUM"
+Q8_YEARS = (1995, 1996)
+
+
+def q8_market_share(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+    from ray.data.aggregate import Sum
+
+    part = read_small_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"])
+    pkeys = np.sort(part.filter(
+        pc.equal(part.column("p_type"), pa.scalar(Q8_TYPE)))
+        .column("p_partkey").to_numpy())
+    pkeys_ref = ray.put(pkeys)
+
+    supp = read_small_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    order_ = np.argsort(sk)
+    supp_ref = ray.put((sk[order_], sn[order_]))
+
+    nation = read_small_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"])
+    region_nations = set(
+        nation.filter(pc.equal(nation.column("n_regionkey"),
+                               pa.scalar(Q8_REGION)))
+        .column("n_nationkey").to_pylist())
+    cust = read_small_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    in_region = pa.array(
+        [int(v) in region_nations
+         for v in cust.column("c_nationkey").to_pylist()])
+    ckeys = np.sort(cust.filter(in_region)
+                    .column("c_custkey").to_numpy())
+    ckeys_ref = ray.put(ckeys)
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        ks = ray.get(pkeys_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            keep = np.zeros(len(pk), bool)
+        else:
+            pos = np.searchsorted(ks, pk)
+            pos[pos >= len(ks)] = 0
+            keep = ks[pos] == pk
+        batch = batch.filter(pa.array(keep))
+        sks, sns = ray.get(supp_ref)
+        lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(sks) == 0:
+            snat = np.full(len(lsk), -1, np.int64)
+        else:
+            pos = np.searchsorted(sks, lsk)
+            pos[pos >= len(sks)] = 0
+            snat = np.where(sks[pos] == lsk, sns[pos], -1)
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        vol = price * (100 - disc)
+        return pa.Table.from_pydict({
+            "l_orderkey": batch.column("l_orderkey"),
+            "nation_vol": pa.array(
+                np.where(snat == Q8_NATION, vol, 0), pa.int64()),
+            "vol": pa.array(vol, pa.int64())})
+
+    fact = li.map_batches(_fact, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    import pyarrow.dataset as pads
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderdate")
+             >= pa.scalar(np.datetime64(f"{Q8_YEARS[0]}-01-01", "us")))
+            & (pads.field("o_orderdate")
+               < pa.scalar(np.datetime64(f"{Q8_YEARS[1] + 1}-01-01",
+                                         "us")))))
+    joined, _ = adaptive_join(
+        fact, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["nation_vol", "vol"],
+        right_cols=["o_custkey", "o_orderdate"])
+
+    def _by_year(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ckeys_ref)
+        ock = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            keep = np.zeros(len(ock), bool)
+        else:
+            pos = np.searchsorted(ks, ock)
+            pos[pos >= len(ks)] = 0
+            keep = ks[pos] == ock
+        batch = batch.filter(pa.array(keep))
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.Table.from_pydict({
+            "year": pa.array(year, pa.int64()),
+            "nation_vol": batch.column("nation_vol"),
+            "vol": batch.column("vol")})
+
+    return joined.map_batches(_by_year, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("year") \
+        .aggregate(Sum("nation_vol", alias_name="nation_vol_units"),
+                   Sum("vol", alias_name="total_vol_units"))
+
+
+Q8_SQL = f"""
+SELECT year(o_orderdate)::BIGINT AS year,
+       sum(CASE WHEN s.s_nationkey = {Q8_NATION}
+                THEN round(l_extendedprice * 100)::BIGINT
+                     * (100 - round(l_discount * 100)::BIGINT)
+                ELSE 0 END)::BIGINT AS nation_vol_units,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+         AS total_vol_units
+FROM lineitem
+JOIN part p ON p.p_partkey = l_partkey AND p.p_type = '{Q8_TYPE}'
+JOIN supplier s ON s.s_suppkey = l_suppkey
+JOIN orders o ON o.o_orderkey = l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+                 AND n.n_regionkey = {Q8_REGION}
+WHERE o.o_orderdate >= DATE '{Q8_YEARS[0]}-01-01'
+  AND o.o_orderdate < DATE '{Q8_YEARS[1] + 1}-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["join_q8_market_share"] = Q8_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 — suppliers who kept orders waiting (adapted).  The classic
+# predicate is l_receiptdate > l_commitdate; this corpus's lineitem has
+# neither column (TESTDATA.md schema), so the "failed the order" marker
+# is adapted to l_returnflag = 'R' with identical join structure: for
+# finished ('F') orders with at least two distinct suppliers, count per
+# supplier the orders where THAT supplier had a returned lineitem and
+# no other supplier did (the exists / not-exists pair of correlated
+# subqueries in the original).  Shape: the F-order keys and the
+# per-(order, supplier) return partials flow through ONE 64-way
+# orderkey-hash co-group (block-local combine first, marker rows carry
+# the F-order side), so nothing order-proportional reaches the driver;
+# the supplier name attach is a broadcast dimension lookup.
+# ---------------------------------------------------------------------------
+
+
+def q21_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import numpy as np
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+    from ray.data.aggregate import Sum
+
+    _PAIR_SCHEMA = pa.schema([("okey", pa.int64()),
+                              ("skey", pa.int64()),
+                              ("ret", pa.int64()),
+                              ("hb", pa.int32())])
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        ret = pc.cast(pc.equal(batch.column("l_returnflag"),
+                               pa.scalar("R")), pa.int64())
+        part = pa.Table.from_pydict({
+            "okey": batch.column("l_orderkey"),
+            "skey": batch.column("l_suppkey"),
+            "ret": ret})
+        part = part.group_by(["okey", "skey"]).aggregate(
+            [("ret", "max")]).rename_columns(["okey", "skey", "ret"])
+        hb = pa.array((part.column("okey")
+                       .to_numpy(zero_copy_only=False) & 63)
+                      .astype(np.int32), pa.int32())
+        return part.append_column("hb", hb).cast(_PAIR_SCHEMA)
+
+    import pyarrow.dataset as pads
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=pads.field("o_orderstatus") == "F")
+
+    def _f_marker(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("o_orderstatus"),
+                                      pa.scalar("F")))
+        if batch.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = len(ok)
+        return pa.Table.from_pydict({
+            "okey": pa.array(ok, pa.int64()),
+            "skey": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "ret": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "hb": pa.array((ok & 63).astype(np.int32), pa.int32())})
+
+    pairs = li.map_batches(_pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    markers = orders.map_batches(_f_marker, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("skey", pa.int64()),
+                                ("n", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        is_marker = pc.equal(group.column("ret"),
+                             pa.scalar(-1, pa.int64()))
+        f_keys = np.unique(group.filter(is_marker).column("okey")
+                           .to_numpy(zero_copy_only=False))
+        pair = group.filter(pc.invert(is_marker)) \
+            .select(["okey", "skey", "ret"]) \
+            .group_by(["okey", "skey"]).aggregate([("ret", "max")]) \
+            .rename_columns(["okey", "skey", "ret"])
+        ok = pair.column("okey").to_numpy(zero_copy_only=False)
+        if len(f_keys) == 0 or pair.num_rows == 0:
+            return out_schema.empty_table()
+        pos = np.searchsorted(f_keys, ok)
+        pos[pos >= len(f_keys)] = 0
+        pair = pair.filter(pa.array(f_keys[pos] == ok))
+        if pair.num_rows == 0:
+            return out_schema.empty_table()
+        # per-order supplier / returner counts via one sorted sweep
+        pair = pair.sort_by("okey")
+        ok = pair.column("okey").to_numpy(zero_copy_only=False)
+        ret = pair.column("ret").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        n_supp = np.diff(np.r_[starts, len(ok)])
+        n_ret = np.add.reduceat(ret, starts)
+        gid = np.cumsum(np.r_[0, (ok[1:] != ok[:-1]).astype(np.int64)])
+        keep = ((ret == 1) & (n_supp[gid] >= 2) & (n_ret[gid] == 1))
+        sk = pair.column("skey").to_numpy(zero_copy_only=False)[keep]
+        return pa.Table.from_pydict({
+            "skey": pa.array(sk, pa.int64()),
+            "n": pa.array(np.ones(len(sk), np.int64), pa.int64())})
+
+    waits = pairs.union(markers).groupby("hb") \
+        .map_groups(_bucket, batch_format="pyarrow") \
+        .groupby("skey").aggregate(Sum("n", alias_name="numwait"))
+
+    supp = read_small_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy()
+    names = supp.column("s_name").to_pylist()
+    order_ = np.argsort(sk)
+    name_ref = ray.put((sk[order_], [names[i] for i in order_]))
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("s_name", pa.string()),
+                                ("numwait", pa.int64())])
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        ks, nm = ray.get(name_ref)
+        sk_ = batch.column("skey").to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            return out_schema.empty_table()
+        pos = np.searchsorted(ks, sk_)
+        pos[pos >= len(ks)] = 0
+        ok_ = ks[pos] == sk_
+        batch = batch.filter(pa.array(ok_))
+        return pa.Table.from_pydict({
+            "s_name": pa.array([nm[int(i)] for i in pos[ok_]],
+                               pa.string()),
+            "numwait": batch.column("numwait")}).cast(out_schema)
+
+    return waits.map_batches(_attach, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+Q21_SQL = """
+WITH pair AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+  GROUP BY 1, 2),
+ostat AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret
+  FROM pair GROUP BY 1)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM pair p
+JOIN ostat o ON o.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.ret = 1 AND o.n_supp >= 2 AND o.n_ret = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["join_q21_waiting"] = Q21_SQL

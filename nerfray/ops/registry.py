@@ -685,6 +685,20 @@ def q_join_q7_nation_volume(sf_dir: str):
     return joins.q7_nation_volume(sf_dir)
 
 
+def q_join_q8_market_share(sf_dir: str):
+    # TPC-H Q8: part-type + region-customer broadcasts prune the fact;
+    # one big-big orders hop; exact integer numerator/denominator
+    from . import joins
+    return joins.q8_market_share(sf_dir)
+
+
+def q_join_q21_waiting(sf_dir: str):
+    # TPC-H Q21 (returnflag-adapted): exists/not-exists over the
+    # order's supplier set in ONE orderkey-hash co-group
+    from . import joins
+    return joins.q21_waiting_suppliers(sf_dir)
+
+
 def q_join_q19_disjunctive(sf_dir: str):
     # TPC-H Q19: OR-of-conjunctions via a broadcast (partkey ->
     # branch) lut + qty-envelope read prune; map-side only
@@ -856,6 +870,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q17_small_qty": q_lineitem_q17_small_qty,
         "join_q19_disjunctive": q_join_q19_disjunctive,
         "join_q7_nation_volume": q_join_q7_nation_volume,
+        "join_q8_market_share": q_join_q8_market_share,
+        "join_q21_waiting": q_join_q21_waiting,
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "docs_containment_drops": q_docs_containment_drops,
