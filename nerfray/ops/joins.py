@@ -70,11 +70,92 @@ def _bucket_join(group: pa.Table, *, left_names: list[str],
         .cast(out_schema)
 
 
+def _f(schema, name):
+    return schema.base_schema.field(name) \
+        if hasattr(schema, "base_schema") else schema.field(name)
+
+
+# Repo-wide stable column types: the testdata parquet schemas (pinned by
+# tests/test_joins.py::test_common_field_types_match_parquet) plus the
+# two canonical documents-derived names.  Only names whose type is
+# globally consistent across every pipeline belong here — a column that
+# is ever re-typed under the same name must NOT be listed (the caller
+# declares it per-site instead).
+COMMON_FIELD_TYPES: dict = {
+    "o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+    "o_orderstatus": pa.string(), "o_totalprice": pa.float64(),
+    "o_orderdate": pa.timestamp("us"), "o_orderpriority": pa.string(),
+    "l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+    "l_suppkey": pa.int64(), "l_linenumber": pa.int32(),
+    "l_quantity": pa.float64(), "l_extendedprice": pa.float64(),
+    "l_discount": pa.float64(), "l_tax": pa.float64(),
+    "l_returnflag": pa.string(), "l_linestatus": pa.string(),
+    "l_shipdate": pa.timestamp("us"),
+    "c_custkey": pa.int64(), "c_name": pa.string(),
+    "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
+    "c_mktsegment": pa.string(),
+    "s_suppkey": pa.int64(), "s_name": pa.string(),
+    "s_nationkey": pa.int32(), "s_acctbal": pa.float64(),
+    "p_partkey": pa.int64(), "p_name": pa.string(),
+    "p_brand": pa.string(), "p_type": pa.string(), "p_size": pa.int32(),
+    "n_nationkey": pa.int32(), "n_name": pa.string(),
+    "n_regionkey": pa.int32(),
+    "r_regionkey": pa.int32(), "r_name": pa.string(),
+    "doc_id": pa.int64(), "text_sha": pa.string(),
+}
+
+
+def _resolve_types(ds: ray.data.Dataset, names: list[str],
+                   field_types: dict | None) -> dict:
+    """Column name -> pyarrow type for ``names``, WITHOUT triggering a
+    peek execution when avoidable.
+
+    ``Dataset.schema()`` on an un-executed map_batches plan runs a
+    limit-1 peek whose task CANCELLATION can race Ray core into a
+    fatal ``task_manager.cc:930 Check failed`` (observed killing a
+    full solo gate run mid-catalog, 2026-08-19 — the process aborts,
+    so no user-level retry exists).  Resolution order per column:
+    caller-declared ``field_types``, then the statically-known plan
+    schema (``fetch_if_missing=False`` — free, exact, available on
+    materialized / from_arrow datasets), then COMMON_FIELD_TYPES, then
+    ONE peek for whatever remains (back-compat for external callers)."""
+    out = {}
+    missing = [n for n in names if not (field_types and n in field_types)]
+    for n in names:
+        if n not in missing:
+            out[n] = field_types[n]
+    if missing:
+        sch = None
+        try:
+            sch = ds.schema(fetch_if_missing=False)
+        except Exception:
+            sch = None
+        if sch is not None:
+            try:
+                for n in missing:
+                    out[n] = _f(sch, n).type
+                missing = []
+            except KeyError:
+                pass
+    if missing:
+        still = [n for n in missing if n not in COMMON_FIELD_TYPES]
+        for n in missing:
+            if n in COMMON_FIELD_TYPES:
+                out[n] = COMMON_FIELD_TYPES[n]
+        missing = still
+    if missing:
+        sch = ds.schema()
+        for n in missing:
+            out[n] = _f(sch, n).type
+    return out
+
+
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               left_on: str, right_on: str,
               left_cols: list[str], right_cols: list[str],
               how: str = "inner",
-              n_buckets: int = N_JOIN_BUCKETS) -> ray.data.Dataset:
+              n_buckets: int = N_JOIN_BUCKETS,
+              field_types: dict | None = None) -> ray.data.Dataset:
     """Join two large Datasets on an integer or string key; returns a
     Dataset with ``__key`` (the join key) + ``left_cols`` +
     ``right_cols``.
@@ -89,21 +170,21 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     Payload column names must be disjoint across sides (TPC-H-style
     prefixes); join keys must be non-null (SQL NULL never equals
     anything — drop null-key rows before joining).
+
+    ``field_types`` (column name -> pyarrow type, covering the keys and
+    payload columns) lets the caller skip the two schema-peek
+    executions — see ``_resolve_types`` for why that matters.
     """
     if how in ("left semi", "left anti"):
         right_cols = []  # Acero semi/anti joins emit no right columns
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload columns must be disjoint: {overlap}")
-    l_schema = left.schema()
-    r_schema = right.schema()
+    lt = _resolve_types(left, [left_on] + left_cols, field_types)
+    rt = _resolve_types(right, [right_on] + right_cols, field_types)
 
-    def _f(schema, name):
-        return schema.base_schema.field(name) \
-            if hasattr(schema, "base_schema") else schema.field(name)
-
-    key_type = _f(l_schema, left_on).type
-    r_key_type = _f(r_schema, right_on).type
+    key_type = lt[left_on]
+    r_key_type = rt[right_on]
     both_int = (pa.types.is_integer(key_type)
                 and pa.types.is_integer(r_key_type))
     if not both_int and key_type != r_key_type:
@@ -114,8 +195,8 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         key_type = pa.int64()
     fields = [pa.field("__key", key_type), pa.field("__hb", pa.int32()),
               pa.field("__side", pa.int8())]
-    fields += [pa.field(c, _f(l_schema, c).type) for c in left_cols]
-    fields += [pa.field(c, _f(r_schema, c).type) for c in right_cols]
+    fields += [pa.field(c, lt[c]) for c in left_cols]
+    fields += [pa.field(c, rt[c]) for c in right_cols]
     union_schema = pa.schema(fields)
     out_schema = pa.schema(
         [pa.field("__key", key_type)]
@@ -154,15 +235,16 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
 
 def detect_hot_keys(ds: ray.data.Dataset, *, on: str,
-                    threshold: int) -> list:
+                    threshold: int,
+                    key_type: pa.DataType | None = None) -> list:
     """Exact global counts per key (per-block combiner first), keys with
     count > threshold.  The result is driver-bounded by construction:
-    at most total_rows / threshold keys can exceed the threshold."""
+    at most total_rows / threshold keys can exceed the threshold.
+    ``key_type`` skips the schema-peek execution (see _resolve_types)."""
     import pyarrow.compute as pc
 
-    key_type = ds.schema().base_schema.field(on).type \
-        if hasattr(ds.schema(), "base_schema") \
-        else ds.schema().field(on).type
+    if key_type is None:
+        key_type = _resolve_types(ds, [on], None)[on]
     part_schema = pa.schema([(on, key_type), ("c", pa.int64()),
                              ("hb", pa.int32())])
     out_schema = pa.schema([(on, key_type), ("csum", pa.int64())])
@@ -271,7 +353,8 @@ def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                      left_cols: list[str], right_cols: list[str],
                      how: str = "inner", hot_threshold: int = 1_000_000,
                      n_salts: int = 8,
-                     n_buckets: int = N_JOIN_BUCKETS) -> ray.data.Dataset:
+                     n_buckets: int = N_JOIN_BUCKETS,
+                     field_types: dict | None = None) -> ray.data.Dataset:
     """hash_join with hot-key salting; ``left`` is the fact side whose
     key histogram is measured (one extra pass over the pruned key
     column).  Same output columns and multiset as hash_join.  "full
@@ -286,16 +369,13 @@ def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload columns must be disjoint: {overlap}")
-    hot = detect_hot_keys(left, on=left_on, threshold=hot_threshold)
+    lt = _resolve_types(left, [left_on] + left_cols, field_types)
+    rt = _resolve_types(right, [right_on] + right_cols, field_types)
+    hot = detect_hot_keys(left, on=left_on, threshold=hot_threshold,
+                          key_type=lt[left_on])
 
-    l_schema, r_schema = left.schema(), right.schema()
-
-    def _f(schema, name):
-        return schema.base_schema.field(name) \
-            if hasattr(schema, "base_schema") else schema.field(name)
-
-    key_type = _f(l_schema, left_on).type
-    r_key_type = _f(r_schema, right_on).type
+    key_type = lt[left_on]
+    r_key_type = rt[right_on]
     both_int = (pa.types.is_integer(key_type)
                 and pa.types.is_integer(r_key_type))
     if not both_int and key_type != r_key_type:
@@ -307,8 +387,8 @@ def salted_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     hot_set = pa.array(hot, key_type)
     fields = [pa.field("__key", key_type), pa.field("__hb", pa.int32()),
               pa.field("__salt", pa.int32()), pa.field("__side", pa.int8())]
-    fields += [pa.field(c, _f(l_schema, c).type) for c in left_cols]
-    fields += [pa.field(c, _f(r_schema, c).type) for c in right_cols]
+    fields += [pa.field(c, lt[c]) for c in left_cols]
+    fields += [pa.field(c, rt[c]) for c in right_cols]
     union_schema = pa.schema(fields)
     out_schema = pa.schema(
         [pa.field("__key", key_type)]
@@ -437,7 +517,10 @@ def skew_salted_rollup(sf_dir: str) -> ray.data.Dataset:
     dim = ray.data.range(1000).map_batches(_dim, batch_format="pyarrow")
     joined = salted_hash_join(fact, dim, left_on="k", right_on="k",
                               left_cols=["qty"], right_cols=["payload"],
-                              hot_threshold=2000)
+                              hot_threshold=2000,
+                              field_types={"k": pa.int64(),
+                                           "qty": pa.int64(),
+                                           "payload": pa.int64()})
     return joined.groupby("__key").aggregate(
         ray.data.aggregate.Count(alias_name="n_rows"),
         ray.data.aggregate.Sum("qty", alias_name="sum_qty"),
@@ -720,7 +803,8 @@ def q3_shipping_topk(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     joined = hash_join(
         rev, building_orders, left_on="l_orderkey", right_on="o_orderkey",
         left_cols=["rev"],
-        right_cols=["o_orderdate", "o_orderpriority"], how="inner")
+        right_cols=["o_orderdate", "o_orderpriority"], how="inner",
+        field_types={"rev": pa.int64()})
     return joined.groupby(["__key", "o_orderdate", "o_orderpriority"]) \
         .sum("rev") \
         .rename_columns({"__key": "l_orderkey", "sum(rev)": "revenue_e4"}) \
@@ -1066,7 +1150,8 @@ def q5_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     joined = hash_join(
         li_parts, orders_cust, left_on="l_orderkey",
         right_on="o_orderkey", left_cols=["s_nat", "rev"],
-        right_cols=["c_nationkey"], how="inner")
+        right_cols=["c_nationkey"], how="inner",
+        field_types={"s_nat": pa.int64(), "rev": pa.int64()})
 
     def _local(batch: pa.Table) -> pa.Table:
         # local-supplier filter + map-side combine to nation grain:
@@ -1438,7 +1523,8 @@ BROADCAST_THRESHOLD_ROWS = 100_000  # ~10 MB of narrow rows
 def adaptive_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                   left_on: str, right_on: str,
                   left_cols: list[str], right_cols: list[str],
-                  threshold: int = BROADCAST_THRESHOLD_ROWS
+                  threshold: int = BROADCAST_THRESHOLD_ROWS,
+                  field_types: dict | None = None
                   ) -> tuple[ray.data.Dataset, str]:
     """Inner join; returns (result, strategy) where strategy is
     'broadcast' or 'shuffle' — tests pin the pick, queries ignore it."""
@@ -1448,7 +1534,8 @@ def adaptive_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     if n_right > threshold:
         return hash_join(left, right, left_on=left_on,
                          right_on=right_on, left_cols=left_cols,
-                         right_cols=right_cols, how="inner"), "shuffle"
+                         right_cols=right_cols, how="inner",
+                         field_types=field_types), "shuffle"
 
     # drop zero-row blocks before concat: Ray's sort-based stages emit
     # schema-LESS empty blocks (the RefBundle warning), which would make
@@ -1928,7 +2015,7 @@ def q22_idle_rich(sf_dir: str) -> ray.data.Dataset:
                                  zero_copy_batch=True),
         left_on="c_custkey", right_on="o_custkey",
         left_cols=["c_nationkey", "bal_c"], right_cols=[],
-        how="left anti")
+        how="left anti", field_types={"bal_c": pa.int64()})
 
     from ray.data.aggregate import Count
     return idle.groupby("c_nationkey").aggregate(

@@ -582,3 +582,25 @@ def test_adaptive_join_strategies_agree(ray_session):
                     for r in res_s.take_all())
     assert rows_b == rows_s == [(1, 10, 100), (2, 20, 200),
                                 (2, 21, 200)]
+
+
+def test_common_field_types_match_parquet():
+    """COMMON_FIELD_TYPES (the schema-peek-free type registry used by
+    hash_join callers) must agree with the actual testdata parquet
+    footers for every column it lists — a wrong entry would make the
+    join cast silently."""
+    import pyarrow.parquet as pq
+
+    actual = {}
+    for t in ("orders", "lineitem", "customer", "supplier", "part",
+              "nation", "region", "documents"):
+        sch = pq.read_schema(f"{SF}/{t}.parquet")
+        for f in sch:
+            actual[f.name] = f.type
+    for name, typ in joins.COMMON_FIELD_TYPES.items():
+        if name in actual:
+            assert actual[name] == typ, (name, actual[name], typ)
+    # documents-derived names not in any footer are int64/string by
+    # construction (doc_id from row enumeration, text_sha hex digest)
+    assert joins.COMMON_FIELD_TYPES["doc_id"] == pa.int64()
+    assert joins.COMMON_FIELD_TYPES["text_sha"] == pa.string()

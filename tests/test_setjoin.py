@@ -136,3 +136,60 @@ def test_editdist_pairs_vs_brute_force(ray_session):
     assert got == want
     assert (len(texts) - 2, len(texts) - 1) in got  # straddlers found
     assert len(want) >= 26
+
+
+def test_editdist_pairs_shard_invariant(ray_session):
+    """n_shards only splits a band's quadratic work across co-groups;
+    the pair set and distances must be identical for any shard count."""
+    import ray.data
+    from nerfray.ops import dedup
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdef ")
+    texts = []
+    for i in range(30):
+        base = "".join(rng.choice(alphabet, 50))
+        texts.append(base)
+        mut = list(base)
+        mut[3] = "z"; del mut[20]
+        texts.append("".join(mut))
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(5)
+    base = {(r["doc_a"], r["doc_b"]): r["editdist"]
+            for r in dedup.editdist_pairs(ds, k=6, n_shards=1).take_all()}
+    assert base  # planted mutations must surface
+    for n in (2, 4, 7):
+        got = {(r["doc_a"], r["doc_b"]): r["editdist"]
+               for r in dedup.editdist_pairs(ds, k=6,
+                                             n_shards=n).take_all()}
+        assert got == base, n
+
+
+def test_batched_levenshtein_matches_reference():
+    """The pair-axis-vectorized DP must agree with the single-pair
+    row sweep: exact distances <= k, anything above clamped/filtered
+    identically — including empties, unicode, and band-straddling
+    lengths."""
+    from nerfray.ops import dedup
+
+    rng = np.random.default_rng(99)
+    alphabet = list("abσδc €xy")
+    texts = [""]
+    for n in rng.integers(1, 150, 50):
+        texts.append("".join(rng.choice(alphabet, int(n))))
+    for i in range(1, 30, 3):  # planted near-dups
+        mut = list(texts[i])
+        if len(mut) > 2:
+            mut[1] = "Z"; del mut[-1]
+        texts.append("".join(mut))
+    cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+           for t in texts]
+    iu, ju = np.triu_indices(len(texts), k=1)
+    for k in (0, 2, 9, 40):
+        got = dedup._batched_levenshtein(cps, iu, ju, k)
+        for p in range(len(iu)):
+            want = dedup._levenshtein(texts[iu[p]], texts[ju[p]], k)
+            assert (got[p] <= k) == (want <= k)
+            if want <= k:
+                assert got[p] == want
