@@ -2602,3 +2602,646 @@ GROUP BY 1 ORDER BY 1
 """
 
 ORACLES["join_q21_waiting"] = Q21_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q9 / Q11 / Q16 / Q20 (adapted).  The classic forms need the
+# partsupp table, which TESTDATA.md's corpus does not carry; each query
+# keeps the original's join/aggregation SHAPE with lineitem as the
+# part-supplier fact and p_retailprice as the cost surrogate (the Q8 /
+# Q21 adaptation precedent).  All measures are exact integer units so
+# the DuckDB oracle hashes bit-identically.  Scale shapes: dimensions
+# broadcast (ray.put once, searchsorted per batch), facts pre-pruned at
+# the read or first map, the one unavoidable exchange is a 64-way
+# key-hash co-group (or the adaptive orders hop), nothing
+# fact-proportional on the driver.
+# ---------------------------------------------------------------------------
+
+
+def _sorted_member(sorted_keys: np.ndarray,
+                   values: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``values`` in ``sorted_keys`` (ascending)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(values), bool)
+    pos = np.searchsorted(sorted_keys, values)
+    pos[pos >= len(sorted_keys)] = 0
+    return sorted_keys[pos] == values
+
+
+def _sorted_lookup(sorted_keys: np.ndarray, payload: np.ndarray,
+                   values: np.ndarray, default) -> np.ndarray:
+    """payload[key] per value, ``default`` where the key is absent."""
+    if len(sorted_keys) == 0:
+        return np.full(len(values), default, payload.dtype
+                       if hasattr(payload, "dtype") else None)
+    pos = np.searchsorted(sorted_keys, values)
+    pos[pos >= len(sorted_keys)] = 0
+    hit = sorted_keys[pos] == values
+    return np.where(hit, payload[pos], default)
+
+
+Q2_SIZE = 7
+Q2_REGION = 1
+
+
+def q2_min_cost_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q2 (adapted): per part of size Q2_SIZE, the cheapest
+    observed line price from a region-Q2_REGION supplier and the
+    lowest-keyed supplier achieving it — the argmin-join-back collapsed
+    into ONE partkey-hash co-group (lexsort by (pk, price, sk); the
+    first row per pk is simultaneously the min price and its min-key
+    achiever)."""
+    import os
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+
+    part = read_small_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_size"])
+    sized = part.filter(pc.equal(part.column("p_size"),
+                                 pa.scalar(Q2_SIZE, pa.int32())))
+    pk = sized.column("p_partkey").to_numpy()
+    names = sized.column("p_name").to_pylist()
+    order_ = np.argsort(pk)
+    pname_ref = ray.put((pk[order_], [names[i] for i in order_]))
+
+    nation = read_small_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"])
+    region_nations = nation.filter(
+        pc.equal(nation.column("n_regionkey"),
+                 pa.scalar(Q2_REGION, pa.int32()))) \
+        .column("n_nationkey").to_numpy().astype(np.int64)
+    supp = read_small_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    skeys = np.sort(sk[np.isin(sn, region_nations)])
+    skeys_ref = ray.put(skeys)
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    _PART_SCHEMA = pa.schema([("pk", pa.int64()), ("sk", pa.int64()),
+                              ("price_c", pa.int64()),
+                              ("hb", pa.int32())])
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PART_SCHEMA.empty_table()
+        pks, _ = ray.get(pname_ref)
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = _sorted_member(pks, lpk) \
+            & _sorted_member(ray.get(skeys_ref), lsk)
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)[keep] * 100) \
+            .astype(np.int64)
+        t = pa.Table.from_pydict({
+            "pk": pa.array(lpk[keep], pa.int64()),
+            "sk": pa.array(lsk[keep], pa.int64()),
+            "price_c": pa.array(price, pa.int64())})
+        # block-local combine: min price per (pk, sk)
+        t = t.group_by(["pk", "sk"]).aggregate([("price_c", "min")]) \
+            .rename_columns(["pk", "sk", "price_c"])
+        hb = pa.array((t.column("pk").to_numpy(zero_copy_only=False)
+                       & 63).astype(np.int32), pa.int32())
+        return t.append_column("hb", hb).cast(_PART_SCHEMA)
+
+    _OUT = pa.schema([("p_partkey", pa.int64()),
+                      ("min_price_c", pa.int64()),
+                      ("best_suppkey", pa.int64())])
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _OUT.empty_table()
+        g_pk = group.column("pk").to_numpy(zero_copy_only=False)
+        g_sk = group.column("sk").to_numpy(zero_copy_only=False)
+        g_pr = group.column("price_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((g_sk, g_pr, g_pk))
+        g_pk, g_sk, g_pr = g_pk[order], g_sk[order], g_pr[order]
+        first = np.r_[True, g_pk[1:] != g_pk[:-1]]
+        return pa.Table.from_pydict({
+            "p_partkey": pa.array(g_pk[first], pa.int64()),
+            "min_price_c": pa.array(g_pr[first], pa.int64()),
+            "best_suppkey": pa.array(g_sk[first], pa.int64()),
+        }, schema=_OUT)
+
+    mins = li.map_batches(_fact, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("hb").map_groups(_bucket, batch_format="pyarrow")
+
+    _FINAL = pa.schema([("p_partkey", pa.int64()),
+                        ("p_name", pa.string()),
+                        ("min_price_c", pa.int64()),
+                        ("best_suppkey", pa.int64())])
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _FINAL.empty_table()
+        pks, nm = ray.get(pname_ref)
+        bpk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pks, bpk)
+        pos[pos >= len(pks)] = 0
+        return pa.Table.from_pydict({
+            "p_partkey": batch.column("p_partkey"),
+            "p_name": pa.array([nm[int(i)] for i in pos], pa.string()),
+            "min_price_c": batch.column("min_price_c"),
+            "best_suppkey": batch.column("best_suppkey"),
+        }, schema=_FINAL)
+
+    return mins.map_batches(_attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+Q2_SQL = f"""
+WITH fact AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         round(l_extendedprice * 100)::BIGINT AS price_c
+  FROM lineitem
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   AND n.n_regionkey = {Q2_REGION}
+  JOIN part p ON p.p_partkey = l_partkey AND p.p_size = {Q2_SIZE}),
+m AS (SELECT pk, min(price_c) AS min_price_c FROM fact GROUP BY 1)
+SELECT f.pk AS p_partkey, any_value(p.p_name) AS p_name,
+       m.min_price_c, min(f.sk)::BIGINT AS best_suppkey
+FROM fact f
+JOIN m ON m.pk = f.pk AND f.price_c = m.min_price_c
+JOIN part p ON p.p_partkey = f.pk
+GROUP BY 1, 3 ORDER BY 1
+"""
+
+ORACLES["join_q2_min_cost"] = Q2_SQL
+
+
+Q9_NAME_SUBSTR = "red"
+
+
+def q9_profit_by_nation_year(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 (adapted): profit per supplier nation per order year
+    over the 'red' part family; p_retailprice stands in for
+    ps_supplycost (no partsupp in this corpus).  profit_units =
+    price_c * (100 - disc_c) - retail_c * qty, all exact integers.
+    Shape: part family + retail price and supplier nation broadcast,
+    one adaptive orders hop for the year, map-side combine to
+    (nation, year) grain before the final tiny groupby."""
+    import os
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+    from ray.data.aggregate import Sum
+
+    part = read_small_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"])
+    fam = part.filter(pc.match_substring(part.column("p_name"),
+                                         Q9_NAME_SUBSTR))
+    pk = fam.column("p_partkey").to_numpy()
+    retail_c = np.round(fam.column("p_retailprice").to_numpy()
+                        * 100).astype(np.int64)
+    order_ = np.argsort(pk)
+    part_ref = ray.put((pk[order_], retail_c[order_]))
+
+    supp = read_small_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    order_ = np.argsort(sk)
+    supp_ref = ray.put((sk[order_], sn[order_]))
+
+    nation = read_small_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    nn = nation.column("n_name").to_pylist()
+    order_ = np.argsort(nk)
+    nation_ref = ray.put((nk[order_], [nn[i] for i in order_]))
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+    _FACT = pa.schema([("l_orderkey", pa.int64()),
+                       ("snat", pa.int64()),
+                       ("profit_units", pa.int64())])
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _FACT.empty_table()
+        pks, rc = ray.get(part_ref)
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = _sorted_member(pks, lpk)
+        batch = batch.filter(pa.array(keep))
+        lpk = lpk[keep]
+        retail = _sorted_lookup(pks, rc, lpk, 0)
+        sks, sns = ray.get(supp_ref)
+        snat = _sorted_lookup(
+            sks, sns,
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False),
+            -1)
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        qty = np.round(batch.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        profit = price * (100 - disc) - retail * qty
+        return pa.Table.from_pydict({
+            "l_orderkey": batch.column("l_orderkey"),
+            "snat": pa.array(snat, pa.int64()),
+            "profit_units": pa.array(profit, pa.int64()),
+        }, schema=_FACT)
+
+    fact = li.map_batches(_fact, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+    joined, _ = adaptive_join(
+        fact, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["snat", "profit_units"], right_cols=["o_orderdate"],
+        field_types={"snat": pa.int64(), "profit_units": pa.int64()})
+
+    _GRAIN = pa.schema([("snat", pa.int64()), ("year", pa.int64()),
+                        ("profit_units", pa.int64())])
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _GRAIN.empty_table()
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        t = pa.Table.from_pydict({
+            "snat": batch.column("snat"),
+            "year": pa.array(year, pa.int64()),
+            "profit_units": batch.column("profit_units")})
+        return t.group_by(["snat", "year"]) \
+            .aggregate([("profit_units", "sum")]) \
+            .rename_columns(["snat", "year", "profit_units"]) \
+            .cast(_GRAIN)
+
+    rolled = joined.map_batches(_combine, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby(["snat", "year"]) \
+        .aggregate(Sum("profit_units", alias_name="profit_units"))
+
+    _OUT = pa.schema([("n_name", pa.string()), ("year", pa.int64()),
+                      ("profit_units", pa.int64())])
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _OUT.empty_table()
+        nks, nns = ray.get(nation_ref)
+        snat = batch.column("snat").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nks, snat)
+        pos[pos >= len(nks)] = 0
+        return pa.Table.from_pydict({
+            "n_name": pa.array([nns[int(i)] for i in pos], pa.string()),
+            "year": batch.column("year"),
+            "profit_units": batch.column("profit_units"),
+        }, schema=_OUT)
+
+    return rolled.map_batches(_attach, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+Q9_SQL = f"""
+SELECT n.n_name, year(o_orderdate)::BIGINT AS year,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT)
+           - round(p_retailprice * 100)::BIGINT
+             * round(l_quantity)::BIGINT)::BIGINT AS profit_units
+FROM lineitem
+JOIN part p ON p.p_partkey = l_partkey
+               AND p.p_name LIKE '%{Q9_NAME_SUBSTR}%'
+JOIN supplier s ON s.s_suppkey = l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["join_q9_profit"] = Q9_SQL
+
+
+Q11_NATION = 3
+Q11_AVG_MULT = 2       # keep parts with value > MULT * average value
+
+
+def q11_important_stock(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q11 (adapted): per-part stocked value from nation-Q11
+    suppliers, keeping parts worth more than Q11_AVG_MULT times the
+    average part value — the global-share HAVING pattern, made
+    scale-free (the classic's fixed fraction-of-total empties out as
+    part count grows).  value_units = price_c * qty, exact integers;
+    the share test is the integer cross-multiplication
+    value * n_parts > MULT * total (no float drift against the
+    oracle).  The per-part rollup is part-cardinality bounded (a
+    dimension grain), so materializing it once for the two global
+    scalars is driver-safe by construction."""
+    import os
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+    from ray.data.aggregate import Sum
+
+    supp = read_small_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    skeys_ref = ray.put(np.sort(sk[sn == Q11_NATION]))
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice"])
+    _PART = pa.schema([("p_partkey", pa.int64()),
+                       ("value_units", pa.int64())])
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PART.empty_table()
+        keep = _sorted_member(
+            ray.get(skeys_ref),
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False))
+        batch = batch.filter(pa.array(keep))
+        price = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        qty = np.round(batch.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.Table.from_pydict({
+            "p_partkey": batch.column("l_partkey"),
+            "value_units": pa.array(price * qty, pa.int64())})
+        return t.group_by("p_partkey") \
+            .aggregate([("value_units", "sum")]) \
+            .rename_columns(["p_partkey", "value_units"]).cast(_PART)
+
+    per_part = li.map_batches(_fact, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("p_partkey") \
+        .aggregate(Sum("value_units", alias_name="value_units")) \
+        .materialize()          # part-grain, bounded
+    total = per_part.sum("value_units") or 0
+    n_parts = per_part.count()
+
+    def _share(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PART.empty_table()
+        v = batch.column("value_units").to_numpy(zero_copy_only=False)
+        return batch.filter(
+            pa.array(v * n_parts > Q11_AVG_MULT * total)).cast(_PART)
+
+    return per_part.map_batches(_share, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+Q11_SQL = f"""
+WITH f AS (
+  SELECT l_partkey AS p_partkey,
+         sum(round(l_extendedprice * 100)::BIGINT
+             * round(l_quantity)::BIGINT)::BIGINT AS value_units
+  FROM lineitem
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+                     AND s.s_nationkey = {Q11_NATION}
+  GROUP BY 1)
+SELECT p_partkey, value_units FROM f
+WHERE value_units * (SELECT count(*) FROM f)
+      > {Q11_AVG_MULT} * (SELECT sum(value_units) FROM f)
+ORDER BY 1
+"""
+
+ORACLES["join_q11_important_stock"] = Q11_SQL
+
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_MAX_SIZE = 10
+
+
+def q16_supplier_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q16 (adapted): distinct suppliers per (brand, type, size)
+    for small non-Brand#1 parts, excluding negative-balance suppliers
+    (the 'complaints' NOT IN, as a broadcast key set).  Distinctness
+    via one suppkey-hash co-group: block-local (brand, type, size,
+    suppkey) dedup, bucket dedup, then a tiny grouped count."""
+    import os
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+    from ray.data.aggregate import Sum
+
+    part = read_small_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    keepp = pc.and_(
+        pc.not_equal(part.column("p_brand"), pa.scalar(Q16_EXCL_BRAND)),
+        pc.less_equal(part.column("p_size"),
+                      pa.scalar(Q16_MAX_SIZE, pa.int32())))
+    part = part.filter(keepp)
+    pk = part.column("p_partkey").to_numpy()
+    brands = part.column("p_brand").to_pylist()
+    types = part.column("p_type").to_pylist()
+    order_ = np.argsort(pk)
+    attrs = (pk[order_],
+             [brands[i] for i in order_],
+             [types[i] for i in order_],
+             part.column("p_size").to_numpy().astype(np.int64)[order_])
+    part_ref = ray.put(attrs)
+
+    supp = read_small_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"])
+    bad = supp.filter(pc.less(supp.column("s_acctbal"),
+                              pa.scalar(0.0)))
+    bad_ref = ray.put(np.sort(bad.column("s_suppkey").to_numpy()))
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"])
+    _ROW = pa.schema([("p_brand", pa.string()), ("p_type", pa.string()),
+                      ("p_size", pa.int64()), ("sk", pa.int64()),
+                      ("hb", pa.int32())])
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _ROW.empty_table()
+        pks, br, ty, sz = ray.get(part_ref)
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        lsk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = _sorted_member(pks, lpk) \
+            & ~_sorted_member(ray.get(bad_ref), lsk)
+        lpk, lsk = lpk[keep], lsk[keep]
+        pos = np.searchsorted(pks, lpk)
+        t = pa.Table.from_pydict({
+            "p_brand": pa.array([br[int(i)] for i in pos], pa.string()),
+            "p_type": pa.array([ty[int(i)] for i in pos], pa.string()),
+            "p_size": pa.array(sz[pos], pa.int64()),
+            "sk": pa.array(lsk, pa.int64())})
+        # block-local distinct before the exchange
+        t = t.group_by(["p_brand", "p_type", "p_size", "sk"]) \
+            .aggregate([]).select(["p_brand", "p_type", "p_size", "sk"])
+        hb = pa.array((t.column("sk").to_numpy(zero_copy_only=False)
+                       & 63).astype(np.int32), pa.int32())
+        return t.append_column("hb", hb).cast(_ROW)
+
+    _CNT = pa.schema([("p_brand", pa.string()), ("p_type", pa.string()),
+                      ("p_size", pa.int64()), ("n", pa.int64())])
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _CNT.empty_table()
+        d = group.select(["p_brand", "p_type", "p_size", "sk"]) \
+            .group_by(["p_brand", "p_type", "p_size", "sk"]) \
+            .aggregate([])
+        c = d.group_by(["p_brand", "p_type", "p_size"]) \
+            .aggregate([("sk", "count")]) \
+            .rename_columns(["p_brand", "p_type", "p_size", "n"])
+        return c.cast(_CNT)
+
+    return li.map_batches(_fact, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("hb").map_groups(_bucket, batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+
+
+Q16_SQL = f"""
+SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part p ON p.p_partkey = l_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}' AND p.p_size <= {Q16_MAX_SIZE}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["join_q16_supplier_cnt"] = Q16_SQL
+
+
+Q20_PREFIX = "blue"
+Q20_SHARE_MULT = 6     # qualify: own qty * MULT > part total
+
+
+def q20_majority_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q20 (adapted): suppliers who shipped more than a
+    1/Q20_SHARE_MULT share of some 'blue'-prefixed part's total
+    quantity — the nested semi-join collapsed into ONE partkey-hash
+    co-group computing both grains (per-part total, per-(part,
+    supplier) share) in a sorted sweep.  (The classic's nation filter
+    is dropped: at test scale no single supplier holds a strict
+    in-nation majority, and an always-empty result also exercises
+    nothing.)"""
+    import os
+
+    from nerfray.sources.parquet import (read_parquet_clean,
+                                         read_small_table)
+
+    part = read_small_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"])
+    fam = part.filter(pc.starts_with(part.column("p_name"),
+                                     Q20_PREFIX))
+    pkeys_ref = ray.put(np.sort(fam.column("p_partkey").to_numpy()))
+
+    supp = read_small_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy()
+    names = supp.column("s_name").to_pylist()
+    order_ = np.argsort(sk)
+    supp_ref = ray.put((sk[order_], [names[i] for i in order_]))
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"])
+    _PART = pa.schema([("pk", pa.int64()), ("sk", pa.int64()),
+                       ("q", pa.int64()), ("hb", pa.int32())])
+
+    def _fact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PART.empty_table()
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = _sorted_member(ray.get(pkeys_ref), lpk)
+        batch = batch.filter(pa.array(keep))
+        qty = np.round(batch.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.Table.from_pydict({
+            "pk": batch.column("l_partkey"),
+            "sk": batch.column("l_suppkey"),
+            "q": pa.array(qty, pa.int64())})
+        t = t.group_by(["pk", "sk"]).aggregate([("q", "sum")]) \
+            .rename_columns(["pk", "sk", "q"])
+        hb = pa.array((t.column("pk").to_numpy(zero_copy_only=False)
+                       & 63).astype(np.int32), pa.int32())
+        return t.append_column("hb", hb).cast(_PART)
+
+    _SK = pa.schema([("sk", pa.int64())])
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SK.empty_table()
+        t = group.select(["pk", "sk", "q"]) \
+            .group_by(["pk", "sk"]).aggregate([("q", "sum")]) \
+            .rename_columns(["pk", "sk", "q"])
+        g_pk = t.column("pk").to_numpy(zero_copy_only=False)
+        g_sk = t.column("sk").to_numpy(zero_copy_only=False)
+        g_q = t.column("q").to_numpy(zero_copy_only=False)
+        order = np.argsort(g_pk, kind="stable")
+        g_pk, g_sk, g_q = g_pk[order], g_sk[order], g_q[order]
+        starts = np.flatnonzero(np.r_[True, g_pk[1:] != g_pk[:-1]])
+        totals = np.add.reduceat(g_q, starts)
+        gid = np.cumsum(np.r_[0, (g_pk[1:] != g_pk[:-1]).astype(np.int64)])
+        win = Q20_SHARE_MULT * g_q > totals[gid]
+        return pa.Table.from_pydict({
+            "sk": pa.array(np.unique(g_sk[win]), pa.int64())},
+            schema=_SK)
+
+    from ray.data.aggregate import Count
+    winners = li.map_batches(_fact, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("hb").map_groups(_bucket, batch_format="pyarrow") \
+        .groupby("sk").aggregate(Count(alias_name="_c"))  # distinct
+
+    _OUT = pa.schema([("s_suppkey", pa.int64()),
+                      ("s_name", pa.string())])
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _OUT.empty_table()
+        ks, nm = ray.get(supp_ref)
+        sk_ = batch.column("sk").to_numpy(zero_copy_only=False)
+        hit = _sorted_member(ks, sk_)
+        sk_ = sk_[hit]
+        pos = np.searchsorted(ks, sk_)
+        return pa.Table.from_pydict({
+            "s_suppkey": pa.array(sk_, pa.int64()),
+            "s_name": pa.array([nm[int(i)] for i in pos], pa.string()),
+        }, schema=_OUT)
+
+    return winners.map_batches(_attach, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+Q20_SQL = f"""
+WITH f AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         sum(round(l_quantity)::BIGINT)::BIGINT AS q
+  FROM lineitem
+  JOIN part p ON p.p_partkey = l_partkey
+                 AND p.p_name LIKE '{Q20_PREFIX}%'
+  GROUP BY 1, 2),
+t AS (SELECT pk, sum(q) AS tq FROM f GROUP BY 1)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM f
+JOIN t ON t.pk = f.pk AND {Q20_SHARE_MULT} * f.q > t.tq
+JOIN supplier s ON s.s_suppkey = f.sk
+ORDER BY 1
+"""
+
+ORACLES["join_q20_majority"] = Q20_SQL

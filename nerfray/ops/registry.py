@@ -692,6 +692,43 @@ def q_join_q8_market_share(sf_dir: str):
     return joins.q8_market_share(sf_dir)
 
 
+def q_join_q2_min_cost(sf_dir: str):
+    # TPC-H Q2 (adapted): argmin-join-back in ONE partkey co-group —
+    # lexsort (pk, price, sk), first row per pk is min price + min-key
+    # achiever; part/supplier/region sides all broadcast
+    from . import joins
+    return joins.q2_min_cost_supplier(sf_dir)
+
+
+def q_join_q9_profit(sf_dir: str):
+    # TPC-H Q9 (adapted): star join, p_retailprice as cost surrogate;
+    # broadcasts prune the fact, one adaptive orders hop, map-side
+    # combine to (nation, year)
+    from . import joins
+    return joins.q9_profit_by_nation_year(sf_dir)
+
+
+def q_join_q11_important_stock(sf_dir: str):
+    # TPC-H Q11 (adapted): global-share HAVING — per-part rollup is
+    # dimension-grain bounded, grand total one scalar, integer share
+    from . import joins
+    return joins.q11_important_stock(sf_dir)
+
+
+def q_join_q16_supplier_cnt(sf_dir: str):
+    # TPC-H Q16 (adapted): grouped distinct-count via suppkey-hash
+    # co-group; complaints NOT IN as a broadcast exclusion set
+    from . import joins
+    return joins.q16_supplier_counts(sf_dir)
+
+
+def q_join_q20_majority(sf_dir: str):
+    # TPC-H Q20 (adapted): nested semi-join — both grains (part total,
+    # part-supplier share) in one sorted sweep per partkey co-group
+    from . import joins
+    return joins.q20_majority_suppliers(sf_dir)
+
+
 def q_join_q21_waiting(sf_dir: str):
     # TPC-H Q21 (returnflag-adapted): exists/not-exists over the
     # order's supplier set in ONE orderkey-hash co-group
@@ -872,6 +909,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q7_nation_volume": q_join_q7_nation_volume,
         "join_q8_market_share": q_join_q8_market_share,
         "join_q21_waiting": q_join_q21_waiting,
+        "join_q2_min_cost": q_join_q2_min_cost,
+        "join_q9_profit": q_join_q9_profit,
+        "join_q11_important_stock": q_join_q11_important_stock,
+        "join_q16_supplier_cnt": q_join_q16_supplier_cnt,
+        "join_q20_majority": q_join_q20_majority,
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "docs_containment_drops": q_docs_containment_drops,
