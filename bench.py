@@ -138,7 +138,11 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_weighted_sample", "orders_q13_distribution",
                  "join_q15_top_supplier", "lineitem_q17_small_qty",
                  "join_q19_disjunctive", "join_q7_nation_volume",
-                 "docs_csv_roundtrip", "docs_jsonl_roundtrip"):
+                 "docs_csv_roundtrip", "docs_jsonl_roundtrip",
+                 "join_q8_market_share", "join_q21_waiting",
+                 "join_q2_min_cost", "join_q9_profit",
+                 "join_q11_important_stock", "join_q16_supplier_cnt",
+                 "join_q20_majority", "dedup_editdist"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
