@@ -275,6 +275,35 @@ def q_sim_ivf_planted(sf_dir: str):
         k=10)
 
 
+def q_sim_pq(sf_dir: str):
+    # product-quantization ANN on the real float embeddings: rows-only
+    # (ADC scores are lossy floats); the planted variant carries the
+    # exact oracle
+    from . import pq
+    return pq.pq_topk(
+        _emb(sf_dir), k=10,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_sim_pq_planted(sf_dir: str):
+    # planted directions have <= 50 distinct patterns per subspace, so
+    # every pattern becomes its own centroid (ksub=64) and ADC is
+    # EXACT -> must equal the brute-force planted top-k oracle
+    from . import pq, similarity
+    return pq.pq_topk(
+        similarity.planted_group_embeddings(_emb(sf_dir), mode="mod"),
+        k=10)
+
+
+def q_sim_pq_codes(sf_dir: str):
+    # PQ code-utilization audit (dead centroids / hot codes): rows-only
+    # (code indices depend on the trained codebook); invariants —
+    # per-subspace counts sum to the corpus size, codes < ksub — are
+    # pinned by pytest
+    from . import pq
+    return pq.pq_code_histogram(_emb(sf_dir))
+
+
 def q_emb_quantized(sf_dir: str):
     # int8 scalar quantization rollup on the real float embeddings
     # (rows-only: float scales; the planted variant carries the oracle)
@@ -577,6 +606,16 @@ def q_docs_bm25_topk(sf_dir: str):
     return retrieval.bm25_topk(_docs(sf_dir))
 
 
+def q_docs_hybrid_rrf(sf_dir: str):
+    # hybrid retrieval: reciprocal-rank fusion of the BM25 rank list
+    # and the dense cosine rank list (query = vector 0), integer RRF
+    # contributions -> hash-exact SQL mirror
+    from . import retrieval
+    return retrieval.hybrid_rrf_topk(
+        _docs(sf_dir), _emb(sf_dir),
+        emb_path=os.path.join(sf_dir, "embeddings.parquet"))
+
+
 def q_docs_containment_planted(sf_dir: str):
     # asymmetric near-dup (doc A's shingles ⊂ doc B's): shingle
     # inverted index -> composite-key pair reduce -> size join; planted
@@ -844,6 +883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf": q_sim_ivf,
         "sim_knn_graph": q_sim_knn_graph,
         "sim_ivf_planted": q_sim_ivf_planted,
+        "sim_pq": q_sim_pq,
+        "sim_pq_planted": q_sim_pq_planted,
+        "sim_pq_codes": q_sim_pq_codes,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_planted": q_emb_kmeans_planted,
         "emb_centroid_outliers": q_emb_centroid_outliers,
@@ -889,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pairs": q_docs_bpe_pairs,
         "docs_bpe_merges": q_docs_bpe_merges,
         "docs_bm25_topk": q_docs_bm25_topk,
+        "docs_hybrid_rrf": q_docs_hybrid_rrf,
         "docs_containment_planted": q_docs_containment_planted,
         "events_late_planted": q_events_late_planted,
         "docs_bpe_encoded": q_docs_bpe_encoded,
@@ -1280,6 +1323,11 @@ def _bm25_sql() -> str:
     return bm25_sql()
 
 
+def _hybrid_rrf_sql() -> str:
+    from .retrieval import hybrid_rrf_sql
+    return hybrid_rrf_sql()
+
+
 def _retrieval_sql(name: str) -> str:
     from . import retrieval
     return getattr(retrieval, name)
@@ -1325,6 +1373,7 @@ def oracles() -> dict[str, str]:
         "docs_bpe_pairs": _tokenizer_sql("BPE_PAIRS_SQL"),
         "docs_bpe_merges": _bpe_merges_sql(),
         "docs_bm25_topk": _bm25_sql(),
+        "docs_hybrid_rrf": _hybrid_rrf_sql(),
         "docs_containment_planted":
             _retrieval_sql("CONTAINMENT_PLANTED_SQL"),
         "events_late_planted": _streaming_sql("LATE_EVENTS_SQL"),
@@ -1341,6 +1390,11 @@ def oracles() -> dict[str, str]:
         "dedup_embedding_planted": EMBEDDING_PLANTED_SQL,
         "sim_lsh_planted": TOPK_PLANTED_SQL,
         "sim_ivf_planted": TOPK_PLANTED_SQL,
+        # sim_pq (real float embeddings): rows-only by design — lossy
+        # ADC scores; the planted variant below is exact
+        "sim_pq_planted": TOPK_PLANTED_SQL,
+        # sim_pq_codes: rows-only (code indices depend on the trained
+        # codebook); invariants pinned by pytest
         # emb_kmeans (real float embeddings): rows-only by design
         "emb_kmeans_planted": _cluster_sql("KMEANS_PLANTED_SQL"),
         "emb_centroid_outliers": _cluster_sql("CENTROID_OUTLIERS_SQL"),

@@ -202,6 +202,142 @@ FROM r WHERE rank <= {k} ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # the standard fusion constant (Cormack/Clarke/Buettcher,
+#                     SIGIR'09 "Reciprocal rank fusion" — public algorithm)
+RRF_K_EACH = 20     # per-ranker candidate depth
+RRF_TOPK = 10
+
+
+def hybrid_rrf_topk(docs: ray.data.Dataset, emb: ray.data.Dataset, *,
+                    terms: tuple[str, ...] = QUERY_TERMS,
+                    k_each: int = RRF_K_EACH, k: int = RRF_TOPK,
+                    rrf_k: int = RRF_K,
+                    emb_path: str | None = None) -> ray.data.Dataset:
+    """(rank, doc_id, rrf_micro): reciprocal-rank fusion of the sparse
+    BM25 ranker (ops/retrieval.bm25_topk over ``documents``) and the
+    dense cosine ranker (ops/similarity.cosine_topk over ``embeddings``,
+    query = vector 0; this corpus stores row ``vec_id`` as the embedding
+    of document ``doc_id``).  Contribution per list is the integer
+    ``1_000_000 // (rrf_k + rank)`` so the fused score is hash-exact in
+    the DuckDB mirror; ties by doc_id asc.
+
+    Scale shape: each ranker already reduces to a BOUNDED rank list
+    (k_each rows — per-block top-k partials inside the rankers do the
+    heavy lifting); the fusion itself is a union + one tiny groupby at
+    candidate grain.  Nothing corpus-proportional moves here."""
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(docs, terms=terms, k=k_each)
+    dense = cosine_topk(emb, k=k_each, n_queries=1,
+                        source_path=emb_path)
+
+    def _lex_contrib(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "rrf": pa.array(1_000_000 // (rrf_k + r), pa.int64()),
+        })
+
+    def _dense_contrib(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("vec_id"),
+            "rrf": pa.array(1_000_000 // (rrf_k + r), pa.int64()),
+        })
+
+    contribs = lex.map_batches(
+        _lex_contrib, batch_format="pyarrow").union(
+        dense.map_batches(_dense_contrib, batch_format="pyarrow"))
+
+    def _final(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sc = group.column("rrf").to_numpy(zero_copy_only=False)
+        # candidate grain: combine the (<= 2) per-list contributions
+        order = np.argsort(ids, kind="stable")
+        ids_s, sc_s = ids[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        uniq = ids_s[starts]
+        tot = np.add.reduceat(sc_s, starts)
+        top = np.lexsort((uniq, -tot))[:k]
+        return pa.Table.from_pydict({
+            "rank": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+            "doc_id": pa.array(uniq[top], pa.int64()),
+            "rrf_micro": pa.array(tot[top], pa.int64()),
+        })
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, np.int32)))
+
+    # <= 2 * k_each rows total: one single-group co-group finishes it
+    return contribs.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+def hybrid_rrf_sql(terms: tuple[str, ...] = QUERY_TERMS,
+                   k_each: int = RRF_K_EACH, k: int = RRF_TOPK,
+                   rrf_k: int = RRF_K) -> str:
+    """DuckDB mirror of hybrid_rrf_topk: the bm25_sql ranking CTEs
+    verbatim (same integer arithmetic) + a float-cosine dense ranking
+    (ranks are integers, so the fused score stays hash-exact), unioned
+    and re-ranked."""
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        f"::BIGINT AS tf_{i}" for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(terms)))
+    score = " + ".join(
+        f"(CASE WHEN s.df_{i} > 0 THEN ((1000 * s.n) // s.df_{i}) *"
+        f" ((2 * tf_{i}) // (tf_{i} + 1 + (L // s.avgw)))"
+        f" ELSE 0 END)" for i in range(len(terms)))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS L,
+    {tf_cols}
+  FROM documents
+),
+s AS (
+  SELECT {df_cols}, count(*)::BIGINT AS n,
+         greatest(sum(L) // count(*), 1)::BIGINT AS avgw
+  FROM tf
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ({score}) DESC, tf.doc_id) AS rank
+  FROM tf CROSS JOIN s
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                    e.vec_id) AS rank
+  FROM q, embeddings e
+),
+contrib AS (
+  SELECT doc_id, 1000000 // ({rrf_k} + rank) AS rrf
+  FROM lex WHERE rank <= {k_each}
+  UNION ALL
+  SELECT doc_id, 1000000 // ({rrf_k} + rank) AS rrf
+  FROM dense WHERE rank <= {k_each}
+),
+fused AS (
+  SELECT doc_id, sum(rrf)::BIGINT AS rrf_micro FROM contrib
+  GROUP BY doc_id
+),
+r AS (SELECT doc_id, rrf_micro,
+             row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+      FROM fused)
+SELECT rank::BIGINT AS rank, doc_id, rrf_micro
+FROM r WHERE rank <= {k} ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # containment (asymmetric near-dup)
 # ---------------------------------------------------------------------------
 
