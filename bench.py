@@ -142,7 +142,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "join_q8_market_share", "join_q21_waiting",
                  "join_q2_min_cost", "join_q9_profit",
                  "join_q11_important_stock", "join_q16_supplier_cnt",
-                 "join_q20_majority", "dedup_editdist"):
+                 "join_q20_majority", "dedup_editdist",
+                 "sim_pq", "docs_hybrid_rrf"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

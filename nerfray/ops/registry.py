@@ -551,6 +551,14 @@ def q_docs_search(sf_dir: str):
     return search.search_via_index(_docs(sf_dir))
 
 
+def q_docs_phrase_search(sf_dir: str):
+    # positional phrase search: phrase-word candidate starts (slot j at
+    # token p proposes start p-j), one doc-bucket co-group counts
+    # starts with all k slots present; overlap-counting semantics
+    from . import search
+    return search.phrase_search(_docs(sf_dir))
+
+
 def q_doc_fingerprints(sf_dir: str):
     from . import text
     ds = text.doc_fingerprints(_docs(sf_dir))
@@ -604,6 +612,20 @@ def q_docs_bm25_topk(sf_dir: str):
     # tiny aggregates, one scoring map, per-block top-k pruning)
     from . import retrieval
     return retrieval.bm25_topk(_docs(sf_dir))
+
+
+def q_docs_dsir_scores(sf_dir: str):
+    # DSIR-shaped data selection: hashed-bigram bucket histograms
+    # (target = first 64 docs vs raw corpus), integer ratio weights,
+    # per-doc occurrence-sum score -> hash-exact SQL mirror
+    from . import importance
+    return importance.importance_scores(_docs(sf_dir))
+
+
+def q_docs_dsir_selected(sf_dir: str):
+    # the resampling step: top-k docs by per-feature average weight
+    from . import importance
+    return importance.dsir_selected(_docs(sf_dir))
 
 
 def q_docs_hybrid_rrf(sf_dir: str):
@@ -918,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "docs_inverted_index": q_docs_inverted_index,
         "docs_search": q_docs_search,
+        "docs_phrase_search": q_docs_phrase_search,
         "docs_splits": q_docs_splits,
         "docs_stratified": q_docs_stratified,
         "docs_mixture": q_docs_mixture,
@@ -932,6 +955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": q_docs_bpe_merges,
         "docs_bm25_topk": q_docs_bm25_topk,
         "docs_hybrid_rrf": q_docs_hybrid_rrf,
+        "docs_dsir_scores": q_docs_dsir_scores,
+        "docs_dsir_selected": q_docs_dsir_selected,
         "docs_containment_planted": q_docs_containment_planted,
         "events_late_planted": q_events_late_planted,
         "docs_bpe_encoded": q_docs_bpe_encoded,
@@ -1328,6 +1353,16 @@ def _hybrid_rrf_sql() -> str:
     return hybrid_rrf_sql()
 
 
+def _importance_sql(name: str) -> str:
+    from . import importance
+    return getattr(importance, name)()
+
+
+def _phrase_search_sql() -> str:
+    from .search import phrase_search_sql
+    return phrase_search_sql()
+
+
 def _retrieval_sql(name: str) -> str:
     from . import retrieval
     return getattr(retrieval, name)
@@ -1374,6 +1409,8 @@ def oracles() -> dict[str, str]:
         "docs_bpe_merges": _bpe_merges_sql(),
         "docs_bm25_topk": _bm25_sql(),
         "docs_hybrid_rrf": _hybrid_rrf_sql(),
+        "docs_dsir_scores": _importance_sql("importance_sql"),
+        "docs_dsir_selected": _importance_sql("dsir_selected_sql"),
         "docs_containment_planted":
             _retrieval_sql("CONTAINMENT_PLANTED_SQL"),
         "events_late_planted": _streaming_sql("LATE_EVENTS_SQL"),
@@ -1438,6 +1475,7 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": SIMHASH_HEX_SQL,
         "docs_inverted_index": _search_sql("INDEX_SUMMARY_SQL"),
         "docs_search": _search_sql("SEARCH_SQL"),
+        "docs_phrase_search": _phrase_search_sql(),
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         # dedup_minhash / sim_lsh / sim_ivf / dedup_embedding /
         # lang_confusion (raw docs): sketch/float/LSH-recall ops with no

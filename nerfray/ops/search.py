@@ -218,3 +218,105 @@ WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
                          [{_TERMS_SQL}])) = {len(QUERY_TERMS)}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+# fixed phrase for the driver surface: two mid-frequency words, so the
+# adjacency requirement is selective (~10% of docs) but never empty
+PHRASE = ("merge", "hash")
+
+
+def phrase_search(docs: ray.data.Dataset,
+                  phrase: tuple[str, ...] = PHRASE) -> ray.data.Dataset:
+    """(doc_id, n_occ): documents containing the exact token-adjacent
+    phrase, with the number of phrase starts (overlaps counted).
+
+    The positional-postings shape: each block emits, for the PHRASE
+    WORDS ONLY, (doc, candidate-start, word-slot) rows — word j of the
+    phrase matching token position p proposes start p - j — so the
+    exchange carries sum(tf(word)) rows, never the corpus.  One
+    doc-hash-bucket co-group then counts starts where all ``k`` slots
+    agree (a run of k distinct slots at one (doc, start)).  Overlapping
+    occurrences and repeated phrase words fall out correctly: slot j
+    contributes one row per matching position, and a start is an
+    occurrence iff exactly its k slots are present."""
+    k = len(phrase)
+
+    def _candidates(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        words = lists.flatten().to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        offsets = np.r_[0, np.cumsum(lens)[:-1]]
+        pos = np.arange(len(words)) - offsets[parent]
+        d_out, s_out, j_out = [], [], []
+        for j, w in enumerate(phrase):
+            m = words == w
+            s = pos[m] - j
+            ok = s >= 0
+            d_out.append(ids[parent[m][ok]])
+            s_out.append(s[ok])
+            j_out.append(np.full(ok.sum(), j, np.int64))
+        d = np.concatenate(d_out) if d_out else np.zeros(0, np.int64)
+        s = np.concatenate(s_out) if s_out else np.zeros(0, np.int64)
+        jj = np.concatenate(j_out) if j_out else np.zeros(0, np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(d.astype(np.int64), pa.int64()),
+            "start": pa.array(s.astype(np.int64), pa.int64()),
+            "slot": pa.array(jj, pa.int64()),
+            "hb": pa.array((d & (N_WORD_BUCKETS - 1)).astype(np.int32),
+                           pa.int32()),
+        })
+
+    def _count_bucket(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("n_occ", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s = group.column("start").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        d_s, s_s = d[order], s[order]
+        # run boundaries at (doc, start) grain; run length == k <=> all
+        # k slots present (a (doc, start, slot) triple is unique)
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])]
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.r_[starts, len(d_s)])
+        hit = runs == k
+        hd = d_s[starts[hit]]
+        if len(hd) == 0:
+            return out_schema.empty_table()
+        uniq = np.flatnonzero(np.r_[True, hd[1:] != hd[:-1]])
+        n_occ = np.diff(np.r_[uniq, len(hd)])
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(hd[uniq], pa.int64()),
+            "n_occ": pa.array(n_occ.astype(np.int64), pa.int64()),
+        }, schema=out_schema)
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_candidates, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(_count_bucket, batch_format="pyarrow")
+
+
+def phrase_search_sql(phrase: tuple[str, ...] = PHRASE) -> str:
+    """DuckDB mirror: count token positions whose k-gram equals the
+    phrase (same overlap semantics as the positional path)."""
+    k = len(phrase)
+    conds = " AND ".join(f"t[i + {j + 1}] = '{w}'"
+                         for j, w in enumerate(phrase))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents),
+m AS (SELECT doc_id,
+             len(list_filter(range(len(t) - {k - 1}),
+                             i -> {conds}))::BIGINT AS n_occ
+      FROM toks)
+SELECT doc_id, n_occ FROM m WHERE n_occ >= 1 ORDER BY doc_id
+"""
