@@ -443,6 +443,14 @@ def q_docs_classifier(sf_dir: str):
     return text.classifier_scores(_docs(sf_dir))
 
 
+def q_docs_classifier_pr(sf_dir: str):
+    # curation calibration: classifier-threshold sweep scored against
+    # the curate() gate label — per-block confusion partials over a
+    # fixed grid, one bounded groupby, integer milli precision/recall
+    from . import text
+    return text.classifier_pr_curve(_docs(sf_dir))
+
+
 def q_events_zorder(sf_dir: str):
     # Z-order clustering: conjunctive 2-D probe skips files on BOTH
     # user and time dimensions at once (Morton-curve layout)
@@ -927,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q_docs_repetition,
         "docs_decontam": q_docs_decontam,
         "docs_classifier": q_docs_classifier,
+        "docs_classifier_pr": q_docs_classifier_pr,
         "docs_curation_scored": q_docs_curation_scored,
         "events_zonemap_scan": q_events_zonemap,
         "events_zorder_scan": q_events_zorder,
@@ -1363,6 +1372,11 @@ def _phrase_search_sql() -> str:
     return phrase_search_sql()
 
 
+def _classifier_pr_sql() -> str:
+    from .text import classifier_pr_sql
+    return classifier_pr_sql()
+
+
 def _retrieval_sql(name: str) -> str:
     from . import retrieval
     return getattr(retrieval, name)
@@ -1456,6 +1470,7 @@ def oracles() -> dict[str, str]:
         "docs_repetition": _text_sql("REPETITION_SQL"),
         "docs_decontam": _text_sql("DECONTAM_SQL"),
         "docs_classifier": _text_sql("CLASSIFIER_SQL"),
+        "docs_classifier_pr": _classifier_pr_sql(),
         "docs_curation_scored": _curation_scored_sql(),
         "events_zonemap_scan": _zonemap_sql(),
         "events_zorder_scan": _zorder_sql(),

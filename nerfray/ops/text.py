@@ -1795,6 +1795,148 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# classifier-vs-gate threshold sweep (PR curve)
+# ---------------------------------------------------------------------------
+#
+# Curation calibration: before swapping an expensive quality gate for a
+# cheap linear classifier at 100 TB, you sweep the classifier threshold
+# and measure how well each cut reproduces the gate's keep/drop
+# decision — a precision/recall curve with the GATE as ground truth.
+# One pass computes both signals per doc (the classifier's
+# factorize-gather kernel + the gate's counter predicate on the same
+# token split); each block then emits one confusion-count row per grid
+# threshold (|grid| rows per block, corpus-size-free), one bounded
+# groupby sums them, and precision/recall are integer milli divisions.
+
+PR_THRESHOLDS = (-40, -20, -10, 0, 10, 20, 40)
+_PR_MIN_WORDS = 20
+_PR_MIN_TTR_PCT = 20
+
+
+def classifier_pr_curve(docs: ray.data.Dataset, *,
+                        v: int = CLASSIFIER_V,
+                        thresholds: tuple[int, ...] = PR_THRESHOLDS,
+                        min_words: int = _PR_MIN_WORDS,
+                        min_ttr_pct: int = _PR_MIN_TTR_PCT
+                        ) -> ray.data.Dataset:
+    """(threshold, tp, fp, fn, tn, precision_milli, recall_milli):
+    confusion counts of "classifier score >= threshold" against the
+    curate() gate label (n_words >= min_words AND 100 * n_uniq >=
+    min_ttr_pct * n_words), swept over the grid."""
+    import ray as _ray
+
+    vocab_rows = top_words(docs, k=v).take_all()  # bounded: v rows
+    weights_ref = _ray.put({r["word"]: _sha_weight(r["word"])
+                            for r in vocab_rows})
+    grid = np.asarray(thresholds, np.int64)
+
+    class _Sweep:
+        def __init__(self):
+            self._w = _ray.get(weights_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = [t.split(" ")
+                    for t in batch.column("text").to_pylist()]
+            counts = np.array([len(ts) for ts in toks], dtype=np.int64)
+            if counts.sum():
+                flat = np.asarray([w for ts in toks for w in ts],
+                                  dtype=object)
+                uniq_w, inv = np.unique(flat, return_inverse=True)
+                w = self._w
+                uw = np.fromiter(
+                    (w.get(u, 0) for u in uniq_w.tolist()),
+                    dtype=np.int64, count=len(uniq_w))
+                starts = np.r_[0, np.cumsum(counts)[:-1]]
+                scores = np.add.reduceat(uw[inv], starts)
+            else:
+                scores = np.zeros(len(toks), dtype=np.int64)
+            n_uniq = np.fromiter((len(set(ts)) for ts in toks),
+                                 np.int64, count=len(toks))
+            label = (counts >= min_words) \
+                & (100 * n_uniq >= min_ttr_pct * counts)
+            pred = scores[:, None] >= grid[None, :]  # (docs, grid)
+            lab = label[:, None]
+            return pa.Table.from_pydict({
+                "threshold": pa.array(grid, pa.int64()),
+                "tp": pa.array((pred & lab).sum(axis=0), pa.int64()),
+                "fp": pa.array((pred & ~lab).sum(axis=0), pa.int64()),
+                "fn": pa.array((~pred & lab).sum(axis=0), pa.int64()),
+                "tn": pa.array((~pred & ~lab).sum(axis=0), pa.int64()),
+            })
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        tp = batch.column("tp").to_numpy(zero_copy_only=False)
+        fp = batch.column("fp").to_numpy(zero_copy_only=False)
+        fn = batch.column("fn").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "threshold": batch.column("threshold"),
+            "tp": batch.column("tp"), "fp": batch.column("fp"),
+            "fn": batch.column("fn"), "tn": batch.column("tn"),
+            "precision_milli": pa.array(
+                (1000 * tp) // np.maximum(tp + fp, 1), pa.int64()),
+            "recall_milli": pa.array(
+                (1000 * tp) // np.maximum(tp + fn, 1), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    summed = docs.select_columns(["doc_id", "text"]).map_batches(
+        _Sweep, concurrency=(1, 8), batch_size=256,
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("threshold") \
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("tp", "fp", "fn", "tn")])
+    return summed.map_batches(_finish, batch_format="pyarrow")
+
+
+def classifier_pr_sql(v: int = CLASSIFIER_V,
+                      thresholds: tuple[int, ...] = PR_THRESHOLDS,
+                      min_words: int = _PR_MIN_WORDS,
+                      min_ttr_pct: int = _PR_MIN_TTR_PCT) -> str:
+    """DuckDB mirror of classifier_pr_curve (same vocab, weights, gate
+    predicate and integer milli arithmetic)."""
+    grid = ", ".join(f"({t})" for t in thresholds)
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+vocab AS (
+  SELECT word,
+         (('0x' || substr(sha256(word), 1, 8))::UBIGINT
+            % {_CLASSIFIER_MOD})::BIGINT - 8 AS wt
+  FROM df ORDER BY df DESC, word LIMIT {v}),
+sc AS (SELECT w.doc_id, sum(v.wt)::BIGINT AS sc
+       FROM w JOIN vocab v USING (word) GROUP BY w.doc_id),
+lab AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_words,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq
+  FROM documents),
+per_doc AS (
+  SELECT lab.doc_id, coalesce(sc.sc, 0) AS score,
+         CASE WHEN lab.n_words >= {min_words}
+                   AND 100 * lab.n_uniq >= {min_ttr_pct} * lab.n_words
+              THEN 1 ELSE 0 END AS label
+  FROM lab LEFT JOIN sc USING (doc_id)),
+g AS (SELECT * FROM (VALUES {grid}) AS t(threshold)),
+conf AS (
+  SELECT g.threshold::BIGINT AS threshold,
+         sum(CASE WHEN score >= g.threshold AND label = 1
+                  THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN score >= g.threshold AND label = 0
+                  THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN score < g.threshold AND label = 1
+                  THEN 1 ELSE 0 END)::BIGINT AS fn,
+         sum(CASE WHEN score < g.threshold AND label = 0
+                  THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM per_doc CROSS JOIN g GROUP BY g.threshold)
+SELECT threshold, tp, fp, fn, tn,
+       ((1000 * tp) // greatest(tp + fp, 1))::BIGINT AS precision_milli,
+       ((1000 * tp) // greatest(tp + fn, 1))::BIGINT AS recall_milli
+FROM conf ORDER BY threshold
+"""
+
+
+# ---------------------------------------------------------------------------
 # compression-ratio quality signal (Gopher-style)
 # ---------------------------------------------------------------------------
 #

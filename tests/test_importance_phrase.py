@@ -116,3 +116,30 @@ def test_phrase_trigram_and_sql_mirror(ray_session):
     got = sorted((r["doc_id"], r["n_occ"]) for r in res)
     assert got == [tuple(row) for row in oracle]
     assert dict(got)[3] == 2  # "q r p q r p q r" has 2 full trigrams
+
+
+# -- classifier PR sweep --------------------------------------------------------
+
+
+def test_classifier_pr_invariants_and_mirror(ray_session):
+    from nerfray.ops import text as tx
+    # 30 docs: half long+diverse (gate keep), half short (gate drop)
+    texts = [" ".join(f"w{i}_{j}" for j in range(25))
+             for i in range(15)] + ["tiny doc"] * 15
+    import ray.data
+    docs = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    rows = tx.classifier_pr_curve(docs, v=32,
+                                  thresholds=(-5, 0, 5)).take_all()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == 30
+        assert r["tp"] + r["fn"] == 15  # gate keeps exactly the long docs
+    con = duckdb.connect()
+    _register(con, texts)
+    oracle = con.sql(tx.classifier_pr_sql(
+        v=32, thresholds=(-5, 0, 5))).fetchall()
+    got = sorted((r["threshold"], r["tp"], r["fp"], r["fn"], r["tn"],
+                  r["precision_milli"], r["recall_milli"]) for r in rows)
+    assert got == [tuple(row) for row in oracle]
