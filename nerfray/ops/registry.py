@@ -295,6 +295,25 @@ def q_sim_pq_planted(sf_dir: str):
         k=10)
 
 
+def q_sim_ivfpq(sf_dir: str):
+    # FAISS-style IVF-PQ: coarse inverted lists + residual PQ + ADC,
+    # probe-limited; rows-only on real floats (lossy residual codes)
+    from . import pq
+    return pq.ivf_pq_topk(
+        _emb(sf_dir), k=10,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_sim_ivfpq_planted(sf_dir: str):
+    # planted: each direction-group lands in ONE coarse list with ONE
+    # residual pattern (<= 50 <= ksub), so residual quantization is
+    # exact and probe-limited ADC must equal the brute-force oracle
+    from . import pq, similarity
+    return pq.ivf_pq_topk(
+        similarity.planted_group_embeddings(_emb(sf_dir), mode="mod"),
+        k=10)
+
+
 def q_sim_pq_codes(sf_dir: str):
     # PQ code-utilization audit (dead centroids / hot codes): rows-only
     # (code indices depend on the trained codebook); invariants —
@@ -916,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_pq": q_sim_pq,
         "sim_pq_planted": q_sim_pq_planted,
         "sim_pq_codes": q_sim_pq_codes,
+        "sim_ivfpq": q_sim_ivfpq,
+        "sim_ivfpq_planted": q_sim_ivfpq_planted,
         "emb_kmeans": q_emb_kmeans,
         "emb_kmeans_planted": q_emb_kmeans_planted,
         "emb_centroid_outliers": q_emb_centroid_outliers,
@@ -1444,6 +1465,9 @@ def oracles() -> dict[str, str]:
         # sim_pq (real float embeddings): rows-only by design — lossy
         # ADC scores; the planted variant below is exact
         "sim_pq_planted": TOPK_PLANTED_SQL,
+        # sim_ivfpq (real float embeddings): rows-only by design —
+        # lossy residual codes; the planted variant below is exact
+        "sim_ivfpq_planted": TOPK_PLANTED_SQL,
         # sim_pq_codes: rows-only (code indices depend on the trained
         # codebook); invariants pinned by pytest
         # emb_kmeans (real float embeddings): rows-only by design

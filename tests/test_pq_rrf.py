@@ -140,3 +140,32 @@ def test_rrf_doc_in_both_lists_sums(ray_session):
     for v in by_id.values():
         assert v in allowed or any(
             v - a in allowed for a in allowed), v
+
+
+def test_ivfpq_exact_on_planted_groups(ray_session):
+    # each direction-group lands in one coarse list with one residual
+    # pattern -> residual ADC is exact; probing includes the query's
+    # own list, so top-5 is the group's 5 smallest ids
+    vecs = _group_vecs(40, 8, dim=16)
+    res = pqm.ivf_pq_topk(_emb_ds(vecs), k=5, n_lists=4, n_probe=2,
+                          m_sub=4, ksub=16, n_queries=2).take_all()
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in res}
+    for q in range(2):
+        assert [got[(q, r)] for r in range(1, 6)] == \
+            [q + 8 * j for j in range(5)]
+
+
+def test_ivfpq_recall_on_random_floats(ray_session):
+    rng = np.random.default_rng(321)
+    vecs = rng.standard_normal((400, 32))
+    res = pqm.ivf_pq_topk(_emb_ds(vecs), k=10, n_lists=8, n_probe=4,
+                          m_sub=8, ksub=32, n_queries=3).take_all()
+    x = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    recalls = []
+    for q in range(3):
+        truth = set(np.argsort(-(x[q] @ x.T))[:10].tolist())
+        mine = {r["vec_id"] for r in res if r["query_id"] == q}
+        recalls.append(len(mine & truth) / 10)
+    # probe-limited AND lossy: still must find the query itself and
+    # most close neighbors
+    assert np.mean(recalls) >= 0.4, recalls
