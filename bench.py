@@ -143,7 +143,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "join_q2_min_cost", "join_q9_profit",
                  "join_q11_important_stock", "join_q16_supplier_cnt",
                  "join_q20_majority", "dedup_editdist",
-                 "sim_pq", "docs_hybrid_rrf"):
+                 "sim_pq", "docs_hybrid_rrf", "sim_ivfpq",
+                 "docs_dsir_scores", "docs_dsir_selected",
+                 "docs_phrase_search", "docs_classifier_pr"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
