@@ -51,21 +51,27 @@ KMEANS_ITERS = 10
 
 
 def train_pq_codebooks(sample: np.ndarray, *, m_sub: int = M_SUB,
-                       ksub: int = KSUB,
-                       iters: int = KMEANS_ITERS) -> np.ndarray:
+                       ksub: int = KSUB, iters: int = KMEANS_ITERS,
+                       normalize: bool = True) -> np.ndarray:
     """(m_sub, ksub, dsub) codebooks via seeded Lloyd k-means per
     subspace.  Init is the first ``ksub`` UNIQUE sub-vectors under a
     seeded shuffle: when the sample has <= ksub distinct patterns in a
     subspace (the planted corpus), every pattern becomes its own
     centroid and quantization is exact; surplus centroid slots repeat
     the last unique row and never win an argmin that an exact centroid
-    would."""
+    would.
+
+    ``normalize`` L2-normalizes rows first — right for whole vectors
+    under cosine semantics (pq_topk), WRONG for IVF residuals, whose
+    norms carry signal: ivf_pq_topk passes normalize=False so train
+    and encode see the same geometry."""
     n, d = sample.shape
     if d % m_sub:
         raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
     dsub = d // m_sub
     x = sample / np.maximum(
-        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12) \
+        if normalize else sample
     rng = np.random.default_rng(29)
     perm = rng.permutation(n)
     books = np.empty((m_sub, ksub, dsub), np.float64)
@@ -245,7 +251,8 @@ def ivf_pq_topk(emb: ray.data.Dataset, *, k: int = 10,
     cents = _kmeans(sample, n_lists)
     assign_s = np.argmax(sample @ cents.T, axis=1)
     books = train_pq_codebooks(sample - cents[assign_s],
-                               m_sub=m_sub, ksub=ksub)
+                               m_sub=m_sub, ksub=ksub,
+                               normalize=False)
     q = _query_matrix(emb, n_queries, source_path)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
