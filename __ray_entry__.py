@@ -570,6 +570,21 @@ def q_kg_eval_prf(sf_dir: str):
     return evaluate.span_prf(_n(sf_dir))
 
 
+def q_kg_taxonomy_closure(sf_dir: str):
+    """Ontology materialization: semi-naive transitive closure of the
+    planted K-ary subclass tree — one hash_join exchange per depth
+    level, delta-driven termination, driver sees only round counts."""
+    from nerfray.stages import graph
+    return graph.taxonomy_closure_planted_query(sf_dir)
+
+
+def q_kg_type_inference(sf_dir: str):
+    """RDFS-style type inference: direct entity types fanned out
+    through the subclass closure in ONE corpus-grain hash_join."""
+    from nerfray.stages import graph
+    return graph.type_inference_planted_query(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from nerfray import entrypoints
     q = {
@@ -613,6 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hash_embedding": q_kg_hash_embedding,
         "kg_lib_assoc": q_kg_lib_assoc,
         "kg_repo_cards": q_kg_repo_cards,
+        "kg_taxonomy_closure": q_kg_taxonomy_closure,
+        "kg_type_inference": q_kg_type_inference,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -628,6 +645,8 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.stages.triples import repo_cards_sql as __cards_sql
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
+        "kg_taxonomy_closure": graph.TAXO_CLOSURE_PLANTED_SQL,
+        "kg_type_inference": graph.TYPE_INFERENCE_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_labelprop_planted": graph.lpa_planted_sql(),

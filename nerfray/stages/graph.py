@@ -2121,3 +2121,176 @@ SELECT a AS node, j::BIGINT AS dim,
                 THEN 1 ELSE -1 END)::BIGINT AS val
 FROM e, dims GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# taxonomy transitive closure + RDFS-style type inference
+# ---------------------------------------------------------------------------
+#
+# The ontology-materialization step of KG construction (rdfs:subClassOf
+# closure, then type inference over it).  Semi-naive datalog evaluation:
+# round t joins the length-t delta against the base edges, so each
+# closure pair is derived exactly once on unique-path DAGs (trees /
+# forests — the planted taxonomy is a K-ary tree).  Each round is ONE
+# hash_join exchange over the delta (which shrinks as paths top out);
+# the accumulated closure stays a union of per-round Datasets and the
+# driver sees only the per-round delta row count (a scalar).  For
+# general DAGs where multiple derivation paths exist, the min-distance
+# contraction of `_min_relax_rounds` (bfs_hops) is the right kernel —
+# this one materializes the raw closure a reasoner wants.
+
+TAXO_K = 4
+
+_TAXO_EDGE_SCHEMA = pa.schema([("child", pa.int64()),
+                               ("parent", pa.int64())])
+_TAXO_CLO_SCHEMA = pa.schema([("node", pa.int64()), ("anc", pa.int64()),
+                              ("dist", pa.int64())])
+
+
+def _taxo_edge_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    ids = ids[ids >= 1]
+    return pa.Table.from_pydict(
+        {"child": ids, "parent": (ids - 1) // TAXO_K},
+        schema=_TAXO_EDGE_SCHEMA)
+
+
+def planted_taxonomy_edges(ids: ray.data.Dataset) -> ray.data.Dataset:
+    """K-ary-tree subclass edges over vec_ids: child i -> (i-1)//K,
+    rooted at 0 — depth ~ log_K(n), SQL-mirrorable arithmetic."""
+    return ids.map_batches(_taxo_edge_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _delta_seed(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "node": batch.column("child"),
+        "anc": batch.column("parent"),
+        "dist": np.ones(batch.num_rows, np.int64),
+    }, schema=_TAXO_CLO_SCHEMA)
+
+
+def _delta_step(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "node": batch.column("node"),
+        "anc": batch.column("parent"),
+        "dist": pa.compute.add(batch.column("dist"), 1),
+    }, schema=_TAXO_CLO_SCHEMA)
+
+
+def taxonomy_closure(edges: ray.data.Dataset, *,
+                     max_rounds: int = 40) -> ray.data.Dataset:
+    """(node, anc, dist) for every proper ancestor, exact on
+    unique-path DAGs.  Terminates when a round derives nothing new;
+    ``max_rounds`` only guards against a cyclic input (raises)."""
+    from nerfray.ops.joins import hash_join
+    types = {c: pa.int64()
+             for c in ("child", "parent", "node", "anc", "dist")}
+    delta = edges.map_batches(_delta_seed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    acc = delta
+    for _ in range(max_rounds):
+        if delta.count() == 0:
+            return acc
+        delta = hash_join(
+            delta, edges, left_on="anc", right_on="child",
+            left_cols=["node", "dist"], right_cols=["parent"],
+            field_types=types,
+        ).map_batches(_delta_step, batch_format="pyarrow").materialize()
+        if delta.count():
+            acc = acc.union(delta).materialize()
+    raise ValueError(f"taxonomy closure did not converge in "
+                     f"{max_rounds} rounds — cyclic subclass graph?")
+
+
+def taxonomy_closure_planted_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    return taxonomy_closure(planted_taxonomy_edges(ids))
+
+
+TAXO_EDGES_SQL = f"""
+  SELECT vec_id AS child, (vec_id - 1) // {TAXO_K} AS parent
+  FROM embeddings WHERE vec_id >= 1
+"""
+
+TAXO_CLOSURE_PLANTED_SQL = f"""
+WITH RECURSIVE e AS ({TAXO_EDGES_SQL}),
+clo AS (
+  SELECT child AS node, parent AS anc, 1::BIGINT AS dist FROM e
+  UNION ALL
+  SELECT c.node, e.parent, c.dist + 1 FROM clo c JOIN e ON e.child = c.anc
+)
+SELECT node, anc, dist FROM clo ORDER BY node, anc
+"""
+
+
+def _direct_type_batch(batch: pa.Table, *, n_classes: int) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.Table.from_pydict({
+        "entity": ids,
+        "cls": ids % n_classes,
+        "dist": np.zeros(len(ids), np.int64),
+    }, schema=pa.schema([("entity", pa.int64()), ("cls", pa.int64()),
+                         ("dist", pa.int64())]))
+
+
+def _inferred_batch(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "entity": batch.column("entity"),
+        "cls": batch.column("anc"),
+        "dist": batch.column("dist"),
+    }, schema=pa.schema([("entity", pa.int64()), ("cls", pa.int64()),
+                         ("dist", pa.int64())]))
+
+
+def type_inference_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """RDFS type materialization: every entity's direct class (dist 0)
+    plus all inferred superclasses (dist = levels up the closure).
+    Entities = documents rows, direct class = doc_id % n_classes; the
+    entity-side fan-out happens inside one hash_join against the
+    (class-sized, not corpus-sized) closure."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from nerfray.ops.joins import hash_join
+    from nerfray.sources.parquet import read_parquet_clean
+    n_classes = _pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    direct = docs.map_batches(_direct_type_batch,
+                              fn_kwargs={"n_classes": n_classes},
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    clo = taxonomy_closure_planted_query(sf_dir)
+    types = {c: pa.int64() for c in ("entity", "cls", "node", "anc",
+                                     "dist")}
+    inferred = hash_join(
+        direct.drop_columns(["dist"]), clo,
+        left_on="cls", right_on="node",
+        left_cols=["entity"], right_cols=["anc", "dist"],
+        field_types=types,
+    ).map_batches(_inferred_batch, batch_format="pyarrow")
+    return direct.union(inferred)
+
+
+TYPE_INFERENCE_PLANTED_SQL = f"""
+WITH RECURSIVE e AS ({TAXO_EDGES_SQL}),
+clo AS (
+  SELECT child AS node, parent AS anc, 1::BIGINT AS dist FROM e
+  UNION ALL
+  SELECT c.node, e.parent, c.dist + 1 FROM clo c JOIN e ON e.child = c.anc
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+direct AS (SELECT doc_id AS entity, doc_id % nn.n AS cls
+           FROM documents, nn)
+SELECT entity, cls, 0::BIGINT AS dist FROM direct
+UNION ALL
+SELECT d.entity, c.anc, c.dist FROM direct d JOIN clo c ON c.node = d.cls
+ORDER BY entity, cls
+"""

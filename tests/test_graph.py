@@ -734,3 +734,43 @@ def test_hash_embedding_brute_force(ray_session, tiny_graph):
     got = {(r["node"], r["dim"]): r["val"]
            for r in graph.hash_embedding(tiny_graph).take_all()}
     assert got == want
+
+
+def test_taxonomy_closure_vs_brute_force(ray_session):
+    """Semi-naive closure must equal the brute-force ancestor chain on
+    a random forest (unique-path DAG), any block structure."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import graph
+
+    rng = np.random.default_rng(11)
+    n = 60
+    # random forest: node i>=3 gets one parent < i; 0,1,2 are roots
+    parent = {i: int(rng.integers(0, i)) for i in range(3, n)}
+    edges = ray.data.from_arrow(pa.Table.from_pydict({
+        "child": pa.array(sorted(parent), pa.int64()),
+        "parent": pa.array([parent[c] for c in sorted(parent)],
+                           pa.int64())})).repartition(4)
+    got = {(r["node"], r["anc"]): r["dist"]
+           for r in graph.taxonomy_closure(edges).take_all()}
+    want = {}
+    for i in range(3, n):
+        a, d = i, 0
+        while a in parent:
+            a, d = parent[a], d + 1
+            want[(i, a)] = d
+    assert got == want and max(want.values()) >= 3
+
+
+def test_taxonomy_closure_cycle_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from nerfray.stages import graph
+
+    edges = ray.data.from_arrow(pa.Table.from_pydict({
+        "child": pa.array([0, 1], pa.int64()),
+        "parent": pa.array([1, 0], pa.int64())}))
+    with pytest.raises(ValueError, match="cyclic"):
+        graph.taxonomy_closure(edges, max_rounds=6)
