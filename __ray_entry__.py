@@ -570,6 +570,20 @@ def q_kg_eval_prf(sf_dir: str):
     return evaluate.span_prf(_n(sf_dir))
 
 
+def q_kg_entity_resolution(sf_dir: str):
+    """Entity resolution: normalize -> exact+typo blocking -> bounded
+    Levenshtein verify -> distributed CC -> canonical min-id per
+    cluster; full derivation-replay SQL oracle."""
+    from nerfray.stages import entity
+    return entity.er_planted_query(sf_dir)
+
+
+def q_kg_er_clusters(sf_dir: str):
+    """Resolved-entity rollup: mentions per canonical entity."""
+    from nerfray.stages import entity
+    return entity.er_clusters_query(sf_dir)
+
+
 def q_kg_taxonomy_closure(sf_dir: str):
     """Ontology materialization: semi-naive transitive closure of the
     planted K-ary subclass tree — one hash_join exchange per depth
@@ -630,6 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_repo_cards": q_kg_repo_cards,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_type_inference": q_kg_type_inference,
+        "kg_entity_resolution": q_kg_entity_resolution,
+        "kg_er_clusters": q_kg_er_clusters,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -638,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from nerfray import corpus, entrypoints
     from nerfray.stages import graph, validate
+    from nerfray.stages import entity as __er
     from nerfray.pipelines import kg as __kg
     from nerfray.stages.triples import adjacency_sql as __adj_sql
     from nerfray.stages.triples import entity_types_sql as __etypes_sql
@@ -647,6 +664,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_taxonomy_closure": graph.TAXO_CLOSURE_PLANTED_SQL,
         "kg_type_inference": graph.TYPE_INFERENCE_PLANTED_SQL,
+        "kg_entity_resolution": __er.ER_PLANTED_SQL,
+        "kg_er_clusters": __er.ER_CLUSTERS_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_labelprop_planted": graph.lpa_planted_sql(),
