@@ -436,6 +436,11 @@ def q_docs_repetition(sf_dir: str):
     return text.repetition_signals(_docs(sf_dir))
 
 
+def q_docs_line_signals(sf_dir: str):
+    from . import text
+    return text.line_signals(_docs(sf_dir))
+
+
 def q_docs_decontam(sf_dir: str):
     from . import text
     return text.decontaminate(_docs(sf_dir))
@@ -954,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_df": q_docs_word_df,
         "docs_lm_score": q_docs_lm_score,
         "docs_repetition": q_docs_repetition,
+        "docs_line_signals": q_docs_line_signals,
         "docs_decontam": q_docs_decontam,
         "docs_classifier": q_docs_classifier,
         "docs_classifier_pr": q_docs_classifier_pr,
@@ -1492,6 +1498,7 @@ def oracles() -> dict[str, str]:
         "docs_word_df": _word_df_sql(),
         "docs_lm_score": _text_sql("LM_SCORE_SQL"),
         "docs_repetition": _text_sql("REPETITION_SQL"),
+        "docs_line_signals": _text_sql("LINE_SIGNALS_SQL"),
         "docs_decontam": _text_sql("DECONTAM_SQL"),
         "docs_classifier": _text_sql("CLASSIFIER_SQL"),
         "docs_classifier_pr": _classifier_pr_sql(),

@@ -2101,3 +2101,131 @@ own AS (SELECT w, min(doc_id) AS doc_id FROM wd GROUP BY w)
 SELECT doc_id, count(*)::BIGINT AS n_new_words
 FROM own GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# -- line-level quality signals (C4 / FineWeb filter family) -----------------
+#
+# The corpus has no newlines, so the line structure is derived
+# deterministically in BOTH engines: words chunked LINE_WORDS at a
+# time, line ln decorated with a trailing '.' when ln % 3 == 0 and a
+# leading '- ' when ln % 5 == 0, and every ln % 7 == 3 line replaced by
+# an exact copy of the doc's (decorated) line 0 — planting real
+# duplicate lines.  Signals are the C4/FineWeb set: duplicate-line
+# fraction, terminal-punctuation line fraction, bullet-line fraction,
+# short-line fraction (all integer permille).  The Ray kernel never
+# materializes line strings: a line is its (word-code x 8, flags) row
+# in an integer matrix, distinctness is np.unique(axis=0) — equivalent
+# to string distinctness because corpus words contain no '.' or '-'
+# (factorized codes are exact string identities).
+
+LINE_WORDS = 8
+SHORT_LINE_CHARS = 25
+
+
+def _line_signal_table(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+
+    words = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_docs = len(lens)
+    flat = words.flatten()
+    wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    codes = pd.factorize(flat.to_pandas())[0].astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    off = np.r_[0, np.cumsum(lens)[:-1]]
+    in_doc = np.arange(codes.size, dtype=np.int64) - np.repeat(off, lens)
+    ln = in_doc // LINE_WORDS
+    pos = in_doc % LINE_WORDS
+
+    n_lines = (lens + LINE_WORDS - 1) // LINE_WORDS
+    lstart = np.r_[0, np.cumsum(n_lines)[:-1]]
+    gline = np.repeat(lstart, lens) + ln
+    total = int(n_lines.sum())
+
+    mat = np.full((total, LINE_WORDS), -1, np.int64)
+    mat[gline, pos] = codes
+    line_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+    line_num = np.arange(total, dtype=np.int64) - np.repeat(lstart,
+                                                            n_lines)
+    bullet = line_num % 5 == 0
+    punct = line_num % 3 == 0
+    clen = np.zeros(total, np.int64)
+    np.add.at(clen, gline, wlens + 1)
+    clen -= 1  # k words -> k-1 separating spaces
+
+    # plant duplicates: ln % 7 == 3 becomes a copy of the doc's line 0
+    rep = line_num % 7 == 3
+    src = lstart[line_doc]  # gline of line 0 of each line's doc
+    mat[rep] = mat[src[rep]]
+    clen[rep] = clen[src[rep]]
+    bullet[rep] = bullet[src[rep]]
+    punct[rep] = punct[src[rep]]
+    clen += 2 * bullet + punct  # decoration chars ('- ' and '.')
+
+    key = np.column_stack([line_doc, mat,
+                           bullet.astype(np.int64),
+                           punct.astype(np.int64)])
+    uniq = np.unique(key, axis=0)
+    distinct = np.bincount(uniq[:, 0], minlength=n_docs)
+
+    def _permille(flag: np.ndarray) -> np.ndarray:
+        per_doc = np.bincount(line_doc, weights=flag.astype(np.float64),
+                              minlength=n_docs).astype(np.int64)
+        return 1000 * per_doc // n_lines
+
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "dup_line_permille": pa.array(
+            1000 * (n_lines - distinct) // n_lines, pa.int64()),
+        "punct_line_permille": pa.array(_permille(punct), pa.int64()),
+        "bullet_line_permille": pa.array(_permille(bullet), pa.int64()),
+        "short_line_permille": pa.array(
+            _permille(clen < SHORT_LINE_CHARS), pa.int64()),
+    })
+
+
+def line_signals(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc line-level quality signals (map-only; text never
+    shuffles)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _line_signal_table, batch_format="pyarrow", zero_copy_batch=True)
+
+
+LINE_SIGNALS_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ws) AS wd,
+         unnest(generate_series(0, len(ws) - 1)) AS i
+  FROM w),
+rawline AS (
+  SELECT doc_id, i // {LINE_WORDS} AS ln,
+         string_agg(wd, ' ' ORDER BY i) AS s
+  FROM tok GROUP BY doc_id, i // {LINE_WORDS}),
+dec AS (
+  SELECT doc_id, ln,
+         (CASE WHEN ln % 5 = 0 THEN '- ' ELSE '' END) || s ||
+         (CASE WHEN ln % 3 = 0 THEN '.' ELSE '' END) AS line
+  FROM rawline),
+fin AS (
+  SELECT d.doc_id, d.ln,
+         CASE WHEN d.ln % 7 = 3 THEN z.line ELSE d.line END AS line,
+         (d.ln % 7 = 3 OR d.ln % 3 = 0) AS punct,
+         (d.ln % 7 = 3 OR d.ln % 5 = 0) AS bullet
+  FROM dec d JOIN dec z ON z.doc_id = d.doc_id AND z.ln = 0)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       (1000 * (count(*) - count(DISTINCT line))) // count(*)
+         AS dup_line_permille,
+       (1000 * sum(CASE WHEN punct THEN 1 ELSE 0 END)) // count(*)
+         AS punct_line_permille,
+       (1000 * sum(CASE WHEN bullet THEN 1 ELSE 0 END)) // count(*)
+         AS bullet_line_permille,
+       (1000 * sum(CASE WHEN length(line) < {SHORT_LINE_CHARS}
+                        THEN 1 ELSE 0 END)) // count(*)
+         AS short_line_permille
+FROM fin GROUP BY doc_id ORDER BY doc_id
+"""

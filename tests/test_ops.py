@@ -2156,3 +2156,45 @@ def test_dup_spans_planted(ray_session):
     assert per_doc[1] == [(2, 9)]
     assert 2 not in per_doc
     assert sorted(per_doc[3]) == [(0, 7), (8, 15)]
+
+
+def test_line_signals_brute_force(ray_session):
+    """Integer-matrix line kernel vs a string-level reimplementation
+    (the SQL oracle's semantics) on edge-case docs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import text as T
+
+    rng = np.random.default_rng(31)
+    vocab = ["alpha", "be", "gamma", "dd", "epsilon", "zz"]
+    texts = [
+        "one",                                   # single word
+        " ".join(rng.choice(vocab, 8)),          # exactly one full line
+        " ".join(rng.choice(vocab, 9)),          # 8 + 1 tail
+        " ".join(rng.choice(vocab, 90)),         # >11 lines: two plants
+        " ".join(["be"] * 40),                   # natural dup lines
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    got = {r["doc_id"]: r for r in T.line_signals(ds).take_all()}
+
+    for d, txt in enumerate(texts):
+        ws = txt.split(" ")
+        raw = [" ".join(ws[i:i + T.LINE_WORDS])
+               for i in range(0, len(ws), T.LINE_WORDS)]
+        dec = [("- " if ln % 5 == 0 else "") + s +
+               ("." if ln % 3 == 0 else "")
+               for ln, s in enumerate(raw)]
+        fin = [dec[0] if ln % 7 == 3 else s for ln, s in enumerate(dec)]
+        n = len(fin)
+        r = got[d]
+        assert r["n_lines"] == n
+        assert r["dup_line_permille"] == 1000 * (n - len(set(fin))) // n
+        assert r["punct_line_permille"] == 1000 * sum(
+            1 for s in fin if s.endswith(".")) // n
+        assert r["bullet_line_permille"] == 1000 * sum(
+            1 for s in fin if s.startswith("- ")) // n
+        assert r["short_line_permille"] == 1000 * sum(
+            1 for s in fin if len(s) < T.SHORT_LINE_CHARS) // n
