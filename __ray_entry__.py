@@ -570,6 +570,13 @@ def q_kg_eval_prf(sf_dir: str):
     return evaluate.span_prf(_n(sf_dir))
 
 
+def q_kg_hyperanf_planted(sf_dir: str):
+    """HyperANF (Boldi-Rosa-Vigna): per-node HLL registers of the
+    2-hop ball, register-exact vs a ball-expansion SQL oracle."""
+    from nerfray.stages import graph
+    return graph.hyperanf_planted_query(sf_dir)
+
+
 def q_kg_entity_resolution(sf_dir: str):
     """Entity resolution: normalize -> exact+typo blocking -> bounded
     Levenshtein verify -> distributed CC -> canonical min-id per
@@ -646,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_inference": q_kg_type_inference,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_er_clusters": q_kg_er_clusters,
+        "kg_hyperanf_planted": q_kg_hyperanf_planted,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -666,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_inference": graph.TYPE_INFERENCE_PLANTED_SQL,
         "kg_entity_resolution": __er.ER_PLANTED_SQL,
         "kg_er_clusters": __er.ER_CLUSTERS_SQL,
+        "kg_hyperanf_planted": graph.hyperanf_planted_sql(),
         "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_labelprop_planted": graph.lpa_planted_sql(),

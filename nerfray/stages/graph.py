@@ -2294,3 +2294,115 @@ UNION ALL
 SELECT d.entity, c.anc, c.dist FROM direct d JOIN clo c ON c.node = d.cls
 ORDER BY entity, cls
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperANF: neighborhood-function sketching (Boldi-Rosa-Vigna, WWW'11)
+# ---------------------------------------------------------------------------
+#
+# Per-node HLL registers of ball(u, t): round t+1 merges each node's
+# out-neighbors' round-t registers into its own (HLL max-merge is the
+# message).  Register state is <= 2^p rows per node — the whole state
+# Dataset is node- not edge-proportional — and each round is ONE
+# edge-grain hash_join + one (node, register) max-groupby, the
+# canonical HyperANF exchange.  Registers use the repo's standard
+# sha256-prefix hash (ops/sketch.py), so the result is REGISTER-EXACT
+# against a DuckDB oracle that expands the 2-hop balls and recomputes
+# the same registers — the approximation error of the HLL estimate
+# never enters the comparison.
+
+HYPERANF_HOPS = 2
+
+
+def _node_self_registers(batch: pa.Table) -> pa.Table:
+    from nerfray.ops.sketch import _rho, sha64
+    out_schema = pa.schema([("node", pa.int64()),
+                            ("register", pa.int64()),
+                            ("rho", pa.int64())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    regs = np.empty(len(ids), np.int64)
+    rhos = np.empty(len(ids), np.int64)
+    for i, v in enumerate(ids):
+        regs[i], rhos[i] = _rho(sha64(str(int(v))))
+    return pa.Table.from_pydict(
+        {"node": ids, "register": regs, "rho": rhos}, schema=out_schema)
+
+
+def _regs_from_join(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "node": batch.column("u"),
+        "register": batch.column("register"),
+        "rho": batch.column("rho"),
+    }, schema=pa.schema([("node", pa.int64()), ("register", pa.int64()),
+                         ("rho", pa.int64())]))
+
+
+def hyperanf_registers(edges: ray.data.Dataset,
+                       nodes: ray.data.Dataset, *,
+                       hops: int = HYPERANF_HOPS) -> ray.data.Dataset:
+    """(node, register, rho_max) for ball(node, hops) over directed
+    int64 (u, v) edges; ``nodes`` is a (vec_id) Dataset."""
+    from nerfray.ops.joins import hash_join
+    types = {c: pa.int64() for c in ("u", "v", "node", "register",
+                                     "rho")}
+    regs = nodes.map_batches(_node_self_registers,
+                             batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    for _ in range(hops):
+        prop = hash_join(
+            edges, regs, left_on="v", right_on="node",
+            left_cols=["u"], right_cols=["register", "rho"],
+            field_types=types,
+        ).map_batches(_regs_from_join, batch_format="pyarrow")
+        regs = regs.union(prop).groupby(["node", "register"]) \
+            .max("rho").rename_columns({"max(rho)": "rho"}) \
+            .materialize()
+    return regs.rename_columns({"rho": "rho_max"})
+
+
+def hyperanf_planted_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+    return hyperanf_registers(planted_triangle_edges(ids, n), ids)
+
+
+def hyperanf_planted_sql() -> str:
+    from nerfray.ops.sketch import _WBITS
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+e AS (
+  SELECT vec_id AS u, (vec_id + 7) % nn.n AS v FROM embeddings, nn
+  UNION ALL SELECT vec_id, (vec_id + 13) % nn.n FROM embeddings, nn
+  UNION ALL SELECT vec_id, (vec_id + 20) % nn.n FROM embeddings, nn
+),
+b1 AS (
+  SELECT vec_id AS src, vec_id AS m FROM embeddings
+  UNION SELECT u, v FROM e
+),
+b2 AS (
+  SELECT src, m FROM b1
+  UNION SELECT b1.src, e.v FROM b1 JOIN e ON e.u = b1.m
+),
+h AS (
+  SELECT src,
+         ('0x' || substr(sha256(CAST(m AS VARCHAR)), 1, 16))::UBIGINT
+           AS hv
+  FROM b2
+),
+parts AS (
+  SELECT src, (hv >> {_WBITS})::BIGINT AS register,
+         hv & ((1::UBIGINT << {_WBITS}) - 1) AS w
+  FROM h
+)
+SELECT src AS node, register,
+       max(CASE WHEN w = 0 THEN {_WBITS + 1}
+                ELSE {_WBITS} - length(bin(w)) + 1 END)::BIGINT AS rho_max
+FROM parts GROUP BY src, register
+ORDER BY node, register
+"""

@@ -774,3 +774,39 @@ def test_taxonomy_closure_cycle_raises(ray_session):
         "parent": pa.array([1, 0], pa.int64())}))
     with pytest.raises(ValueError, match="cyclic"):
         graph.taxonomy_closure(edges, max_rounds=6)
+
+
+def test_hyperanf_registers_vs_brute_force(ray_session):
+    """Propagated registers must equal registers recomputed from the
+    exact 2-hop ball on a random digraph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops.sketch import _rho, sha64
+    from nerfray.stages import graph
+
+    rng = np.random.default_rng(17)
+    n, m = 30, 70
+    u = rng.integers(0, n, m)
+    v = rng.integers(0, n, m)
+    edges = ray.data.from_arrow(pa.Table.from_pydict({
+        "u": pa.array(u, pa.int64()),
+        "v": pa.array(v, pa.int64())})).repartition(4)
+    nodes = ray.data.from_arrow(pa.Table.from_pydict(
+        {"vec_id": pa.array(range(n), pa.int64())})).repartition(3)
+    got = {(r["node"], r["register"]): r["rho_max"]
+           for r in graph.hyperanf_registers(edges, nodes).take_all()}
+
+    adj = {}
+    for a, b in zip(u, v):
+        adj.setdefault(int(a), set()).add(int(b))
+    want = {}
+    for s in range(n):
+        ball = {s}
+        for _ in range(graph.HYPERANF_HOPS):
+            ball |= {w for x in ball for w in adj.get(x, ())}
+        for member in ball:
+            reg, rho = _rho(sha64(str(member)))
+            key = (s, reg)
+            want[key] = max(want.get(key, 0), rho)
+    assert got == want
