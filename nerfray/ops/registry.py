@@ -639,6 +639,11 @@ def q_docs_bpe_merges(sf_dir: str):
     return tokenizer.bpe_train_merges(_docs(sf_dir), rounds=3)
 
 
+def q_docs_bm25_rerank(sf_dir: str):
+    from . import retrieval
+    return retrieval.bm25_rerank_topk(_docs(sf_dir))
+
+
 def q_docs_bm25_topk(sf_dir: str):
     # ranked keyword retrieval: integer-pinned BM25 (df/N/avglen as
     # tiny aggregates, one scoring map, per-block top-k pruning)
@@ -990,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pairs": q_docs_bpe_pairs,
         "docs_bpe_merges": q_docs_bpe_merges,
         "docs_bm25_topk": q_docs_bm25_topk,
+        "docs_bm25_rerank": q_docs_bm25_rerank,
         "docs_hybrid_rrf": q_docs_hybrid_rrf,
         "docs_dsir_scores": q_docs_dsir_scores,
         "docs_dsir_selected": q_docs_dsir_selected,
@@ -1384,6 +1390,11 @@ def _bm25_sql() -> str:
     return bm25_sql()
 
 
+def _bm25_rerank_sql() -> str:
+    from .retrieval import bm25_rerank_sql
+    return bm25_rerank_sql()
+
+
 def _hybrid_rrf_sql() -> str:
     from .retrieval import hybrid_rrf_sql
     return hybrid_rrf_sql()
@@ -1449,6 +1460,7 @@ def oracles() -> dict[str, str]:
         "docs_bpe_pairs": _tokenizer_sql("BPE_PAIRS_SQL"),
         "docs_bpe_merges": _bpe_merges_sql(),
         "docs_bm25_topk": _bm25_sql(),
+        "docs_bm25_rerank": _bm25_rerank_sql(),
         "docs_hybrid_rrf": _hybrid_rrf_sql(),
         "docs_dsir_scores": _importance_sql("importance_sql"),
         "docs_dsir_selected": _importance_sql("dsir_selected_sql"),

@@ -662,3 +662,119 @@ WHERE (1000 * inter) // size_a >= {TAU_MILLI}
   AND size_a >= {MIN_SHINGLES}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# two-stage retrieval: BM25 candidate pool -> exact-phrase rerank
+# ---------------------------------------------------------------------------
+#
+# The classic retrieve-then-rerank shape (first-stage cheap scorer over
+# the whole corpus, expensive feature only over the bounded candidate
+# pool).  Stage 1 is bm25_topk with a wider k = POOL (driver holds POOL
+# rows — the same bounded top-k footprint every ranked query here has).
+# Stage 2 broadcasts the candidate id->score map via ray.put and
+# computes the rerank feature (exact adjacent-phrase count) corpus-side
+# in one map pass — candidate TEXTS never move, non-candidates are
+# dropped at the block.  Final order: integer rerank score
+# 10*bm25 + 5000*phrase_count, ties by doc_id.
+
+RERANK_PHRASE = ("merge", "hash")
+RERANK_POOL = 50
+RERANK_K = 10
+
+
+def bm25_rerank_topk(docs: ray.data.Dataset, *,
+                     terms: tuple[str, ...] = QUERY_TERMS,
+                     phrase: tuple[str, str] = RERANK_PHRASE,
+                     pool: int = RERANK_POOL,
+                     k: int = RERANK_K) -> ray.data.Dataset:
+    """(rank, doc_id, score_milli, phrase_cnt, rerank_milli)."""
+    import ray as _ray
+    cand = {r["doc_id"]: r["score_milli"]
+            for r in bm25_topk(docs, terms=terms, k=pool).take_all()}
+    cand_ref = _ray.put(cand)
+    t1, t2 = phrase
+
+    def _feat(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        lut = _ray.get(cand_ref) if isinstance(
+            cand_ref, _ray.ObjectRef) else cand_ref
+        out_schema = pa.schema([
+            ("doc_id", pa.int64()), ("score_milli", pa.int64()),
+            ("phrase_cnt", pa.int64()), ("g", pa.int32())])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, np.fromiter(lut, np.int64, len(lut)))
+        if not keep.any():
+            return out_schema.empty_table()
+        sub = batch.filter(pa.array(keep))
+        words = _pc.split_pattern(sub.column("text"), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = _pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(words.flatten().to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        hit = np.zeros(len(lens), np.int64)
+        if flat.size >= 2:
+            adj = ((flat[:-1] == t1) & (flat[1:] == t2)
+                   & (doc_idx[:-1] == doc_idx[1:]))
+            np.add.at(hit, doc_idx[:-1][adj], 1)
+        sids = sub.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": sids,
+            "score_milli": np.asarray([lut[int(i)] for i in sids],
+                                      np.int64),
+            "phrase_cnt": hit,
+            "g": np.zeros(len(sids), np.int32),
+        }, schema=out_schema)
+
+    def _final(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sc = group.column("score_milli").to_numpy(zero_copy_only=False)
+        ph = group.column("phrase_cnt").to_numpy(zero_copy_only=False)
+        rr = 10 * sc + 5000 * ph
+        order = np.lexsort((ids, -rr))[:k]
+        return pa.Table.from_pydict({
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score_milli": pa.array(sc[order], pa.int64()),
+            "phrase_cnt": pa.array(ph[order], pa.int64()),
+            "rerank_milli": pa.array(rr[order], pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(_feat, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+
+
+def bm25_rerank_sql(terms: tuple[str, ...] = QUERY_TERMS,
+                    phrase: tuple[str, str] = RERANK_PHRASE,
+                    pool: int = RERANK_POOL,
+                    k: int = RERANK_K) -> str:
+    t1, t2 = phrase
+    return f"""
+WITH cand AS ({bm25_sql(terms, pool)}),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM cand)),
+big AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2),
+ph AS (
+  SELECT w.doc_id,
+         (SELECT count(*) FROM big b
+          WHERE b.doc_id = w.doc_id
+            AND b.w1 = '{t1}' AND b.w2 = '{t2}')::BIGINT AS phrase_cnt
+  FROM w),
+rr AS (
+  SELECT c.doc_id, c.score_milli, ph.phrase_cnt,
+         (10 * c.score_milli + 5000 * ph.phrase_cnt)::BIGINT
+           AS rerank_milli
+  FROM cand c JOIN ph ON ph.doc_id = c.doc_id),
+r AS (SELECT *, row_number() OVER
+        (ORDER BY rerank_milli DESC, doc_id) AS rank FROM rr)
+SELECT rank::BIGINT AS rank, doc_id, score_milli, phrase_cnt,
+       rerank_milli
+FROM r WHERE rank <= {k} ORDER BY rank
+"""

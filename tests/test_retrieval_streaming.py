@@ -237,3 +237,53 @@ def test_containment_drop_summary_planted(ray_session):
     # the two interior boilerplate shingles sit in all 80 docs
     assert out["n_dropped"] == [2]
     assert out["sum_df"] == [160]
+
+
+def test_bm25_rerank_brute_force(ray_session):
+    """Two-stage rerank must equal the brute-force pipeline: global
+    BM25 pool, exact adjacent-phrase count, integer rerank order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import retrieval as R
+
+    rng = np.random.default_rng(41)
+    vocab = ["merge", "hash", "window", "scan", "agg"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 30)))
+             for _ in range(80)]
+    texts[7] = "merge hash merge hash window"    # phrase doc, all terms
+    texts[9] = "hash merge"                      # reversed: no phrase
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(4)
+    got = [(r["rank"], r["doc_id"], r["rerank_milli"]) for r in
+           R.bm25_rerank_topk(ds, pool=40, k=5).take_all()]
+    got.sort()
+
+    # brute force
+    ws = [t.split(" ") for t in texts]
+    n = len(ws)
+    avgw = max(sum(len(w) for w in ws) // n, 1)
+    df = {t: sum(1 for w in ws if t in w) for t in R.QUERY_TERMS}
+    idf = {t: (1000 * n) // df[t] for t in R.QUERY_TERMS if df[t]}
+
+    def bm25(i):
+        L = len(ws[i])
+        s = 0
+        for t, v in idf.items():
+            tf = ws[i].count(t)
+            s += v * ((2 * tf) // (tf + 1 + L // avgw))
+        return s
+
+    pool = sorted(range(n), key=lambda i: (-bm25(i), i))[:40]
+    t1, t2 = R.RERANK_PHRASE
+
+    def phrase(i):
+        return sum(1 for a, b in zip(ws[i], ws[i][1:])
+                   if a == t1 and b == t2)
+
+    rr = sorted(((10 * bm25(i) + 5000 * phrase(i), i) for i in pool),
+                key=lambda x: (-x[0], x[1]))[:5]
+    want = [(r + 1, i, s) for r, (s, i) in enumerate(rr)]
+    assert got == want
+    assert any(i == 7 for _, i, _ in want)  # phrase doc in the top-5
