@@ -300,3 +300,126 @@ def media_meta_routed(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Meta projection of the routed decode (shares MEDIA_META_SQL)."""
     return media_features_routed(docs).select_columns(
         ["doc_id", "media_type", "n_bytes", "sha_prefix"])
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (aHash) media near-dedup
+# ---------------------------------------------------------------------------
+#
+# The image-dedup pass of a multimodal pipeline: decode -> tiny gray
+# thumbnail -> average hash (bit i = pixel i brighter than the mean) ->
+# hamming-banded pair generation.  With no codecs in the container the
+# "thumbnail" is the payload's bytes cycled to 64 (a real deployment
+# swaps ONLY `_gray64`'s byte source for a resized grayscale decode;
+# hash, banding and verification are unchanged).  Planted twin payloads
+# (doc_id % 10 in {0, 1}) are an integer byte formula with one bumped
+# byte, so the WHOLE pipeline — thumbnail, integer mean compare
+# (64*g > S avoids division), banding recall, exact hamming — replays
+# as a DuckDB oracle over the documents view; the banded candidate
+# stage is pigeonhole-complete for hamming < n_bands, so Ray pairs ==
+# brute-force SQL pairs whatever the planted bit flips turn out to be.
+
+AHASH_K = 3
+
+
+def _gray64(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    payloads = batch.column("payload").to_pylist()
+    n = len(ids)
+    g = np.empty((n, 64), np.int64)
+    i64 = np.arange(64, dtype=np.int64)
+    for r in range(n):
+        d = int(ids[r])
+        if d % 10 == 0:
+            g[r] = (7 * d + 3 * i64) % 251
+        elif d % 10 == 1:
+            g[r] = (7 * (d - 1) + 3 * i64) % 251
+            g[r, 0] = ((7 * (d - 1)) % 251 + 128) % 256
+        else:
+            b = np.frombuffer(payloads[r], np.uint8)
+            g[r] = b[i64 % len(b)]
+    return ids, g
+
+
+def _ahash_batch(batch: pa.Table) -> pa.Table:
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("simhash", pa.uint64())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    ids, g = _gray64(batch)
+    s = g.sum(axis=1)
+    bits = (64 * g > s[:, None]).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    sig = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return pa.Table.from_pydict(
+        {"doc_id": ids, "simhash": sig}, schema=out_schema)
+
+
+def media_ahash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, simhash): average hash of the 64-byte thumbnail."""
+    return to_media(docs).map_batches(
+        _ahash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_phash_pairs(docs: ray.data.Dataset, *,
+                      max_hamming: int = AHASH_K) -> ray.data.Dataset:
+    """(doc_a, doc_b, hamming) media near-dup pairs, banded with full
+    recall for hamming < 4 (shares the SimHash banding machinery)."""
+    from nerfray.ops.dedup import simhash_pairs_from_signatures
+    return simhash_pairs_from_signatures(
+        media_ahash_signatures(docs), max_hamming=max_hamming)
+
+
+def media_phash_hist(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(popcount, n_docs): signature-population histogram — the cheap
+    full-oracle checksum surface over every doc's hash."""
+    import pyarrow.compute as pc
+
+    def _pop(batch: pa.Table) -> pa.Table:
+        sig = batch.column("simhash").to_numpy(zero_copy_only=False)
+        popcount = np.array([int(x).bit_count() for x in sig], np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "popcount": pa.array(popcount, pa.int64())})
+
+    return media_ahash_signatures(docs) \
+        .map_batches(_pop, batch_format="pyarrow") \
+        .groupby("popcount").count() \
+        .rename_columns({"count()": "n_docs"})
+
+
+_AHASH_G_SQL = """
+WITH pos AS (SELECT unnest(range(0, 64)) AS i),
+g AS (
+  SELECT doc_id, i,
+    CASE WHEN doc_id % 10 = 0 THEN (7 * doc_id + 3 * i) % 251
+         WHEN doc_id % 10 = 1 THEN
+           CASE WHEN i = 0
+                THEN ((7 * (doc_id - 1)) % 251 + 128) % 256
+                ELSE (7 * (doc_id - 1) + 3 * i) % 251 END
+         ELSE unicode(substr(text,
+                             CAST(i % length(text) AS INTEGER) + 1, 1))
+    END AS v
+  FROM documents, pos),
+s AS (SELECT doc_id, sum(v) AS tot FROM g GROUP BY doc_id),
+ph AS (
+  SELECT g.doc_id,
+         sum(CASE WHEN 64 * g.v > s.tot
+                  THEN (1::HUGEINT << g.i) ELSE 0 END)::UBIGINT AS h
+  FROM g JOIN s USING (doc_id) GROUP BY g.doc_id)
+"""
+
+MEDIA_PHASH_PAIRS_SQL = f"""
+{_AHASH_G_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.h, b.h))::BIGINT AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {AHASH_K}
+ORDER BY doc_a, doc_b
+"""
+
+MEDIA_PHASH_HIST_SQL = f"""
+{_AHASH_G_SQL}
+SELECT bit_count(h)::BIGINT AS popcount, count(*)::BIGINT AS n_docs
+FROM ph GROUP BY 1 ORDER BY 1
+"""

@@ -605,6 +605,16 @@ def q_media_meta(sf_dir: str):
     return multimodal.media_meta(_docs(sf_dir))
 
 
+def q_media_phash_pairs(sf_dir: str):
+    from . import multimodal
+    return multimodal.media_phash_pairs(_docs(sf_dir))
+
+
+def q_media_phash_hist(sf_dir: str):
+    from . import multimodal
+    return multimodal.media_phash_hist(_docs(sf_dir))
+
+
 def q_media_meta_routed(sf_dir: str):
     # per-modality actor pools (batch size / concurrency per media
     # type); routing is semantics-invisible -> same oracle
@@ -990,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": q_docs_chunks,
         "media_meta": q_media_meta,
         "media_meta_routed": q_media_meta_routed,
+        "media_phash_pairs": q_media_phash_pairs,
+        "media_phash_hist": q_media_phash_hist,
         "media_frames": q_media_frames,
         "media_shards": q_media_shards,
         "docs_bpe_pairs": q_docs_bpe_pairs,
@@ -1526,6 +1538,8 @@ def oracles() -> dict[str, str]:
         "media_meta_routed": MEDIA_META_SQL,
         "media_frames": MEDIA_FRAMES_SQL,
         "media_shards": _mm_sql("MEDIA_SHARDS_SQL"),
+        "media_phash_pairs": _mm_sql("MEDIA_PHASH_PAIRS_SQL"),
+        "media_phash_hist": _mm_sql("MEDIA_PHASH_HIST_SQL"),
         "lang_confusion_planted": _lang_sql(),
         # lang_confusion (raw docs): rows-only — documents.lang is
         # synthetic metadata, there is no SQL-stateable truth.

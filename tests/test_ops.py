@@ -2198,3 +2198,48 @@ def test_line_signals_brute_force(ray_session):
             1 for s in fin if s.startswith("- ")) // n
         assert r["short_line_permille"] == 1000 * sum(
             1 for s in fin if len(s) < T.SHORT_LINE_CHARS) // n
+
+
+def test_media_phash_pairs_brute_force(ray_session):
+    """aHash kernel + banded pairs vs brute-force popcount over the
+    same thumbnails (planted twins and text docs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.ops import multimodal as M
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc"]
+    n = 40
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 20)))
+             for _ in range(n)]
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in M.media_phash_pairs(ds).take_all()}
+
+    def gray(d):
+        i = np.arange(64)
+        if d % 10 == 0:
+            return (7 * d + 3 * i) % 251
+        if d % 10 == 1:
+            g = (7 * (d - 1) + 3 * i) % 251
+            g[0] = ((7 * (d - 1)) % 251 + 128) % 256
+            return g
+        b = np.frombuffer(texts[d].encode(), np.uint8).astype(np.int64)
+        return b[i % len(b)]
+
+    def ahash(d):
+        g = gray(d)
+        return sum(1 << int(i) for i in range(64)
+                   if 64 * g[i] > g.sum())
+
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            ham = (ahash(a) ^ ahash(b)).bit_count()
+            if ham <= M.AHASH_K:
+                want[(a, b)] = ham
+    assert got == want
+    assert any((10 * t, 10 * t + 1) in want for t in range(n // 10))
