@@ -606,6 +606,15 @@ def q_kg_type_inference(sf_dir: str):
     return graph.type_inference_planted_query(sf_dir)
 
 
+def q_kg_domain_violations(sf_dir: str):
+    """rdfs:domain validation: statements whose subject's inferred
+    type set lacks the relation's domain class — one left-anti
+    hash_join on a composite (entity, class) key against the
+    near-root slice of the materialized types."""
+    from nerfray.stages import graph
+    return graph.domain_violations_planted_query(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from nerfray import entrypoints
     q = {
@@ -651,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_repo_cards": q_kg_repo_cards,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_type_inference": q_kg_type_inference,
+        "kg_domain_violations": q_kg_domain_violations,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_er_clusters": q_kg_er_clusters,
         "kg_hyperanf_planted": q_kg_hyperanf_planted,
@@ -672,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_taxonomy_closure": graph.TAXO_CLOSURE_PLANTED_SQL,
         "kg_type_inference": graph.TYPE_INFERENCE_PLANTED_SQL,
+        "kg_domain_violations": graph.DOMAIN_VIOLATIONS_PLANTED_SQL,
         "kg_entity_resolution": __er.ER_PLANTED_SQL,
         "kg_er_clusters": __er.ER_CLUSTERS_SQL,
         "kg_hyperanf_planted": graph.hyperanf_planted_sql(),

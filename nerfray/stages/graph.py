@@ -2203,13 +2203,21 @@ def taxonomy_closure(edges: ray.data.Dataset, *,
                      f"{max_rounds} rounds — cyclic subclass graph?")
 
 
+_TAXO_MEMO: dict[str, ray.data.Dataset] = {}
+
+
 def taxonomy_closure_planted_query(sf_dir: str) -> ray.data.Dataset:
     import os
 
     from nerfray.sources.parquet import read_parquet_clean
+    got = _TAXO_MEMO.get(sf_dir)
+    if got is not None:
+        return got
     ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                              columns=["vec_id"])
-    return taxonomy_closure(planted_taxonomy_edges(ids))
+    out = taxonomy_closure(planted_taxonomy_edges(ids))
+    _TAXO_MEMO[sf_dir] = out  # taxonomy_closure returns materialized
+    return out
 
 
 TAXO_EDGES_SQL = f"""
@@ -2247,18 +2255,26 @@ def _inferred_batch(batch: pa.Table) -> pa.Table:
                          ("dist", pa.int64())]))
 
 
+_TYPES_MEMO: dict[str, ray.data.Dataset] = {}
+
+
 def type_inference_planted_query(sf_dir: str) -> ray.data.Dataset:
     """RDFS type materialization: every entity's direct class (dist 0)
     plus all inferred superclasses (dist = levels up the closure).
     Entities = documents rows, direct class = doc_id % n_classes; the
     entity-side fan-out happens inside one hash_join against the
-    (class-sized, not corpus-sized) closure."""
+    (class-sized, not corpus-sized) closure.  Memoized materialized —
+    the domain-constraint check reuses it, exactly as a reasoner
+    reuses a materialized type table."""
     import os
 
     import pyarrow.parquet as _pq
 
     from nerfray.ops.joins import hash_join
     from nerfray.sources.parquet import read_parquet_clean
+    got = _TYPES_MEMO.get(sf_dir)
+    if got is not None:
+        return got
     n_classes = _pq.read_metadata(
         os.path.join(sf_dir, "embeddings.parquet")).num_rows
     docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
@@ -2276,7 +2292,9 @@ def type_inference_planted_query(sf_dir: str) -> ray.data.Dataset:
         left_cols=["entity"], right_cols=["anc", "dist"],
         field_types=types,
     ).map_batches(_inferred_batch, batch_format="pyarrow")
-    return direct.union(inferred)
+    out = direct.union(inferred).materialize()
+    _TYPES_MEMO[sf_dir] = out
+    return out
 
 
 TYPE_INFERENCE_PLANTED_SQL = f"""
@@ -2293,6 +2311,102 @@ SELECT entity, cls, 0::BIGINT AS dist FROM direct
 UNION ALL
 SELECT d.entity, c.anc, c.dist FROM direct d JOIN clo c ON c.node = d.cls
 ORDER BY entity, cls
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain-constraint validation over the materialized type closure
+# ---------------------------------------------------------------------------
+#
+# The ontology-QA step of KG construction: every statement's relation
+# carries a domain class (rdfs:domain), and a statement is valid iff
+# the subject's materialized type set (direct class + all inferred
+# superclasses) contains that domain.  With domains restricted to a
+# small relation vocabulary (DOMAIN_N_RELS classes), only the
+# near-root slice of the type table can ever satisfy a constraint —
+# so the check is ONE left-anti hash_join on a composite
+# (entity, class) key between the statements and that pre-filtered
+# slice (~2-3 rows per entity for the K-ary planted tree), never a
+# per-entity set materialization on the driver.
+
+DOMAIN_N_RELS = 16
+
+_STMT_SCHEMA = pa.schema([("entity", pa.int64()), ("rel", pa.int64()),
+                          ("ck", pa.int64())])
+_VIOL_SCHEMA = pa.schema([("entity", pa.int64()), ("rel", pa.int64()),
+                          ("dom_cls", pa.int64())])
+
+
+def _stmt_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    rel = (ids * 7 + 3) % DOMAIN_N_RELS
+    return pa.Table.from_pydict(
+        {"entity": ids, "rel": rel, "ck": ids * DOMAIN_N_RELS + rel},
+        schema=_STMT_SCHEMA)
+
+
+def _type_ck_batch(batch: pa.Table) -> pa.Table:
+    ent = batch.column("entity").to_numpy(zero_copy_only=False)
+    cls = batch.column("cls").to_numpy(zero_copy_only=False)
+    keep = cls < DOMAIN_N_RELS
+    ent, cls = ent[keep], cls[keep]
+    return pa.Table.from_pydict(
+        {"ck": ent * DOMAIN_N_RELS + cls},
+        schema=pa.schema([("ck", pa.int64())]))
+
+
+def _viol_batch(batch: pa.Table) -> pa.Table:
+    rel = batch.column("rel")
+    return pa.Table.from_pydict(
+        {"entity": batch.column("entity"), "rel": rel, "dom_cls": rel},
+        schema=_VIOL_SCHEMA)
+
+
+def domain_violations_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """Statements whose subject's type closure lacks the relation's
+    domain class — planted statements (doc_id*7+3 mod R over documents,
+    domain(r) = class r) checked against the taxonomy-closure types."""
+    import os
+
+    from nerfray.ops.joins import hash_join
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    stmts = docs.map_batches(_stmt_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    types_ck = type_inference_planted_query(sf_dir).map_batches(
+        _type_ck_batch, batch_format="pyarrow", zero_copy_batch=True)
+    types = {c: pa.int64() for c in ("entity", "rel", "ck")}
+    return hash_join(
+        stmts, types_ck, left_on="ck", right_on="ck",
+        left_cols=["entity", "rel"], right_cols=[],
+        how="left anti", field_types=types,
+    ).map_batches(_viol_batch, batch_format="pyarrow")
+
+
+DOMAIN_VIOLATIONS_PLANTED_SQL = f"""
+WITH RECURSIVE e AS ({TAXO_EDGES_SQL}),
+clo AS (
+  SELECT child AS node, parent AS anc, 1::BIGINT AS dist FROM e
+  UNION ALL
+  SELECT c.node, e.parent, c.dist + 1 FROM clo c JOIN e ON e.child = c.anc
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+direct AS (SELECT doc_id AS entity, doc_id % nn.n AS cls
+           FROM documents, nn),
+types AS (
+  SELECT entity, cls FROM direct
+  UNION ALL
+  SELECT d.entity, c.anc AS cls FROM direct d JOIN clo c ON c.node = d.cls
+),
+stmts AS (SELECT doc_id AS entity,
+                 (doc_id * 7 + 3) % {DOMAIN_N_RELS} AS rel
+          FROM documents)
+SELECT s.entity, s.rel, s.rel AS dom_cls
+FROM stmts s
+WHERE NOT EXISTS (SELECT 1 FROM types t
+                  WHERE t.entity = s.entity AND t.cls = s.rel)
+ORDER BY entity
 """
 
 

@@ -776,6 +776,38 @@ def test_taxonomy_closure_cycle_raises(ray_session):
         graph.taxonomy_closure(edges, max_rounds=6)
 
 
+def test_domain_violations_vs_brute_force(ray_session, tmp_path):
+    """Anti-join domain check must equal a per-entity brute-force
+    ancestor-set membership test on the planted tree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nerfray.stages import graph
+
+    n_docs, n_classes = 200, 37
+    pq.write_table(pa.Table.from_pydict(
+        {"doc_id": pa.array(range(n_docs), pa.int64())}),
+        tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pydict(
+        {"vec_id": pa.array(range(n_classes), pa.int64())}),
+        tmp_path / "embeddings.parquet")
+
+    got = {(r["entity"], r["rel"])
+           for r in graph.domain_violations_planted_query(
+               str(tmp_path)).take_all()}
+
+    want = set()
+    for e in range(n_docs):
+        c = e % n_classes
+        typeset = {c}
+        while c >= 1:
+            c = (c - 1) // graph.TAXO_K
+            typeset.add(c)
+        rel = (e * 7 + 3) % graph.DOMAIN_N_RELS
+        if rel not in typeset:
+            want.add((e, rel))
+    assert got == want and 0 < len(want) < n_docs
+
+
 def test_hyperanf_registers_vs_brute_force(ray_session):
     """Propagated registers must equal registers recomputed from the
     exact 2-hop ball on a random digraph."""
