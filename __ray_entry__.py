@@ -591,6 +591,23 @@ def q_kg_er_clusters(sf_dir: str):
     return entity.er_clusters_query(sf_dir)
 
 
+def q_kg_canonical_usage(sf_dir: str):
+    """Entity linking applied to a statement stream: statements keyed
+    by mention rewritten to canonical ids via one hash_join, then
+    distinct-doc counts per resolved entity in one canon-hash
+    co-group."""
+    from nerfray.stages import entity
+    return entity.canonical_usage_query(sf_dir)
+
+
+def q_kg_fused_facts(sf_dir: str):
+    """Truth discovery (vote baseline): majority object per subject
+    over conflicting planted claims, min-obj tie-break, ONE
+    subject-hash co-group."""
+    from nerfray.stages import entity
+    return entity.fused_facts_query(sf_dir)
+
+
 def q_kg_taxonomy_closure(sf_dir: str):
     """Ontology materialization: semi-naive transitive closure of the
     planted K-ary subclass tree — one hash_join exchange per depth
@@ -663,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_domain_violations": q_kg_domain_violations,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_er_clusters": q_kg_er_clusters,
+        "kg_canonical_usage": q_kg_canonical_usage,
+        "kg_fused_facts": q_kg_fused_facts,
         "kg_hyperanf_planted": q_kg_hyperanf_planted,
     }
     q.update(entrypoints.ops_queries())
@@ -685,6 +704,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_domain_violations": graph.DOMAIN_VIOLATIONS_PLANTED_SQL,
         "kg_entity_resolution": __er.ER_PLANTED_SQL,
         "kg_er_clusters": __er.ER_CLUSTERS_SQL,
+        "kg_canonical_usage": __er.CANONICAL_USAGE_SQL,
+        "kg_fused_facts": __er.FUSED_FACTS_SQL,
         "kg_hyperanf_planted": graph.hyperanf_planted_sql(),
         "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),

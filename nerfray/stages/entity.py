@@ -353,3 +353,180 @@ WITH resolved AS ({ER_PLANTED_SQL.replace("ORDER BY mention_id", "")})
 SELECT canon_id, count(*)::BIGINT AS n_mentions
 FROM resolved GROUP BY canon_id ORDER BY canon_id
 """
+
+
+# ---------------------------------------------------------------------------
+# canonicalized usage rollup: entity linking applied to a statement
+# stream
+# ---------------------------------------------------------------------------
+#
+# The step AFTER resolution: raw statements reference mention ids; the
+# canonical KG wants them keyed by resolved entity, with duplicate
+# evidence collapsed.  Planted statements say mention m is used in doc
+# (m*3) % n_docs, so distinct mentions of one entity can hit the SAME
+# doc — the rollup is count(DISTINCT doc), not mention count.  Shape:
+# ONE mention-grain hash_join (statements x canonical map, both
+# corpus-grain) + ONE canon-hash co-group that dedups (canon, doc)
+# pairs with a lexsort/first-mask sweep.  Nothing entity-proportional
+# reaches the driver.
+
+_USAGE_SCHEMA = pa.schema([("canon_id", pa.int64()),
+                           ("n_docs", pa.int64())])
+
+
+def _canon_usage_group(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _USAGE_SCHEMA.empty_table()
+    canon = group.column("canon_id").to_numpy(zero_copy_only=False)
+    doc = group.column("doc").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, canon))
+    c_s, d_s = canon[order], doc[order]
+    new_pair = np.ones(len(c_s), bool)
+    new_pair[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+    c_u = c_s[new_pair]
+    new_canon = np.ones(len(c_u), bool)
+    new_canon[1:] = c_u[1:] != c_u[:-1]
+    starts = np.flatnonzero(new_canon)
+    counts = np.diff(np.append(starts, len(c_u)))
+    return pa.Table.from_pydict(
+        {"canon_id": c_u[starts], "n_docs": counts.astype(np.int64)},
+        schema=_USAGE_SCHEMA)
+
+
+def canonical_usage_query(sf_dir: str) -> ray.data.Dataset:
+    """(canon_id, n_docs): distinct docs using each RESOLVED entity."""
+    import os
+
+    from nerfray.ops.joins import hash_join
+    from nerfray.sources.parquet import read_parquet_clean
+
+    n_docs = _n_docs(sf_dir)
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+
+    def _stmts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"mention_id": ids, "doc": (ids * 3) % n_docs},
+            schema=pa.schema([("mention_id", pa.int64()),
+                              ("doc", pa.int64())]))
+
+    stmts = docs.map_batches(_stmts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    types = {c: pa.int64() for c in ("mention_id", "doc", "canon_id")}
+    joined = hash_join(
+        stmts, er_planted_query(sf_dir),
+        left_on="mention_id", right_on="mention_id",
+        left_cols=["doc"], right_cols=["canon_id"], field_types=types)
+
+    def _hb(batch: pa.Table) -> pa.Table:
+        hb = pc.cast(pc.bit_wise_and(batch.column("canon_id"),
+                                     N_ER_BUCKETS - 1), pa.int32())
+        return pa.Table.from_pydict({
+            "canon_id": batch.column("canon_id"),
+            "doc": batch.column("doc"), "hb": hb})
+
+    return joined.map_batches(_hb, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_canon_usage_group,
+                                  batch_format="pyarrow")
+
+
+def _n_docs(sf_dir: str) -> int:
+    import os
+
+    import pyarrow.parquet as _pq
+    return _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+CANONICAL_USAGE_SQL = f"""
+WITH resolved AS ({ER_PLANTED_SQL.replace("ORDER BY mention_id", "")}),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+stmts AS (SELECT doc_id AS mention_id, (doc_id * 3) % nn.n AS doc
+          FROM documents, nn)
+SELECT r.canon_id, count(DISTINCT s.doc)::BIGINT AS n_docs
+FROM stmts s JOIN resolved r ON r.mention_id = s.mention_id
+GROUP BY r.canon_id ORDER BY canon_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# truth discovery: majority-vote fusion of conflicting claims
+# ---------------------------------------------------------------------------
+#
+# Data-fusion step for functional predicates (Dong & Naumann VLDB'09
+# tutorial shape, vote baseline): several sources claim an object for
+# the same (subject, predicate); keep the majority object, ties broken
+# by min object.  Planted claims: doc d claims subject d//5 has object
+# subj*10 + (1 if d%5==4 else 0) — a 4:1 split per subject, plus every
+# 7th subject gets a 2-way near-tie to exercise the tie-break.  ONE
+# subject-hash co-group; in-group votes via lexsort + reduceat.
+
+_FUSED_SCHEMA = pa.schema([("subj", pa.int64()), ("obj", pa.int64()),
+                           ("votes", pa.int64())])
+
+
+def _fuse_group(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _FUSED_SCHEMA.empty_table()
+    subj = group.column("subj").to_numpy(zero_copy_only=False)
+    obj = group.column("obj").to_numpy(zero_copy_only=False)
+    order = np.lexsort((obj, subj))
+    s_s, o_s = subj[order], obj[order]
+    new_pair = np.ones(len(s_s), bool)
+    new_pair[1:] = (s_s[1:] != s_s[:-1]) | (o_s[1:] != o_s[:-1])
+    starts = np.flatnonzero(new_pair)
+    votes = np.diff(np.append(starts, len(s_s))).astype(np.int64)
+    s_u, o_u = s_s[starts], o_s[starts]
+    # winner per subject: order candidates by (subj, -votes, obj) and
+    # keep the first row per subject — max votes, min-obj tie-break
+    order2 = np.lexsort((o_u, -votes, s_u))
+    s2, o2, v2 = s_u[order2], o_u[order2], votes[order2]
+    win = np.ones(len(s2), bool)
+    win[1:] = s2[1:] != s2[:-1]
+    return pa.Table.from_pydict(
+        {"subj": s2[win], "obj": o2[win], "votes": v2[win]},
+        schema=_FUSED_SCHEMA)
+
+
+def fused_facts_query(sf_dir: str) -> ray.data.Dataset:
+    """Majority-vote object per subject over planted conflicting
+    claims; returns (subj, obj, votes) for the winning claim."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+
+    def _claims(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        subj = d // 5
+        noise = (d % 5 == 4).astype(np.int64)
+        tie = (subj % 7 == 0) & (d % 5 >= 3)  # 3:2 split -> still maj,
+        obj = subj * 10 + np.where(tie, 2, noise)  # but a 2nd candidate
+        hb = (subj & (N_ER_BUCKETS - 1)).astype(np.int32)
+        return pa.Table.from_pydict(
+            {"subj": subj, "obj": obj, "hb": hb},
+            schema=pa.schema([("subj", pa.int64()), ("obj", pa.int64()),
+                              ("hb", pa.int32())]))
+
+    return docs.map_batches(_claims, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("hb").map_groups(_fuse_group, batch_format="pyarrow")
+
+
+FUSED_FACTS_SQL = """
+WITH claims AS (
+  SELECT doc_id // 5 AS subj,
+         (doc_id // 5) * 10 +
+         CASE WHEN (doc_id // 5) % 7 = 0 AND doc_id % 5 >= 3 THEN 2
+              WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS obj
+  FROM documents),
+votes AS (SELECT subj, obj, count(*)::BIGINT AS votes
+          FROM claims GROUP BY subj, obj),
+ranked AS (SELECT subj, obj, votes,
+                  row_number() OVER (PARTITION BY subj
+                                     ORDER BY votes DESC, obj) AS rn
+           FROM votes)
+SELECT subj, obj, votes FROM ranked WHERE rn = 1 ORDER BY subj
+"""

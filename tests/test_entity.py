@@ -108,3 +108,54 @@ def test_er_planted_structure(ray_session, tmp_path):
             assert got[i] == i          # odd-base Pkg singleton
         else:
             assert got[i] == 4 * b
+
+
+def test_canonical_usage_vs_brute_force(ray_session, tmp_path):
+    """Distinct-doc rollup through the canonical map must equal a
+    per-entity brute-force set count on the planted mentions."""
+    import pyarrow.parquet as pq
+
+    n = 97  # non-multiple of 4: partial tail quadruple
+    pq.write_table(pa.Table.from_pydict(
+        {"doc_id": pa.array(range(n), pa.int64())}),
+        tmp_path / "documents.parquet")
+    canon = {r["mention_id"]: r["canon_id"]
+             for r in entity.er_planted_query(str(tmp_path)).take_all()}
+    want = {}
+    for m in range(n):
+        want.setdefault(canon[m], set()).add((m * 3) % n)
+    got = {r["canon_id"]: r["n_docs"]
+           for r in entity.canonical_usage_query(str(tmp_path)).take_all()}
+    assert got == {c: len(s) for c, s in want.items()}
+
+
+def test_fused_facts_vs_brute_force(ray_session, tmp_path):
+    """Majority-vote winner per subject must equal a brute-force count
+    with (votes desc, obj asc) tie-break, including the planted 3:2
+    near-tie subjects and the partial tail subject."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    n = 103  # 5*20+3: tail subject 20 has only 3 claims
+    pq.write_table(pa.Table.from_pydict(
+        {"doc_id": pa.array(range(n), pa.int64())}),
+        tmp_path / "documents.parquet")
+    claims = []
+    for d in range(n):
+        s = d // 5
+        if s % 7 == 0 and d % 5 >= 3:
+            o = s * 10 + 2
+        elif d % 5 == 4:
+            o = s * 10 + 1
+        else:
+            o = s * 10
+        claims.append((s, o))
+    want = {}
+    for s in {c[0] for c in claims}:
+        cnt = Counter(o for s2, o in claims if s2 == s)
+        obj, votes = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[s] = (obj, votes)
+    got = {r["subj"]: (r["obj"], r["votes"])
+           for r in entity.fused_facts_query(str(tmp_path)).take_all()}
+    assert got == want
+    assert any(v == 3 for _, v in want.values())  # near-tie subjects
