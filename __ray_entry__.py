@@ -570,6 +570,22 @@ def q_kg_eval_prf(sf_dir: str):
     return evaluate.span_prf(_n(sf_dir))
 
 
+def q_kg_clustering_planted(sf_dir: str):
+    """Local clustering coefficient (integer permille): undirected
+    triangles / wedges per node over the symmetric circulant fixture —
+    triangle machinery + degree groupby + one left-outer hash_join."""
+    from nerfray.stages import graph
+    return graph.clustering_planted_query(sf_dir)
+
+
+def q_kg_link_prediction_planted(sf_dir: str):
+    """Resource-allocation link prediction (integer 1e9//deg(z)
+    contributions): deg-attach join + wedge join + ONE pair-hash
+    co-group that drops adjacent pairs."""
+    from nerfray.stages import graph
+    return graph.link_prediction_planted_query(sf_dir)
+
+
 def q_kg_hyperanf_planted(sf_dir: str):
     """HyperANF (Boldi-Rosa-Vigna): per-node HLL registers of the
     2-hop ball, register-exact vs a ball-expansion SQL oracle."""
@@ -683,6 +699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_usage": q_kg_canonical_usage,
         "kg_fused_facts": q_kg_fused_facts,
         "kg_hyperanf_planted": q_kg_hyperanf_planted,
+        "kg_clustering_planted": q_kg_clustering_planted,
+        "kg_linkpred_planted": q_kg_link_prediction_planted,
     }
     q.update(entrypoints.ops_queries())
     return q
@@ -707,6 +725,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_usage": __er.CANONICAL_USAGE_SQL,
         "kg_fused_facts": __er.FUSED_FACTS_SQL,
         "kg_hyperanf_planted": graph.hyperanf_planted_sql(),
+        "kg_clustering_planted": graph.CLUSTERING_PLANTED_SQL,
+        "kg_linkpred_planted": graph.LINK_PREDICTION_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_labelprop_planted": graph.lpa_planted_sql(),

@@ -909,6 +909,250 @@ GROUP BY a.u ORDER BY a.u
 
 
 # ---------------------------------------------------------------------------
+# local clustering coefficient + resource-allocation link prediction
+# ---------------------------------------------------------------------------
+#
+# Both ride the triangle/wedge machinery over a SYMMETRIC simple
+# planted graph: every node gets the ±{7,13,20} circulant neighbors,
+# and every third node an extra ±1 edge (so degrees VARY — 6, 7 or 8 —
+# and the integer cc/score arithmetic is exercised on non-constant
+# denominators).  Distinctness of the edge list holds by construction
+# for n > 41 (the residues ±1, ±7, ±13, ±20 are pairwise distinct mod
+# n), satisfying triangle_counts' distinct-edges contract with NO
+# dedup exchange.
+
+_CC_OUT_SCHEMA = pa.schema([
+    ("node", pa.int64()), ("n_tri", pa.int64()),
+    ("n_wedges", pa.int64()), ("cc_permille", pa.int64())])
+
+_RA_ROW_SCHEMA = pa.schema([
+    ("u", pa.int64()), ("w", pa.int64()),
+    ("wt", pa.int64()),   # wedge rows: 1e9 // deg(z); edge rows: 0
+    ("side", pa.int8()),  # 0 = wedge pair, 1 = existing edge
+    ("hb", pa.int32())])
+_RA_OUT_SCHEMA = pa.schema([
+    ("u", pa.int64()), ("w", pa.int64()), ("score", pa.int64())])
+
+
+def planted_symmetric_edges(ids: ray.data.Dataset,
+                            n: int) -> ray.data.Dataset:
+    """Symmetric circulant edges ±{7,13,20} for all ids, ±1 for ids
+    divisible by 3 (both directions emitted at the generator)."""
+    if n <= 41:
+        raise ValueError("planted symmetric graph needs n > 41 for "
+                         "edge distinctness")
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        i = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        for off in TRI_OFFSETS:
+            us += [i, i]
+            vs += [(i + off) % n, (i - off) % n]
+        third = i[i % 3 == 0]
+        us += [third, (third + 1) % n]
+        vs += [(third + 1) % n, third]
+        return pa.Table.from_pydict({
+            "u": pa.array(np.concatenate(us), pa.int64()),
+            "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    return ids.map_batches(_mk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def clustering_coefficient(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, n_tri, n_wedges, cc_permille) over a symmetric simple
+    edge list: undirected triangles = directed wedge-closures / 2,
+    wedges = deg*(deg-1)/2, cc integer-pinned as (1000*n_tri)//wedges.
+    Cost = triangle_counts (2 exchanges) + a node-grain degree groupby
+    + ONE node-keyed left-outer hash_join (zero-triangle nodes kept)."""
+    from nerfray.ops.joins import hash_join
+    tri = triangle_counts(edges)
+    deg = edges.groupby("u").count() \
+        .rename_columns({"count()": "deg"})
+    types = {"u": pa.int64(), "deg": pa.int64(),
+             "n_triangles": pa.int64()}
+    joined = hash_join(deg, tri, left_on="u", right_on="u",
+                       left_cols=["deg"], right_cols=["n_triangles"],
+                       how="left outer", field_types=types)
+
+    def _cc(batch: pa.Table) -> pa.Table:
+        node = batch.column("__key").to_numpy(zero_copy_only=False)
+        deg_ = batch.column("deg").to_numpy(zero_copy_only=False)
+        t2 = batch.column("n_triangles").to_numpy(zero_copy_only=False)
+        t2 = np.nan_to_num(t2.astype(float)).astype(np.int64)
+        tri_ = t2 // 2
+        wedges = deg_ * (deg_ - 1) // 2
+        cc = np.where(wedges > 0, (1000 * tri_) // np.maximum(wedges, 1),
+                      0)
+        return pa.Table.from_pydict(
+            {"node": node, "n_tri": tri_, "n_wedges": wedges,
+             "cc_permille": cc}, schema=_CC_OUT_SCHEMA)
+
+    return joined.map_batches(_cc, batch_format="pyarrow")
+
+
+def clustering_planted_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from nerfray.sources.parquet import read_parquet_clean
+    n = _pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    return clustering_coefficient(planted_symmetric_edges(ids, n))
+
+
+_SYM_EDGES_SQL = """
+nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+offs AS (SELECT unnest([1::BIGINT, -1, 7, -7, 13, -13, 20, -20]) AS o),
+e AS (
+  SELECT vec_id AS u, ((vec_id + o) % nn.n + nn.n) % nn.n AS v
+  FROM embeddings, nn, offs
+  WHERE abs(o) != 1
+  UNION ALL
+  SELECT vec_id, (vec_id + 1) % nn.n FROM embeddings, nn
+  WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT (vec_id + 1) % nn.n, vec_id FROM embeddings, nn
+  WHERE vec_id % 3 = 0
+)"""
+
+CLUSTERING_PLANTED_SQL = f"""
+WITH {_SYM_EDGES_SQL},
+tri AS (
+  SELECT a.u, count(*)::BIGINT AS t2
+  FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v
+  GROUP BY a.u),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u)
+SELECT d.u AS node, coalesce(t.t2, 0) // 2 AS n_tri,
+       d.deg * (d.deg - 1) // 2 AS n_wedges,
+       CASE WHEN d.deg >= 2
+            THEN (1000 * (coalesce(t.t2, 0) // 2))
+                 // (d.deg * (d.deg - 1) // 2)
+            ELSE 0 END AS cc_permille
+FROM deg d LEFT JOIN tri t ON t.u = d.u ORDER BY node
+"""
+
+
+def _ra_wedge_rows(batch: pa.Table) -> pa.Table:
+    u = batch.column("a_u").to_numpy(zero_copy_only=False)
+    w = batch.column("v").to_numpy(zero_copy_only=False)
+    deg = batch.column("deg").to_numpy(zero_copy_only=False)
+    keep = u < w
+    u, w, deg = u[keep], w[keep], deg[keep]
+    hb = ((u * np.int64(1000003)) ^ w) & 63
+    return pa.Table.from_pydict({
+        "u": u, "w": w, "wt": np.int64(1_000_000_000) // deg,
+        "side": np.zeros(len(u), np.int8), "hb": hb.astype(np.int32),
+    }, schema=_RA_ROW_SCHEMA)
+
+
+def _ra_edge_rows(batch: pa.Table) -> pa.Table:
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    w = batch.column("v").to_numpy(zero_copy_only=False)
+    keep = u < w  # symmetric input: the u<w orientation is complete
+    u, w = u[keep], w[keep]
+    hb = ((u * np.int64(1000003)) ^ w) & 63
+    return pa.Table.from_pydict({
+        "u": u, "w": w, "wt": np.zeros(len(u), np.int64),
+        "side": np.ones(len(u), np.int8), "hb": hb.astype(np.int32),
+    }, schema=_RA_ROW_SCHEMA)
+
+
+def _ra_bucket(group: pa.Table) -> pa.Table:
+    """Per pair-hash bucket: sum wedge weights per (u, w), drop pairs
+    that are existing edges (duplicate-insensitive on the edge side)."""
+    if group.num_rows == 0:
+        return _RA_OUT_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    u = group.column("u").to_numpy(zero_copy_only=False)
+    w = group.column("w").to_numpy(zero_copy_only=False)
+    wt = group.column("wt").to_numpy(zero_copy_only=False)
+    is_w = side == 0
+    if not is_w.any():
+        return _RA_OUT_SCHEMA.empty_table()
+    vals = np.unique(np.concatenate([u, w]))
+    key = np.searchsorted(vals, u).astype(np.int64) * len(vals) \
+        + np.searchsorted(vals, w)
+    ek = np.unique(key[~is_w])
+    ku, wu, wwu, wtu = key[is_w], u[is_w], w[is_w], wt[is_w]
+    pos = np.searchsorted(ek, ku)
+    pos[pos >= len(ek)] = 0
+    adjacent = (ek[pos] == ku) if len(ek) else np.zeros(len(ku), bool)
+    ku, wu, wwu, wtu = (ku[~adjacent], wu[~adjacent], wwu[~adjacent],
+                        wtu[~adjacent])
+    if len(ku) == 0:
+        return _RA_OUT_SCHEMA.empty_table()
+    order = np.argsort(ku, kind="stable")
+    ku, wu, wwu, wtu = ku[order], wu[order], wwu[order], wtu[order]
+    starts = np.flatnonzero(np.r_[True, ku[1:] != ku[:-1]])
+    sums = np.add.reduceat(wtu, starts)
+    return pa.Table.from_pydict(
+        {"u": wu[starts], "w": wwu[starts],
+         "score": sums.astype(np.int64)}, schema=_RA_OUT_SCHEMA)
+
+
+def link_prediction_ra(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Resource-allocation link prediction (Zhou/Lu/Zhang EPJ-B 2009,
+    integer-pinned): for every non-adjacent pair sharing >= 1 common
+    neighbor z, score = sum(1e9 // deg(z)).  Input: SYMMETRIC distinct
+    edges.  Shape: deg groupby + deg-attach hash_join + wedge
+    hash_join + ONE pair-hash co-group — wedge-proportional traffic,
+    nothing pair- or node-proportional on the driver."""
+    from nerfray.ops.joins import _rename_batches, hash_join
+    deg = edges.groupby("u").count() \
+        .rename_columns({"count()": "deg"})
+    types = {c: pa.int64() for c in ("u", "v", "deg", "a_u", "a_v")}
+    # attach deg(z) to each edge z->w (key = z)
+    e2 = hash_join(edges, deg, left_on="u", right_on="u",
+                   left_cols=["v"], right_cols=["deg"],
+                   field_types=types)
+    e2 = _rename_batches(e2, {"__key": "z", "v": "v", "deg": "deg"})
+    # wedge u -> z -> w with deg(z) carried: join a.(u,z) on e2.z
+    a = _rename_batches(edges, {"u": "a_u", "v": "a_v"})
+    types2 = {"a_v": pa.int64(), "a_u": pa.int64(), "z": pa.int64(),
+              "v": pa.int64(), "deg": pa.int64()}
+    wedges = hash_join(a, e2, left_on="a_v", right_on="z",
+                       left_cols=["a_u"], right_cols=["v", "deg"],
+                       field_types=types2)
+    rows = wedges.map_batches(_ra_wedge_rows, batch_format="pyarrow") \
+        .union(edges.map_batches(_ra_edge_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    return rows.groupby("hb").map_groups(_ra_bucket,
+                                         batch_format="pyarrow")
+
+
+def link_prediction_planted_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from nerfray.sources.parquet import read_parquet_clean
+    n = _pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    return link_prediction_ra(planted_symmetric_edges(ids, n))
+
+
+LINK_PREDICTION_PLANTED_SQL = f"""
+WITH {_SYM_EDGES_SQL},
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u),
+wedges AS (
+  SELECT a.u AS u, b.v AS w, 1000000000 // d.deg AS wt
+  FROM e a JOIN e b ON b.u = a.v JOIN deg d ON d.u = a.v
+  WHERE a.u < b.v)
+SELECT u, w, sum(wt)::BIGINT AS score
+FROM wedges
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wedges.u
+                  AND e.v = wedges.w)
+GROUP BY u, w ORDER BY u, w
+"""
+
+
+# ---------------------------------------------------------------------------
 # fused min-relaxation rounds (shared by k-hop BFS and weighted SSSP)
 # ---------------------------------------------------------------------------
 #

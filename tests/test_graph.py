@@ -842,3 +842,67 @@ def test_hyperanf_registers_vs_brute_force(ray_session):
             key = (s, reg)
             want[key] = max(want.get(key, 0), rho)
     assert got == want
+
+
+def _sym_planted_adj(n):
+    adj = {i: set() for i in range(n)}
+    from nerfray.stages import graph
+    for i in range(n):
+        for o in graph.TRI_OFFSETS:
+            adj[i].add((i + o) % n)
+            adj[i].add((i - o) % n)
+        if i % 3 == 0:
+            adj[i].add((i + 1) % n)
+            adj[(i + 1) % n].add(i)
+    return adj
+
+
+def test_clustering_coefficient_vs_brute_force(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nerfray.stages import graph
+
+    n = 61
+    pq.write_table(pa.Table.from_pydict(
+        {"vec_id": pa.array(range(n), pa.int64())}),
+        tmp_path / "embeddings.parquet")
+    adj = _sym_planted_adj(n)
+    got = {r["node"]: (r["n_tri"], r["n_wedges"], r["cc_permille"])
+           for r in graph.clustering_planted_query(
+               str(tmp_path)).take_all()}
+    assert set(got) == set(range(n))
+    degs = set()
+    for u in range(n):
+        ns = sorted(adj[u])
+        tri = sum(1 for i, a in enumerate(ns) for b in ns[i + 1:]
+                  if b in adj[a])
+        deg = len(ns)
+        wedges = deg * (deg - 1) // 2
+        degs.add(deg)
+        assert got[u] == (tri, wedges,
+                          (1000 * tri) // wedges if wedges else 0)
+    assert len(degs) >= 2  # the ±1 extras really vary degree
+
+
+def test_link_prediction_vs_brute_force(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nerfray.stages import graph
+
+    n = 53
+    pq.write_table(pa.Table.from_pydict(
+        {"vec_id": pa.array(range(n), pa.int64())}),
+        tmp_path / "embeddings.parquet")
+    adj = _sym_planted_adj(n)
+    want = {}
+    for z in range(n):
+        ns = sorted(adj[z])
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                if b not in adj[a]:
+                    want[(a, b)] = want.get((a, b), 0) \
+                        + 1_000_000_000 // len(adj[z])
+    got = {(r["u"], r["w"]): r["score"]
+           for r in graph.link_prediction_planted_query(
+               str(tmp_path)).take_all()}
+    assert got == want and len(want) > 0
