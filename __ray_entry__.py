@@ -533,6 +533,17 @@ def q_kg_lib_assoc(sf_dir: str):
     return tstage.lib_associations(trips)
 
 
+def q_kg_negatives(sf_dir: str):
+    """Filtered negative sampling for KG-embedding training: each
+    imports positive corrupted against the broadcast library
+    vocabulary (deterministic shift), true-triple corruptions dropped
+    by one left-anti hash_join on the composite (subj, obj') key."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import triples as tstage
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return tstage.negative_samples(trips)
+
+
 def q_kg_repo_cards(sf_dir: str):
     """Per-repo KG summary card (files/libs/syms/apis/licenses as exact
     distinct counts): narrow (repo, kind, item) exchange with per-block
@@ -691,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hash_embedding": q_kg_hash_embedding,
         "kg_lib_assoc": q_kg_lib_assoc,
         "kg_repo_cards": q_kg_repo_cards,
+        "kg_negatives": q_kg_negatives,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_type_inference": q_kg_type_inference,
         "kg_domain_violations": q_kg_domain_violations,
@@ -714,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.stages.triples import adjacency_sql as __adj_sql
     from nerfray.stages.triples import entity_types_sql as __etypes_sql
     from nerfray.stages.triples import lib_associations_sql as __assoc_sql
+    from nerfray.stages.triples import negative_samples_sql as __negs_sql
     from nerfray.stages.triples import repo_cards_sql as __cards_sql
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
@@ -765,6 +778,7 @@ FROM gold ORDER BY subj, pred, obj
             graph.hash_embedding_sql(corpus.gold_triples_sql()),
         "kg_lib_assoc": __assoc_sql(corpus.gold_triples_sql()),
         "kg_repo_cards": __cards_sql(corpus.gold_triples_sql()),
+        "kg_negatives": __negs_sql(corpus.gold_triples_sql()),
         "kg_delta": __kg.kg_delta_sql(),
         "kg_apply_delta": f"""
 {corpus.gold_triples_sql(__kg.V2_WHERE[0])}

@@ -659,6 +659,105 @@ ORDER BY lib_a, lib_b
 
 
 # ---------------------------------------------------------------------------
+# filtered negative sampling (KG-embedding training prep)
+# ---------------------------------------------------------------------------
+
+_NEG_SCHEMA = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                         ("obj_neg", pa.string())])
+
+
+def negative_samples(trips: ray.data.Dataset) -> ray.data.Dataset:
+    """Filtered negatives for the `imports` predicate (Bordes et al.
+    NeurIPS'13 TransE protocol, deterministic variant): each positive
+    (s, imports, o) is corrupted to (s, imports, o') with o' the
+    vocabulary entry (idx(o) + 1 + length(s) mod (V-1)) mod V — never
+    o itself — and corruptions that happen to be TRUE triples are
+    dropped by one left-anti hash_join on the composite (s, o') key.
+
+    The library VOCABULARY is broadcast-sized (bounded package-name
+    universe, same argument as lib_associations' support table), so it
+    rides `ray.put`; everything triple-proportional stays distributed.
+    """
+    import ray as _ray
+
+    il = trips.filter(expr="pred == 'imports'") \
+        .select_columns(["subj", "obj"])
+
+    vocab_rows = il.groupby("obj").count().take_all()
+    vocab = np.asarray(sorted(r["obj"] for r in vocab_rows),
+                       dtype=object)
+    if len(vocab) < 2:
+        raise ValueError("negative sampling needs >= 2 distinct objects")
+    vref = _ray.put(vocab)
+
+    class _Corrupt:
+        def __init__(self):
+            self._vocab = _ray.get(vref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = np.asarray(batch.column("subj").to_pylist(), dtype=object)
+            o = np.asarray(batch.column("obj").to_pylist(), dtype=object)
+            v = self._vocab
+            big_v = len(v)
+            idx = np.searchsorted(v, o)
+            slen = np.array([len(x) for x in s], np.int64)
+            neg = v[(idx + 1 + slen % (big_v - 1)) % big_v]
+            key = np.array([a + "|" + b for a, b in zip(s, neg)],
+                           dtype=object)
+            return pa.Table.from_pydict({
+                "subj": pa.array(s, pa.string()),
+                "obj_neg": pa.array(neg, pa.string()),
+                "nk": pa.array(key, pa.string())})
+
+    def _pos_key(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").to_pylist()
+        o = batch.column("obj").to_pylist()
+        return pa.Table.from_pydict({
+            "nk": pa.array([a + "|" + b for a, b in zip(s, o)],
+                           pa.string())})
+
+    from nerfray.ops.joins import hash_join
+    corrupted = il.map_batches(_Corrupt, concurrency=(1, 4),
+                               batch_format="pyarrow")
+    pos_keys = il.map_batches(_pos_key, batch_format="pyarrow")
+    types = {c: pa.string() for c in ("nk", "subj", "obj_neg")}
+    kept = hash_join(corrupted, pos_keys, left_on="nk", right_on="nk",
+                     left_cols=["subj", "obj_neg"], right_cols=[],
+                     how="left anti", field_types=types)
+
+    def _out(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict({
+            "subj": batch.column("subj"),
+            "pred": pa.array(["imports"] * n, pa.string()),
+            "obj_neg": batch.column("obj_neg")}, schema=_NEG_SCHEMA)
+
+    return kept.map_batches(_out, batch_format="pyarrow")
+
+
+def negative_samples_sql(gold_sql: str) -> str:
+    return f"""
+WITH g AS ({gold_sql}),
+pos AS (SELECT subj, obj FROM g WHERE pred = 'imports'),
+vocab AS (SELECT obj, row_number() OVER (ORDER BY obj) - 1 AS idx
+          FROM (SELECT DISTINCT obj FROM pos)),
+vv AS (SELECT count(*)::BIGINT AS v FROM vocab),
+corrupted AS (
+  SELECT p.subj, v2.obj AS obj_neg
+  FROM pos p
+  JOIN vocab v1 ON v1.obj = p.obj
+  CROSS JOIN vv
+  JOIN vocab v2
+    ON v2.idx = (v1.idx + 1 + length(p.subj) % (vv.v - 1)) % vv.v)
+SELECT c.subj, 'imports' AS pred, c.obj_neg
+FROM corrupted c
+WHERE NOT EXISTS (SELECT 1 FROM pos
+                  WHERE pos.subj = c.subj AND pos.obj = c.obj_neg)
+ORDER BY subj, obj_neg
+"""
+
+
+# ---------------------------------------------------------------------------
 # repo cards (per-repo KG summary)
 # ---------------------------------------------------------------------------
 

@@ -906,3 +906,32 @@ def test_link_prediction_vs_brute_force(ray_session, tmp_path):
            for r in graph.link_prediction_planted_query(
                str(tmp_path)).take_all()}
     assert got == want and len(want) > 0
+
+
+def test_negative_samples_vs_brute_force(ray_session):
+    """Deterministic corruption must hit vocab[(idx+1+len(s)) mod ...]
+    and every surviving negative must be absent from the positives."""
+    import ray.data
+    from nerfray.stages import triples as tstage
+
+    subjs = ["r/a", "r/bb", "r/ccc", "r/dddd", "q/e"]
+    vocab = ["lib:a", "lib:b", "lib:c", "lib:d"]
+    pos = [(s, vocab[(i + j) % 4])
+           for i, s in enumerate(subjs) for j in range(2)]
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "subj": pa.array([p[0] for p in pos]),
+        "pred": pa.array(["imports"] * len(pos)),
+        "obj": pa.array([p[1] for p in pos])})).repartition(3)
+
+    got = {(r["subj"], r["obj_neg"])
+           for r in tstage.negative_samples(ds).take_all()}
+
+    v = sorted(vocab)
+    pos_set = set(pos)
+    want = set()
+    for s, o in pos:
+        neg = v[(v.index(o) + 1 + len(s) % (len(v) - 1)) % len(v)]
+        assert neg != o
+        if (s, neg) not in pos_set:
+            want.add((s, neg))
+    assert got == want and 0 < len(want) < len(pos)
