@@ -1066,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_band_join": joins.events_band_join,
         "events_interval_join": joins.events_interval_join,
         "sketch_hll_custkeys": sketch.custkey_registers_by_status,
+        "sketch_kmv_custkeys": sketch.orders_custkey_kmv,
         "docs_heavy_hitters": sketch.docs_heavy_hitters,
         "events_hot_users": sketch.events_hot_users,
         "sketch_cms_words": sketch.docs_cms_registers,

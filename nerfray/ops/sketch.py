@@ -719,3 +719,185 @@ SELECT user_id, cnt FROM c, tot WHERE cnt * 21 > n ORDER BY user_id
 """
 
 ORACLES["events_hot_users"] = EVENTS_HOT_USERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketch + set algebra
+# ---------------------------------------------------------------------------
+#
+# The sketch behind Apache DataSketches' theta family (Beyer et al.,
+# "On Synopses for Distinct-Value Estimation Under Multiset Operations",
+# SIGMOD'07): keep the k smallest splitmix64(key) hashes per set; the
+# k-th smallest hash h_k estimates the distinct count as (k-1)*2^64/h_k,
+# and because bottom-k sketches are closed under union, |A u B| comes
+# from merging the candidate rows and |A n B| from the Jaccard of the
+# union sketch — WITHOUT ever co-locating the sets themselves.
+#
+# Shuffle shape: each block emits <= 2k candidate rows (the block-local
+# bottom-k of each set's members; the global bottom-k of A u B is a
+# subset of bottom-k(A) u bottom-k(B)); ONE constant-key co-group
+# merges them. Nothing key-cardinality-proportional moves or reaches
+# the driver.  Estimates are INTEGER arithmetic ((k-1)<<64)//h_k, so
+# the whole pipeline — flags, sketch membership, and all four
+# estimates — replays exactly in DuckDB (UHUGEINT splitmix chain).
+
+KMV_K = 64
+
+
+def _kmv_partial(batch: pa.Table, *, key: str, set_col: str,
+                 a_val: str, b_val: str, k: int) -> pa.Table:
+    out_schema = pa.schema([
+        pa.field("hh", pa.int64()), pa.field("hl", pa.int64()),
+        pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+        pa.field("g", pa.int32()),
+    ])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    from .dedup import splitmix64
+    keys = batch.column(key).to_numpy(zero_copy_only=False)
+    sv = np.asarray(batch.column(set_col).to_pylist())
+    uniq, inv = np.unique(keys, return_inverse=True)
+    af = np.zeros(len(uniq), np.int64)
+    bf = np.zeros(len(uniq), np.int64)
+    np.maximum.at(af, inv, (sv == a_val).astype(np.int64))
+    np.maximum.at(bf, inv, (sv == b_val).astype(np.int64))
+    member = (af + bf) > 0
+    uniq, af, bf = uniq[member], af[member], bf[member]
+    h = splitmix64(uniq.astype(np.uint64))
+    order = np.argsort(h, kind="stable")
+    h, af, bf = h[order], af[order], bf[order]
+    keep = np.zeros(len(h), bool)
+    keep[np.flatnonzero(af == 1)[:k]] = True
+    keep[np.flatnonzero(bf == 1)[:k]] = True
+    h, af, bf = h[keep], af[keep], bf[keep]
+    return pa.Table.from_pydict({
+        "hh": pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64()),
+        "hl": pa.array((h & np.uint64(1)).astype(np.int64), pa.int64()),
+        "a": pa.array(af, pa.int64()),
+        "b": pa.array(bf, pa.int64()),
+        "g": pa.array(np.zeros(len(h), np.int32), pa.int32()),
+    })
+
+
+def _kmv_est(n: int, kth: int, k: int) -> int:
+    return n if n < k else ((k - 1) << 64) // kth
+
+
+def kmv_set_summary(ds: ray.data.Dataset, key: str, set_col: str,
+                    a_val: str, b_val: str, *,
+                    k: int = KMV_K) -> ray.data.Dataset:
+    """Four-row distinct-set summary (set_name, n_k, kth, est) for the
+    key sets A = {key : set_col = a_val}, B = {set_col = b_val}, their
+    union, and their intersection — sketched, never materialized."""
+
+    def _final(group: pa.Table) -> pa.Table:
+        hh = group.column("hh").to_numpy(zero_copy_only=False)
+        hl = group.column("hl").to_numpy(zero_copy_only=False)
+        af = group.column("a").to_numpy(zero_copy_only=False)
+        bf = group.column("b").to_numpy(zero_copy_only=False)
+        # global flag OR per hash (a key can surface from different
+        # blocks carrying different one-sided flags)
+        h = (hh.astype(np.uint64) << np.uint64(1)) | hl.astype(np.uint64)
+        uniq, inv = np.unique(h, return_inverse=True)
+        ga = np.zeros(len(uniq), np.int64)
+        gb = np.zeros(len(uniq), np.int64)
+        np.maximum.at(ga, inv, af)
+        np.maximum.at(gb, inv, bf)
+        # np.unique returns sorted uint64 -> already in hash order
+        rows = []
+
+        def _summ(name: str, hs: np.ndarray) -> tuple:
+            sk = hs[:k]
+            kth = int(sk[-1]) if len(sk) else 0
+            n = len(hs)
+            return (name, len(sk), kth >> 1,
+                    _kmv_est(n, kth, k) if len(sk) else 0)
+
+        rows.append(_summ(a_val, uniq[ga == 1]))
+        rows.append(_summ(b_val, uniq[gb == 1]))
+        u_name, u_nk, u_kth, u_est = _summ("union", uniq)
+        rows.append((u_name, u_nk, u_kth, u_est))
+        usk = slice(0, min(k, len(uniq)))
+        rho = int(np.sum((ga[usk] == 1) & (gb[usk] == 1)))
+        i_est = rho if len(uniq) < k else (rho * u_est) // k
+        rows.append(("intersection", rho, u_kth, i_est))
+        return pa.Table.from_pydict({
+            "set_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_k": pa.array([r[1] for r in rows], pa.int64()),
+            "kth": pa.array([r[2] for r in rows], pa.int64()),
+            "est": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    return ds.select_columns([key, set_col]).map_batches(
+        _kmv_partial,
+        fn_kwargs={"key": key, "set_col": set_col,
+                   "a_val": a_val, "b_val": b_val, "k": k},
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("g").map_groups(_final, batch_format="pyarrow") \
+        .select_columns(["set_name", "n_k", "kth", "est"])
+
+
+def orders_custkey_kmv(sf_dir: str) -> ray.data.Dataset:
+    """Distinct-customer set algebra across order statuses 'O' and 'F'
+    via KMV sketches — the 100-TB audience-overlap primitive."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    orders = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_custkey", "o_orderstatus"])
+    return kmv_set_summary(orders, "o_custkey", "o_orderstatus",
+                           "O", "F", k=KMV_K)
+
+
+_TWO64 = "18446744073709551616"
+
+KMV_SQL = f"""
+WITH m AS (
+  SELECT o_custkey AS key,
+         max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS b
+  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY o_custkey),
+z1 AS (SELECT a, b, ((key::UBIGINT::UHUGEINT + 11400714819323198485)
+               % {_TWO64})::UBIGINT AS z FROM m),
+z2 AS (SELECT a, b, ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+               % {_TWO64})::UBIGINT AS z FROM z1),
+z3 AS (SELECT a, b, ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+               % {_TWO64})::UBIGINT AS z FROM z2),
+hh AS (SELECT a, b, xor(z, z >> 31) AS h FROM z3),
+au AS (SELECT h, row_number() OVER (ORDER BY h) AS r,
+              count(*) OVER () AS n FROM hh WHERE a = 1),
+bu AS (SELECT h, row_number() OVER (ORDER BY h) AS r,
+              count(*) OVER () AS n FROM hh WHERE b = 1),
+uu AS (SELECT h, a, b, row_number() OVER (ORDER BY h) AS r,
+              count(*) OVER () AS n FROM hh),
+mk AS (SELECT 'O' AS set_name,
+              least(n, {KMV_K})::BIGINT AS n_k,
+              max(h) AS kth_full, min(n) AS n_tot
+       FROM au WHERE r <= {KMV_K} GROUP BY n
+       UNION ALL
+       SELECT 'F', least(n, {KMV_K})::BIGINT, max(h), min(n)
+       FROM bu WHERE r <= {KMV_K} GROUP BY n
+       UNION ALL
+       SELECT 'union', least(n, {KMV_K})::BIGINT, max(h), min(n)
+       FROM uu WHERE r <= {KMV_K} GROUP BY n),
+est AS (SELECT set_name, n_k, (kth_full >> 1)::BIGINT AS kth,
+               (CASE WHEN n_tot < {KMV_K} THEN n_tot::UHUGEINT
+                     ELSE ({KMV_K - 1}::UHUGEINT * {_TWO64}::UHUGEINT)
+                          // kth_full::UHUGEINT END)::BIGINT AS est
+        FROM mk),
+uest AS (SELECT kth, est FROM est WHERE set_name = 'union'),
+inter AS (
+  SELECT 'intersection' AS set_name,
+         sum(us.a * us.b)::BIGINT AS n_k,
+         min(uest.kth)::BIGINT AS kth,
+         (CASE WHEN min(us.n) < {KMV_K} THEN sum(us.a * us.b)
+               ELSE (sum(us.a * us.b) * min(uest.est)) // {KMV_K}
+          END)::BIGINT AS est
+  FROM (SELECT * FROM uu WHERE r <= {KMV_K}) us, uest
+  GROUP BY uest.est)
+SELECT set_name, n_k, kth, est FROM est
+UNION ALL SELECT * FROM inter
+ORDER BY set_name
+"""
+
+ORACLES["sketch_kmv_custkeys"] = KMV_SQL

@@ -211,3 +211,50 @@ def test_heavy_hitter_keys_exact_vs_brute_force(ray_session):
                 for r in sk.heavy_hitter_keys(ds, key="user_id",
                                               k=9).take_all())
     assert got2 == {7: 90, 9: 40}
+
+
+# -- KMV bottom-k theta sketch ------------------------------------------------
+
+
+def test_kmv_set_summary_exact_and_estimator_branches(ray_session):
+    """KMV summary vs brute force: the exact branch (|set| < k) returns
+    true counts; the estimator branch lands within the k=64 error bound;
+    a key whose two flags arrive from DIFFERENT blocks is merged."""
+    import numpy as np
+    import ray.data
+    from nerfray.ops import sketch as sk
+    from nerfray.ops.dedup import splitmix64
+
+    # block 1 holds key 5 only as 'x'; block 2 only as 'y' -> the final
+    # OR must see it in the intersection
+    rows_a = [(5, "x")] + [(i, "x") for i in range(100, 140)]
+    rows_b = [(5, "y")] + [(i, "y") for i in range(120, 160)]
+    t1 = pa.table({"k": pa.array([r[0] for r in rows_a], pa.int64()),
+                   "s": pa.array([r[1] for r in rows_a], pa.string())})
+    t2 = pa.table({"k": pa.array([r[0] for r in rows_b], pa.int64()),
+                   "s": pa.array([r[1] for r in rows_b], pa.string())})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    out = {r["set_name"]: (r["n_k"], r["est"])
+           for r in sk.kmv_set_summary(ds, "k", "s", "x", "y",
+                                       k=64).take_all()}
+    # all sets < k=64 -> exact branch everywhere
+    assert out["x"] == (41, 41)
+    assert out["y"] == (41, 41)
+    assert out["union"] == (61, 61)
+    assert out["intersection"] == (21, 21)
+
+    # estimator branch: 5000 distinct keys, one set
+    n = 5000
+    big = pa.table({"k": pa.array(range(n), pa.int64()),
+                    "s": pa.array(["x"] * n, pa.string())})
+    ds2 = ray.data.from_arrow(big).repartition(7)
+    out2 = {r["set_name"]: r["est"]
+            for r in sk.kmv_set_summary(ds2, "k", "s", "x", "y",
+                                        k=64).take_all()}
+    # relative error of KMV at k=64 is ~1/sqrt(62) ~ 13%; allow 4 sigma
+    assert abs(out2["x"] - n) / n < 0.5
+    assert out2["union"] == out2["x"]
+    # brute-force the estimator arithmetic exactly
+    h = np.sort(splitmix64(np.arange(n, dtype=np.uint64)))
+    want = ((64 - 1) << 64) // int(h[63])
+    assert out2["x"] == want
