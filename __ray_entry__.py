@@ -468,6 +468,17 @@ def q_kg_neighbor_degree(sf_dir: str):
     return graph.neighbor_degree(trips)
 
 
+def q_kg_khop_sample(sf_dir: str):
+    """GraphSAGE-style deterministic 2-hop fan-out sample (f1=3, f2=2)
+    over the undirected KG — the bounded GNN minibatch computation
+    graph. One a-hash co-group ranks neighbors by sha64 hash order,
+    one hash_join expands hop 2; hub degree never amplifies traffic."""
+    from nerfray.pipelines import kg
+    from nerfray.stages import graph
+    trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+    return graph.khop_sample(trips, f1=3, f2=2)
+
+
 def q_kg_degrees(sf_dir: str):
     """Graph materialization rollup: out-degree per subject node."""
     from nerfray.pipelines import kg
@@ -679,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ox": q_kg_ox,
         "kg_degrees": q_kg_degrees,
         "kg_neighbor_degree": q_kg_neighbor_degree,
+        "kg_khop_sample": q_kg_khop_sample,
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_triples_compacted": q_kg_triples_compacted,
         "kg_lookup_object": q_kg_lookup_object,
@@ -802,6 +814,8 @@ SELECT subj, count(*)::BIGINT AS out_degree
 FROM ({corpus.gold_triples_sql()})
 GROUP BY subj ORDER BY subj
 """,
+        "kg_khop_sample":
+            graph.khop_sample_sql(corpus.gold_triples_sql(), f1=3, f2=2),
         "kg_neighbor_degree": f"""
 WITH gold AS ({corpus.gold_triples_sql()}),
 e AS (SELECT DISTINCT subj AS a, obj AS b FROM gold

@@ -2764,3 +2764,134 @@ SELECT src AS node, register,
 FROM parts GROUP BY src, register
 ORDER BY node, register
 """
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE-style deterministic k-hop neighbor fan-out sampling
+# ---------------------------------------------------------------------------
+#
+# GNN-training prep (Hamilton et al., NeurIPS'17): for every node,
+# sample up to f1 of its neighbors, and for each sampled neighbor up to
+# f2 of ITS neighbors — the bounded computation graph a minibatch GNN
+# layer consumes, materialized as (seed, hop, parent, node) rows.
+#
+# Determinism (and the full SQL mirror) comes from hash-order
+# sampling: node a's neighbors are ranked by sha64(a || '>' || b)
+# (ties by b) and the f smallest win — a fixed pseudo-random draw that
+# is partition-invariant and replayable, like ops/sampling.py's
+# hash-order reservoir.
+#
+# Scale shape: ONE a-hash co-group builds the per-node ranked neighbor
+# table (block-distinct edges in, <= fmax rows per node out); hop 2 is
+# one hash_join of the hop-1 sample against that table. The fan-out
+# caps mean downstream traffic is <= f1*(1+f2) rows per seed
+# REGARDLESS of degree skew — hub nodes contribute f1 rows like
+# everyone else. The driver holds nothing node-proportional.
+
+_KH_RANK_SCHEMA = pa.schema([
+    ("a", pa.string()), ("b", pa.string()), ("r", pa.int64())])
+
+
+def _kh_rank_factory(fmax: int):
+    def _kh_rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _KH_RANK_SCHEMA.empty_table()
+        import pandas as pd
+
+        from nerfray.ops.dedup import sha64
+        df = pd.DataFrame({"a": group.column("a").to_pylist(),
+                           "b": group.column("b").to_pylist()})
+        df = df.drop_duplicates()
+        df["h"] = [sha64(f"{a}>{b}") for a, b in zip(df["a"], df["b"])]
+        df = df.sort_values(["a", "h", "b"], kind="stable")
+        df["r"] = df.groupby("a", sort=False).cumcount() + 1
+        df = df[df["r"] <= fmax]
+        return pa.Table.from_pydict({
+            "a": pa.array(list(df["a"]), pa.string()),
+            "b": pa.array(list(df["b"]), pa.string()),
+            "r": pa.array(df["r"].to_numpy(np.int64), pa.int64()),
+        }, schema=_KH_RANK_SCHEMA)
+    return _kh_rank
+
+
+def khop_sample(triples: ray.data.Dataset, *, f1: int = 3,
+                f2: int = 2) -> ray.data.Dataset:
+    """(seed, hop, parent, node) sampled 2-hop computation graph over
+    the undirected distinct-edge view of (subj, obj)."""
+    import pyarrow.compute as pc
+
+    from nerfray.ops.joins import hash_join
+
+    ranked = triples.select_columns(["subj", "obj"]) \
+        .map_batches(_nd_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hb").map_groups(_kh_rank_factory(max(f1, f2)),
+                                  batch_format="pyarrow") \
+        .materialize()
+
+    def _hop1_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch.column("r"), f1)
+        t = batch.filter(keep)
+        n = t.num_rows
+        return pa.Table.from_pydict({
+            "seed": t.column("a"),
+            "hop": pa.array(np.ones(n, np.int64), pa.int64()),
+            "parent": t.column("a"),
+            "node": t.column("b"),
+        })
+
+    def _hop1_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch.column("r"), f1))
+        return pa.Table.from_pydict(
+            {"seed": t.column("a"), "n1": t.column("b")})
+
+    def _s2_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch.column("r"), f2))
+        return pa.Table.from_pydict(
+            {"p": t.column("a"), "n2": t.column("b")})
+
+    hop1 = ranked.map_batches(_hop1_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    j = hash_join(
+        ranked.map_batches(_hop1_side, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ranked.map_batches(_s2_side, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        left_on="n1", right_on="p", left_cols=["seed"],
+        right_cols=["n2"],
+        field_types={"n1": pa.string(), "p": pa.string(),
+                     "seed": pa.string(), "n2": pa.string()})
+
+    def _hop2_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict({
+            "seed": batch.column("seed"),
+            "hop": pa.array(np.full(n, 2, np.int64), pa.int64()),
+            "parent": batch.column("__key"),
+            "node": batch.column("n2"),
+        })
+
+    hop2 = j.map_batches(_hop2_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return hop1.union(hop2)
+
+
+def khop_sample_sql(gold_sql: str, *, f1: int = 3, f2: int = 2) -> str:
+    """DuckDB mirror: identical sha64 hash-order ranking + fan-outs."""
+    return f"""
+WITH gold AS ({gold_sql}),
+e AS (SELECT DISTINCT subj AS a, obj AS b FROM gold
+      UNION SELECT obj, subj FROM gold),
+r AS (SELECT a, b, row_number() OVER (
+        PARTITION BY a
+        ORDER BY ('0x' || substr(sha256(a || '>' || b), 1, 16))::UBIGINT,
+                 b) AS r
+      FROM e),
+h1 AS (SELECT a AS seed, b AS node FROM r WHERE r <= {f1}),
+h2 AS (SELECT h1.seed, r.a AS parent, r.b AS node
+       FROM h1 JOIN r ON r.a = h1.node AND r.r <= {f2})
+SELECT seed, 1::BIGINT AS hop, seed AS parent, node FROM h1
+UNION ALL
+SELECT seed, 2::BIGINT, parent, node FROM h2
+ORDER BY seed, hop, parent, node
+"""

@@ -935,3 +935,35 @@ def test_negative_samples_vs_brute_force(ray_session):
         if (s, neg) not in pos_set:
             want.add((s, neg))
     assert got == want and 0 < len(want) < len(pos)
+
+
+def test_khop_sample_fanout_caps_and_determinism(ray_session):
+    """Hash-order 2-hop sampling: per-seed hop-1 rows <= f1, per-parent
+    hop-2 rows <= f2, a hub's contribution is capped like anyone
+    else's, and the sample is invariant under repartitioning."""
+    import ray.data
+    from nerfray.stages.graph import khop_sample
+
+    # star: hub H linked to 10 spokes + a chain c0-c1-c2
+    subj = [f"s{i}" for i in range(10)] + ["c0", "c1"]
+    obj = ["H"] * 10 + ["c1", "c2"]
+    t = pa.table({"subj": pa.array(subj, pa.string()),
+                  "obj": pa.array(obj, pa.string())})
+    ds = ray.data.from_arrow(t)
+    rows = sorted((r["seed"], r["hop"], r["parent"], r["node"])
+                  for r in khop_sample(ds, f1=3, f2=2).take_all())
+    from collections import Counter
+    h1 = Counter(s for s, h, p, n in rows if h == 1)
+    assert max(h1.values()) <= 3
+    # hub H has degree 10 but emits exactly f1 hop-1 rows
+    assert h1["H"] == 3
+    # hop-2 rows per (seed, parent) <= f2
+    h2 = Counter((s, p) for s, h, p, n in rows if h == 2)
+    assert max(h2.values()) <= 2
+    # every spoke's hop-1 sample is its only neighbor (degree 1)
+    assert (("s0", 1, "s0", "H") in rows)
+    # partition invariance
+    rows2 = sorted((r["seed"], r["hop"], r["parent"], r["node"])
+                   for r in khop_sample(ds.repartition(5), f1=3,
+                                        f2=2).take_all())
+    assert rows == rows2
