@@ -468,6 +468,16 @@ def q_kg_neighbor_degree(sf_dir: str):
     return graph.neighbor_degree(trips)
 
 
+def q_kg_scc_planted(sf_dir: str):
+    """Strongly connected components of a planted digraph (even id
+    groups = directed 8-rings, odd = chains, sparse bridges): path-
+    doubling reachability closure (log2(diam) join+dedup rounds) met
+    with its transpose in one packed-key semi-join. Planted/bounded-
+    reach path; production scale = FW-BW trimming on the same kernels."""
+    from nerfray.stages import graph
+    return graph.scc_planted_query(sf_dir)
+
+
 def q_kg_khop_sample(sf_dir: str):
     """GraphSAGE-style deterministic 2-hop fan-out sample (f1=3, f2=2)
     over the undirected KG — the bounded GNN minibatch computation
@@ -691,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q_kg_degrees,
         "kg_neighbor_degree": q_kg_neighbor_degree,
         "kg_khop_sample": q_kg_khop_sample,
+        "kg_scc_planted": q_kg_scc_planted,
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_triples_compacted": q_kg_triples_compacted,
         "kg_lookup_object": q_kg_lookup_object,
@@ -742,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
     from nerfray.stages.triples import repo_cards_sql as __cards_sql
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
+        "kg_scc_planted": graph.SCC_PLANTED_SQL,
         "kg_taxonomy_closure": graph.TAXO_CLOSURE_PLANTED_SQL,
         "kg_type_inference": graph.TYPE_INFERENCE_PLANTED_SQL,
         "kg_domain_violations": graph.DOMAIN_VIOLATIONS_PLANTED_SQL,

@@ -2895,3 +2895,225 @@ UNION ALL
 SELECT seed, 2::BIGINT, parent, node FROM h2
 ORDER BY seed, hop, parent, node
 """
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (directed) — planted mutual-closure path
+# ---------------------------------------------------------------------------
+#
+# SCC(v) = min{u : v ~> u and u ~> v}. This implementation computes the
+# bounded-diameter reachability closure distributedly via PATH
+# DOUBLING (clo_{2k} = clo_k u clo_k o clo_k): ceil(log2(diameter))
+# rounds, each ONE hash_join composition + ONE packed-key dedup
+# exchange — cycle-safe because the dedup makes each round a set.  The
+# closure then meets its own transpose in one packed-key semi-join.
+# Closure volume is O(sum_v |reach(v)|), so this is the
+# PLANTED/bounded-reach path — the same honesty boundary as the
+# recursive-CTE oracle; a 10^12-node production SCC needs
+# forward-backward pivot trimming (Fleischer et al. 2000) layered on
+# these same join/co-group kernels.  Nothing node-proportional reaches
+# the driver.
+
+_SCC_SHIFT = 21          # packed (node, desc) key; planted ids < 2^21
+
+
+def _scc_pack(node: np.ndarray, desc: np.ndarray) -> np.ndarray:
+    return (node.astype(np.int64) << _SCC_SHIFT) | desc.astype(np.int64)
+
+
+_CLO_SCHEMA = pa.schema([
+    ("node", pa.int64()), ("desc", pa.int64()), ("k", pa.int64())])
+
+
+def _clo_rows(n: np.ndarray, d: np.ndarray) -> pa.Table:
+    """Block-local dedup of (node, desc) pairs, packed key attached."""
+    k = _scc_pack(n, d)
+    _, first = np.unique(k, return_index=True)
+    return pa.Table.from_pydict({
+        "node": pa.array(n[first].astype(np.int64), pa.int64()),
+        "desc": pa.array(d[first].astype(np.int64), pa.int64()),
+        "k": pa.array(k[first], pa.int64())}, schema=_CLO_SCHEMA)
+
+
+def digraph_closure_pairs(edges: ray.data.Dataset, *,
+                          diameter_hint: int = 16) -> ray.data.Dataset:
+    """(node, desc, k) for every u reachable from node in >= 1 directed
+    steps; exact on any digraph whose reach diameter <=
+    ``diameter_hint``.  ceil(log2(hint)) path-doubling rounds: one
+    hash_join composition + one packed-key dedup co-group each —
+    cycle-safe because every round's output is a deduped SET."""
+    from nerfray.ops.joins import hash_join
+    types = {c: pa.int64() for c in ("node", "desc", "k")}
+
+    def _seed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CLO_SCHEMA.empty_table()
+        return _clo_rows(
+            batch.column("src").to_numpy(zero_copy_only=False),
+            batch.column("dst").to_numpy(zero_copy_only=False))
+
+    def _compose(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CLO_SCHEMA.empty_table()
+        return _clo_rows(
+            batch.column("node").to_numpy(zero_copy_only=False),
+            batch.column("d2").to_numpy(zero_copy_only=False))
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        # the packed key is invertible, so global dedup is ONE
+        # vectorized count-groupby on k + this unpack map — no
+        # per-group Python dispatch (the r2 map_groups lesson)
+        if batch.num_rows == 0:
+            return _CLO_SCHEMA.empty_table()
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": pa.array(k >> _SCC_SHIFT, pa.int64()),
+            "desc": pa.array(k & ((1 << _SCC_SHIFT) - 1), pa.int64()),
+            "k": pa.array(k, pa.int64())}, schema=_CLO_SCHEMA)
+
+    clo = edges.map_batches(_seed, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    rounds = max(1, int(np.ceil(np.log2(max(2, diameter_hint)))))
+    for _ in range(rounds):
+        # clo o clo: paths of length <= 2L from two <= L halves
+        hop2 = hash_join(
+            clo, clo.map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {"n2": b.column("node"), "d2": b.column("desc")},
+                    schema=pa.schema([("n2", pa.int64()),
+                                      ("d2", pa.int64())])),
+                batch_format="pyarrow", zero_copy_batch=True),
+            left_on="desc", right_on="n2", left_cols=["node"],
+            right_cols=["d2"], field_types={
+                "desc": pa.int64(), "n2": pa.int64(),
+                "node": pa.int64(), "d2": pa.int64()},
+        ).map_batches(_compose, batch_format="pyarrow")
+        # coalesce: without this the union+shuffle block count
+        # multiplies every round and sort cost grows ~4x/round
+        clo = clo.union(hop2).groupby("k").count() \
+            .repartition(8) \
+            .map_batches(_unpack, batch_format="pyarrow") \
+            .materialize()
+    return clo
+
+
+def scc_components(edges: ray.data.Dataset, *,
+                   diameter_hint: int = 16) -> ray.data.Dataset:
+    """(node, scc) with scc = min mutual-reach partner (including the
+    node itself). Nodes are every endpoint of ``edges`` (src, dst)."""
+    from nerfray.ops.joins import hash_join
+    types = {c: pa.int64() for c in ("k", "kr", "node", "desc")}
+    clo = digraph_closure_pairs(edges, diameter_hint=diameter_hint)
+
+    def _transpose_key(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy(zero_copy_only=False)
+        d = batch.column("desc").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"kr": pa.array(_scc_pack(d, n), pa.int64())},
+            schema=pa.schema([("kr", pa.int64())]))
+
+    mutual = hash_join(
+        clo, clo.map_batches(_transpose_key, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        left_on="k", right_on="kr", left_cols=["node", "desc"],
+        right_cols=[], how="left semi", field_types=types)
+
+    ns_schema = pa.schema([("node", pa.int64()), ("scc", pa.int64())])
+
+    def _nodes(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        u = np.unique(np.concatenate([s, d])).astype(np.int64)
+        return pa.Table.from_pydict({
+            "node": pa.array(u, pa.int64()),
+            "scc": pa.array(u, pa.int64())}, schema=ns_schema)
+
+    reflexive = edges.map_batches(_nodes, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    pairs = mutual.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"node": b.column("node"), "scc": b.column("desc")},
+            schema=ns_schema),
+        batch_format="pyarrow")
+    return reflexive.union(pairs).groupby("node").min("scc") \
+        .rename_columns({"min(scc)": "scc"})
+
+
+# planted digraph over embeddings vec_ids: group g = 8 consecutive ids;
+# EVEN groups are directed 8-rings (one SCC each), ODD groups directed
+# 8-chains (all trivial SCCs), plus a bridge ring->chain every 4th group
+# so weak connectivity does NOT imply strong (SCC != CC by plan).
+SCC_GROUP = 8
+
+
+def planted_scc_edges(ids: ray.data.Dataset) -> ray.data.Dataset:
+    def _edges(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = v // SCC_GROUP
+        pos = v % SCC_GROUP
+        even = (g % 2) == 0
+        # ring: v -> v+1 within group, last wraps to group start
+        dst = np.where(pos == SCC_GROUP - 1, g * SCC_GROUP, v + 1)
+        # chain: last position emits no edge
+        keep = even | (pos != SCC_GROUP - 1)
+        src1, dst1 = v[keep], dst[keep]
+        # bridge every 4th group: ring head -> next group's head
+        bsel = ((g % 4) == 0) & (pos == 0)
+        src2 = v[bsel]
+        dst2 = (g[bsel] + 1) * SCC_GROUP
+        return pa.Table.from_pydict({
+            "src": pa.array(np.concatenate([src1, src2]), pa.int64()),
+            "dst": pa.array(np.concatenate([dst1, dst2]), pa.int64())})
+
+    return ids.map_batches(_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+_SCC_MEMO: dict[str, ray.data.Dataset] = {}
+
+
+def scc_planted_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    got = _SCC_MEMO.get(sf_dir)
+    if got is not None:
+        return got
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    out = scc_components(planted_scc_edges(ids)).materialize()
+    _SCC_MEMO[sf_dir] = out
+    return out
+
+
+SCC_EDGES_SQL = f"""
+  SELECT vec_id AS src,
+         CASE WHEN vec_id % {SCC_GROUP} = {SCC_GROUP - 1}
+              THEN (vec_id // {SCC_GROUP}) * {SCC_GROUP}
+              ELSE vec_id + 1 END AS dst
+  FROM embeddings
+  WHERE (vec_id // {SCC_GROUP}) % 2 = 0
+     OR vec_id % {SCC_GROUP} <> {SCC_GROUP - 1}
+  UNION ALL
+  SELECT vec_id, ((vec_id // {SCC_GROUP}) + 1) * {SCC_GROUP}
+  FROM embeddings
+  WHERE (vec_id // {SCC_GROUP}) % 4 = 0 AND vec_id % {SCC_GROUP} = 0
+"""
+
+SCC_PLANTED_SQL = f"""
+WITH RECURSIVE e AS ({SCC_EDGES_SQL}),
+clo(node, "desc") AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT c.node, e.dst FROM clo c JOIN e ON e.src = c."desc"
+),
+n AS (SELECT DISTINCT src AS node FROM e
+      UNION SELECT dst FROM e),
+mutual AS (
+  SELECT c.node, c."desc" AS scc FROM clo c
+  JOIN clo r ON r.node = c."desc" AND r."desc" = c.node
+  UNION ALL SELECT node, node FROM n)
+SELECT node, min(scc)::BIGINT AS scc FROM mutual
+GROUP BY node ORDER BY node
+"""

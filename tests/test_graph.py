@@ -967,3 +967,46 @@ def test_khop_sample_fanout_caps_and_determinism(ray_session):
                    for r in khop_sample(ds.repartition(5), f1=3,
                                         f2=2).take_all())
     assert rows == rows2
+
+
+def test_scc_components_vs_brute_force(ray_session):
+    """Path-doubling SCC == brute-force Tarjan on a random digraph with
+    cycles, self-loops, and disconnected parts."""
+    import random
+
+    import ray.data
+    from nerfray.stages.graph import scc_components
+
+    rng = random.Random(7)
+    n = 60
+    edges = set()
+    # random sparse digraph + two planted cycles
+    for _ in range(120):
+        edges.add((rng.randrange(n), rng.randrange(n)))
+    for c in ([3, 17, 42, 8], [50, 51]):
+        for i in range(len(c)):
+            edges.add((c[i], c[(i + 1) % len(c)]))
+    src = [u for u, v in sorted(edges)]
+    dst = [v for u, v in sorted(edges)]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    got = {r["node"]: r["scc"]
+           for r in scc_components(ray.data.from_arrow(t).repartition(4),
+                                   diameter_hint=64).take_all()}
+
+    # brute force: mutual reachability via Floyd-Warshall closure
+    import numpy as np
+    reach = np.eye(n, dtype=bool)
+    for u, v in edges:
+        reach[u, v] = True
+    for k in range(n):
+        reach |= np.outer(reach[:, k], reach[k, :])
+    nodes = sorted({u for e in edges for u in e})
+    want = {}
+    for v in nodes:
+        mutual = [u for u in nodes if reach[v][u] and reach[u][v]]
+        want[v] = min(mutual)
+    assert got == want
+    # the planted cycles are mutually reachable -> shared labels
+    assert want[17] == want[3] == want[42] == want[8]
+    assert want[51] == want[50]
