@@ -468,6 +468,52 @@ def q_kg_neighbor_degree(sf_dir: str):
     return graph.neighbor_degree(trips)
 
 
+def q_kg_merge_upsert(sf_dir: str):
+    """Delta-style MERGE INTO on the snapshot store: a deterministic
+    source (even-length license subjects get a relicense UPDATE,
+    odd-length ones an audited-by INSERT) merges in ONE semi-join +
+    one metadata commit; the read-back applies the tombstones
+    merge-on-read. Oracle = pure SQL over the gold triples."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from nerfray.pipelines import kg
+    from nerfray.state import snapshots
+
+    store = tempfile.mkdtemp(prefix="nerfray_merge_")
+    try:
+        trips = kg.run_for(sf_dir, tagger="crf", dedup="partitioned")
+        snapshots.commit(
+            store, adds=snapshots.write_data_files(trips, store, "s1"),
+            note="base")
+
+        def _mk_source(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            lic = batch.filter(
+                pc.equal(batch.column("pred"), "licensed-under"))
+            subj = lic.column("subj")
+            even = pc.equal(
+                pc.bit_wise_and(pc.utf8_length(subj), 1), 0)
+            return pa.Table.from_pydict({
+                "subj": subj,
+                "pred": pc.if_else(even, pa.scalar("licensed-under"),
+                                   pa.scalar("audited-by")),
+                "obj": pc.if_else(even,
+                                  pa.scalar("license:spdx-upgraded"),
+                                  pa.scalar("bot:nerfray")),
+            })
+
+        source = trips.map_batches(_mk_source, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        snapshots.merge_into(store, source)
+        cur = snapshots.current_snapshot(store)
+        return snapshots.read_asof(store, cur).materialize()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_kg_scc_planted(sf_dir: str):
     """Strongly connected components of a planted digraph (even id
     groups = directed 8-rings, odd = chains, sparse bridges): path-
@@ -702,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_degree": q_kg_neighbor_degree,
         "kg_khop_sample": q_kg_khop_sample,
         "kg_scc_planted": q_kg_scc_planted,
+        "kg_merge_upsert": q_kg_merge_upsert,
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_triples_compacted": q_kg_triples_compacted,
         "kg_lookup_object": q_kg_lookup_object,
@@ -806,6 +853,23 @@ FROM gold ORDER BY subj, pred, obj
         "kg_delta": __kg.kg_delta_sql(),
         "kg_apply_delta": f"""
 {corpus.gold_triples_sql(__kg.V2_WHERE[0])}
+""",
+        "kg_merge_upsert": f"""
+WITH gold AS ({corpus.gold_triples_sql()}),
+src AS (
+  SELECT subj,
+         CASE WHEN length(subj) % 2 = 0
+              THEN 'licensed-under' ELSE 'audited-by' END AS pred,
+         CASE WHEN length(subj) % 2 = 0
+              THEN 'license:spdx-upgraded' ELSE 'bot:nerfray' END AS obj
+  FROM (SELECT DISTINCT subj FROM gold WHERE pred = 'licensed-under')),
+kept AS (
+  SELECT g.subj, g.pred, g.obj FROM gold g
+  WHERE NOT EXISTS (SELECT 1 FROM src s
+                    WHERE s.subj = g.subj AND s.pred = g.pred))
+SELECT subj, pred, obj FROM kept
+UNION ALL SELECT subj, pred, obj FROM src
+ORDER BY subj, pred, obj
 """,
         "kg_time_travel": f"""
 SELECT 1::BIGINT AS snap, subj, pred, obj

@@ -236,3 +236,34 @@ def build_versioned_store(sf_dir: str, store: str,
         store, "s2-del")
     s2 = commit(store, adds=adds, deletes=dels, note="CDC delta v1->v2")
     return s1, s2
+
+
+def _with_merge_key(batch):
+    import pyarrow.compute as pc
+    k = pc.binary_join_element_wise(
+        batch.column("subj"), batch.column("pred"), "\x1f")
+    return batch.append_column("mk", k)
+
+
+def merge_into(store: str, source: ray.data.Dataset) -> int:
+    """Delta-style MERGE INTO keyed on (subj, pred): WHEN MATCHED THEN
+    UPDATE (replace every live row of that key), WHEN NOT MATCHED THEN
+    INSERT.  Executed as merge-on-read: ONE distributed semi-join finds
+    the matched live rows (they become a tombstone delete file), the
+    source rows land as a data file, and a single metadata commit makes
+    both visible — no existing file is rewritten, time travel to the
+    pre-merge snapshot stays exact."""
+    from ..ops.joins import hash_join
+
+    cur = current_snapshot(store)
+    live = read_asof(store, cur)
+    source = source.materialize()
+    tomb = hash_join(
+        live.map_batches(_with_merge_key, batch_format="pyarrow"),
+        source.map_batches(_with_merge_key, batch_format="pyarrow"),
+        left_on="mk", right_on="mk", left_cols=_TRIPLE_COLS,
+        right_cols=[], how="left semi").select_columns(_TRIPLE_COLS)
+    adds = write_data_files(source, store, "mg")
+    dels = write_data_files(tomb, store, "mg-del")
+    return commit(store, adds=adds, deletes=dels,
+                  note=f"merge upsert into snapshot {cur}")

@@ -93,3 +93,28 @@ def test_rewrite_is_noop_on_rows_and_kills_tombstone_cost(
     assert t2 and not t3  # merge-on-read cost gone after rewrite
     assert _rowset(snapshots.read_asof(store, s3)) == \
         _rowset(snapshots.read_asof(store, s2))
+
+
+def test_merge_into_upsert_semantics(tmp_path, ray_session):
+    """MERGE on (subj, pred): matched keys have ALL live rows replaced
+    by the source row, unmatched source rows insert, untouched rows
+    survive, and the pre-merge snapshot still reads exactly."""
+    import ray
+    store = str(tmp_path / "mstore")
+    base = [("r1", "imports", "libA"), ("r1", "imports", "libB"),
+            ("r2", "licensed-under", "MIT"),
+            ("r3", "imports", "libC")]
+    s1 = snapshots.commit(
+        store, adds=snapshots.write_data_files(
+            ray.data.from_arrow(_triples(base)), store, "s1"))
+    # r1/imports matched (two live rows -> both replaced by ONE source
+    # row); r9/audited-by unmatched (insert)
+    src = [("r1", "imports", "libZ"), ("r9", "audited-by", "bot")]
+    s2 = snapshots.merge_into(store, ray.data.from_arrow(_triples(src)))
+    assert _rowset(snapshots.read_asof(store, s2)) == {
+        ("r1", "imports", "libZ"),
+        ("r2", "licensed-under", "MIT"),
+        ("r3", "imports", "libC"),
+        ("r9", "audited-by", "bot")}
+    # time travel to the pre-merge snapshot is untouched
+    assert _rowset(snapshots.read_asof(store, s1)) == set(base)
