@@ -2152,3 +2152,92 @@ SELECT event_id, user_id,
        )::BIGINT AS msum_cents
 FROM events ORDER BY event_id
 """
+
+
+# -- activity streaks (gaps and islands) ------------------------------------
+
+
+def _streak_day_partial(batch: pa.Table) -> pa.Table:
+    """Block-local distinct (user, active-day) rows — the only thing
+    that ever shuffles; day as int64 days-since-epoch so the island
+    arithmetic below is pure integer."""
+    us = batch.column("user_id").to_numpy(zero_copy_only=False)
+    ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    day = ts // 86_400_000_000
+    key = us * np.int64(1 << 20) + day  # day < 2^20 for any sane epoch
+    _, idx = np.unique(key, return_index=True)
+    hb = (us[idx] & (N_KEY_BUCKETS - 1)).astype(np.int32)
+    return pa.Table.from_pydict({
+        "user_id": pa.array(us[idx], pa.int64()),
+        "day": pa.array(day[idx], pa.int64()),
+        "hb": pa.array(hb, pa.int32()),
+    })
+
+
+def _streak_bucket(group: pa.Table) -> pa.Table:
+    """Every user in one hash bucket, fully vectorized: global distinct
+    (user, day), islands start at a user change or a day jump != 1,
+    per-user rollups via reduceat over island runs."""
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_active_days", pa.int64()),
+        ("n_streaks", pa.int64()), ("max_streak", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    day = group.column("day").to_numpy(zero_copy_only=False)
+    key = us * np.int64(1 << 20) + day
+    _, idx = np.unique(key, return_index=True)  # cross-block dedup
+    u, d = us[idx], day[idx]
+    order = np.lexsort((d, u))
+    u, d = u[order], d[order]
+    isl_start = np.flatnonzero(
+        np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)])
+    isl_len = np.diff(np.r_[isl_start, len(u)])
+    isl_user = u[isl_start]
+    ustart = np.flatnonzero(np.r_[True, isl_user[1:] != isl_user[:-1]])
+    return pa.Table.from_pydict({
+        "user_id": pa.array(isl_user[ustart], pa.int64()),
+        "n_active_days": pa.array(
+            np.add.reduceat(isl_len, ustart), pa.int64()),
+        "n_streaks": pa.array(
+            np.diff(np.r_[ustart, len(isl_user)]), pa.int64()),
+        "max_streak": pa.array(
+            np.maximum.reduceat(isl_len, ustart), pa.int64()),
+    }, schema=out_schema)
+
+
+def activity_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Longest consecutive-active-day streak per user (gaps-and-islands,
+    the engagement/retention window class): per-block distinct
+    (user, day) partials -> ONE user-hash co-group -> vectorized island
+    sweep. Only (user, day) int rows shuffle, bounded by distinct
+    user-days, never by event count."""
+    from nerfray.sources.parquet import read_parquet_clean
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return ev.map_batches(_streak_day_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("hb").map_groups(_streak_bucket, batch_format="pyarrow")
+
+
+ORACLES["events_streaks"] = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         (epoch(ts)::BIGINT // 86400) AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, count(*)::BIGINT AS len
+  FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       sum(len)::BIGINT   AS n_active_days,
+       count(*)::BIGINT   AS n_streaks,
+       max(len)::BIGINT   AS max_streak
+FROM streaks GROUP BY user_id
+"""

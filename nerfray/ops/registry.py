@@ -160,6 +160,13 @@ def q_docs_pii_redacted(sf_dir: str):
     return text.redact_pii(text.planted_pii_docs(_docs(sf_dir)))
 
 
+def q_join_bucketed_rollup(sf_dir: str):
+    # co-bucketed storage join: both fact tables landed bkt=K by the
+    # shared orderkey hash, joined bucket-locally with zero exchange
+    from . import bucketed
+    return bucketed.join_bucketed_rollup(sf_dir)
+
+
 def q_graph_triangles_planted(sf_dir: str):
     # join-composed triangle counting on a deterministic offset graph
     # (7 + 13 = 20 -> exactly two wedge-closures per node), SQL-mirrored
@@ -1059,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_skew_salted": joins.skew_salted_rollup,
         "join_full_outer": joins.full_outer_coverage,
         "join_q3_topk": joins.q3_shipping_topk,
+        "join_bucketed_rollup": q_join_bucketed_rollup,
         "join_q18_topk": joins.q18_large_orders,
         "join_adaptive_rollup": joins.adaptive_orders_by_nation,
         "join_q5_nation_revenue": joins.q5_revenue_by_nation,
@@ -1094,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot_daily": events.unpivot_daily_types,
         "events_ab_test": events.ab_test,
         "events_moving_sum": events.moving_sum,
+        "events_streaks": events.activity_streaks,
         "events_sliding": events.sliding_counts,
         "events_window_selfjoin": events.window_selfjoin,
         "events_cumsum": events.cumsum_per_user,
@@ -1558,6 +1567,8 @@ def oracles() -> dict[str, str]:
     }
     from nerfray.stages.graph import TRIANGLES_PLANTED_SQL
     sql["graph_triangles_planted"] = TRIANGLES_PLANTED_SQL
+    from .bucketed import BUCKETED_JOIN_SQL
+    sql["join_bucketed_rollup"] = BUCKETED_JOIN_SQL
     sql.update(relational.ORACLES)
     sql.update(rank.ORACLES)
     sql.update(joins.ORACLES)
