@@ -489,6 +489,13 @@ def q_events_zorder(sf_dir: str):
     return zonemap.zorder_scan_query(sf_dir)
 
 
+def q_events_bloom_pointscan(sf_dir: str):
+    # per-file Bloom index over a high-cardinality column the layout
+    # can't range-prune: point lookup reads only bloom-hit files
+    from . import zonemap
+    return zonemap.bloom_pointscan_query(sf_dir)
+
+
 def q_events_zonemap(sf_dir: str):
     # file-skipping range scan: time-range layout + footer-only zone
     # map + pruned rollup (pruning asserted inside, semantics-invisible)
@@ -987,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_classifier_pr": q_docs_classifier_pr,
         "docs_curation_scored": q_docs_curation_scored,
         "events_zonemap_scan": q_events_zonemap,
+        "events_bloom_pointscan": q_events_bloom_pointscan,
         "events_zorder_scan": q_events_zorder,
         "docs_crossdup": q_docs_crossdup,
         "docs_dup_spans": q_docs_dup_spans,
@@ -1352,6 +1360,11 @@ def _zonemap_sql() -> str:
     return zonemap.ZONEMAP_SQL
 
 
+def _zonemap_attr_sql(attr: str) -> str:
+    from . import zonemap
+    return getattr(zonemap, attr)
+
+
 def _zorder_sql() -> str:
     from . import zonemap
     return zonemap.ZORDER_SQL
@@ -1539,6 +1552,7 @@ def oracles() -> dict[str, str]:
         "docs_curation_scored": _curation_scored_sql(),
         "events_zonemap_scan": _zonemap_sql(),
         "events_zorder_scan": _zorder_sql(),
+        "events_bloom_pointscan": _zonemap_attr_sql("FILE_BLOOM_SQL"),
         "docs_crossdup": _text_sql("CROSSDUP_SQL"),
         "docs_dup_spans": _text_sql("DUP_SPANS_SQL"),
         "docs_normalized": _text_sql("NORMALIZE_SQL"),

@@ -375,3 +375,151 @@ WHERE epoch_us(ts) >= r.lo AND epoch_us(ts) <= r.hi
   AND user_id >= r.ulo AND user_id <= r.uhi
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- file-level Bloom indexes (point-lookup skipping) ------------------------
+#
+# Zone maps skip files on RANGE predicates over the layout key; a point
+# lookup on a HIGH-CARDINALITY column uncorrelated with the layout
+# (user_id in a time-partitioned table) overlaps every file's [min, max]
+# and zone maps prune nothing.  The lakehouse answer (Parquet bloom
+# filters, Delta/Iceberg file skipping indexes) is a small per-file
+# Bloom over the column's distinct values: a membership probe prunes
+# every file whose filter provably lacks the key.  Index build is a map
+# over FILE PATHS (one column read per file, distributed); the index is
+# one fixed-size row per file (FILE_BLOOM_M bits), same driver-side
+# O(files) shape as the zone map (documented there).  False positives
+# only cost an extra file read — never correctness.
+
+FILE_BLOOM_M = 1024  # bits per file
+FILE_BLOOM_K = 4
+
+
+def build_file_blooms(out_dir: str, *, column: str = "user_id"
+                      ) -> pa.Table:
+    """(path, words list<uint64 as int64>) — one Bloom per data file,
+    built distributed with one column read per file."""
+    from .joins import _key_positions
+    paths = []
+    for root, _dirs, names in os.walk(out_dir):
+        paths.extend(os.path.join(root, n) for n in names
+                     if n.endswith(".parquet"))
+    paths.sort()
+    files = ray.data.from_items([{"path": p} for p in paths],
+                                override_num_blocks=max(1, len(paths)))
+
+    def _bloom_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        out_paths, out_words = [], []
+        for p in batch.column("path").to_pylist():
+            keys = pq.read_table(p, columns=[column]).column(
+                column).to_numpy(zero_copy_only=False)
+            u = np.unique(keys)
+            words = np.zeros(FILE_BLOOM_M // 64, np.uint64)
+            pos = _key_positions(u, FILE_BLOOM_M, FILE_BLOOM_K)
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).ravel(),
+                np.uint64(1) << (pos & np.uint64(63)).ravel())
+            out_paths.append(p)
+            out_words.append(words.view(np.int64).tolist())
+        return pa.Table.from_pydict({
+            "path": pa.array(out_paths, pa.string()),
+            "words": pa.array(out_words, pa.list_(pa.int64())),
+        })
+
+    return pa.Table.from_pylist(
+        files.map_batches(_bloom_of, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("path", pa.string()),
+                          ("words", pa.list_(pa.int64()))]))
+
+
+def bloom_pruned_point_rollup(index: pa.Table, key: int, *,
+                              column: str = "user_id"
+                              ) -> tuple[ray.data.Dataset, dict]:
+    """Per-event-type rollup of the rows with ``column == key``, reading
+    only files whose Bloom contains the key."""
+    from .joins import _key_positions
+    pos = _key_positions(np.array([key], np.int64),
+                         FILE_BLOOM_M, FILE_BLOOM_K)[0]
+    keep = []
+    for row in index.to_pylist():
+        words = np.array(row["words"], np.int64).view(np.uint64)
+        hit = all(
+            words[int(p) >> 6] & (np.uint64(1) << np.uint64(int(p) & 63))
+            for p in pos)
+        if hit:
+            keep.append(row["path"])
+    stats = {"files_total": index.num_rows, "files_read": len(keep)}
+    if not keep:
+        empty = pa.schema([("event_type", pa.string()),
+                           ("n_events", pa.int64()),
+                           ("sum_cents", pa.int64())]).empty_table()
+        return ray.data.from_arrow(empty), stats
+    ds = ray.data.read_parquet(
+        keep, columns=[column, "event_type", "cents"],
+        filter=(pads.field(column) == key))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict({
+            "event_type": batch.column("event_type"),
+            "cents": batch.column("cents"),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return pa.Table.from_pydict({
+            "event_type": g.column("event_type"),
+            "n_events": pc.cast(g.column("cents_count"), pa.int64()),
+            "sum_cents": pc.cast(g.column("cents_sum"), pa.int64()),
+            "g": pa.array(np.zeros(g.num_rows, np.int32)),
+        })
+
+    def _final(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("event_type", pa.string()),
+                                ("n_events", pa.int64()),
+                                ("sum_cents", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        g = group.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("sum_cents", "sum")])
+        return pa.Table.from_pydict({
+            "event_type": g.column("event_type"),
+            "n_events": pc.cast(g.column("n_events_sum"), pa.int64()),
+            "sum_cents": pc.cast(g.column("sum_cents_sum"), pa.int64()),
+        }, schema=out_schema)
+
+    res = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("g").map_groups(_final, batch_format="pyarrow")
+    return res, stats
+
+
+def bloom_pointscan_query(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end surface: time-partitioned layout, per-file user Bloom
+    index, point lookup of the max user_id. Pruning is best-effort on
+    natural data (a user active across the whole window appears in
+    every file — exactly the case the pytest's planted time-localized
+    users complement); semantics are oracle-pinned either way."""
+    ev = _events_full_ts_us(sf_dir)
+    key = _scalar_max(ev)
+    out = tempfile.mkdtemp(prefix="nerfray_filebloom_")
+    try:
+        export_time_layout(ev, out)
+        index = build_file_blooms(out, column="user_id")
+        res, stats = bloom_pruned_point_rollup(index, key)
+        res = res.materialize()
+        assert stats["files_read"] >= 1
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _scalar_max(ev: ray.data.Dataset) -> int:
+    return int(ev.max("user_id"))
+
+
+FILE_BLOOM_SQL = """
+WITH k AS (SELECT max(user_id) AS key FROM events)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events, k WHERE user_id = k.key
+GROUP BY event_type
+"""

@@ -140,3 +140,52 @@ def test_zorder_layout_prunes_each_dimension(ray_session):
         assert sum(r["n_events"] for r in res_t.take_all()) == 32
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_file_bloom_prunes_time_localized_users(ray_session, tmp_path):
+    # users are time-localized (user u active only in hour-block u), so
+    # the time layout puts each user in few files: the Bloom index must
+    # prune, and a missing key must read ZERO files (no false negatives
+    # by construction; false positives allowed but 1024-bit/4-hash
+    # filters on ~25 distinct keys per file make them unlikely)
+    n_users, per_user = 16, 25
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    us, ts = [], []
+    for u in range(n_users):
+        for i in range(per_user):
+            us.append(u)
+            ts.append(base + np.timedelta64(
+                u * 3600_000_000 + i * 60_000_000, "us"))
+    n = len(us)
+    t = pa.Table.from_pydict({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(us, pa.int64()),
+        "event_type": pa.array([f"t{i % 3}" for i in range(n)]),
+        "value": pa.array((np.arange(n) * 13 % 997) / 100.0),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+
+    import shutil
+    import tempfile
+    out = tempfile.mkdtemp(prefix="nerfray_fb_test_")
+    try:
+        zm.export_time_layout(zm._events_full_ts_us(str(tmp_path)), out)
+        index = zm.build_file_blooms(out, column="user_id")
+        assert index.num_rows >= 4  # layout actually split
+        res, st = zm.bloom_pruned_point_rollup(index, 3)
+        assert st["files_read"] < st["files_total"]
+        rows = res.take_all()
+        assert sum(r["n_events"] for r in rows) == per_user
+        # exact rollup vs brute force
+        mask = np.array(us) == 3
+        want = int(np.rint(
+            (np.arange(n)[mask] * 13 % 997) / 100.0 * 100).sum())
+        assert sum(r["sum_cents"] for r in rows) == want
+        # absent key: every file pruned (bar improbable FPs), 0 rows
+        res0, st0 = zm.bloom_pruned_point_rollup(index, 10**12 + 17)
+        assert st0["files_read"] == 0
+        assert res0.take_all() == []
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
