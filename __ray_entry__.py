@@ -514,6 +514,15 @@ def q_kg_merge_upsert(sf_dir: str):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q_kg_mst_planted(sf_dir: str):
+    """Boruvka minimum spanning tree (each component picks its min
+    outgoing edge; star-CC contraction; O(log n) rounds) over the
+    planted chain+skip graph whose unique MST is pure id arithmetic
+    (every heavy edge is the max of the triangle cycle it closes)."""
+    from nerfray.stages import graph
+    return graph.mst_planted_query(sf_dir)
+
+
 def q_kg_scc_planted(sf_dir: str):
     """Strongly connected components of a planted digraph (even id
     groups = directed 8-rings, odd = chains, sparse bridges): path-
@@ -748,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_degree": q_kg_neighbor_degree,
         "kg_khop_sample": q_kg_khop_sample,
         "kg_scc_planted": q_kg_scc_planted,
+        "kg_mst_planted": q_kg_mst_planted,
         "kg_merge_upsert": q_kg_merge_upsert,
         "kg_triples_checkpointed": q_kg_triples_checkpointed,
         "kg_triples_compacted": q_kg_triples_compacted,
@@ -801,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "kg_bfs_planted": graph.BFS_PLANTED_SQL,
         "kg_scc_planted": graph.SCC_PLANTED_SQL,
+        "kg_mst_planted": graph.MST_PLANTED_SQL,
         "kg_taxonomy_closure": graph.TAXO_CLOSURE_PLANTED_SQL,
         "kg_type_inference": graph.TYPE_INFERENCE_PLANTED_SQL,
         "kg_domain_violations": graph.DOMAIN_VIOLATIONS_PLANTED_SQL,

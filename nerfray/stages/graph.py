@@ -3117,3 +3117,264 @@ mutual AS (
 SELECT node, min(scc)::BIGINT AS scc FROM mutual
 GROUP BY node ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Boruvka minimum spanning tree (distributed MST)
+# ---------------------------------------------------------------------------
+#
+# The classic distributed MST: each round every component picks its
+# minimum-weight outgoing edge (unique weights -> unique MST), the
+# chosen edges merge components (contraction via the existing
+# star-round connected components over the COMPONENT-grain chosen
+# graph), and merged labels propagate back to the surviving cross
+# edges through two hash joins.  Components at least halve per round,
+# so rounds are O(log n); per round only cross-component edges stay in
+# flight and the chosen/contraction tables are component-grain.
+#
+# Planted fixture: over nodes 0..n-1 (n % 5 == 0), chain edges
+# (i, i+1) are HEAVY when i % 5 == 0 (else light, weights strictly
+# increasing), and skip edges (i, i+2) are LIGHT exactly when
+# i % 5 == 0 (else heavy).  Every heavy edge is the maximum of the
+# triangle cycle {chain(i), chain(i+1), skip(i)} it closes, so by the
+# cycle property the unique MST is exactly all light edges — pure id
+# arithmetic, mirrored verbatim in MST_PLANTED_SQL.
+
+MST_MAX_ROUNDS = 16
+
+
+def planted_mst_edges(ids: ray.data.Dataset, n: int) -> ray.data.Dataset:
+    """Chain+skip fixture graph with globally unique integer weights."""
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        i = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        # light weights are a bijective multiplicative mix of i (odd
+        # multiplier mod 2^21), NOT monotone in i: along the path each
+        # node's min edge points at a local random minimum, so the
+        # round-1 chosen graph has O(1)-expected component diameter and
+        # the star-CC contraction converges in a couple of rounds
+        # (monotone weights make it one long pointer chain = log n
+        # star rounds). The MST set only depends on the RANGES
+        # (light < heavy), so the oracle arithmetic is unchanged.
+        mix = lambda x: (x * 40503) % (1 << 21)  # noqa: E731
+        cm = i <= n - 2
+        ci = i[cm]
+        cw = np.where(ci % 5 == 0, 1_000_000_000 + 10 * ci,
+                      10_000 + 10 * mix(ci))
+        sm = i <= n - 3
+        si = i[sm]
+        sw = np.where(si % 5 == 0, 100_000_000 + 10 * mix(si),
+                      2_000_000_000 + 10 * si)
+        return pa.Table.from_pydict({
+            "u": pa.array(np.concatenate([ci, si]), pa.int64()),
+            "v": pa.array(np.concatenate([ci + 1, si + 2]), pa.int64()),
+            "w": pa.array(np.concatenate([cw, sw]).astype(np.int64),
+                          pa.int64()),
+        })
+
+    return ids.map_batches(_mk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+_MST_CAND_SCHEMA = pa.schema([
+    ("comp", pa.int64()), ("u", pa.int64()), ("v", pa.int64()),
+    ("w", pa.int64()), ("cu", pa.int64()), ("cv", pa.int64()),
+    ("hb", pa.int32())])
+
+
+def _mst_cand_rows(batch: pa.Table) -> pa.Table:
+    """Each cross edge, emitted once per endpoint component."""
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    w = batch.column("w").to_numpy(zero_copy_only=False)
+    cu = batch.column("cu").to_numpy(zero_copy_only=False)
+    cv = batch.column("cv").to_numpy(zero_copy_only=False)
+    comp = np.concatenate([cu, cv])
+    two = lambda x: np.concatenate([x, x])  # noqa: E731
+    return pa.Table.from_pydict({
+        "comp": pa.array(comp, pa.int64()),
+        "u": pa.array(two(u), pa.int64()),
+        "v": pa.array(two(v), pa.int64()),
+        "w": pa.array(two(w), pa.int64()),
+        "cu": pa.array(two(cu), pa.int64()),
+        "cv": pa.array(two(cv), pa.int64()),
+        "hb": pa.array((comp & 63).astype(np.int32), pa.int32()),
+    }, schema=_MST_CAND_SCHEMA)
+
+
+def _mst_min_bucket(group: pa.Table) -> pa.Table:
+    """Per component: the minimum-(w, u, v) incident cross edge."""
+    out_schema = pa.schema([
+        ("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()),
+        ("cu", pa.int64()), ("cv", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    comp = group.column("comp").to_numpy(zero_copy_only=False)
+    u = group.column("u").to_numpy(zero_copy_only=False)
+    v = group.column("v").to_numpy(zero_copy_only=False)
+    w = group.column("w").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u, w, comp))
+    cs = comp[order]
+    first = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+    pick = order[first]
+    return pa.Table.from_pydict({
+        "u": pa.array(u[pick], pa.int64()),
+        "v": pa.array(v[pick], pa.int64()),
+        "w": pa.array(w[pick], pa.int64()),
+        "cu": pa.array(group.column("cu").to_numpy(
+            zero_copy_only=False)[pick], pa.int64()),
+        "cv": pa.array(group.column("cv").to_numpy(
+            zero_copy_only=False)[pick], pa.int64()),
+    }, schema=out_schema)
+
+
+def _mst_dedup_bucket(group: pa.Table) -> pa.Table:
+    """Distinct chosen edges (both endpoints may pick the same edge) —
+    first-occurrence mask over (u, v) sorted runs, no key packing."""
+    if group.num_rows == 0:
+        return group
+    u = group.column("u").to_numpy(zero_copy_only=False)
+    v = group.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    keep = np.r_[True, (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])]
+    return group.take(pa.array(order[keep]))
+
+
+def _pad12(col: pa.ChunkedArray) -> pa.Array:
+    import pyarrow.compute as pc
+    return pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+
+
+def boruvka_mst(edges: ray.data.Dataset,
+                max_rounds: int = MST_MAX_ROUNDS) -> ray.data.Dataset:
+    """MST of an undirected weighted graph as (u, v, w) rows. Weights
+    must be globally unique (ties would make the MST ambiguous; the
+    per-component pick tie-breaks on (w, u, v) deterministically
+    regardless). Each edge appears once, (u, v) as given."""
+    from nerfray.ops.joins import hash_join
+
+    def _init(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "u": batch.column("u"), "v": batch.column("v"),
+            "w": batch.column("w"),
+            "cu": batch.column("u"), "cv": batch.column("v")})
+
+    work = edges.map_batches(_init, batch_format="pyarrow").materialize()
+    parts: list[ray.data.Dataset] = []
+    ftypes = {c: pa.int64() for c in
+              ("u", "v", "w", "cu", "cv", "comp", "newcomp")}
+    for _ in range(max_rounds):
+        cross = work.filter(expr="cu != cv").materialize()
+        if cross.count() == 0:
+            break
+        chosen = cross.map_batches(_mst_cand_rows, batch_format="pyarrow") \
+            .groupby("hb").map_groups(_mst_min_bucket,
+                                      batch_format="pyarrow")
+
+        def _ub(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            hb = pc.cast(pc.bit_wise_and(batch.column("u"), 63),
+                         pa.int32())
+            return batch.append_column("hb", hb)
+
+        # coalesce: the co-group emits ~64 near-empty blocks per round;
+        # without the clamp the chained joins multiply block counts and
+        # later (tiny) rounds drown in empty-task overhead (SCALE.md
+        # r4 lesson on iterative union+shuffle loops)
+        chosen = chosen.map_batches(_ub, batch_format="pyarrow") \
+            .groupby("hb").map_groups(_mst_dedup_bucket,
+                                      batch_format="pyarrow") \
+            .drop_columns(["hb"]).repartition(8).materialize()
+        parts.append(chosen.drop_columns(["cu", "cv"]))
+
+        # contraction: CC over the component-grain chosen graph
+        def _comp_pairs(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "subj": _pad12(batch.column("cu")),
+                "obj": _pad12(batch.column("cv"))})
+
+        cc = connected_components(
+            chosen.map_batches(_comp_pairs, batch_format="pyarrow"))
+
+        def _unpad(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.Table.from_pydict({
+                "comp": pc.cast(batch.column("node"), pa.int64()),
+                "newcomp": pc.cast(batch.column("component"), pa.int64())})
+
+        comp_map = cc.map_batches(_unpad, batch_format="pyarrow") \
+            .repartition(8).materialize()
+
+        relab = hash_join(
+            cross, comp_map, left_on="cu", right_on="comp",
+            left_cols=["u", "v", "w", "cv"], right_cols=["newcomp"],
+            how="left outer", field_types=ftypes)
+
+        def _apply_cu(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.Table.from_pydict({
+                "u": batch.column("u"), "v": batch.column("v"),
+                "w": batch.column("w"), "cv": batch.column("cv"),
+                "cu": pc.coalesce(batch.column("newcomp"),
+                                  batch.column("__key"))})
+
+        relab = relab.map_batches(_apply_cu, batch_format="pyarrow")
+        relab = hash_join(
+            relab, comp_map, left_on="cv", right_on="comp",
+            left_cols=["u", "v", "w", "cu"], right_cols=["newcomp"],
+            how="left outer", field_types=ftypes)
+
+        def _apply_cv(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.Table.from_pydict({
+                "u": batch.column("u"), "v": batch.column("v"),
+                "w": batch.column("w"), "cu": batch.column("cu"),
+                "cv": pc.coalesce(batch.column("newcomp"),
+                                  batch.column("__key"))})
+
+        work = relab.map_batches(_apply_cv, batch_format="pyarrow") \
+            .repartition(8).materialize()
+    else:
+        raise RuntimeError(
+            f"boruvka_mst did not converge in {max_rounds} rounds")
+    if not parts:
+        return ray.data.from_arrow(
+            pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                       ("w", pa.int64())]).empty_table())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def mst_planted_query(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+    if n % 5:
+        raise ValueError(f"planted MST fixture needs n % 5 == 0, got {n}")
+    return boruvka_mst(planted_mst_edges(ids, n))
+
+
+MST_PLANTED_SQL = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+chain AS (
+  SELECT vec_id AS u, vec_id + 1 AS v,
+         (CASE WHEN vec_id % 5 = 0 THEN 1000000000 + 10 * vec_id
+               ELSE 10000 + 10 * ((vec_id * 40503) % 2097152)
+          END)::BIGINT AS w
+  FROM embeddings, nn WHERE vec_id <= nn.n - 2),
+skip AS (
+  SELECT vec_id AS u, vec_id + 2 AS v,
+         (CASE WHEN vec_id % 5 = 0
+               THEN 100000000 + 10 * ((vec_id * 40503) % 2097152)
+               ELSE 2000000000 + 10 * vec_id END)::BIGINT AS w
+  FROM embeddings, nn WHERE vec_id <= nn.n - 3)
+SELECT u, v, w FROM chain WHERE u % 5 <> 0
+UNION ALL
+SELECT u, v, w FROM skip WHERE u % 5 = 0
+"""

@@ -1010,3 +1010,80 @@ def test_scc_components_vs_brute_force(ray_session):
     # the planted cycles are mutually reachable -> shared labels
     assert want[17] == want[3] == want[42] == want[8]
     assert want[51] == want[50]
+
+
+def test_boruvka_mst_vs_kruskal(ray_session):
+    # random connected graph, unique weights -> unique MST; compare the
+    # distributed Boruvka against a driver-side Kruskal
+    import numpy as np
+
+    import ray.data
+    from nerfray.stages.graph import boruvka_mst
+
+    rng = np.random.default_rng(7)
+    n = 60
+    edges = [(i, i + 1) for i in range(n - 1)]  # spanning backbone
+    extra = set()
+    while len(extra) < 80:
+        u, v = sorted(rng.integers(0, n, 2).tolist())
+        if u != v and (u, v) not in edges:
+            extra.add((u, v))
+    edges += sorted(extra)
+    ws = rng.permutation(len(edges)) * 7 + 3  # unique
+    t = pa.Table.from_pydict({
+        "u": pa.array([e[0] for e in edges], pa.int64()),
+        "v": pa.array([e[1] for e in edges], pa.int64()),
+        "w": pa.array(ws, pa.int64()),
+    })
+    got = {(r["u"], r["v"], r["w"])
+           for r in boruvka_mst(
+               ray.data.from_arrow(t).repartition(4)).take_all()}
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for w, (u, v) in sorted(zip(ws.tolist(), edges)):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, w))
+    assert got == want
+    assert len(got) == n - 1
+
+
+def test_mst_planted_fixture_is_all_light_edges(ray_session):
+    # the planted chain+skip fixture's unique MST is exactly the light
+    # edges (cycle property): check the arithmetic against Kruskal on a
+    # small n so the SQL oracle's closed form is pinned in-process
+    import numpy as np
+
+    import ray.data
+    from nerfray.stages.graph import planted_mst_edges
+
+    n = 40
+    ids = ray.data.from_arrow(pa.Table.from_pydict(
+        {"vec_id": pa.array(np.arange(n), pa.int64())}))
+    es = planted_mst_edges(ids, n).take_all()
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst = set()
+    for e in sorted(es, key=lambda r: r["w"]):
+        ru, rv = find(e["u"]), find(e["v"])
+        if ru != rv:
+            parent[ru] = rv
+            mst.add((e["u"], e["v"]))
+    want = {(i, i + 1) for i in range(n - 1) if i % 5 != 0} \
+        | {(i, i + 2) for i in range(0, n - 2, 5)}
+    assert mst == want
