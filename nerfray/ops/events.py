@@ -2241,3 +2241,161 @@ SELECT user_id,
        max(len)::BIGINT   AS max_streak
 FROM streaks GROUP BY user_id
 """
+
+
+# -- interval-union coverage per user (merge-overlaps / covered time) --------
+#
+# Each event opens a usage interval [ts, ts + dur) with a deterministic
+# integer duration derived from the row (abs(cents) % COVER_MOD +
+# COVER_BASE_MIN minutes); the operator reports, per user, the total
+# length of the UNION of their intervals plus the island count — the
+# classic "merge overlapping intervals" windowed op (billing coverage,
+# uptime stitching).  Shape: one 64-way user-hash co-group; inside each
+# bucket the sweep is fully vectorized via the run-offset band trick
+# (shift every user's timeline into a disjoint band so one global
+# maximum.accumulate implements the per-user running max-end reset).
+# Union length is a set measure, so the SQL window mirror (max(hi) OVER
+# preceding rows) agrees regardless of equal-lo tie order.
+
+COVER_BASE_MIN = 30
+COVER_MOD = 180
+
+_COVER_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("covered_us", pa.int64()),
+    ("n_islands", pa.int64()),
+])
+
+
+def _covered_bucket(group: pa.Table) -> pa.Table:
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return _COVER_SCHEMA.empty_table()
+    ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    cents = np.round(group.column("value").to_numpy(
+        zero_copy_only=False) * 100).astype(np.int64)
+    dur = (np.abs(cents) % COVER_MOD + COVER_BASE_MIN) * 60_000_000
+    lo, hi = ts, ts + dur
+    order = np.lexsort((hi, lo, us))
+    u, l, h = us[order], lo[order], hi[order]
+    user_change = np.r_[True, u[1:] != u[:-1]]
+    run = np.cumsum(user_change) - 1
+    tmin = int(l.min())
+    span = int(h.max()) - tmin
+    off = span + 2
+    if (int(run[-1]) + 1) * off >= 2 ** 62:
+        raise ValueError("covered_time: run-offset band would overflow "
+                         "int64; raise n_buckets")
+    l_adj = (l - tmin) + run * off
+    h_adj = (h - tmin) + run * off
+    run_max = np.maximum.accumulate(h_adj)
+    prev = np.r_[np.int64(-1), run_max[:-1]]
+    contrib = np.maximum(h_adj - np.maximum(l_adj, prev), 0)
+    island = l_adj > prev  # prior user's band always ends below ours
+    ustarts = np.flatnonzero(user_change)
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u[ustarts], pa.int64()),
+        "covered_us": pa.array(np.add.reduceat(contrib, ustarts),
+                               pa.int64()),
+        "n_islands": pa.array(
+            np.add.reduceat(island.astype(np.int64), ustarts), pa.int64()),
+    }, schema=_COVER_SCHEMA)
+
+
+def covered_time(sf_dir: str) -> ray.data.Dataset:
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+    return ds.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_covered_bucket, batch_format="pyarrow")
+
+
+ORACLES["events_covered_time"] = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + (abs(round(value * 100))::BIGINT % {COVER_MOD}
+                         + {COVER_BASE_MIN}) * 60000000 AS hi
+  FROM events
+),
+m AS (
+  SELECT user_id, lo, hi,
+         max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_hi
+  FROM iv
+)
+SELECT user_id,
+       sum(greatest(hi - greatest(lo, coalesce(prev_hi, lo)), 0))::BIGINT
+         AS covered_us,
+       sum(CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0
+           END)::BIGINT AS n_islands
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
+# -- event-type transition matrix (per-user Markov bigrams) ------------------
+#
+# Adjacent (event_type -> next event_type) counts along each user's
+# timeline, ordered by (ts, event_id) so the sequence is total.  The
+# per-bucket pass dictionary-encodes the types and counts pair codes
+# with one np.unique; partials are at most n_types^2 rows per bucket,
+# so the final groupby-sum exchange is O(types^2 x buckets) — never
+# event-proportional.
+
+_TRANS_SCHEMA = pa.schema([
+    ("prev_type", pa.string()),
+    ("next_type", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+def _transitions_bucket(group: pa.Table) -> pa.Table:
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return _TRANS_SCHEMA.empty_table()
+    ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(pc.cast(
+        group.column("event_type"), pa.string()).combine_chunks())
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    order = np.lexsort((eid, ts, us))
+    u, c = us[order], codes[order]
+    same_user = u[1:] == u[:-1]
+    nv = len(vocab)
+    pair = c[:-1][same_user] * nv + c[1:][same_user]
+    uniq, cnt = np.unique(pair, return_counts=True)
+    return pa.Table.from_pydict({
+        "prev_type": vocab.take(pa.array(uniq // nv, pa.int64())),
+        "next_type": vocab.take(pa.array(uniq % nv, pa.int64())),
+        "n": pa.array(cnt.astype(np.int64), pa.int64()),
+    }, schema=_TRANS_SCHEMA)
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    from ray.data.aggregate import Sum
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return ds.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_transitions_bucket,
+                                  batch_format="pyarrow") \
+        .groupby(["prev_type", "next_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+
+ORACLES["events_transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS prev_type, nxt AS next_type, count(*)::BIGINT AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

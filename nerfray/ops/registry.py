@@ -890,6 +890,14 @@ def _roundtrip_rollup(ds) -> "ray.data.Dataset":
                    Sum("sum_text_len", alias_name="sum_text_len"))
 
 
+def q_docs_table_checksum(sf_dir: str):
+    # anti-entropy fingerprint: order-independent per-bucket checksum a
+    # replica pair compares without moving rows (splitmix64 row hash,
+    # commutative mod-2^64 bucket sums, bit-exact UHUGEINT SQL mirror)
+    from . import integrity
+    return integrity.docs_table_checksum(sf_dir)
+
+
 def q_docs_csv_roundtrip(sf_dir: str):
     # source-format breadth: documents exported once to CSV, read back
     # through the distributed CSV reader; the parquet-view oracle
@@ -907,6 +915,24 @@ def q_docs_jsonl_roundtrip(sf_dir: str):
                                          read_json_clean)
     path = export_table_once(sf_dir, "documents", "jsonl")
     return _roundtrip_rollup(read_json_clean(path))
+
+
+def q_docs_feather_roundtrip(sf_dir: str):
+    # Arrow IPC (Feather) shard files through the custom shard reader
+    # (one decode task per file — the datasource shape Ray Data lacks
+    # natively); same rollup oracle as CSV/JSONL
+    from nerfray.sources.parquet import (export_table_sharded,
+                                         read_feather_shards)
+    paths = export_table_sharded(sf_dir, "documents", "feather")
+    return _roundtrip_rollup(read_feather_shards(paths))
+
+
+def q_docs_orc_roundtrip(sf_dir: str):
+    # ORC shard files through the same custom shard-reader shape
+    from nerfray.sources.parquet import (export_table_sharded,
+                                         read_orc_shards)
+    paths = export_table_sharded(sf_dir, "documents", "orc")
+    return _roundtrip_rollup(read_orc_shards(paths))
 
 
 ROUNDTRIP_SQL = """
@@ -1052,7 +1078,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q16_supplier_cnt": q_join_q16_supplier_cnt,
         "join_q20_majority": q_join_q20_majority,
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
+        "docs_table_checksum": q_docs_table_checksum,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
+        "docs_feather_roundtrip": q_docs_feather_roundtrip,
+        "docs_orc_roundtrip": q_docs_orc_roundtrip,
         "docs_containment_drops": q_docs_containment_drops,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
@@ -1068,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": relational.customers_per_region,
         "events_quality_checks": relational.events_quality_checks,
         "part_type_sizes": relational.part_type_sizes,
+        "part_pareto": relational.part_pareto,
         "lineitem_by_flag": relational.lineitem_by_flag,
         "join_orders_lineitem": joins.orders_lineitem_rollup,
         "join_priority_shipped": joins.priority_shipped_counts,
@@ -1111,6 +1141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_test": events.ab_test,
         "events_moving_sum": events.moving_sum,
         "events_streaks": events.activity_streaks,
+        "events_covered_time": events.covered_time,
+        "events_transitions": events.event_transitions,
         "events_sliding": events.sliding_counts,
         "events_window_selfjoin": events.window_selfjoin,
         "events_cumsum": events.cumsum_per_user,
@@ -1420,6 +1452,11 @@ def _sampling_sql(name: str) -> str:
     return getattr(sampling, name)
 
 
+def _integrity_sql() -> str:
+    from . import integrity
+    return integrity.CHECKSUM_SQL
+
+
 def _bm25_sql() -> str:
     from .retrieval import bm25_sql
     return bm25_sql()
@@ -1507,7 +1544,10 @@ def oracles() -> dict[str, str]:
         "docs_weighted_sample": _sampling_sql("WEIGHTED_SAMPLE_SQL"),
         "docs_novelty": _text_sql("NOVELTY_SQL"),
         "docs_csv_roundtrip": ROUNDTRIP_SQL,
+        "docs_table_checksum": _integrity_sql(),
         "docs_jsonl_roundtrip": ROUNDTRIP_SQL,
+        "docs_feather_roundtrip": ROUNDTRIP_SQL,
+        "docs_orc_roundtrip": ROUNDTRIP_SQL,
         # emb_semdedup (real float embeddings): rows-only by design
         "emb_semdedup_planted": _cluster_sql("SEMDEDUP_PLANTED_SQL"),
         "docs_containment_drops":

@@ -754,3 +754,89 @@ WHERE 5 * b.qty * s.cnt < s.sum_qty
 """
 
 ORACLES["lineitem_q17_small_qty"] = Q17_SQL
+
+
+# -- Pareto frontier (2-D skyline) --------------------------------------------
+#
+# Non-dominated parts under minimize(p_retailprice, p_size): a part is
+# on the skyline iff no other part is <= on both dimensions and < on at
+# least one (equal points all survive).  Distributed shape: every block
+# reduces to its LOCAL skyline (the global skyline is a subset of the
+# union of local skylines, so the partial is lossless), then ONE tiny
+# constant-key co-group merges the partials with the same sweep.  The
+# partial never grows past the block's own frontier; only frontier rows
+# travel the exchange.  Price compares are raw float64 equality/order —
+# no arithmetic, so the DuckDB NOT EXISTS oracle agrees bit-for-bit.
+
+_PARETO_SCHEMA = pa.schema([
+    ("p_partkey", pa.int64()),
+    ("p_size", pa.int64()),
+    ("p_retailprice", pa.float64()),
+])
+
+
+def _skyline_rows(key: np.ndarray, size: np.ndarray,
+                  price: np.ndarray) -> pa.Table:
+    """Rows whose (price, size) point is Pareto-minimal (ties kept)."""
+    # minimal size per distinct price, sorted by price asc
+    order = np.lexsort((size, price))
+    p, s = price[order], size[order]
+    new_price = np.r_[True, p[1:] != p[:-1]]
+    pstart = np.flatnonzero(new_price)
+    min_s = s[pstart]                      # min size at each price
+    # survivor prices: strictly decreasing min-size prefix
+    run_min = np.minimum.accumulate(min_s)
+    prev_min = np.r_[np.int64(np.iinfo(np.int64).max), run_min[:-1]]
+    alive = min_s < prev_min
+    # keep every ORIGINAL row equal to a surviving (price, size) point
+    sky_p, sky_s = p[pstart[alive]], min_s[alive]
+    idx = np.searchsorted(sky_p, price)
+    idx_c = np.clip(idx, 0, len(sky_p) - 1)
+    keep = (sky_p[idx_c] == price) & (sky_s[idx_c] == size)
+    return pa.Table.from_pydict({
+        "p_partkey": pa.array(key[keep], pa.int64()),
+        "p_size": pa.array(size[keep], pa.int64()),
+        "p_retailprice": pa.array(price[keep], pa.float64()),
+    }, schema=_PARETO_SCHEMA)
+
+
+def _pareto_partial(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return _PARETO_SCHEMA.empty_table().append_column(
+            "k", pa.array([], pa.int32()))
+    t = _skyline_rows(
+        batch.column("p_partkey").to_numpy(zero_copy_only=False)
+             .astype(np.int64),
+        batch.column("p_size").to_numpy(zero_copy_only=False)
+             .astype(np.int64),
+        batch.column("p_retailprice").to_numpy(zero_copy_only=False))
+    return t.append_column("k", pa.array(np.zeros(t.num_rows, np.int32)))
+
+
+def _pareto_final(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _PARETO_SCHEMA.empty_table()
+    return _skyline_rows(
+        group.column("p_partkey").to_numpy(zero_copy_only=False),
+        group.column("p_size").to_numpy(zero_copy_only=False),
+        group.column("p_retailprice").to_numpy(zero_copy_only=False))
+
+
+def part_pareto(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    return ds.map_batches(_pareto_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("k").map_groups(_pareto_final, batch_format="pyarrow")
+
+
+PARETO_SQL = """
+SELECT p_partkey, p_size::BIGINT AS p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+ORDER BY p_partkey
+"""
+
+ORACLES["part_pareto"] = PARETO_SQL

@@ -161,3 +161,72 @@ def export_table_once(sf_dir: str, table: str, fmt: str) -> str:
     os.replace(tmp, path)
     _EXPORT_CACHE[key] = path
     return path
+
+
+def export_table_sharded(sf_dir: str, table: str, fmt: str,
+                         n_shards: int = 8) -> list[str]:
+    """Write ``table`` as ``n_shards`` Feather (Arrow IPC) or ORC shard
+    files under /tmp — the multi-file layout a distributed reader
+    actually consumes (one task per shard).  Cached per (sf_dir, table,
+    fmt) like export_table_once."""
+    import os
+
+    key = (sf_dir, table, fmt, n_shards)
+    paths = _EXPORT_CACHE.get(key)
+    if paths is not None and all(os.path.exists(p) for p in paths):
+        return paths
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    out_dir = os.path.join("/tmp/nerfray_exports",
+                           os.path.basename(sf_dir.rstrip("/")),
+                           f"{table}_{fmt}")
+    os.makedirs(out_dir, exist_ok=True)
+    n = t.num_rows
+    bounds = [n * i // n_shards for i in range(n_shards + 1)]
+    paths = []
+    for i in range(n_shards):
+        shard = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+        path = os.path.join(out_dir, f"shard_{i:04d}.{fmt}")
+        tmp = path + ".tmp"
+        if fmt == "feather":
+            import pyarrow.feather as feather
+            feather.write_feather(shard, tmp)
+        elif fmt == "orc":
+            import pyarrow.orc as orc
+            orc.write_table(shard, tmp)
+        else:
+            raise ValueError(fmt)
+        os.replace(tmp, path)
+        paths.append(path)
+    _EXPORT_CACHE[key] = paths
+    return paths
+
+
+def _read_shard_files(paths: list[str], fmt: str) -> ray.data.Dataset:
+    """Distributed shard reader for formats Ray Data lacks natively:
+    a Dataset of file paths fans out one decode task per shard (the
+    custom-datasource shape — each task opens only its own file)."""
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch.column("path").to_pylist():
+            if fmt == "feather":
+                import pyarrow.feather as feather
+                tables.append(feather.read_table(p))
+            else:
+                import pyarrow.orc as orc
+                tables.append(orc.read_table(p))
+        return _strip_schema_metadata(pa.concat_tables(tables))
+
+    paths_ds = ray.data.from_items([{"path": p} for p in paths])
+    # one decode task per shard file
+    return paths_ds.repartition(len(paths)).map_batches(
+        _decode, batch_format="pyarrow", batch_size=1)
+
+
+def read_feather_shards(paths: list[str]) -> ray.data.Dataset:
+    return _read_shard_files(paths, "feather")
+
+
+def read_orc_shards(paths: list[str]) -> ray.data.Dataset:
+    return _read_shard_files(paths, "orc")

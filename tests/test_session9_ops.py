@@ -1,0 +1,203 @@
+"""Tests for the interval-coverage, transition-matrix, Pareto-skyline,
+table-checksum, and Feather/ORC shard-reader operators — brute-force
+oracles on planted fixtures plus the invariants each op exists for
+(order independence for the checksum, lossless partials for the
+skyline, boundary overlap merging for coverage)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- interval-union coverage ---------------------------------------------------
+
+def _brute_cover(intervals):
+    """Union length + island count of [lo, hi) pairs, brute force."""
+    ivs = sorted(intervals)
+    covered = islands = 0
+    cur_lo = cur_hi = None
+    for lo, hi in ivs:
+        if cur_hi is None or lo > cur_hi:
+            if cur_hi is not None:
+                covered += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+            islands += 1
+        else:
+            cur_hi = max(cur_hi, hi)
+    if cur_hi is not None:
+        covered += cur_hi - cur_lo
+    return covered, islands
+
+
+def test_covered_bucket_vs_brute(ray_session):
+    from nerfray.ops.events import (COVER_BASE_MIN, COVER_MOD,
+                                    _covered_bucket)
+    rng = np.random.default_rng(7)
+    n = 500
+    users = rng.integers(0, 9, n)
+    ts = rng.integers(0, 10**9, n) * 1000  # microseconds
+    value = rng.uniform(0, 500, n)
+    group = pa.Table.from_pydict({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(value, pa.float64()),
+    })
+    out = _covered_bucket(group)
+    got = {r["user_id"]: (r["covered_us"], r["n_islands"])
+           for r in out.to_pylist()}
+    cents = np.round(value * 100).astype(np.int64)
+    dur = (np.abs(cents) % COVER_MOD + COVER_BASE_MIN) * 60_000_000
+    for u in np.unique(users):
+        m = users == u
+        want = _brute_cover(list(zip((ts[m]).tolist(),
+                                     (ts[m] + dur[m]).tolist())))
+        assert got[int(u)] == want
+
+
+def test_covered_time_merges_overlaps(ray_session):
+    # two overlapping intervals for one user -> one island, union len
+    from nerfray.ops.events import _covered_bucket
+    t0 = 1_700_000_000_000_000
+    group = pa.Table.from_pydict({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        # value 0.0 -> dur = 30 min; second event 10 min later overlaps
+        "ts": pa.array([t0, t0 + 600_000_000, t0], pa.timestamp("us")),
+        "value": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    })
+    rows = {r["user_id"]: r for r in _covered_bucket(group).to_pylist()}
+    assert rows[1]["n_islands"] == 1
+    assert rows[1]["covered_us"] == 40 * 60_000_000  # 30 + 10 shifted
+    assert rows[2]["covered_us"] == 30 * 60_000_000
+
+
+# -- event transitions --------------------------------------------------------
+
+def test_transitions_bucket_counts(ray_session):
+    from nerfray.ops.events import _transitions_bucket
+    # user 1: a->b->a ; user 2: b->b ; ties broken by event_id
+    group = pa.Table.from_pydict({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([10, 20, 30, 10, 10], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 5, 4], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b", "b"], pa.string()),
+    })
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in _transitions_bucket(group).to_pylist()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+# -- Pareto skyline -----------------------------------------------------------
+
+def _brute_skyline(points):
+    out = []
+    for i, (k, s, p) in enumerate(points):
+        dominated = any(
+            q[2] <= p and q[1] <= s and (q[2] < p or q[1] < s)
+            for q in points)
+        if not dominated:
+            out.append(k)
+    return sorted(out)
+
+
+def test_skyline_vs_brute(ray_session):
+    from nerfray.ops.relational import _skyline_rows
+    rng = np.random.default_rng(3)
+    n = 300
+    key = np.arange(n, dtype=np.int64)
+    size = rng.integers(1, 20, n).astype(np.int64)
+    price = np.round(rng.uniform(1, 20, n), 1)  # duplicates likely
+    got = sorted(_skyline_rows(key, size, price)
+                 .column("p_partkey").to_pylist())
+    want = _brute_skyline(list(zip(key.tolist(), size.tolist(),
+                                   price.tolist())))
+    assert got == want
+
+
+def test_skyline_partial_lossless(ray_session):
+    # global skyline == skyline of the union of per-block skylines
+    from nerfray.ops.relational import _skyline_rows
+    rng = np.random.default_rng(11)
+    n = 400
+    key = np.arange(n, dtype=np.int64)
+    size = rng.integers(1, 15, n).astype(np.int64)
+    price = np.round(rng.uniform(1, 15, n), 1)
+    whole = sorted(_skyline_rows(key, size, price)
+                   .column("p_partkey").to_pylist())
+    parts = []
+    for lo in range(0, n, 64):
+        parts.append(_skyline_rows(key[lo:lo + 64], size[lo:lo + 64],
+                                   price[lo:lo + 64]))
+    merged = pa.concat_tables(parts)
+    refined = sorted(_skyline_rows(
+        merged.column("p_partkey").to_numpy(),
+        merged.column("p_size").to_numpy(),
+        merged.column("p_retailprice").to_numpy())
+        .column("p_partkey").to_pylist())
+    assert refined == whole
+
+
+def test_skyline_keeps_equal_points(ray_session):
+    from nerfray.ops.relational import _skyline_rows
+    key = np.array([1, 2, 3], np.int64)
+    size = np.array([5, 5, 9], np.int64)
+    price = np.array([2.0, 2.0, 1.0], np.float64)
+    got = sorted(_skyline_rows(key, size, price)
+                 .column("p_partkey").to_pylist())
+    assert got == [1, 2, 3]  # equal (2.0, 5) points both survive
+
+
+# -- table checksum -----------------------------------------------------------
+
+def test_checksum_order_independent(ray_session):
+    import ray.data
+
+    from nerfray.ops.integrity import table_checksum
+    texts = [f"doc {i} body with {i % 5} extra words" for i in range(200)]
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    perm = np.random.default_rng(5).permutation(200)
+    t_perm = t.take(pa.array(perm))
+    a = table_checksum(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    b = table_checksum(ray.data.from_arrow(t_perm).repartition(7)) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    assert a.equals(b)
+    assert int(a["n_rows"].sum()) == 200
+
+
+def test_checksum_detects_content_change(ray_session):
+    import ray.data
+
+    from nerfray.ops.integrity import table_checksum
+    t1 = pa.Table.from_pydict({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma"], pa.string())})
+    t2 = pa.Table.from_pydict({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha betaX", "gamma"], pa.string())})
+    a = table_checksum(ray.data.from_arrow(t1)).to_pandas()
+    b = table_checksum(ray.data.from_arrow(t2)).to_pandas()
+    assert set(a["checksum"]) != set(b["checksum"])
+
+
+# -- feather / ORC shard readers ----------------------------------------------
+
+def test_feather_orc_shards_roundtrip(ray_session, tmp_path):
+    from nerfray.sources.parquet import (export_table_sharded,
+                                         read_feather_shards,
+                                         read_orc_shards)
+    import pyarrow.parquet as pq
+    want = pq.read_table(f"{SF}/documents.parquet").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for fmt, reader in [("feather", read_feather_shards),
+                        ("orc", read_orc_shards)]:
+        paths = export_table_sharded(SF, "documents", fmt, n_shards=4)
+        assert len(paths) == 4
+        got = reader(paths).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        assert len(got) == len(want)
+        assert got["text"].tolist() == want["text"].tolist()
