@@ -726,6 +726,13 @@ def q_kg_type_inference(sf_dir: str):
     return graph.type_inference_planted_query(sf_dir)
 
 
+def q_kg_type_rollup(sf_dir: str):
+    """Taxonomy rollup: per-class direct + transitive entity counts
+    over the materialized type table (class-sized exchange only)."""
+    from nerfray.stages import graph
+    return graph.type_rollup_planted_query(sf_dir)
+
+
 def q_kg_domain_violations(sf_dir: str):
     """rdfs:domain validation: statements whose subject's inferred
     type set lacks the relation's domain class — one left-anti
@@ -785,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": q_kg_negatives,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_type_inference": q_kg_type_inference,
+        "kg_type_rollup": q_kg_type_rollup,
         "kg_domain_violations": q_kg_domain_violations,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_er_clusters": q_kg_er_clusters,
@@ -814,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mst_planted": graph.MST_PLANTED_SQL,
         "kg_taxonomy_closure": graph.TAXO_CLOSURE_PLANTED_SQL,
         "kg_type_inference": graph.TYPE_INFERENCE_PLANTED_SQL,
+        "kg_type_rollup": graph.TYPE_ROLLUP_PLANTED_SQL,
         "kg_domain_violations": graph.DOMAIN_VIOLATIONS_PLANTED_SQL,
         "kg_entity_resolution": __er.ER_PLANTED_SQL,
         "kg_er_clusters": __er.ER_CLUSTERS_SQL,

@@ -890,6 +890,14 @@ def _roundtrip_rollup(ds) -> "ray.data.Dataset":
                    Sum("sum_text_len", alias_name="sum_text_len"))
 
 
+def q_docs_domain_cap(sf_dir: str):
+    # domain balancing: at most k docs per source by hash order — the
+    # CCNet/FineWeb-style cap on a dominant domain; block-local
+    # bottom-k partials, one source-keyed merge
+    from . import sampling
+    return sampling.domain_cap(_docs(sf_dir))
+
+
 def q_docs_table_checksum(sf_dir: str):
     # anti-entropy fingerprint: order-independent per-bucket checksum a
     # replica pair compares without moving rows (splitmix64 row hash,
@@ -1056,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_planted": q_events_late_planted,
         "docs_bpe_encoded": q_docs_bpe_encoded,
         "docs_hash_sample": q_docs_hash_sample,
+        "docs_domain_cap": q_docs_domain_cap,
         "docs_weighted_sample": q_docs_weighted_sample,
         "emb_semdedup": q_emb_semdedup,
         "emb_semdedup_planted": q_emb_semdedup_planted,
@@ -1541,6 +1550,7 @@ def oracles() -> dict[str, str]:
         "events_late_planted": _streaming_sql("LATE_EVENTS_SQL"),
         "docs_bpe_encoded": _bpe_encode_sql(),
         "docs_hash_sample": _sampling_sql("HASH_SAMPLE_SQL"),
+        "docs_domain_cap": _sampling_sql("DOMAIN_CAP_SQL"),
         "docs_weighted_sample": _sampling_sql("WEIGHTED_SAMPLE_SQL"),
         "docs_novelty": _text_sql("NOVELTY_SQL"),
         "docs_csv_roundtrip": ROUNDTRIP_SQL,

@@ -632,3 +632,84 @@ h AS (SELECT doc_id, w, xor(z, z >> 31) AS h FROM z3)
 SELECT doc_id, w::BIGINT AS weight_permille
 FROM h WHERE (h % 1000)::BIGINT < w ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# domain-balancing cap: at most k docs PER SOURCE, chosen by hash order
+# ---------------------------------------------------------------------------
+#
+# The CCNet/FineWeb-style guard against one domain dominating a
+# training mix: keep the k docs with the smallest splitmix64(doc_id)
+# within each source.  Hash order is a random-but-deterministic
+# permutation, so the cap is an unbiased uniform subsample per domain,
+# stable under any partitioning and re-runnable.  Shape: block-local
+# bottom-k per source (a lossless partial — the global per-source
+# bottom-k is a subset of the union of block bottom-ks), then one
+# source-keyed co-group over <= k x blocks x sources rows.  Nothing
+# corpus-proportional shuffles.
+
+DOMAIN_CAP_K = 10
+
+
+def domain_cap(docs: ray.data.Dataset, *,
+               k: int = DOMAIN_CAP_K) -> ray.data.Dataset:
+    from nerfray.ops.dedup import splitmix64
+
+    def _bottomk(ids, src, hk):
+        # per-source bottom-k over (hk, doc_id) order, vectorized:
+        # sort by (source, hk, doc_id), keep first k of each run
+        order = np.lexsort((ids, hk, src))
+        s = src[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        pos = np.arange(len(s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(s)]))
+        keep = order[pos < k]
+        return ids[keep], src[keep], hk[keep]
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        ids, src, hk = _bottomk(ids, src,
+                                (h >> np.uint64(1)).astype(np.int64))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(src, pa.string()),
+            "hk": pa.array(hk, pa.int64()),
+        })
+
+    def _final(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        src = group.column("source").to_numpy(zero_copy_only=False)
+        hk = group.column("hk").to_numpy(zero_copy_only=False)
+        ids, src, _ = _bottomk(ids, src, hk)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }, schema=pa.schema([("doc_id", pa.int64()),
+                             ("source", pa.string())]))
+
+    return docs.select_columns(["doc_id", "source"]) \
+        .map_batches(_local, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("source").map_groups(_final, batch_format="pyarrow")
+
+
+DOMAIN_CAP_SQL = f"""
+WITH z1 AS (SELECT doc_id, source,
+              ((doc_id::UBIGINT::UHUGEINT + 11400714819323198485)
+               % 18446744073709551616)::UBIGINT AS z FROM documents),
+z2 AS (SELECT doc_id, source,
+              ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929)
+               % 18446744073709551616)::UBIGINT AS z FROM z1),
+z3 AS (SELECT doc_id, source,
+              ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931)
+               % 18446744073709551616)::UBIGINT AS z FROM z2),
+h AS (SELECT doc_id, source, xor(z, z >> 31) AS h FROM z3),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY h >> 1, doc_id) AS rank
+      FROM h)
+SELECT doc_id, source FROM r WHERE rank <= {DOMAIN_CAP_K}
+ORDER BY doc_id
+"""

@@ -3378,3 +3378,64 @@ SELECT u, v, w FROM chain WHERE u % 5 <> 0
 UNION ALL
 SELECT u, v, w FROM skip WHERE u % 5 = 0
 """
+
+
+# -- taxonomy rollup: entity counts per class INCLUDING subclasses -----------
+#
+# The reasoner-side aggregate a materialized type table exists for:
+# for every class, how many entities are directly typed there and how
+# many land there transitively (dist >= 1 rows of the inference
+# table).  Per-block (cls, n_direct, n_total) partials via one
+# np.unique, then a class-keyed sum — the exchange is class-count
+# sized, never entity-proportional.
+
+_TYPE_ROLLUP_SCHEMA = pa.schema([
+    ("cls", pa.int64()), ("n_direct", pa.int64()),
+    ("n_total", pa.int64())])
+
+
+def _type_rollup_partial(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return _TYPE_ROLLUP_SCHEMA.empty_table()
+    cls = batch.column("cls").to_numpy(zero_copy_only=False)
+    dist = batch.column("dist").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(cls, return_inverse=True)
+    n_total = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    n_direct = np.bincount(inv, weights=(dist == 0).astype(np.float64),
+                           minlength=len(uniq)).astype(np.int64)
+    return pa.Table.from_pydict({
+        "cls": pa.array(uniq, pa.int64()),
+        "n_direct": pa.array(n_direct, pa.int64()),
+        "n_total": pa.array(n_total, pa.int64()),
+    }, schema=_TYPE_ROLLUP_SCHEMA)
+
+
+def type_rollup_planted_query(sf_dir: str) -> ray.data.Dataset:
+    from ray.data.aggregate import Sum
+    types = type_inference_planted_query(sf_dir)
+    return types.map_batches(_type_rollup_partial,
+                             batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("cls") \
+        .aggregate(Sum("n_direct", alias_name="n_direct"),
+                   Sum("n_total", alias_name="n_total"))
+
+
+TYPE_ROLLUP_PLANTED_SQL = f"""
+WITH RECURSIVE e AS ({TAXO_EDGES_SQL}),
+clo AS (
+  SELECT child AS node, parent AS anc, 1::BIGINT AS dist FROM e
+  UNION ALL
+  SELECT c.node, e.parent, c.dist + 1 FROM clo c JOIN e ON e.child = c.anc
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+direct AS (SELECT doc_id AS entity, doc_id % nn.n AS cls
+           FROM documents, nn),
+types AS (
+  SELECT entity, cls, 0::BIGINT AS dist FROM direct
+  UNION ALL
+  SELECT d.entity, c.anc, c.dist FROM direct d JOIN clo c ON c.node = d.cls)
+SELECT cls, sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END)::BIGINT AS n_direct,
+       count(*)::BIGINT AS n_total
+FROM types GROUP BY cls ORDER BY cls
+"""

@@ -201,3 +201,41 @@ def test_feather_orc_shards_roundtrip(ray_session, tmp_path):
             .reset_index(drop=True)
         assert len(got) == len(want)
         assert got["text"].tolist() == want["text"].tolist()
+
+
+# -- domain cap ----------------------------------------------------------------
+
+def test_domain_cap_semantics(ray_session):
+    import ray.data
+
+    from nerfray.ops.dedup import splitmix64
+    from nerfray.ops.sampling import domain_cap
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    src = np.where(ids % 3 == 0, "a", np.where(ids % 3 == 1, "b", "c"))
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(src.tolist(), pa.string()),
+    })
+    got = domain_cap(ray.data.from_arrow(t).repartition(5), k=7) \
+        .to_pandas()
+    # exactly 7 per source, and they are the 7 smallest hashes
+    h = splitmix64(ids.astype(np.uint64)) >> np.uint64(1)
+    for s in ("a", "b", "c"):
+        m = src == s
+        want = set(ids[m][np.argsort(h[m].astype(np.int64))[:7]])
+        assert set(got[got["source"] == s]["doc_id"]) == want
+
+
+# -- taxonomy type rollup --------------------------------------------------------
+
+def test_type_rollup_partial_brute(ray_session):
+    from nerfray.stages.graph import _type_rollup_partial
+    cls = np.array([0, 0, 1, 2, 2, 2], np.int64)
+    dist = np.array([0, 1, 0, 0, 0, 2], np.int64)
+    t = pa.Table.from_pydict({
+        "cls": pa.array(cls, pa.int64()),
+        "dist": pa.array(dist, pa.int64())})
+    got = {r["cls"]: (r["n_direct"], r["n_total"])
+           for r in _type_rollup_partial(t).to_pylist()}
+    assert got == {0: (1, 2), 1: (1, 1), 2: (2, 3)}
