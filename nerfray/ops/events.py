@@ -2399,3 +2399,138 @@ SELECT event_type AS prev_type, nxt AS next_type, count(*)::BIGINT AS n
 FROM s WHERE nxt IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- onboarding curve: new users per day + cumulative distinct users ----------
+#
+# Exact cumulative-distinct over time (the retention/onboarding curve):
+# a user counts on their FIRST active day only.  Block partials are
+# (user, min day) rows; one user-hash co-group takes the global min per
+# user; per-day counts then fold through a single day-ordered sweep in
+# one constant-key group (days are calendar-bounded — the only stage
+# that sees all days sees ONLY day-grain rows).
+
+_NEWU_SCHEMA = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+_NEWU_OUT = pa.schema([("day", pa.string()), ("n_new", pa.int64()),
+                       ("cum_users", pa.int64())])
+
+
+def _first_day_partial(batch: pa.Table) -> pa.Table:
+    us = batch.column("user_id").to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return _NEWU_SCHEMA.empty_table()
+    day = (pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False) // 86_400_000_000).astype(np.int64)
+    order = np.lexsort((day, us))
+    u, d = us[order], day[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u[starts], pa.int64()),
+        "day": pa.array(d[starts], pa.int64()),
+    }, schema=_NEWU_SCHEMA)
+
+
+def _newu_fold(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _NEWU_OUT.empty_table()
+    d = group.column("day").to_numpy(zero_copy_only=False)
+    uniq, cnt = np.unique(d, return_counts=True)
+    cum = np.cumsum(cnt)
+    days = [np.datetime_as_string(np.datetime64(int(x), "D"))
+            for x in uniq]
+    return pa.Table.from_pydict({
+        "day": pa.array(days, pa.string()),
+        "n_new": pa.array(cnt.astype(np.int64), pa.int64()),
+        "cum_users": pa.array(cum.astype(np.int64), pa.int64()),
+    }, schema=_NEWU_OUT)
+
+
+def _min_day_bucket(group: pa.Table) -> pa.Table:
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return pa.schema([("day", pa.int64()),
+                          ("k", pa.int32())]).empty_table()
+    day = group.column("day").to_numpy(zero_copy_only=False)
+    order = np.lexsort((day, us))
+    u, d = us[order], day[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    return pa.Table.from_pydict({
+        "day": pa.array(d[starts], pa.int64()),
+        "k": pa.array(np.zeros(len(starts), np.int32), pa.int32()),
+    })
+
+
+def new_users_daily(sf_dir: str) -> ray.data.Dataset:
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return ds.map_batches(_first_day_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_min_day_bucket,
+                                  batch_format="pyarrow") \
+        .groupby("k").map_groups(_newu_fold, batch_format="pyarrow")
+
+
+ORACLES["events_new_users_daily"] = """
+WITH f AS (SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY 1),
+d AS (SELECT day, count(*)::BIGINT AS n_new FROM f GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+       sum(n_new) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM d ORDER BY day
+"""
+
+
+# -- per-user dense rank of event value (partitioned window rank) -------------
+#
+# dense_rank() over (partition by user order by cents): the window-rank
+# class over an event-proportional output.  One user-hash co-group;
+# inside, ranks come from one lexsort + run arithmetic (no per-user
+# dispatch).  Cents keep the order integer-exact.
+
+_URANK_SCHEMA = pa.schema([("event_id", pa.int64()),
+                           ("user_id", pa.int64()),
+                           ("value_rank", pa.int64())])
+
+
+def _user_rank_bucket(group: pa.Table) -> pa.Table:
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return _URANK_SCHEMA.empty_table()
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    cents = np.round(group.column("value").to_numpy(
+        zero_copy_only=False) * 100).astype(np.int64)
+    order = np.lexsort((cents, us))
+    u, c = us[order], cents[order]
+    user_change = np.r_[True, u[1:] != u[:-1]]
+    new_val = user_change | np.r_[True, c[1:] != c[:-1]]
+    # dense rank = running count of distinct values within the user run
+    grp = np.cumsum(new_val)
+    first_grp_of_user = grp[np.flatnonzero(user_change)]
+    rank = grp - np.repeat(first_grp_of_user, np.diff(np.r_[
+        np.flatnonzero(user_change), len(u)])) + 1
+    return pa.Table.from_pydict({
+        "event_id": pa.array(eid[order], pa.int64()),
+        "user_id": pa.array(u, pa.int64()),
+        "value_rank": pa.array(rank.astype(np.int64), pa.int64()),
+    }, schema=_URANK_SCHEMA)
+
+
+def user_value_ranks(sf_dir: str) -> ray.data.Dataset:
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"])
+    return ds.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_user_rank_bucket,
+                                  batch_format="pyarrow")
+
+
+ORACLES["events_user_rank"] = """
+SELECT event_id, user_id,
+       dense_rank() OVER (PARTITION BY user_id
+                          ORDER BY round(value * 100)::BIGINT)::BIGINT
+         AS value_rank
+FROM events ORDER BY event_id
+"""

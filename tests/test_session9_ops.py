@@ -239,3 +239,41 @@ def test_type_rollup_partial_brute(ray_session):
     got = {r["cls"]: (r["n_direct"], r["n_total"])
            for r in _type_rollup_partial(t).to_pylist()}
     assert got == {0: (1, 2), 1: (1, 1), 2: (2, 3)}
+
+
+# -- user value ranks / new users daily ----------------------------------------
+
+def test_user_rank_bucket_vs_brute(ray_session):
+    from nerfray.ops.events import _user_rank_bucket
+    rng = np.random.default_rng(9)
+    n = 400
+    users = rng.integers(0, 7, n)
+    value = np.round(rng.uniform(0, 5, n), 2)  # many ties
+    group = pa.Table.from_pydict({
+        "user_id": pa.array(users, pa.int64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "value": pa.array(value, pa.float64()),
+    })
+    got = {r["event_id"]: r["value_rank"]
+           for r in _user_rank_bucket(group).to_pylist()}
+    cents = np.round(value * 100).astype(np.int64)
+    for i in range(n):
+        mine = sorted(set(cents[users == users[i]]))
+        assert got[i] == mine.index(cents[i]) + 1
+
+
+def test_new_users_daily_cumulative(ray_session):
+    from nerfray.ops.events import _first_day_partial, _newu_fold
+    # user 1 first on day 0, user 2 on day 0, user 3 on day 2
+    us = pa.array([1, 1, 2, 3, 3], pa.int64())
+    ts = pa.array(np.array([0, 86_400_000_000, 10,
+                            2 * 86_400_000_000 + 5,
+                            3 * 86_400_000_000], np.int64),
+                  pa.timestamp("us"))
+    part = _first_day_partial(pa.Table.from_pydict(
+        {"user_id": us, "ts": ts}))
+    folded = _newu_fold(part.rename_columns(["user_id", "day"]))
+    rows = folded.to_pylist()
+    assert [r["n_new"] for r in rows] == [2, 1]
+    assert [r["cum_users"] for r in rows] == [2, 3]
+    assert rows[0]["day"] == "1970-01-01" and rows[1]["day"] == "1970-01-03"
