@@ -414,6 +414,15 @@ def q_kg_sssp_planted(sf_dir: str):
     return graph.sssp_planted_query(sf_dir)
 
 
+def q_kg_sssp_paths_planted(sf_dir: str):
+    """Shortest-path TREE (dist + deterministic min-id parent) from
+    seed 0 over the planted weighted offset graph — the fused relax
+    kernel with a parent column; FULL SQL oracle (optimal-predecessor
+    argmin over the unrolled layers)."""
+    from nerfray.stages import graph
+    return graph.sssp_paths_planted_query(sf_dir)
+
+
 def q_kg_labelprop_planted(sf_dir: str):
     """Deterministic synchronous label propagation (2 rounds, min-label
     tie-break) over the planted star-of-cliques graph; labels stay a
@@ -781,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_dataset_planted": q_kg_pagerank_dataset_planted,
         "kg_bfs_planted": q_kg_bfs_planted,
         "kg_sssp_planted": q_kg_sssp_planted,
+        "kg_sssp_paths_planted": q_kg_sssp_paths_planted,
         "kg_kcore_planted": q_kg_kcore_planted,
         "kg_labelprop_planted": q_kg_labelprop_planted,
         "kg_entity_types": q_kg_entity_types,
@@ -832,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_clustering_planted": graph.CLUSTERING_PLANTED_SQL,
         "kg_linkpred_planted": graph.LINK_PREDICTION_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
+        "kg_sssp_paths_planted": graph.sssp_paths_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_labelprop_planted": graph.lpa_planted_sql(),
         "kg_pagerank_planted": graph.pagerank_planted_sql(),

@@ -145,7 +145,24 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "join_q20_majority", "dedup_editdist",
                  "sim_pq", "docs_hybrid_rrf", "sim_ivfpq",
                  "docs_dsir_scores", "docs_dsir_selected",
-                 "docs_phrase_search", "docs_classifier_pr"):
+                 "docs_phrase_search", "docs_classifier_pr",
+                 "kg_taxonomy_closure", "kg_type_inference",
+                 "kg_type_rollup", "kg_entity_resolution",
+                 "kg_er_clusters", "kg_canonical_usage",
+                 "kg_fused_facts", "kg_domain_violations",
+                 "docs_line_signals", "docs_bm25_rerank",
+                 "media_phash_pairs", "kg_hyperanf_planted",
+                 "kg_negatives", "kg_khop_sample",
+                 "kg_clustering_planted", "kg_linkpred_planted",
+                 "sketch_kmv_custkeys", "kg_merge_upsert",
+                 "join_bucketed_rollup", "events_streaks",
+                 "events_bloom_pointscan", "kg_mst_planted",
+                 "kg_scc_planted",
+                 "events_covered_time", "events_transitions",
+                 "events_new_users_daily", "events_user_rank",
+                 "part_pareto", "docs_table_checksum",
+                 "docs_domain_cap", "docs_feather_roundtrip",
+                 "docs_orc_roundtrip", "kg_sssp_paths_planted"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

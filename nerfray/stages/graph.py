@@ -3439,3 +3439,183 @@ SELECT cls, sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END)::BIGINT AS n_direct,
        count(*)::BIGINT AS n_total
 FROM types GROUP BY cls ORDER BY cls
 """
+
+
+# ---------------------------------------------------------------------------
+# SSSP with parent reconstruction (shortest-path TREE, not just distances)
+# ---------------------------------------------------------------------------
+#
+# The relax kernel above answers "how far"; path queries need "through
+# whom".  Same fused one-co-group-per-round shape with a parent column
+# carried on every candidate: a relaxation into v records its source u,
+# the per-node resolution takes the lexicographic min of (dist, parent)
+# — so the tree is deterministic (min-id optimal predecessor) and the
+# SQL mirror is exact: parent(v) = min u with d(u) + w(u,v) = d(v).
+# Seeds carry parent -1.  Any candidate achieving the final min comes
+# from a SETTLED optimal predecessor (d_at_relax(u) >= d_final(u) and
+# d(v) <= d_final(u) + w force equality), which is what makes the
+# deterministic tie-break well-defined under bounded rounds.
+
+_RELAXP_SCHEMA = pa.schema([
+    ("k", pa.int64()),    # candidate: target node | edge: source u
+    ("d", pa.int64()),    # candidate: distance
+    ("p", pa.int64()),    # candidate: parent (-1 = seed)
+    ("v", pa.int64()),    # edge: destination
+    ("w", pa.int64()),    # edge: weight
+    ("side", pa.int8()),  # 0 = candidate, 1 = edge
+    ("hb", pa.int32()),
+])
+
+
+def _relaxp_edge_rows(batch: pa.Table) -> pa.Table:
+    u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    z = np.zeros(len(u), np.int64)
+    return pa.Table.from_pydict({
+        "k": u, "d": z, "p": z, "v": v, "w": w,
+        "side": np.ones(len(u), np.int8),
+        "hb": (u % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_RELAXP_SCHEMA)
+
+
+def _relaxp_seed_rows(batch: pa.Table) -> pa.Table:
+    n = batch.column("node").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    z = np.zeros(len(n), np.int64)
+    return pa.Table.from_pydict({
+        "k": n, "d": z, "p": np.full(len(n), -1, np.int64), "v": z,
+        "w": z, "side": np.zeros(len(n), np.int8),
+        "hb": (n % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_RELAXP_SCHEMA)
+
+
+def _relaxp_min(k: np.ndarray, d: np.ndarray, p: np.ndarray):
+    """Per-node lexicographic min of (dist, parent)."""
+    order = np.lexsort((p, d, k))
+    k_s, d_s, p_s = k[order], d[order], p[order]
+    starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+    return k_s[starts], d_s[starts], p_s[starts]
+
+
+def _relaxp_round_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _RELAXP_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    k = group.column("k").to_numpy(zero_copy_only=False)
+    is_c = side == 0
+    if not is_c.any():
+        return _RELAXP_SCHEMA.empty_table()
+    nodes, dists, pars = _relaxp_min(
+        k[is_c],
+        group.column("d").to_numpy(zero_copy_only=False)[is_c],
+        group.column("p").to_numpy(zero_copy_only=False)[is_c])
+    is_e = ~is_c
+    eu = k[is_e]
+    idx = np.searchsorted(nodes, eu)
+    idx[idx >= len(nodes)] = 0
+    hit = nodes[idx] == eu
+    ev = group.column("v").to_numpy(zero_copy_only=False)[is_e][hit]
+    ed = dists[idx[hit]] \
+        + group.column("w").to_numpy(zero_copy_only=False)[is_e][hit]
+    ep = eu[hit]  # the relaxing node IS the candidate's parent
+    out_k = np.concatenate([nodes, ev])
+    out_d = np.concatenate([dists, ed])
+    out_p = np.concatenate([pars, ep])
+    z = np.zeros(len(out_k), np.int64)
+    return pa.Table.from_pydict({
+        "k": out_k, "d": out_d, "p": out_p, "v": z, "w": z,
+        "side": np.zeros(len(out_k), np.int8),
+        "hb": (out_k % _RELAX_BUCKETS).astype(np.int32),
+    }, schema=_RELAXP_SCHEMA)
+
+
+_SSSP_PATH_SCHEMA = pa.schema([("node", pa.int64()),
+                               ("dist", pa.int64()),
+                               ("parent", pa.int64())])
+
+
+def _relaxp_final_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _SSSP_PATH_SCHEMA.empty_table()
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    is_c = side == 0
+    nodes, dists, pars = _relaxp_min(
+        group.column("k").to_numpy(zero_copy_only=False)[is_c],
+        group.column("d").to_numpy(zero_copy_only=False)[is_c],
+        group.column("p").to_numpy(zero_copy_only=False)[is_c])
+    return pa.Table.from_pydict(
+        {"node": nodes, "dist": dists, "parent": pars},
+        schema=_SSSP_PATH_SCHEMA)
+
+
+def sssp_paths(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
+               rounds: int = SSSP_ROUNDS) -> ray.data.Dataset:
+    """(node, dist, parent): the shortest-path tree from the seed set
+    using at most ``rounds`` edges, parent = min-id optimal
+    predecessor (-1 at seeds).  rounds+1 exchanges, one lazy plan."""
+    e = edges.map_batches(_relaxp_edge_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    plan = seeds.map_batches(_relaxp_seed_rows, batch_format="pyarrow")
+    for _ in range(rounds):
+        plan = e.union(plan).groupby("hb").map_groups(
+            _relaxp_round_bucket, batch_format="pyarrow")
+    return plan.groupby("hb").map_groups(_relaxp_final_bucket,
+                                         batch_format="pyarrow")
+
+
+def sssp_paths_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """Shortest-path tree over the weighted offset graph from seed 0."""
+    import os
+
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+    edges = planted_weighted_edges(ids, n)
+
+    def _seed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": pc.cast(batch.column("id"), pa.int64())})
+
+    seeds = rd.range(1).map_batches(_seed, batch_format="pyarrow")
+    return sssp_paths(edges, seeds, rounds=SSSP_ROUNDS)
+
+
+def sssp_paths_planted_sql(rounds: int = SSSP_ROUNDS) -> str:
+    """Distances via the unrolled Bellman-Ford layers; parent(v) =
+    min(u) among optimal predecessors (d_{R-1}(u) + w = d_R(v)), -1 at
+    the seed — exactly the kernel's deterministic tie-break."""
+    edge_sel = "\n  UNION ALL ".join(
+        f"SELECT vec_id AS u, (vec_id + {off}) % nn.n AS v, "
+        f"{w}::BIGINT AS w FROM embeddings, nn"
+        for off, w in SSSP_WEIGHTS.items())
+    layers = []
+    for t in range(rounds):
+        layers.append(
+            f"d{t + 1} AS (SELECT node, min(dist)::BIGINT AS dist FROM ("
+            f"SELECT node, dist FROM d{t} "
+            f"UNION ALL SELECT e.v AS node, d{t}.dist + e.w AS dist "
+            f"FROM d{t} JOIN e ON e.u = d{t}.node) GROUP BY node)")
+    return (
+        "WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),\n"
+        f"e AS (\n  {edge_sel}\n),\n"
+        "d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS dist),\n"
+        + ",\n".join(layers)
+        + f""",
+par AS (
+  SELECT fin.node, min(e.u) AS parent
+  FROM d{rounds} fin
+  JOIN e ON e.v = fin.node
+  JOIN d{rounds - 1} pu ON pu.node = e.u AND pu.dist + e.w = fin.dist
+  GROUP BY fin.node)
+SELECT f.node, f.dist,
+       coalesce(CASE WHEN f.node = 0 AND f.dist = 0 THEN -1
+                     ELSE p.parent END, -1)::BIGINT AS parent
+FROM d{rounds} f LEFT JOIN par p ON p.node = f.node
+ORDER BY f.node"""
+    )

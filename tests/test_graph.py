@@ -1087,3 +1087,45 @@ def test_mst_planted_fixture_is_all_light_edges(ray_session):
     want = {(i, i + 1) for i in range(n - 1) if i % 5 != 0} \
         | {(i, i + 2) for i in range(0, n - 2, 5)}
     assert mst == want
+
+
+def test_sssp_paths_vs_dijkstra(ray_session):
+    """dist + min-id-parent tree equals the brute-force bounded-round
+    Bellman-Ford with the
+    same deterministic tie-break, on the planted weighted graph."""
+    import ray.data as rd
+
+    from nerfray.stages.graph import (SSSP_WEIGHTS, sssp_paths)
+
+    n = 37
+    edges = [(u, (u + o) % n, w) for u in range(n)
+             for o, w in SSSP_WEIGHTS.items()]
+
+    # brute force: the EXACT bounded-round semantics — Bellman-Ford
+    # layers d_0..d_R, parent(v) = min u with d_{R-1}(u) + w = d_R(v)
+    rounds = 8
+    layers = [{0: 0}]
+    for _ in range(rounds):
+        nxt = dict(layers[-1])
+        for u, v, w in edges:
+            if u in layers[-1]:
+                cand = layers[-1][u] + w
+                if cand < nxt.get(v, 1 << 60):
+                    nxt[v] = cand
+        layers.append(nxt)
+    dist, prev = layers[rounds], layers[rounds - 1]
+    parent = {0: -1}
+    for v in dist:
+        if v == 0:
+            continue
+        preds = [u for u, vv, w in edges
+                 if vv == v and u in prev and prev[u] + w == dist[v]]
+        parent[v] = min(preds)
+
+    e = rd.from_items([{"u": u, "v": v, "w": w}
+                       for u, v, w in edges]).repartition(2)
+    seeds = rd.from_items([{"node": 0}]).repartition(1)
+    got = {r["node"]: (r["dist"], r["parent"])
+           for r in sssp_paths(e, seeds, rounds=rounds).take_all()}
+    want = {v: (dist[v], parent[v]) for v in dist}
+    assert got == want
