@@ -423,6 +423,14 @@ def q_kg_sssp_paths_planted(sf_dir: str):
     return graph.sssp_paths_planted_query(sf_dir)
 
 
+def q_kg_matching_planted(sf_dir: str):
+    """Greedy maximal matching (deterministic min-id mutual-proposal
+    rounds) — the assignment kernel (matched cohorts, one-to-one dedup
+    pairing); planted disjoint 3-paths give the closed-form answer."""
+    from nerfray.stages import graph
+    return graph.matching_planted_query(sf_dir)
+
+
 def q_kg_labelprop_planted(sf_dir: str):
     """Deterministic synchronous label propagation (2 rounds, min-label
     tie-break) over the planted star-of-cliques graph; labels stay a
@@ -791,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_planted": q_kg_bfs_planted,
         "kg_sssp_planted": q_kg_sssp_planted,
         "kg_sssp_paths_planted": q_kg_sssp_paths_planted,
+        "kg_matching_planted": q_kg_matching_planted,
         "kg_kcore_planted": q_kg_kcore_planted,
         "kg_labelprop_planted": q_kg_labelprop_planted,
         "kg_entity_types": q_kg_entity_types,
@@ -843,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred_planted": graph.LINK_PREDICTION_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_sssp_paths_planted": graph.sssp_paths_planted_sql(),
+        "kg_matching_planted": graph.MATCHING_PLANTED_SQL,
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_labelprop_planted": graph.lpa_planted_sql(),
         "kg_pagerank_planted": graph.pagerank_planted_sql(),

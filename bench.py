@@ -162,7 +162,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "events_new_users_daily", "events_user_rank",
                  "part_pareto", "docs_table_checksum",
                  "docs_domain_cap", "docs_feather_roundtrip",
-                 "docs_orc_roundtrip", "kg_sssp_paths_planted"):
+                 "docs_orc_roundtrip", "kg_sssp_paths_planted",
+                 "kg_matching_planted"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

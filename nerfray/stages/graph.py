@@ -2442,7 +2442,10 @@ def taxonomy_closure(edges: ray.data.Dataset, *,
             field_types=types,
         ).map_batches(_delta_step, batch_format="pyarrow").materialize()
         if delta.count():
-            acc = acc.union(delta).materialize()
+            # block-count clamp: acc = acc.union(delta) loops compound
+            # ~64 join-output blocks per round (SCALE.md r4 lesson) —
+            # coalesce keeps every later consumer off the tiny-task path
+            acc = acc.union(delta).repartition(8).materialize()
     raise ValueError(f"taxonomy closure did not converge in "
                      f"{max_rounds} rounds — cyclic subclass graph?")
 
@@ -2536,7 +2539,7 @@ def type_inference_planted_query(sf_dir: str) -> ray.data.Dataset:
         left_cols=["entity"], right_cols=["anc", "dist"],
         field_types=types,
     ).map_batches(_inferred_batch, batch_format="pyarrow")
-    out = direct.union(inferred).materialize()
+    out = direct.union(inferred).repartition(8).materialize()
     _TYPES_MEMO[sf_dir] = out
     return out
 
@@ -3619,3 +3622,171 @@ SELECT f.node, f.dist,
 FROM d{rounds} f LEFT JOIN par p ON p.node = f.node
 ORDER BY f.node"""
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy maximal matching (deterministic mutual-proposal rounds)
+# ---------------------------------------------------------------------------
+#
+# The assignment-problem kernel (matched-cohort pairing for experiments,
+# one-to-one dedup pair assignment): each round every live node
+# proposes to its MINIMUM-id neighbor; mutual proposals become matched
+# pairs; edges touching matched nodes are pruned; repeat until no edges
+# remain.  Progress is guaranteed — following proposal pointers,
+# p(p(u)) <= u (p(u)'s neighbors include u), so some chain bottoms out
+# in a mutual pair every round.  Deterministic, so the planted fixture
+# (disjoint 3-node paths over vec_ids) has the closed-form answer
+# (3k, 3k+1), mirrored in MATCHING_PLANTED_SQL.  Per round: proposal
+# co-group + mutual co-group + two anti-joins — 4 keyed exchanges,
+# nothing node- or edge-proportional at the driver (round deltas are
+# scalar counts).
+
+MATCHING_MAX_ROUNDS = 24
+
+_PROP_SCHEMA = pa.schema([("node", pa.int64()), ("nbr", pa.int64()),
+                          ("hb", pa.int32())])
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("hb", pa.int32())])
+_MATCH_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _match_dir_rows(batch: pa.Table) -> pa.Table:
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    node = np.concatenate([u, v])
+    nbr = np.concatenate([v, u])
+    return pa.Table.from_pydict({
+        "node": pa.array(node, pa.int64()),
+        "nbr": pa.array(nbr, pa.int64()),
+        "hb": pa.array((node & 63).astype(np.int32), pa.int32()),
+    }, schema=_PROP_SCHEMA)
+
+
+def _match_propose_bucket(group: pa.Table) -> pa.Table:
+    """Per node: the min neighbor, re-keyed to the unordered pair."""
+    if group.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    node = group.column("node").to_numpy(zero_copy_only=False)
+    nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+    order = np.lexsort((nbr, node))
+    n_s, b_s = node[order], nbr[order]
+    starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+    pn, pb = n_s[starts], b_s[starts]
+    a = np.minimum(pn, pb)
+    b = np.maximum(pn, pb)
+    return pa.Table.from_pydict({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64()),
+        "hb": pa.array((a & 63).astype(np.int32), pa.int32()),
+    }, schema=_PAIR_SCHEMA)
+
+
+def _match_mutual_bucket(group: pa.Table) -> pa.Table:
+    """Pairs proposed by BOTH endpoints (each node proposes once, so a
+    count of 2 on the unordered pair == mutual)."""
+    if group.num_rows == 0:
+        return _MATCH_SCHEMA.empty_table()
+    a = group.column("a").to_numpy(zero_copy_only=False)
+    b = group.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    new = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.r_[starts, len(a_s)])
+    keep = starts[cnt == 2]
+    return pa.Table.from_pydict({
+        "a": pa.array(a_s[keep], pa.int64()),
+        "b": pa.array(b_s[keep], pa.int64()),
+    }, schema=_MATCH_SCHEMA)
+
+
+def _matched_nodes(matched: ray.data.Dataset) -> ray.data.Dataset:
+    def _unpivot(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"mnode": pa.array(np.concatenate([a, b]), pa.int64())},
+            schema=pa.schema([("mnode", pa.int64())]))
+    return matched.map_batches(_unpivot, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def greedy_matching(edges: ray.data.Dataset, *,
+                    max_rounds: int = MATCHING_MAX_ROUNDS) \
+        -> ray.data.Dataset:
+    """Maximal matching of an undirected graph given as (u, v) int64
+    rows (each edge once, u != v): (a, b) matched pairs, a < b.
+    Deterministic (min-id proposals) — NOT maximum matching, the
+    greedy distributed one every round-based system ships."""
+    from nerfray.ops.joins import hash_join
+    types = {c: pa.int64() for c in ("u", "v", "a", "b", "mnode")}
+    live = edges.materialize()
+    acc: ray.data.Dataset | None = None
+    for _ in range(max_rounds):
+        if live.count() == 0:
+            break
+        matched = live.map_batches(
+            _match_dir_rows, batch_format="pyarrow",
+            zero_copy_batch=True) \
+            .groupby("hb").map_groups(_match_propose_bucket,
+                                      batch_format="pyarrow") \
+            .groupby("hb").map_groups(_match_mutual_bucket,
+                                      batch_format="pyarrow") \
+            .materialize()
+        if matched.count() == 0:
+            raise ValueError("matching round made no progress on a "
+                             "non-empty edge set (corrupt input? "
+                             "u == v self-loops?)")
+        nodes = _matched_nodes(matched).materialize()
+        live = hash_join(live, nodes, left_on="u", right_on="mnode",
+                         left_cols=["v"], right_cols=[],
+                         how="left anti", field_types=types) \
+            .rename_columns({"__key": "u"})
+        live = hash_join(live, nodes, left_on="v", right_on="mnode",
+                         left_cols=["u"], right_cols=[],
+                         how="left anti", field_types=types) \
+            .rename_columns({"__key": "v"}) \
+            .repartition(8).materialize()
+        acc = matched if acc is None else \
+            acc.union(matched).repartition(8).materialize()
+    else:
+        if live.count():
+            raise ValueError(f"matching did not converge in "
+                             f"{max_rounds} rounds")
+    if acc is None:
+        return ray.data.from_arrow(_MATCH_SCHEMA.empty_table())
+    return acc
+
+
+def matching_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """Greedy matching over disjoint 3-node paths (3k-3k+1-3k+2) on
+    vec_ids: the deterministic dynamics match exactly (3k, 3k+1)."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        i = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        first = i[(i % 3 == 0) & (i + 1 < n)]
+        second = i[(i % 3 == 1) & (i + 1 < n)]
+        return pa.Table.from_pydict({
+            "u": pa.array(np.concatenate([first, second]), pa.int64()),
+            "v": pa.array(np.concatenate([first + 1, second + 1]),
+                          pa.int64()),
+        })
+
+    return greedy_matching(
+        ids.map_batches(_mk, batch_format="pyarrow",
+                        zero_copy_batch=True))
+
+
+MATCHING_PLANTED_SQL = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+SELECT vec_id AS a, vec_id + 1 AS b
+FROM embeddings, nn
+WHERE vec_id % 3 = 0 AND vec_id + 1 < nn.n
+ORDER BY a
+"""

@@ -1129,3 +1129,44 @@ def test_sssp_paths_vs_dijkstra(ray_session):
            for r in sssp_paths(e, seeds, rounds=rounds).take_all()}
     want = {v: (dist[v], parent[v]) for v in dist}
     assert got == want
+
+
+def _emulate_greedy_matching(edges):
+    """Reference: the same deterministic mutual-proposal rounds."""
+    live = set(map(tuple, edges))
+    matched = []
+    while live:
+        nbrs = {}
+        for u, v in live:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        prop = {u: min(ns) for u, ns in nbrs.items()}
+        new = {(min(u, p), max(u, p)) for u, p in prop.items()
+               if prop.get(p) == u}
+        assert new, "greedy matching must progress"
+        matched.extend(sorted(new))
+        gone = {x for ab in new for x in ab}
+        live = {(u, v) for u, v in live
+                if u not in gone and v not in gone}
+    return sorted(matched)
+
+
+def test_greedy_matching_vs_emulation(ray_session):
+    import ray.data
+    from nerfray.stages.graph import greedy_matching
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        n = 40
+        raw = rng.integers(0, n, size=(60 + 15 * trial, 2))
+        edges = sorted({(int(a), int(b)) for a, b in raw if a != b})
+        ds = ray.data.from_items(
+            [{"u": u, "v": v} for u, v in edges]).repartition(3)
+        got = sorted((r["a"], r["b"])
+                     for r in greedy_matching(ds).take_all())
+        assert got == _emulate_greedy_matching(edges)
+        # maximal: every input edge touches a matched node
+        gone = {x for ab in got for x in ab}
+        assert all(u in gone or v in gone for u, v in edges)
+        # a matching: no node appears twice
+        flat = [x for ab in got for x in ab]
+        assert len(flat) == len(set(flat))
