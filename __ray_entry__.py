@@ -397,6 +397,16 @@ def q_kg_pagerank_planted(sf_dir: str):
                           damping=0.5, iters=graph.PLANTED_PR_ITERS)
 
 
+def q_kg_ppr_planted(sf_dir: str):
+    """Personalized PageRank (restart mass at seed n000) on the same
+    dyadic-exact planted graph — random-walk-with-restart relevance,
+    bit-equal to the unrolled SQL power iteration."""
+    from nerfray.stages import graph
+    return graph.pagerank(graph.planted_pagerank_triples(),
+                          damping=0.5, iters=graph.PLANTED_PR_ITERS,
+                          restart_nodes=["n000"])
+
+
 def q_kg_bfs_planted(sf_dir: str):
     """Distributed k-hop BFS (frontier hash_join rounds, driver sees
     only counts) over the deterministic offset graph from seed 0 —
@@ -795,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_common_neighbors": q_kg_common_neighbors,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_planted": q_kg_pagerank_planted,
+        "kg_ppr_planted": q_kg_ppr_planted,
         "kg_pagerank_dataset_planted": q_kg_pagerank_dataset_planted,
         "kg_bfs_planted": q_kg_bfs_planted,
         "kg_sssp_planted": q_kg_sssp_planted,
@@ -852,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred_planted": graph.LINK_PREDICTION_PLANTED_SQL,
         "kg_sssp_planted": graph.sssp_planted_sql(),
         "kg_sssp_paths_planted": graph.sssp_paths_planted_sql(),
+        "kg_ppr_planted": graph.ppr_planted_sql(),
         "kg_matching_planted": graph.MATCHING_PLANTED_SQL,
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_labelprop_planted": graph.lpa_planted_sql(),

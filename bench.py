@@ -163,7 +163,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "part_pareto", "docs_table_checksum",
                  "docs_domain_cap", "docs_feather_roundtrip",
                  "docs_orc_roundtrip", "kg_sssp_paths_planted",
-                 "kg_matching_planted"):
+                 "kg_matching_planted", "kg_ppr_planted",
+                 "events_cusum_alerts"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

@@ -2534,3 +2534,111 @@ SELECT event_id, user_id,
          AS value_rank
 FROM events ORDER BY event_id
 """
+
+
+# -- CUSUM drift detection over per-user daily activity -----------------------
+#
+# Changepoint monitoring (the page-Hinkley/CUSUM class): per user, over
+# the day-ordered daily event counts x_d, the one-sided CUSUM statistic
+# s_d = max(0, s_{d-1} + x_d - CUSUM_K); days with s_d >= CUSUM_H are
+# drift alerts.  Integer end to end.  Vectorized via the prefix
+# identity s_d = c_d - min(0, min_{j<=d} c_j) with c = cumsum(x - K):
+# inside one user-hash co-group, segmented cumsum (offset-corrected
+# global cumsum) + segmented running min (per-run additive shift so
+# earlier runs never win) — no per-user Python dispatch.
+
+CUSUM_K = 3   # allowed drift per day
+CUSUM_H = 5   # alert threshold
+
+_CUSUM_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("n_alert_days", pa.int64()),
+    ("max_stat", pa.int64()),
+])
+
+
+def _cusum_partial(batch: pa.Table) -> pa.Table:
+    us = batch.column("user_id").to_numpy(zero_copy_only=False)
+    if len(us) == 0:
+        return pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                          ("c", pa.int64())]).empty_table()
+    day = (pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+        zero_copy_only=False) // 86_400_000_000).astype(np.int64)
+    order = np.lexsort((day, us))
+    u, d = us[order], day[order]
+    starts = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                  | (d[1:] != d[:-1])])
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u[starts], pa.int64()),
+        "day": pa.array(d[starts], pa.int64()),
+        "c": pa.array(np.diff(np.r_[starts, len(u)]), pa.int64()),
+    })
+
+
+def _cusum_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _CUSUM_SCHEMA.empty_table()
+    us = group.column("user_id").to_numpy(zero_copy_only=False)
+    dy = group.column("day").to_numpy(zero_copy_only=False)
+    cc = group.column("c").to_numpy(zero_copy_only=False)
+    order = np.lexsort((dy, us))
+    u, d, c = us[order], dy[order], cc[order]
+    # fold same (user, day) partials from different blocks
+    starts = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                  | (d[1:] != d[:-1])])
+    u, d = u[starts], d[starts]
+    x = np.add.reduceat(c, starts)
+    # segmented cumsum of (x - K) per user
+    user_change = np.r_[True, u[1:] != u[:-1]]
+    ustarts = np.flatnonzero(user_change)
+    run = np.cumsum(user_change) - 1
+    g = np.cumsum(x - CUSUM_K)
+    seg_c = g - np.repeat(g[ustarts] - (x[ustarts] - CUSUM_K),
+                          np.diff(np.r_[ustarts, len(u)]))
+    # segmented running min: earlier runs shifted up so they never win
+    n_runs = int(run[-1]) + 1
+    span = int(seg_c.max() - seg_c.min()) + 1
+    if n_runs * span >= 2 ** 62:
+        raise ValueError("cusum: per-run min-shift would overflow "
+                         "int64; raise n_buckets")
+    shift = (n_runs - run).astype(np.int64) * span
+    m = np.minimum.accumulate(seg_c + shift) - shift
+    s = seg_c - np.minimum(0, m)
+    alerts = (s >= CUSUM_H).astype(np.int64)
+    return pa.Table.from_pydict({
+        "user_id": pa.array(u[ustarts], pa.int64()),
+        "n_alert_days": pa.array(np.add.reduceat(alerts, ustarts),
+                                 pa.int64()),
+        "max_stat": pa.array(np.maximum.reduceat(s, ustarts),
+                             pa.int64()),
+    }, schema=_CUSUM_SCHEMA)
+
+
+def cusum_alerts(sf_dir: str) -> ray.data.Dataset:
+    from nerfray.sources.parquet import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return ds.map_batches(_cusum_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(_cusum_bucket, batch_format="pyarrow")
+
+
+ORACLES["events_cusum_alerts"] = f"""
+WITH x AS (SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+cs AS (SELECT user_id, day,
+              sum(c - {CUSUM_K}) OVER (PARTITION BY user_id ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+       FROM x),
+m AS (SELECT user_id, cum,
+             least(0, min(cum) OVER (PARTITION BY user_id ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)) AS mn
+      FROM cs),
+s AS (SELECT user_id, (cum - mn)::BIGINT AS stat FROM m)
+SELECT user_id,
+       sum(CASE WHEN stat >= {CUSUM_H} THEN 1 ELSE 0 END)::BIGINT
+         AS n_alert_days,
+       max(stat)::BIGINT AS max_stat
+FROM s GROUP BY user_id ORDER BY user_id
+"""

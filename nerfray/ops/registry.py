@@ -1151,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": events.moving_sum,
         "events_streaks": events.activity_streaks,
         "events_covered_time": events.covered_time,
+        "events_cusum_alerts": events.cusum_alerts,
         "events_new_users_daily": events.new_users_daily,
         "events_user_rank": events.user_value_ranks,
         "events_transitions": events.event_transitions,

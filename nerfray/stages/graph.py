@@ -179,8 +179,16 @@ def _contrib_partial(batch: pa.Table, *, contrib_ref) -> pa.Table:
 
 
 def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
-             iters: int = 20) -> ray.data.Dataset:
+             iters: int = 20,
+             restart_nodes: list[str] | None = None) -> ray.data.Dataset:
     """PageRank over the (directed) triple graph, multi-edges counted.
+
+    ``restart_nodes`` turns this into PERSONALIZED PageRank: the
+    restart mass (and dangling redistribution) goes uniformly to the
+    given seed nodes instead of all nodes, and the iteration starts
+    from the seed distribution.  Seed-id lookup is a bounded
+    (seed-proportional) driver fetch against the Dataset-resident
+    (node, id) table — never node-proportional.
 
     Fully distributed encoding: node strings NEVER reach the driver.
     Dense int ids are assigned by per-bucket offset enumeration (driver
@@ -243,7 +251,26 @@ def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
 
     iedges = _encode_edges_distributed(edges, ids).materialize()
 
-    rank = np.full(n, 1.0 / n)
+    if restart_nodes is None:
+        e = np.full(n, 1.0 / n)
+    else:
+        seeds = set(restart_nodes)
+
+        def _seed_rows(batch: pa.Table) -> pa.Table:
+            mask = pa.compute.is_in(
+                batch.column("node"),
+                value_set=pa.array(sorted(seeds), pa.string()))
+            return batch.filter(mask).select(["id"])
+
+        seed_ids = [r["id"] for r in ids.map_batches(
+            _seed_rows, batch_format="pyarrow",
+            zero_copy_batch=True).take_all()]  # <= len(seeds) rows
+        if not seed_ids:
+            raise ValueError("restart_nodes matched no graph node")
+        e = np.zeros(n)
+        e[np.asarray(seed_ids, np.int64)] = 1.0 / len(seed_ids)
+
+    rank = e.copy()
     dangling = outs == 0
     for _ in range(iters):
         contrib = np.where(outs > 0, rank / np.maximum(outs, 1.0), 0.0)
@@ -252,8 +279,7 @@ def pagerank(triples: ray.data.Dataset, *, damping: float = 0.85,
             _contrib_partial, fn_kwargs={"contrib_ref": contrib_ref},
             batch_format="pyarrow", zero_copy_batch=True) \
             .groupby("i").sum("p")
-        nxt = np.full(n, (1.0 - damping) / n)
-        nxt += damping * rank[dangling].sum() / n
+        nxt = (1.0 - damping + damping * rank[dangling].sum()) * e
         for b in red.iter_batches(batch_format="pyarrow"):  # numeric only
             ii = b.column("i").to_numpy(zero_copy_only=False)
             pp = b.column("sum(p)").to_numpy(zero_copy_only=False)
@@ -3790,3 +3816,30 @@ FROM embeddings, nn
 WHERE vec_id % 3 = 0 AND vec_id + 1 < nn.n
 ORDER BY a
 """
+
+
+def ppr_planted_sql(n: int = PLANTED_PR_N,
+                    iters: int = PLANTED_PR_ITERS) -> str:
+    """Personalized PageRank oracle on the dyadic-exact planted graph:
+    restart mass concentrated at node 0 (r0 = e0) — every float64 op
+    stays an exact dyadic rational, so the distributed operator is
+    bit-equal to this unrolled power iteration."""
+    layers = [f"pr0 AS (SELECT i, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END"
+              f" AS r FROM nodes)"]
+    for t in range(1, iters + 1):
+        layers.append(
+            f"pr{t} AS (SELECT nd.i AS i, "
+            f"CASE WHEN nd.i = 0 THEN 0.5 ELSE 0.0 END + 0.5 * "
+            f"coalesce(sum(p.r / 2.0), 0.0) AS r "
+            f"FROM nodes nd LEFT JOIN edges e ON e.d = nd.i "
+            f"LEFT JOIN pr{t - 1} p ON p.i = e.s GROUP BY nd.i)")
+    return (
+        f"WITH nodes AS (SELECT i FROM generate_series(0, {n - 1}) AS t(i)),\n"
+        f"edges AS (\n"
+        f"  SELECT i AS s, (i + 1) % {n} AS d FROM nodes\n"
+        f"  UNION ALL SELECT i, i // 2 FROM nodes WHERE i >= 1\n"
+        f"  UNION ALL SELECT 0, 3),\n"
+        + ",\n".join(layers) + "\n"
+        f"SELECT 'n' || lpad(i::VARCHAR, 3, '0') AS node, r AS rank\n"
+        f"FROM pr{iters} ORDER BY node"
+    )

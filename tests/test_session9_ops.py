@@ -277,3 +277,32 @@ def test_new_users_daily_cumulative(ray_session):
     assert [r["n_new"] for r in rows] == [2, 1]
     assert [r["cum_users"] for r in rows] == [2, 3]
     assert rows[0]["day"] == "1970-01-01" and rows[1]["day"] == "1970-01-03"
+
+
+# -- CUSUM drift detection ------------------------------------------------------
+
+def test_cusum_bucket_vs_brute(ray_session):
+    from nerfray.ops.events import CUSUM_H, CUSUM_K, _cusum_bucket
+    rng = np.random.default_rng(21)
+    rows = []
+    for u in range(6):
+        days = sorted(rng.choice(60, size=20, replace=False).tolist())
+        for d in days:
+            rows.append((u, d, int(rng.integers(1, 9))))
+    t = pa.Table.from_pydict({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "day": pa.array([r[1] for r in rows], pa.int64()),
+        "c": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    perm = rng.permutation(len(rows))
+    got = {r["user_id"]: (r["n_alert_days"], r["max_stat"])
+           for r in _cusum_bucket(t.take(pa.array(perm))).to_pylist()}
+    for u in range(6):
+        s = alerts = mx = 0
+        for uu, d, c in sorted(rows):
+            if uu != u:
+                continue
+            s = max(0, s + c - CUSUM_K)
+            mx = max(mx, s)
+            alerts += s >= CUSUM_H
+        assert got[u] == (alerts, mx)
