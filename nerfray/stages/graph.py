@@ -3843,3 +3843,148 @@ def ppr_planted_sql(n: int = PLANTED_PR_N,
         f"SELECT 'n' || lpad(i::VARCHAR, 3, '0') AS node, r AS rank\n"
         f"FROM pr{iters} ORDER BY node"
     )
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set (deterministic min-id Luby rounds)
+# ---------------------------------------------------------------------------
+#
+# Matching's sibling: a node enters the MIS when its id is smaller than
+# every LIVE neighbor's; the winner and its neighbors leave the graph;
+# repeat.  Used for conflict-free scheduling (pick a maximal set of
+# non-adjacent dedup clusters / locks / partitions to process in one
+# wave).  Isolated nodes are all in the MIS by definition — callers
+# pass the edge set plus the node universe so isolates survive pruning.
+# Per round: one min-neighbor co-group + two anti-joins; scalar-only
+# driver state; min-id winners guarantee progress (the globally
+# smallest live node always enters).
+
+MIS_MAX_ROUNDS = 24
+
+_MIS_SCHEMA = pa.schema([("node", pa.int64())])
+
+
+def _mis_min_nbr_bucket(group: pa.Table) -> pa.Table:
+    """Per node: min live-neighbor id; winners = node < min nbr."""
+    if group.num_rows == 0:
+        return _MIS_SCHEMA.empty_table()
+    node = group.column("node").to_numpy(zero_copy_only=False)
+    nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+    order = np.lexsort((nbr, node))
+    n_s, b_s = node[order], nbr[order]
+    starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+    win = n_s[starts][n_s[starts] < b_s[starts]]
+    return pa.Table.from_pydict({"node": pa.array(win, pa.int64())},
+                                schema=_MIS_SCHEMA)
+
+
+def greedy_mis(edges: ray.data.Dataset, nodes: ray.data.Dataset, *,
+               max_rounds: int = MIS_MAX_ROUNDS) -> ray.data.Dataset:
+    """MIS of the undirected graph (edges as (u, v) int64 rows, nodes
+    as the (node) universe): the deterministic min-id Luby set."""
+    from nerfray.ops.joins import hash_join
+    types = {c: pa.int64() for c in ("u", "v", "node", "mnode")}
+    live = edges.materialize()
+    survivors = nodes  # nodes never touched by a winner's closed nbhd
+    acc: ray.data.Dataset | None = None
+    for _ in range(max_rounds):
+        if live.count() == 0:
+            break
+        winners = live.map_batches(
+            _match_dir_rows, batch_format="pyarrow",
+            zero_copy_batch=True) \
+            .groupby("hb").map_groups(_mis_min_nbr_bucket,
+                                      batch_format="pyarrow") \
+            .materialize()
+        if winners.count() == 0:
+            raise ValueError("MIS round made no progress on a "
+                             "non-empty edge set (u == v self-loops?)")
+        # closed neighborhood of the winners leaves the live graph
+        def _nbhd(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"mnode": batch.column("node")},
+                schema=pa.schema([("mnode", pa.int64())]))
+        live_dir = live.map_batches(_match_dir_rows,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        touched = hash_join(
+            live_dir, winners.map_batches(
+                _nbhd, batch_format="pyarrow"),
+            left_on="nbr", right_on="mnode", left_cols=["node"],
+            right_cols=[], how="left semi",
+            field_types={"nbr": pa.int64(), "node": pa.int64(),
+                         "mnode": pa.int64()}) \
+            .map_batches(lambda b: pa.Table.from_pydict(
+                {"mnode": b.column("node")},
+                schema=pa.schema([("mnode", pa.int64())])),
+                batch_format="pyarrow") \
+            .union(winners.map_batches(_nbhd, batch_format="pyarrow")) \
+            .repartition(8).materialize()
+        live = hash_join(live, touched, left_on="u", right_on="mnode",
+                         left_cols=["v"], right_cols=[],
+                         how="left anti", field_types=types) \
+            .rename_columns({"__key": "u"})
+        live = hash_join(live, touched, left_on="v", right_on="mnode",
+                         left_cols=["u"], right_cols=[],
+                         how="left anti", field_types=types) \
+            .rename_columns({"__key": "v"}) \
+            .repartition(8).materialize()
+        survivors = hash_join(survivors, touched, left_on="node",
+                              right_on="mnode", left_cols=[],
+                              right_cols=[], how="left anti",
+                              field_types=types) \
+            .rename_columns({"__key": "node"}) \
+            .repartition(8).materialize()
+        acc = winners if acc is None else \
+            acc.union(winners).repartition(8).materialize()
+    else:
+        if live.count():
+            raise ValueError(f"MIS did not converge in "
+                             f"{max_rounds} rounds")
+    # edge-free survivors are independent by definition
+    return survivors if acc is None else acc.union(survivors)
+
+
+def mis_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """MIS over the disjoint 3-paths (3k-3k+1-3k+2): the min-id
+    dynamics select {3k, 3k+2} (and lone tail nodes)."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+
+    def _mk_edges(batch: pa.Table) -> pa.Table:
+        i = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        first = i[(i % 3 == 0) & (i + 1 < n)]
+        second = i[(i % 3 == 1) & (i + 1 < n)]
+        return pa.Table.from_pydict({
+            "u": pa.array(np.concatenate([first, second]), pa.int64()),
+            "v": pa.array(np.concatenate([first + 1, second + 1]),
+                          pa.int64()),
+        })
+
+    def _mk_nodes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.Table.from_pydict({
+            "node": _pc.cast(batch.column("vec_id"), pa.int64())})
+
+    return greedy_mis(
+        ids.map_batches(_mk_edges, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ids.map_batches(_mk_nodes, batch_format="pyarrow",
+                        zero_copy_batch=True))
+
+
+# per 3-path {3k, 3k+1, 3k+2}: round 1 winners are every 3k (its only
+# live neighbor 3k+1 is larger) AND every 3k+2 (3k+1 larger? no —
+# 3k+1 < 3k+2, so 3k+2 waits); pruning removes 3k and 3k+1; round 2:
+# 3k+2 is edge-free -> survivor.  MIS = {i : i % 3 != 1}, minus nothing
+# at the tail (a lone 3k tail node is an isolate -> survivor; a 2-node
+# tail {3k, 3k+1} matches round 1 -> only 3k).
+MIS_PLANTED_SQL = """
+SELECT vec_id AS node FROM embeddings
+WHERE vec_id % 3 != 1
+ORDER BY node
+"""

@@ -1170,3 +1170,56 @@ def test_greedy_matching_vs_emulation(ray_session):
         # a matching: no node appears twice
         flat = [x for ab in got for x in ab]
         assert len(flat) == len(set(flat))
+
+
+def _emulate_greedy_mis(nodes, edges):
+    """Reference: min-id Luby rounds + edge-free survivors."""
+    live = set(map(tuple, edges))
+    alive = set(nodes)
+    mis = []
+    while live:
+        nbrs = {}
+        for u, v in live:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        winners = {u for u, ns in nbrs.items() if u < min(ns)}
+        assert winners, "MIS must progress"
+        mis.extend(winners)
+        gone = set(winners)
+        for w in winners:
+            gone |= nbrs[w]
+        alive -= gone
+        live = {(u, v) for u, v in live
+                if u not in gone and v not in gone}
+    # survivors (nodes never touched by a winner's closed nbhd) are
+    # edge-free by construction and all join the set
+    return sorted(mis + list(alive))
+
+
+def test_greedy_mis_vs_emulation(ray_session):
+    import ray.data
+    from nerfray.stages.graph import greedy_mis
+    rng = np.random.default_rng(29)
+    for trial in range(3):
+        n = 36
+        raw = rng.integers(0, n, size=(50 + 12 * trial, 2))
+        edges = sorted({(int(a), int(b)) for a, b in raw if a != b})
+        nodes = list(range(n))
+        e_ds = ray.data.from_items(
+            [{"u": u, "v": v} for u, v in edges]).repartition(3)
+        n_ds = ray.data.from_items(
+            [{"node": x} for x in nodes]).repartition(2)
+        got = sorted(r["node"]
+                     for r in greedy_mis(e_ds, n_ds).take_all())
+        assert got == _emulate_greedy_mis(nodes, edges)
+        # independence: no edge inside the set
+        s = set(got)
+        assert not any(u in s and v in s for u, v in edges)
+        # maximality: every non-member has a member neighbor
+        nbrs = {}
+        for u, v in edges:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        for x in nodes:
+            if x not in s:
+                assert nbrs.get(x, set()) & s
