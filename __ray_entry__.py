@@ -449,6 +449,14 @@ def q_kg_mis_planted(sf_dir: str):
     return graph.mis_planted_query(sf_dir)
 
 
+def q_kg_landmarks_planted(sf_dir: str):
+    """Nearest-landmark graph Voronoi assignment (multi-source BFS with
+    min-landmark tie-break) — the fused relax kernel over packed
+    (dist, landmark) ints; zero new exchange shapes."""
+    from nerfray.stages import graph
+    return graph.landmarks_planted_query(sf_dir)
+
+
 def q_kg_labelprop_planted(sf_dir: str):
     """Deterministic synchronous label propagation (2 rounds, min-label
     tie-break) over the planted star-of-cliques graph; labels stay a
@@ -820,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sssp_paths_planted": q_kg_sssp_paths_planted,
         "kg_matching_planted": q_kg_matching_planted,
         "kg_mis_planted": q_kg_mis_planted,
+        "kg_landmarks_planted": q_kg_landmarks_planted,
         "kg_kcore_planted": q_kg_kcore_planted,
         "kg_labelprop_planted": q_kg_labelprop_planted,
         "kg_entity_types": q_kg_entity_types,
@@ -875,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_planted": graph.ppr_planted_sql(),
         "kg_matching_planted": graph.MATCHING_PLANTED_SQL,
         "kg_mis_planted": graph.MIS_PLANTED_SQL,
+        "kg_landmarks_planted": graph.landmarks_planted_sql(),
         "kg_kcore_planted": graph.kcore_planted_sql(),
         "kg_labelprop_planted": graph.lpa_planted_sql(),
         "kg_pagerank_planted": graph.pagerank_planted_sql(),

@@ -164,7 +164,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_domain_cap", "docs_feather_roundtrip",
                  "docs_orc_roundtrip", "kg_sssp_paths_planted",
                  "kg_matching_planted", "kg_ppr_planted",
-                 "events_cusum_alerts", "kg_mis_planted"):
+                 "events_cusum_alerts", "kg_mis_planted", "kg_landmarks_planted"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

@@ -3988,3 +3988,124 @@ SELECT vec_id AS node FROM embeddings
 WHERE vec_id % 3 != 1
 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# nearest-landmark assignment (graph Voronoi partition)
+# ---------------------------------------------------------------------------
+#
+# Multi-source BFS where each node learns (hop distance to the nearest
+# landmark, the landmark id) with a deterministic min-landmark
+# tie-break — the seeding step of graph partitioning / k-center
+# clustering.  ZERO new kernel: (dist, landmark) packs into one int64
+# (dist * 2^20 + landmark, landmark < 2^20 checked), unit edges carry
+# weight 2^20, and the existing fused min-relax rounds compute the
+# lexicographic min for free.  rounds+1 exchanges, one lazy plan.
+
+LANDMARK_PACK = 1 << 20
+LANDMARK_HOPS = 3
+LANDMARK_MOD = 100  # planted fixture: landmarks = vec_id % 100 == 0
+
+
+def nearest_landmarks(edges: ray.data.Dataset,
+                      landmarks: ray.data.Dataset, *,
+                      max_hops: int = LANDMARK_HOPS) -> ray.data.Dataset:
+    """(node, dist, landmark) for every node within ``max_hops`` of a
+    landmark; ``edges`` as (u, v) int64 rows, ``landmarks`` a (node)
+    column.  Ties break to the smallest landmark id."""
+
+    def _pack_seed(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(n) and int(n.max()) >= LANDMARK_PACK:
+            raise ValueError("landmark ids must stay below 2^20 for "
+                             "the (dist, landmark) packing")
+        z = np.zeros(len(n), np.int64)
+        return pa.Table.from_pydict({
+            "k": n, "d": n.copy(), "v": z, "w": z,
+            "side": np.zeros(len(n), np.int8),
+            "hb": (n % _RELAX_BUCKETS).astype(np.int32),
+        }, schema=_RELAX_SCHEMA)
+
+    def _pack_edges(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict({
+            "k": u, "d": np.zeros(len(u), np.int64), "v": v,
+            "w": np.full(len(u), LANDMARK_PACK, np.int64),
+            "side": np.ones(len(u), np.int8),
+            "hb": (u % _RELAX_BUCKETS).astype(np.int32),
+        }, schema=_RELAX_SCHEMA)
+
+    e = edges.map_batches(_pack_edges, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    plan = landmarks.map_batches(_pack_seed, batch_format="pyarrow")
+    for _ in range(max_hops):
+        plan = e.union(plan).groupby("hb").map_groups(
+            _relax_round_bucket, batch_format="pyarrow")
+    packed = plan.groupby("hb").map_groups(
+        functools.partial(_relax_final_bucket, kcol="node",
+                          dcol="packed"),
+        batch_format="pyarrow")
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        p = batch.column("packed").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": batch.column("node"),
+            "dist": pa.array(p // LANDMARK_PACK, pa.int64()),
+            "landmark": pa.array(p % LANDMARK_PACK, pa.int64()),
+        })
+
+    return packed.map_batches(_unpack, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def landmarks_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """Voronoi assignment over the unit-weight offset graph with
+    landmarks at vec_id % LANDMARK_MOD == 0."""
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    ids = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id"])
+    n = ids.count()
+    edges = planted_triangle_edges(ids, n)
+
+    def _lm(batch: pa.Table) -> pa.Table:
+        i = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "node": pa.array(i[i % LANDMARK_MOD == 0], pa.int64())})
+
+    return nearest_landmarks(
+        edges, ids.map_batches(_lm, batch_format="pyarrow",
+                               zero_copy_batch=True))
+
+
+def landmarks_planted_sql(hops: int = LANDMARK_HOPS) -> str:
+    """Unrolled packed-min layers: p = dist * 2^20 + landmark, so
+    min(p) IS the lexicographic (dist, landmark) min."""
+    layers = []
+    for t in range(hops):
+        layers.append(
+            f"l{t + 1} AS (SELECT node, min(p)::BIGINT AS p FROM ("
+            f"SELECT node, p FROM l{t} "
+            f"UNION ALL SELECT e.v AS node, l{t}.p + {LANDMARK_PACK} "
+            f"AS p FROM l{t} JOIN e ON e.u = l{t}.node) GROUP BY node)")
+    return (
+        f"WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),\n"
+        f"e AS (\n"
+        f"  SELECT vec_id AS u, (vec_id + 7) % nn.n AS v"
+        f" FROM embeddings, nn\n"
+        f"  UNION ALL SELECT vec_id, (vec_id + 13) % nn.n"
+        f" FROM embeddings, nn\n"
+        f"  UNION ALL SELECT vec_id, (vec_id + 20) % nn.n"
+        f" FROM embeddings, nn),\n"
+        f"l0 AS (SELECT vec_id AS node, vec_id::BIGINT AS p"
+        f" FROM embeddings WHERE vec_id % {LANDMARK_MOD} = 0),\n"
+        + ",\n".join(layers) + "\n"
+        f"SELECT node, (p // {LANDMARK_PACK})::BIGINT AS dist,\n"
+        f"       (p % {LANDMARK_PACK})::BIGINT AS landmark\n"
+        f"FROM l{hops} ORDER BY node"
+    )

@@ -1223,3 +1223,43 @@ def test_greedy_mis_vs_emulation(ray_session):
         for x in nodes:
             if x not in s:
                 assert nbrs.get(x, set()) & s
+
+
+def test_nearest_landmarks_vs_brute(ray_session):
+    """(dist, landmark) Voronoi assignment equals brute-force
+    multi-source BFS with min-landmark tie-break."""
+    import collections
+
+    import ray.data
+    from nerfray.stages.graph import nearest_landmarks
+
+    n = 50
+    edges = [(u, (u + o) % n) for u in range(n) for o in (7, 13, 20)]
+    lms = [0, 17, 31]
+    hops = 3
+
+    best = {lm: (0, lm) for lm in lms}
+    frontier = dict(best)
+    adj = collections.defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    for _ in range(hops):
+        nxt = {}
+        for u, (d, lm) in frontier.items():
+            for v in adj[u]:
+                cand = (d + 1, lm)
+                if cand < best.get(v, (1 << 30, 0)) \
+                        and cand < nxt.get(v, (1 << 30, 0)):
+                    nxt[v] = cand
+        frontier = {}
+        for v, c in nxt.items():
+            if c < best.get(v, (1 << 30, 0)):
+                best[v] = c
+                frontier[v] = c
+    e_ds = ray.data.from_items(
+        [{"u": u, "v": v} for u, v in edges]).repartition(3)
+    lm_ds = ray.data.from_items([{"node": x} for x in lms])
+    got = {r["node"]: (r["dist"], r["landmark"])
+           for r in nearest_landmarks(e_ds, lm_ds,
+                                      max_hops=hops).take_all()}
+    assert got == best
