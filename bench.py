@@ -164,7 +164,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_domain_cap", "docs_feather_roundtrip",
                  "docs_orc_roundtrip", "kg_sssp_paths_planted",
                  "kg_matching_planted", "kg_ppr_planted",
-                 "events_cusum_alerts", "kg_mis_planted", "kg_landmarks_planted"):
+                 "events_cusum_alerts", "kg_mis_planted", "kg_landmarks_planted", "docs_bucket_diff"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
@@ -252,7 +252,8 @@ def run_scaling(sf_dir: str) -> dict:
     per-run overhead (driver setup, actor ramp-up, shuffle barriers) —
     i.e. the measurement reflects scaling of the pipeline, not of Ray's
     constant startup cost."""
-    levels = (8, 32)
+    levels = tuple(int(x) for x in os.environ.get(
+        "NERFRAY_SCALING_LEVELS", "8,32").split(","))
     results = {}
     for cpus in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
@@ -262,18 +263,20 @@ def run_scaling(sf_dir: str) -> dict:
             env=env, capture_output=True, text=True, timeout=3600)
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    thr8 = results[8]["triples_per_sec"]
-    thr32 = results[32]["triples_per_sec"]
-    eff = thr32 / (4 * thr8)
+    lo, hi = levels[0], levels[-1]
+    thr_lo = results[lo]["triples_per_sec"]
+    thr_hi = results[hi]["triples_per_sec"]
+    eff = thr_hi / ((hi / lo) * thr_lo)
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
-        "queries": {"kg_triples@8": results[8]["value"],
-                    "kg_triples@32": results[32]["value"]},
+        "queries": {f"kg_triples@{c}": results[c]["value"]
+                    for c in levels},
         "sf": sf_dir,
-        "num_cpus": [8, 32],
-        "triples_per_sec": {"8": thr8, "32": thr32},
+        "num_cpus": list(levels),
+        "triples_per_sec": {str(c): results[c]["triples_per_sec"]
+                            for c in levels},
     }
 
 

@@ -116,3 +116,161 @@ SELECT bucket, n_rows,
              THEN c - 18446744073709551616 ELSE c END)::BIGINT AS checksum
 FROM b ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# anti-entropy repair: bucket-prefiltered table diff
+# ---------------------------------------------------------------------------
+#
+# The second half of the anti-entropy protocol: compare the per-bucket
+# checksums of two table versions (64 + 64 rows at the driver), then
+# drill into ONLY the differing buckets with a row-grain full-outer
+# compare — added / removed / changed per doc_id.  At 100 TB the
+# checksum pass streams both sides once and the repair shuffle carries
+# only the damaged buckets' rows; equal buckets never shuffle.  The
+# planted v2 (drops, edits, re-keyed additions — pure id arithmetic)
+# gives the row-grain classification a FULL SQL oracle.
+
+DIFF_DROP_MOD = 101   # v2 drops doc_id % 101 == 0
+DIFF_EDIT_MOD = 97    # v2 appends ' v2' to text of doc_id % 97 == 0
+DIFF_ADD_MOD = 103    # v2 adds copies re-keyed to 10^9 + doc_id
+DIFF_ADD_BASE = 1_000_000_000
+
+_DIFF_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                          ("change", pa.string())])
+
+
+def planted_docs_v2(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic second version of the documents table."""
+
+    def _v2(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % DIFF_DROP_MOD != 0
+        t = batch.filter(pa.array(keep))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = t.column("text").to_pandas()
+        edited = ids % DIFF_EDIT_MOD == 0
+        text = text.where(~edited, text + " v2")
+        base = pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(text.tolist(), pa.string())})
+        add_mask = ids % DIFF_ADD_MOD == 0
+        added = pa.Table.from_pydict({
+            "doc_id": pa.array(ids[add_mask] + DIFF_ADD_BASE,
+                               pa.int64()),
+            "text": pa.array(text[add_mask].tolist(), pa.string())})
+        return pa.concat_tables([base, added])
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _v2, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _row_hash_batch(batch: pa.Table, *, side: int,
+                    buckets: np.ndarray | None) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    n_chars = pc.utf8_length(batch.column("text")).to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    n_words = pc.list_value_length(
+        pc.split_pattern(batch.column("text"), " ")).to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(ids * np.uint64(1000003)
+                   + n_chars * np.uint64(31) + n_words)
+    bk = (ids % np.uint64(N_CK_BUCKETS)).astype(np.int64)
+    mask = np.ones(len(ids), bool) if buckets is None \
+        else np.isin(bk, buckets)
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(ids[mask].view(np.int64), pa.int64()),
+        "h": pa.array(h[mask].view(np.int64), pa.int64()),
+        "side": pa.array(np.full(int(mask.sum()), side, np.int8),
+                         pa.int8()),
+        "hb": pa.array((bk[mask] & 63).astype(np.int32), pa.int32()),
+    })
+
+
+def _diff_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _DIFF_SCHEMA.empty_table()
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    h = group.column("h").to_numpy(zero_copy_only=False)
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, ids))
+    i_s, h_s, s_s = ids[order], h[order], side[order]
+    starts = np.flatnonzero(np.r_[True, i_s[1:] != i_s[:-1]])
+    cnt = np.diff(np.r_[starts, len(i_s)])
+    out_id, out_ch = [], []
+    one = cnt == 1
+    # present on one side only
+    solo_ids = i_s[starts[one]]
+    solo_side = s_s[starts[one]]
+    out_id.append(solo_ids[solo_side == 0])
+    out_ch.extend(["removed"] * int((solo_side == 0).sum()))
+    out_id.append(solo_ids[solo_side == 1])
+    out_ch.extend(["added"] * int((solo_side == 1).sum()))
+    # both sides: changed iff row hashes differ
+    both = starts[cnt == 2]
+    changed = h_s[both] != h_s[both + 1]
+    out_id.append(i_s[both][changed])
+    out_ch.extend(["changed"] * int(changed.sum()))
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+        "change": pa.array(out_ch, pa.string()),
+    }, schema=_DIFF_SCHEMA)
+
+
+def bucket_diff(a: ray.data.Dataset, b: ray.data.Dataset) \
+        -> ray.data.Dataset:
+    """Row-grain diff of two table versions, prefiltered to the buckets
+    whose anti-entropy checksums disagree."""
+    ca = {r["bucket"]: (r["checksum"], r["n_rows"])
+          for r in table_checksum(a).take_all()}   # <= 64 rows
+    cb = {r["bucket"]: (r["checksum"], r["n_rows"])
+          for r in table_checksum(b).take_all()}
+    damaged = sorted(k for k in set(ca) | set(cb)
+                     if ca.get(k) != cb.get(k))
+    if not damaged:
+        return ray.data.from_arrow(_DIFF_SCHEMA.empty_table())
+    buckets = np.asarray(damaged, np.int64)
+    rows_a = a.select_columns(["doc_id", "text"]).map_batches(
+        _row_hash_batch, fn_kwargs={"side": 0, "buckets": buckets},
+        batch_format="pyarrow", zero_copy_batch=True)
+    rows_b = b.select_columns(["doc_id", "text"]).map_batches(
+        _row_hash_batch, fn_kwargs={"side": 1, "buckets": buckets},
+        batch_format="pyarrow", zero_copy_batch=True)
+    return rows_a.union(rows_b).groupby("hb").map_groups(
+        _diff_bucket, batch_format="pyarrow")
+
+
+def docs_bucket_diff(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    from nerfray.sources.parquet import read_parquet_clean
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return bucket_diff(docs, planted_docs_v2(docs))
+
+
+BUCKET_DIFF_SQL = f"""
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN text || ' v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % {DIFF_DROP_MOD} != 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_BASE},
+         CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN text || ' v2'
+              ELSE text END
+  FROM documents
+  WHERE doc_id % {DIFF_DROP_MOD} != 0 AND doc_id % {DIFF_ADD_MOD} = 0)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v2.doc_id IS NULL OR v1.doc_id IS NULL
+   OR length(v1.text) != length(v2.text)
+   OR length(string_split(v1.text, ' '))
+      != length(string_split(v2.text, ' '))
+ORDER BY doc_id
+"""

@@ -898,6 +898,14 @@ def q_docs_domain_cap(sf_dir: str):
     return sampling.domain_cap(_docs(sf_dir))
 
 
+def q_docs_bucket_diff(sf_dir: str):
+    # anti-entropy repair: per-bucket checksum compare (64+64 driver
+    # rows), then a row-grain full-outer diff restricted to the
+    # damaged buckets — equal buckets never shuffle
+    from . import integrity
+    return integrity.docs_bucket_diff(sf_dir)
+
+
 def q_docs_table_checksum(sf_dir: str):
     # anti-entropy fingerprint: order-independent per-bucket checksum a
     # replica pair compares without moving rows (splitmix64 row hash,
@@ -1088,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q20_majority": q_join_q20_majority,
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
         "docs_table_checksum": q_docs_table_checksum,
+        "docs_bucket_diff": q_docs_bucket_diff,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "docs_feather_roundtrip": q_docs_feather_roundtrip,
         "docs_orc_roundtrip": q_docs_orc_roundtrip,
@@ -1469,6 +1478,11 @@ def _integrity_sql() -> str:
     return integrity.CHECKSUM_SQL
 
 
+def _integrity_diff_sql() -> str:
+    from . import integrity
+    return integrity.BUCKET_DIFF_SQL
+
+
 def _bm25_sql() -> str:
     from .retrieval import bm25_sql
     return bm25_sql()
@@ -1558,6 +1572,7 @@ def oracles() -> dict[str, str]:
         "docs_novelty": _text_sql("NOVELTY_SQL"),
         "docs_csv_roundtrip": ROUNDTRIP_SQL,
         "docs_table_checksum": _integrity_sql(),
+        "docs_bucket_diff": _integrity_diff_sql(),
         "docs_jsonl_roundtrip": ROUNDTRIP_SQL,
         "docs_feather_roundtrip": ROUNDTRIP_SQL,
         "docs_orc_roundtrip": ROUNDTRIP_SQL,

@@ -306,3 +306,43 @@ def test_cusum_bucket_vs_brute(ray_session):
             mx = max(mx, s)
             alerts += s >= CUSUM_H
         assert got[u] == (alerts, mx)
+
+
+# -- bucket-prefiltered anti-entropy diff ----------------------------------------
+
+def test_bucket_diff_classifies_and_prunes(ray_session):
+    import ray.data
+
+    from nerfray.ops import integrity
+
+    n = 500
+    texts = [f"doc {i} body words" for i in range(n)]
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    a = ray.data.from_arrow(t)
+    got = {(r["doc_id"], r["change"]) for r in
+           integrity.bucket_diff(a, integrity.planted_docs_v2(a))
+           .take_all()}
+    want = set()
+    for i in range(n):
+        if i % integrity.DIFF_DROP_MOD == 0:
+            want.add((i, "removed"))
+            continue
+        if i % integrity.DIFF_EDIT_MOD == 0:
+            want.add((i, "changed"))
+        if i % integrity.DIFF_ADD_MOD == 0:
+            want.add((i + integrity.DIFF_ADD_BASE, "added"))
+    assert got == want
+
+
+def test_bucket_diff_identical_tables_empty(ray_session):
+    import ray.data
+
+    from nerfray.ops.integrity import bucket_diff
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"t {i}" for i in range(100)], pa.string())})
+    a = ray.data.from_arrow(t)
+    b = ray.data.from_arrow(t).repartition(5)
+    assert bucket_diff(a, b).count() == 0
