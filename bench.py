@@ -6,10 +6,11 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "triples_per_sec": ...}
 
---scaling: run the headline KG pipeline in TWO fresh subprocesses
-(num_cpus=8 then 32) on the same input and report both throughputs plus
-scaling efficiency = thr(32) / (4 * thr(8))  (sandbox stand-in for the
-north_rule's N vs 4N node clusters).
+--scaling: run the headline KG pipeline in fresh subprocesses at each
+parallelism level (default 8 then 32; override with
+NERFRAY_SCALING_LEVELS=8,16,32) on the same input and report per-level
+throughputs plus scaling efficiency = thr(hi) / ((hi/lo) * thr(lo))
+(sandbox stand-in for the north_rule's N vs 4N node clusters).
 
 The bench corpus is the deterministic corpus generator at
 BENCH_MULT x the sf dir's documents row count (same input at every

@@ -813,7 +813,22 @@ def _pareto_partial(batch: pa.Table) -> pa.Table:
     return t.append_column("k", pa.array(np.zeros(t.num_rows, np.int32)))
 
 
+# worst case for the constant-key merge: adversarially anti-correlated
+# data where every block's frontier IS the block (union ~ input size).
+# Real part-like tables shrink orders of magnitude at the partial; if an
+# input ever doesn't, fail loudly (the scale path is a price-range sort
+# + per-block sweep with a block-grain carry, cf. docs_range_export's
+# boundary machinery) rather than silently concentrating rows on one
+# worker.
+PARETO_FINAL_CAP = 2_000_000
+
+
 def _pareto_final(group: pa.Table) -> pa.Table:
+    if group.num_rows > PARETO_FINAL_CAP:
+        raise ValueError(
+            f"pareto final merge got {group.num_rows} frontier rows "
+            f"(> {PARETO_FINAL_CAP}): block partials are not shrinking "
+            "on this input; switch to the sorted-sweep variant")
     if group.num_rows == 0:
         return _PARETO_SCHEMA.empty_table()
     return _skyline_rows(
