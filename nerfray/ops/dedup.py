@@ -1468,3 +1468,88 @@ SELECT doc_id, rep::BIGINT AS class_rep,
             ELSE 'test' END AS split
 FROM h ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: per-doc loss/sampling weights = 1000 // near-dup class size
+# ---------------------------------------------------------------------------
+#
+# The alternative to dropping near-dups: keep every copy but weight it
+# down so a duplicated document contributes (approximately) one
+# document's worth of training signal.  Reuses the memoized
+# pairs -> CC class map; one class-grain count + two hash joins —
+# nothing beyond the dedup family's existing exchanges.
+
+def dupclass_weights(docs: ray.data.Dataset, *,
+                     threshold: float = 0.5,
+                     cache_key: tuple | None = None) -> ray.data.Dataset:
+    """(doc_id, class_rep, weight_permille) with weight = 1000 // class
+    size (singletons get 1000)."""
+    from .joins import hash_join
+
+    comp = minhash_components(docs, threshold=threshold,
+                              cache_key=cache_key)
+
+    def _class_map(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(
+                [int(s[1:]) for s in batch.column("node").to_pylist()],
+                pa.int64()),
+            "rep": pa.array(
+                [int(s[1:]) for s in
+                 batch.column("component").to_pylist()], pa.int64()),
+        })
+
+    cmap = comp.map_batches(_class_map,
+                            batch_format="pyarrow").materialize()
+    sizes = cmap.groupby("rep").count().rename_columns(
+        {"count()": "sz"})  # class-grain
+    types = {c: pa.int64() for c in ("doc_id", "rep", "sz")}
+    with_rep = hash_join(
+        docs.select_columns(["doc_id"]), cmap,
+        left_on="doc_id", right_on="doc_id",
+        left_cols=[], right_cols=["rep"], how="left outer",
+        field_types=types)
+
+    def _rep_or_self(batch: pa.Table) -> pa.Table:
+        ids = batch.column("__key").to_numpy(zero_copy_only=False)
+        rep_col = batch.column("rep").to_numpy(zero_copy_only=False)
+        rep = np.where(pa.compute.is_null(batch.column("rep"))
+                       .to_numpy(zero_copy_only=False), ids, rep_col) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "rep": pa.array(rep, pa.int64())})
+
+    resolved = with_rep.map_batches(_rep_or_self, batch_format="pyarrow")
+    joined = hash_join(resolved, sizes, left_on="rep", right_on="rep",
+                       left_cols=["doc_id"], right_cols=["sz"],
+                       how="left outer", field_types=types)
+
+    def _weights(batch: pa.Table) -> pa.Table:
+        sz_col = batch.column("sz").to_numpy(zero_copy_only=False)
+        sz = np.where(pa.compute.is_null(batch.column("sz"))
+                      .to_numpy(zero_copy_only=False), 1, sz_col) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(
+                batch.column("doc_id").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "class_rep": pa.array(
+                batch.column("__key").to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "weight_permille": pa.array(1000 // sz, pa.int64()),
+        })
+
+    return joined.map_batches(_weights, batch_format="pyarrow")
+
+
+# planted corpus: every doc is in class {4g..4g+3}, so sizes are pure
+# id arithmetic (4, except a short tail group)
+DUPCLASS_WEIGHTS_PLANTED_SQL = """
+WITH s AS (SELECT doc_id, 4 * (doc_id // 4) AS rep FROM documents),
+z AS (SELECT rep, count(*)::BIGINT AS sz FROM s GROUP BY 1)
+SELECT s.doc_id, s.rep AS class_rep,
+       (1000 // z.sz)::BIGINT AS weight_permille
+FROM s JOIN z USING (rep) ORDER BY s.doc_id
+"""

@@ -100,6 +100,15 @@ def q_docs_splits_leakproof(sf_dir: str):
         cache_key=(sf_dir, "planted"))
 
 
+def q_docs_dupclass_weights(sf_dir: str):
+    # soft dedup: keep every near-dup copy, downweight by class size
+    # (1000 // size permille) — reuses the memoized pairs -> CC map
+    from . import dedup
+    return dedup.dupclass_weights(
+        dedup.planted_neardup_docs(_docs(sf_dir)),
+        cache_key=(sf_dir, "planted"))
+
+
 def q_dedup_incremental_bloom(sf_dir: str):
     # stateful streaming dedup: persisted Bloom filter + sha catalog,
     # probe -> exact-verify maybes -> commit state v+1; output is
@@ -990,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "docs_splits_leakproof": q_docs_splits_leakproof,
+        "docs_dupclass_weights": q_docs_dupclass_weights,
         "dedup_editdist": q_dedup_editdist,
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "bloom_corpus": q_bloom_corpus,
@@ -1535,6 +1545,7 @@ def oracles() -> dict[str, str]:
     sql = {
         "dedup_survivors_planted": MINHASH_SURVIVORS_PLANTED_SQL,
         "docs_splits_leakproof": LEAKPROOF_PLANTED_SQL,
+        "docs_dupclass_weights": _dedup_sql("DUPCLASS_WEIGHTS_PLANTED_SQL"),
         "docs_top_quality": TOP_QUALITY_SQL,
         "docs_top_words": TOP_WORDS_SQL,
         "docs_cooccur": COOCCUR_SQL,
