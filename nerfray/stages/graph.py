@@ -3929,11 +3929,20 @@ def greedy_mis(edges: ray.data.Dataset, nodes: ray.data.Dataset, *,
                          how="left anti", field_types=types) \
             .rename_columns({"__key": "v"}) \
             .repartition(8).materialize()
+        def _as_node(batch: pa.Table) -> pa.Table:
+            # batch-level rename: a lazy Project rename passes empty
+            # bundles through unprojected and trips the executor's
+            # mixed-schema warning when unioned (SCALE.md r4 recipe)
+            return pa.Table.from_pydict(
+                {"node": batch.column("__key")},
+                schema=pa.schema([("node", pa.int64())]))
+
         survivors = hash_join(survivors, touched, left_on="node",
                               right_on="mnode", left_cols=[],
                               right_cols=[], how="left anti",
                               field_types=types) \
-            .rename_columns({"__key": "node"}) \
+            .map_batches(_as_node, batch_format="pyarrow",
+                         zero_copy_batch=True) \
             .repartition(8).materialize()
         acc = winners if acc is None else \
             acc.union(winners).repartition(8).materialize()
