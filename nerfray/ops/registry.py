@@ -952,6 +952,15 @@ def q_docs_feather_roundtrip(sf_dir: str):
     return _roundtrip_rollup(read_feather_shards(paths))
 
 
+def q_docs_jsonl_gz_roundtrip(sf_dir: str):
+    # gzip-JSONL shards (the Common-Crawl ingestion layout) through the
+    # distributed shard reader; same rollup oracle
+    from nerfray.sources.parquet import (export_table_gz_shards,
+                                         read_jsonl_gz_shards)
+    paths = export_table_gz_shards(sf_dir, "documents")
+    return _roundtrip_rollup(read_jsonl_gz_shards(paths))
+
+
 def q_docs_orc_roundtrip(sf_dir: str):
     # ORC shard files through the same custom shard-reader shape
     from nerfray.sources.parquet import (export_table_sharded,
@@ -1110,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "docs_feather_roundtrip": q_docs_feather_roundtrip,
         "docs_orc_roundtrip": q_docs_orc_roundtrip,
+        "docs_jsonl_gz_roundtrip": q_docs_jsonl_gz_roundtrip,
         "docs_containment_drops": q_docs_containment_drops,
         "orders_by_status": relational.orders_by_status,
         "orders_rollup_cube": relational.orders_rollup_cube,
@@ -1587,6 +1597,7 @@ def oracles() -> dict[str, str]:
         "docs_jsonl_roundtrip": ROUNDTRIP_SQL,
         "docs_feather_roundtrip": ROUNDTRIP_SQL,
         "docs_orc_roundtrip": ROUNDTRIP_SQL,
+        "docs_jsonl_gz_roundtrip": ROUNDTRIP_SQL,
         # emb_semdedup (real float embeddings): rows-only by design
         "emb_semdedup_planted": _cluster_sql("SEMDEDUP_PLANTED_SQL"),
         "docs_containment_drops":

@@ -230,3 +230,51 @@ def read_feather_shards(paths: list[str]) -> ray.data.Dataset:
 
 def read_orc_shards(paths: list[str]) -> ray.data.Dataset:
     return _read_shard_files(paths, "orc")
+
+
+def export_table_gz_shards(sf_dir: str, table: str,
+                           n_shards: int = 8) -> list[str]:
+    """Write ``table`` as gzip-compressed JSONL shard files (the
+    Common-Crawl-style ingestion layout). Cached like the other
+    exports."""
+    import os
+
+    key = (sf_dir, table, "jsonl.gz", n_shards)
+    paths = _EXPORT_CACHE.get(key)
+    if paths is not None and all(os.path.exists(p) for p in paths):
+        return paths
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    out_dir = os.path.join("/tmp/nerfray_exports",
+                           os.path.basename(sf_dir.rstrip("/")),
+                           f"{table}_jsonl_gz")
+    os.makedirs(out_dir, exist_ok=True)
+    n = t.num_rows
+    bounds = [n * i // n_shards for i in range(n_shards + 1)]
+    paths = []
+    for i in range(n_shards):
+        shard = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+        path = os.path.join(out_dir, f"shard_{i:04d}.jsonl.gz")
+        tmp = path + ".tmp"
+        shard.to_pandas().to_json(tmp, orient="records", lines=True,
+                                  compression="gzip")
+        os.replace(tmp, path)
+        paths.append(path)
+    _EXPORT_CACHE[key] = paths
+    return paths
+
+
+def read_jsonl_gz_shards(paths: list[str]) -> ray.data.Dataset:
+    """Distributed gzip-JSONL shard reader: one decompress+parse task
+    per shard file (same custom-datasource shape as Feather/ORC)."""
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        frames = [pd.read_json(p, lines=True, compression="gzip")
+                  for p in batch.column("path").to_pylist()]
+        return _strip_schema_metadata(
+            pa.Table.from_pandas(pd.concat(frames), preserve_index=False))
+
+    paths_ds = ray.data.from_items([{"path": p} for p in paths])
+    return paths_ds.repartition(len(paths)).map_batches(
+        _decode, batch_format="pyarrow", batch_size=1)
