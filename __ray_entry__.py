@@ -769,6 +769,14 @@ def q_kg_type_inference(sf_dir: str):
     return graph.type_inference_planted_query(sf_dir)
 
 
+def q_kg_range_violations(sf_dir: str):
+    """rdfs:range validation — the object-side twin of the domain
+    check: one anti-join of statements (keyed on the object entity +
+    range class) against the near-root slice of the type closure."""
+    from nerfray.stages import graph
+    return graph.range_violations_planted_query(sf_dir)
+
+
 def q_kg_type_rollup(sf_dir: str):
     """Taxonomy rollup: per-class direct + transitive entity counts
     over the materialized type table (class-sized exchange only)."""
@@ -841,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_type_inference": q_kg_type_inference,
         "kg_type_rollup": q_kg_type_rollup,
+        "kg_range_violations": q_kg_range_violations,
         "kg_domain_violations": q_kg_domain_violations,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_er_clusters": q_kg_er_clusters,
@@ -871,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_taxonomy_closure": graph.TAXO_CLOSURE_PLANTED_SQL,
         "kg_type_inference": graph.TYPE_INFERENCE_PLANTED_SQL,
         "kg_type_rollup": graph.TYPE_ROLLUP_PLANTED_SQL,
+        "kg_range_violations": graph.RANGE_VIOLATIONS_PLANTED_SQL,
         "kg_domain_violations": graph.DOMAIN_VIOLATIONS_PLANTED_SQL,
         "kg_entity_resolution": __er.ER_PLANTED_SQL,
         "kg_er_clusters": __er.ER_CLUSTERS_SQL,

@@ -165,7 +165,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_domain_cap", "docs_feather_roundtrip",
                  "docs_orc_roundtrip", "kg_sssp_paths_planted",
                  "kg_matching_planted", "kg_ppr_planted",
-                 "events_cusum_alerts", "kg_mis_planted", "kg_landmarks_planted", "docs_bucket_diff", "docs_dupclass_weights", "docs_jsonl_gz_roundtrip"):
+                 "events_cusum_alerts", "kg_mis_planted", "kg_landmarks_planted", "docs_bucket_diff", "docs_dupclass_weights", "docs_jsonl_gz_roundtrip", "kg_range_violations"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)

@@ -4118,3 +4118,83 @@ def landmarks_planted_sql(hops: int = LANDMARK_HOPS) -> str:
         f"       (p % {LANDMARK_PACK})::BIGINT AS landmark\n"
         f"FROM l{hops} ORDER BY node"
     )
+
+
+# -- rdfs:range validation (the object-side twin of the domain check) --------
+
+def range_violations_planted_query(sf_dir: str) -> ray.data.Dataset:
+    """Statements whose OBJECT's type closure lacks the relation's
+    range class (rdfs:range) — same one-anti-join shape as the domain
+    check, keyed on the object entity."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from nerfray.ops.joins import hash_join
+    from nerfray.sources.parquet import read_parquet_clean
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+
+    def _stmts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rel = (ids * 7 + 3) % DOMAIN_N_RELS
+        obj = (ids * 11 + 5) % n_docs
+        rng = (rel + 1) % DOMAIN_N_RELS
+        return pa.Table.from_pydict({
+            "entity": pa.array(ids, pa.int64()),
+            "rel": pa.array(rel, pa.int64()),
+            "obj": pa.array(obj, pa.int64()),
+            "ck": pa.array(obj * DOMAIN_N_RELS + rng, pa.int64()),
+        })
+
+    stmts = docs.map_batches(_stmts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    types_ck = type_inference_planted_query(sf_dir).map_batches(
+        _type_ck_batch, batch_format="pyarrow", zero_copy_batch=True)
+    types = {c: pa.int64() for c in ("entity", "rel", "obj", "ck")}
+
+    def _viol(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "entity": batch.column("entity"),
+            "rel": batch.column("rel"),
+            "obj": batch.column("obj"),
+        }, schema=pa.schema([("entity", pa.int64()),
+                             ("rel", pa.int64()),
+                             ("obj", pa.int64())]))
+
+    return hash_join(
+        stmts, types_ck, left_on="ck", right_on="ck",
+        left_cols=["entity", "rel", "obj"], right_cols=[],
+        how="left anti", field_types=types,
+    ).map_batches(_viol, batch_format="pyarrow")
+
+
+RANGE_VIOLATIONS_PLANTED_SQL = f"""
+WITH RECURSIVE e AS ({TAXO_EDGES_SQL}),
+clo AS (
+  SELECT child AS node, parent AS anc, 1::BIGINT AS dist FROM e
+  UNION ALL
+  SELECT c.node, e.parent, c.dist + 1 FROM clo c JOIN e ON e.child = c.anc
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+direct AS (SELECT doc_id AS entity, doc_id % nn.n AS cls
+           FROM documents, nn),
+types AS (
+  SELECT entity, cls FROM direct
+  UNION ALL
+  SELECT d.entity, c.anc AS cls FROM direct d JOIN clo c ON c.node = d.cls
+),
+stmts AS (SELECT doc_id AS entity,
+                 (doc_id * 7 + 3) % {DOMAIN_N_RELS} AS rel,
+                 (doc_id * 11 + 5) % nd.n AS obj
+          FROM documents, nd)
+SELECT s.entity, s.rel, s.obj
+FROM stmts s
+WHERE NOT EXISTS (SELECT 1 FROM types t
+                  WHERE t.entity = s.obj
+                    AND t.cls = (s.rel + 1) % {DOMAIN_N_RELS})
+ORDER BY s.entity
+"""
