@@ -346,3 +346,61 @@ def test_bucket_diff_identical_tables_empty(ray_session):
     a = ray.data.from_arrow(t)
     b = ray.data.from_arrow(t).repartition(5)
     assert bucket_diff(a, b).count() == 0
+
+
+def test_checksum_sql_mirror_fuzz(ray_session):
+    """The UHUGEINT splitmix chain must match the kernel bit-for-bit
+    on adversarial content: unicode (length = code points, not bytes),
+    empty strings, consecutive-space word splits, and doc_ids near the
+    int64 edge of the signed/unsigned view."""
+    import duckdb
+    import ray.data
+
+    from nerfray.ops.integrity import CHECKSUM_SQL, table_checksum
+
+    texts = ["", " ", "  ", "héllo wörld", "日本語 テスト",
+             "a  b   c", "x" * 5000, "tab\tnot split", "trailing ",
+             " leading", "emoji 🎉 mix", "one"]
+    ids = [0, 1, 2, 63, 64, 65, 2**31, 2**40, 2**62,
+           2**63 - 1, 12345, 999]
+    t = pa.Table.from_pydict({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    got = table_checksum(ray.data.from_arrow(t).repartition(4)) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(CHECKSUM_SQL).df()
+    assert got["bucket"].tolist() == want["bucket"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
+    assert got["checksum"].tolist() == want["checksum"].tolist()
+
+
+def test_covered_time_sql_mirror_fuzz(ray_session):
+    """Window-SQL mirror vs the band-trick kernel on adversarial
+    intervals: nested, identical-lo ties, exact-touch boundaries."""
+    import duckdb
+    import ray.data
+
+    from nerfray.ops import events as ev
+
+    rng = np.random.default_rng(33)
+    n = 300
+    t = pa.Table.from_pydict({
+        "user_id": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "ts": pa.array(
+            rng.integers(0, 50, n) * 1_800_000_000,  # coarse: many ties
+            pa.timestamp("us")),
+        "value": pa.array(np.round(rng.uniform(0, 3, n), 2), pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = ds.map_batches(ev._user_bucket, batch_format="pyarrow") \
+        .groupby("hb").map_groups(ev._covered_bucket,
+                                  batch_format="pyarrow") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute(ev.ORACLES["events_covered_time"]).df()
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["covered_us"].tolist() == want["covered_us"].tolist()
+    assert got["n_islands"].tolist() == want["n_islands"].tolist()
