@@ -444,7 +444,7 @@ def q_kg_matching_planted(sf_dir: str):
 def q_kg_mis_planted(sf_dir: str):
     """Maximal independent set (deterministic min-id Luby rounds) —
     conflict-free scheduling waves; planted 3-paths give the
-    closed-form {i : i %% 3 != 1} answer.""".replace("%%", "%")
+    closed-form {i : i % 3 != 1} answer."""
     from nerfray.stages import graph
     return graph.mis_planted_query(sf_dir)
 

@@ -2,10 +2,15 @@
 grain checksum a replica pair (or a before/after migration pair) can
 compare without moving rows.
 
-Per row, a splitmix64 hash of (doc_id, length(text), word count) —
-content-sensitive integer inputs only, so the DuckDB mirror is bit
-exact (the UHUGEINT modular-arithmetic chain keeps the mod-2^64
-wraparound).  Row hashes are SUMMED mod 2^64 per doc_id%64 bucket:
+Per row, a splitmix64 hash of (doc_id, length(text), word count,
+codepoint sum) — content-sensitive integer inputs only, so the DuckDB
+mirror is bit exact (the UHUGEINT modular-arithmetic chain keeps the
+mod-2^64 wraparound).  The codepoint sum makes same-length
+substitutions ('abc'->'abd') visible; the fingerprint is still a
+PROXY, not a cryptographic digest — a corruption that preserves
+length, word count AND the sum of unicode codepoints (e.g. swapping
+two characters) is invisible to it.  Row hashes are SUMMED mod 2^64
+per doc_id%64 bucket:
 addition is commutative, so block order, batching, and shuffle layout
 cannot perturb the result — the defining property an anti-entropy
 check needs.  Shape: per-block partials (<= 64 rows each) then one
@@ -25,6 +30,21 @@ from .dedup import splitmix64
 
 N_CK_BUCKETS = 64
 
+def _codepoint_sums(col: pa.ChunkedArray) -> np.ndarray:
+    """Per-row sum of unicode codepoints, uint64.
+
+    Fixed-width numpy unicode view: padding is \\x00 so the row sum over
+    the width axis is exact for any text; mirrored in SQL by
+    list_sum(list_transform(string_split(text, ''), x -> ord(x))).
+    """
+    a = np.array(col.to_pylist(), dtype="U")
+    if a.dtype.itemsize == 0:  # all-empty column
+        return np.zeros(len(a), np.uint64)
+    w = a.dtype.itemsize // 4
+    return a.view(np.uint32).reshape(len(a), w).sum(
+        axis=1, dtype=np.uint64)
+
+
 _CK_SCHEMA = pa.schema([
     ("bucket", pa.int64()),
     ("n_rows", pa.int64()),
@@ -42,7 +62,9 @@ def _checksum_partial(batch: pa.Table) -> pa.Table:
     n_words = pc.list_value_length(
         pc.split_pattern(batch.column("text"), " ")).to_numpy(
         zero_copy_only=False).astype(np.uint64)
-    key = ids * np.uint64(1000003) + n_chars * np.uint64(31) + n_words
+    csum = _codepoint_sums(batch.column("text"))
+    key = (ids * np.uint64(1000003) + n_chars * np.uint64(31)
+           + n_words + csum * np.uint64(131))
     h = splitmix64(key)
     bucket = (ids % np.uint64(N_CK_BUCKETS)).astype(np.int64)
     order = np.argsort(bucket, kind="stable")
@@ -72,6 +94,12 @@ def _checksum_fold(group: pa.Table) -> pa.Table:
 
 
 def table_checksum(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Order-independent per-bucket checksum of (doc_id, text) rows.
+
+    The row fingerprint is a PROXY — splitmix64 over (doc_id, char
+    count, word count, codepoint sum), not a digest of the bytes; a
+    corruption preserving all four (e.g. transposing two characters)
+    is invisible.  See the module docstring."""
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(_checksum_partial, batch_format="pyarrow",
                      zero_copy_batch=True) \
@@ -94,7 +122,10 @@ WITH k AS (
   SELECT doc_id % {N_CK_BUCKETS} AS bucket,
          ((doc_id::UBIGINT::UHUGEINT * 1000003
            + length(text)::UHUGEINT * 31
-           + length(string_split(text, ' '))::UHUGEINT)
+           + length(string_split(text, ' '))::UHUGEINT
+           + coalesce(list_sum(list_transform(
+               string_split(text, ''), x -> greatest(ord(x), 0))),
+               0)::UHUGEINT * 131)
           % 18446744073709551616)::UBIGINT AS key
   FROM documents),
 z1 AS (SELECT bucket, ((key::UHUGEINT + 11400714819323198485)
@@ -174,8 +205,9 @@ def _row_hash_batch(batch: pa.Table, *, side: int,
     n_words = pc.list_value_length(
         pc.split_pattern(batch.column("text"), " ")).to_numpy(
         zero_copy_only=False).astype(np.uint64)
-    h = splitmix64(ids * np.uint64(1000003)
-                   + n_chars * np.uint64(31) + n_words)
+    csum = _codepoint_sums(batch.column("text"))
+    h = splitmix64(ids * np.uint64(1000003) + n_chars * np.uint64(31)
+                   + n_words + csum * np.uint64(131))
     bk = (ids % np.uint64(N_CK_BUCKETS)).astype(np.int64)
     mask = np.ones(len(ids), bool) if buckets is None \
         else np.isin(bk, buckets)
@@ -198,6 +230,11 @@ def _diff_bucket(group: pa.Table) -> pa.Table:
     i_s, h_s, s_s = ids[order], h[order], side[order]
     starts = np.flatnonzero(np.r_[True, i_s[1:] != i_s[:-1]])
     cnt = np.diff(np.r_[starts, len(i_s)])
+    if cnt.max(initial=0) > 2:
+        bad = i_s[starts[cnt > 2]][:5]
+        raise ValueError(
+            f"bucket_diff requires doc_id unique per side; ids seen "
+            f">2 times across both sides: {bad.tolist()}")
     out_id, out_ch = [], []
     one = cnt == 1
     # present on one side only
@@ -207,8 +244,15 @@ def _diff_bucket(group: pa.Table) -> pa.Table:
     out_ch.extend(["removed"] * int((solo_side == 0).sum()))
     out_id.append(solo_ids[solo_side == 1])
     out_ch.extend(["added"] * int((solo_side == 1).sum()))
-    # both sides: changed iff row hashes differ
+    # both sides: changed iff row hashes differ.  A same-side pair
+    # (duplicate key within one table) violates the unique-key
+    # precondition — raise rather than misreport it as un/changed.
     both = starts[cnt == 2]
+    if np.any(s_s[both] == s_s[both + 1]):
+        bad = i_s[both][s_s[both] == s_s[both + 1]][:5]
+        raise ValueError(
+            f"bucket_diff requires doc_id unique per side; duplicate "
+            f"ids within one side: {bad.tolist()}")
     changed = h_s[both] != h_s[both + 1]
     out_id.append(i_s[both][changed])
     out_ch.extend(["changed"] * int(changed.sum()))
@@ -221,7 +265,13 @@ def _diff_bucket(group: pa.Table) -> pa.Table:
 def bucket_diff(a: ray.data.Dataset, b: ray.data.Dataset) \
         -> ray.data.Dataset:
     """Row-grain diff of two table versions, prefiltered to the buckets
-    whose anti-entropy checksums disagree."""
+    whose anti-entropy checksums disagree.
+
+    Precondition: ``doc_id`` is unique within each side (the anti-
+    entropy protocol compares keyed table versions).  Duplicate keys
+    raise rather than silently misclassify.  Change detection uses the
+    proxy fingerprint (length, word count, codepoint sum) — see the
+    module docstring for its blind spot."""
     ca = {r["bucket"]: (r["checksum"], r["n_rows"])
           for r in table_checksum(a).take_all()}   # <= 64 rows
     cb = {r["bucket"]: (r["checksum"], r["n_rows"])
@@ -272,5 +322,9 @@ WHERE v2.doc_id IS NULL OR v1.doc_id IS NULL
    OR length(v1.text) != length(v2.text)
    OR length(string_split(v1.text, ' '))
       != length(string_split(v2.text, ' '))
+   OR coalesce(list_sum(list_transform(string_split(v1.text, ''),
+                                       x -> greatest(ord(x), 0))), 0)
+      != coalesce(list_sum(list_transform(string_split(v2.text, ''),
+                                          x -> greatest(ord(x), 0))), 0)
 ORDER BY doc_id
 """

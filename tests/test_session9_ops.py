@@ -336,6 +336,41 @@ def test_bucket_diff_classifies_and_prunes(ray_session):
     assert got == want
 
 
+def test_checksum_detects_same_length_substitution(ray_session):
+    """'abc' -> 'abd' preserves char AND word counts; the codepoint-sum
+    term folded into the fingerprint (r5) must still expose it."""
+    import ray.data
+
+    from nerfray.ops.integrity import table_checksum
+    t1 = pa.Table.from_pydict({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["abc"], pa.string())})
+    t2 = pa.Table.from_pydict({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["abd"], pa.string())})
+    a = table_checksum(ray.data.from_arrow(t1)).to_pandas()
+    b = table_checksum(ray.data.from_arrow(t2)).to_pandas()
+    assert a["checksum"].tolist() != b["checksum"].tolist()
+
+
+def test_bucket_diff_duplicate_keys_raise(ray_session):
+    """Duplicate doc_id within one side violates the documented
+    unique-key precondition: raise, never misclassify."""
+    import pytest
+    import ray.data
+
+    from nerfray.ops.integrity import bucket_diff
+    dup = pa.Table.from_pydict({
+        "doc_id": pa.array([7, 7], pa.int64()),
+        "text": pa.array(["x", "y"], pa.string())})
+    other = pa.Table.from_pydict({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["z"], pa.string())})
+    with pytest.raises(Exception, match="unique per side"):
+        bucket_diff(ray.data.from_arrow(dup),
+                    ray.data.from_arrow(other)).take_all()
+
+
 def test_bucket_diff_identical_tables_empty(ray_session):
     import ray.data
 
