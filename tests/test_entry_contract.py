@@ -17,6 +17,36 @@ def test_every_oracle_has_a_query():
         assert callable(fn), name
 
 
+def test_gate_prefix_stratified_and_fully_oracled():
+    """The driver's CORRECTNESS artifact records only the first 50
+    queries() entries; pin that window to a stratified, fully-oracled
+    sample so every operator family earns driver-artifact rows and no
+    row reads no_oracle (r4 verdict items 1 and 6)."""
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    prefix = list(qs)[:50]
+    assert prefix == entrymod.GATE_PREFIX
+    assert len(set(prefix)) == 50
+    no_oracle = [n for n in prefix if n not in sqls]
+    assert not no_oracle, f"gate-window rows without oracle: {no_oracle}"
+    families = {
+        "kg flagship": ["kg_triples", "kg_apply_delta"],
+        "graph": ["kg_components", "kg_scc_planted"],
+        "ontology/er": ["kg_taxonomy_closure", "kg_entity_resolution"],
+        "dedup": ["dedup_exact", "dedup_minhash_planted",
+                  "docs_splits_leakproof"],
+        "ann": ["sim_ivfpq_planted", "emb_kmeans_planted"],
+        "retrieval": ["docs_bm25_topk", "docs_hybrid_rrf"],
+        "text": ["docs_word_df", "docs_pii_redacted"],
+        "tokenizer/sampling": ["docs_bpe_encoded", "docs_mixture"],
+        "multimodal": ["media_frames"],
+        "events": ["events_scd2"],
+        "relational": ["join_q18_topk"],
+    }
+    for fam, members in families.items():
+        assert any(n in prefix for n in members), fam
+
+
 def test_oracle_sql_parses_in_duckdb():
     """Every oracle must at least PREPARE against the registered views."""
     import duckdb
