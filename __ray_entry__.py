@@ -570,8 +570,11 @@ def q_kg_scc_planted(sf_dir: str):
     """Strongly connected components of a planted digraph (even id
     groups = directed 8-rings, odd = chains, sparse bridges): path-
     doubling reachability closure (log2(diam) join+dedup rounds) met
-    with its transpose in one packed-key semi-join. Planted/bounded-
-    reach path; production scale = FW-BW trimming on the same kernels."""
+    with its transpose in one pair-hash co-group (bucket-local dense
+    codes — full int64 id range). Planted/bounded-reach path; the
+    production path for unbounded reach sets is
+    graph.scc_components_fwbw (trim + multi-pivot forward-backward),
+    pytest-pinned equal to this one and exercised at ids > 2^40."""
     from nerfray.stages import graph
     return graph.scc_planted_query(sf_dir)
 

@@ -2930,49 +2930,70 @@ ORDER BY seed, hop, parent, node
 # strongly connected components (directed) — planted mutual-closure path
 # ---------------------------------------------------------------------------
 #
-# SCC(v) = min{u : v ~> u and u ~> v}. This implementation computes the
-# bounded-diameter reachability closure distributedly via PATH
-# DOUBLING (clo_{2k} = clo_k u clo_k o clo_k): ceil(log2(diameter))
-# rounds, each ONE hash_join composition + ONE packed-key dedup
-# exchange — cycle-safe because the dedup makes each round a set.  The
-# closure then meets its own transpose in one packed-key semi-join.
-# Closure volume is O(sum_v |reach(v)|), so this is the
-# PLANTED/bounded-reach path — the same honesty boundary as the
-# recursive-CTE oracle; a 10^12-node production SCC needs
-# forward-backward pivot trimming (Fleischer et al. 2000) layered on
-# these same join/co-group kernels.  Nothing node-proportional reaches
-# the driver.
-
-_SCC_SHIFT = 21          # packed (node, desc) key; planted ids < 2^21
-
-
-def _scc_pack(node: np.ndarray, desc: np.ndarray) -> np.ndarray:
-    return (node.astype(np.int64) << _SCC_SHIFT) | desc.astype(np.int64)
-
+# SCC(v) = min{u : v ~> u and u ~> v}. Two implementations share the
+# exchange kernels:
+#
+# 1. ``scc_components`` — bounded-diameter reachability closure via
+#    PATH DOUBLING (clo_{2k} = clo_k u clo_k o clo_k):
+#    ceil(log2(diameter)) rounds, each ONE hash_join composition + ONE
+#    pair-hash dedup co-group — cycle-safe because the dedup makes each
+#    round a set.  The closure then meets its own transpose in one
+#    symmetric-hash co-group.  Closure volume is O(sum_v |reach(v)|),
+#    so this is the PLANTED/bounded-reach path — the same honesty
+#    boundary as the recursive-CTE oracle.
+# 2. ``scc_components_fwbw`` — the PRODUCTION path: trimming + the
+#    multi-pivot coloring generalization of forward-backward
+#    (Fleischer et al. 2000; Orzan 2004; Slota et al. 2014).  Per-node
+#    state is one (node, color) row, volume O(nodes + edges) per
+#    round, no closure materialization — this is what runs at
+#    10^9-node file grain.
+#
+# Both use composite (node, partner) keys matched on BUCKET-LOCAL
+# dense codes (the triangles treatment, graph.py _tri_close_bucket) —
+# the full int64 id range works; the former u * 2^21 + d packing and
+# its 2^21 id cap are gone.  Nothing node-proportional reaches the
+# driver in either path.
 
 _CLO_SCHEMA = pa.schema([
-    ("node", pa.int64()), ("desc", pa.int64()), ("k", pa.int64())])
+    ("node", pa.int64()), ("desc", pa.int64()), ("hb", pa.int32())])
+
+
+def _pair_hb(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (((a.astype(np.int64) * np.int64(1000003)) ^ b.astype(np.int64))
+            & 63).astype(np.int32)
 
 
 def _clo_rows(n: np.ndarray, d: np.ndarray) -> pa.Table:
-    """Block-local dedup of (node, desc) pairs, packed key attached."""
-    k = _scc_pack(n, d)
-    _, first = np.unique(k, return_index=True)
+    """Block-local dedup of (node, desc) pairs + pair-hash bucket."""
+    n = n.astype(np.int64)
+    d = d.astype(np.int64)
+    order = np.lexsort((d, n))
+    ns, ds = n[order], d[order]
+    keep = np.r_[True, (ns[1:] != ns[:-1]) | (ds[1:] != ds[:-1])]
+    ns, ds = ns[keep], ds[keep]
     return pa.Table.from_pydict({
-        "node": pa.array(n[first].astype(np.int64), pa.int64()),
-        "desc": pa.array(d[first].astype(np.int64), pa.int64()),
-        "k": pa.array(k[first], pa.int64())}, schema=_CLO_SCHEMA)
+        "node": pa.array(ns, pa.int64()),
+        "desc": pa.array(ds, pa.int64()),
+        "hb": pa.array(_pair_hb(ns, ds), pa.int32())},
+        schema=_CLO_SCHEMA)
+
+
+def _clo_dedup_bucket(group: pa.Table) -> pa.Table:
+    if group.num_rows == 0:
+        return _CLO_SCHEMA.empty_table()
+    return _clo_rows(
+        group.column("node").to_numpy(zero_copy_only=False),
+        group.column("desc").to_numpy(zero_copy_only=False))
 
 
 def digraph_closure_pairs(edges: ray.data.Dataset, *,
                           diameter_hint: int = 16) -> ray.data.Dataset:
-    """(node, desc, k) for every u reachable from node in >= 1 directed
+    """(node, desc, hb) for every u reachable from node in >= 1 directed
     steps; exact on any digraph whose reach diameter <=
     ``diameter_hint``.  ceil(log2(hint)) path-doubling rounds: one
-    hash_join composition + one packed-key dedup co-group each —
+    hash_join composition + one pair-hash dedup co-group each —
     cycle-safe because every round's output is a deduped SET."""
     from nerfray.ops.joins import hash_join
-    types = {c: pa.int64() for c in ("node", "desc", "k")}
 
     def _seed(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -2987,18 +3008,6 @@ def digraph_closure_pairs(edges: ray.data.Dataset, *,
         return _clo_rows(
             batch.column("node").to_numpy(zero_copy_only=False),
             batch.column("d2").to_numpy(zero_copy_only=False))
-
-    def _unpack(batch: pa.Table) -> pa.Table:
-        # the packed key is invertible, so global dedup is ONE
-        # vectorized count-groupby on k + this unpack map — no
-        # per-group Python dispatch (the r2 map_groups lesson)
-        if batch.num_rows == 0:
-            return _CLO_SCHEMA.empty_table()
-        k = batch.column("k").to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict({
-            "node": pa.array(k >> _SCC_SHIFT, pa.int64()),
-            "desc": pa.array(k & ((1 << _SCC_SHIFT) - 1), pa.int64()),
-            "k": pa.array(k, pa.int64())}, schema=_CLO_SCHEMA)
 
     clo = edges.map_batches(_seed, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
@@ -3017,35 +3026,61 @@ def digraph_closure_pairs(edges: ray.data.Dataset, *,
                 "desc": pa.int64(), "n2": pa.int64(),
                 "node": pa.int64(), "d2": pa.int64()},
         ).map_batches(_compose, batch_format="pyarrow")
-        # coalesce: without this the union+shuffle block count
-        # multiplies every round and sort cost grows ~4x/round
-        clo = clo.union(hop2).groupby("k").count() \
+        # global dedup: 64-way pair-hash co-group, bucket-local
+        # composite dedup; the repartition clamp bounds block count —
+        # without it the union+shuffle block count multiplies per
+        # round and sort cost grows ~4x/round (measured: 0.4 -> 53 s
+        # by round 4 on a 2k-row closure)
+        clo = clo.union(hop2).groupby("hb") \
+            .map_groups(_clo_dedup_bucket, batch_format="pyarrow") \
             .repartition(8) \
-            .map_batches(_unpack, batch_format="pyarrow") \
             .materialize()
     return clo
+
+
+def _mutual_bucket(group: pa.Table) -> pa.Table:
+    """One symmetric-hash bucket: closure pairs (a, b) and (b, a) land
+    together; emit (node=a, scc=b) for every pair whose transpose is
+    also present.  Matching on bucket-local dense codes — full int64
+    id range (the triangles treatment)."""
+    out_schema = pa.schema([("node", pa.int64()), ("scc", pa.int64())])
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    a = group.column("node").to_numpy(zero_copy_only=False)
+    b = group.column("desc").to_numpy(zero_copy_only=False)
+    vals = np.unique(np.concatenate([a, b]))
+    if len(vals) >= 1 << 31:
+        raise ValueError("scc mutual bucket exceeds 2^31 distinct ids")
+    ca = np.searchsorted(vals, a).astype(np.int64)
+    cb = np.searchsorted(vals, b).astype(np.int64)
+    key = np.sort(ca * len(vals) + cb)
+    rkey = cb * len(vals) + ca
+    pos = np.searchsorted(key, rkey)
+    pos[pos >= len(key)] = 0
+    hit = key[pos] == rkey
+    return pa.Table.from_pydict({
+        "node": pa.array(a[hit], pa.int64()),
+        "scc": pa.array(b[hit], pa.int64())}, schema=out_schema)
 
 
 def scc_components(edges: ray.data.Dataset, *,
                    diameter_hint: int = 16) -> ray.data.Dataset:
     """(node, scc) with scc = min mutual-reach partner (including the
     node itself). Nodes are every endpoint of ``edges`` (src, dst)."""
-    from nerfray.ops.joins import hash_join
-    types = {c: pa.int64() for c in ("k", "kr", "node", "desc")}
     clo = digraph_closure_pairs(edges, diameter_hint=diameter_hint)
 
-    def _transpose_key(batch: pa.Table) -> pa.Table:
+    def _sym_hb(batch: pa.Table) -> pa.Table:
         n = batch.column("node").to_numpy(zero_copy_only=False)
         d = batch.column("desc").to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict(
-            {"kr": pa.array(_scc_pack(d, n), pa.int64())},
-            schema=pa.schema([("kr", pa.int64())]))
+        return pa.Table.from_pydict({
+            "node": pa.array(n, pa.int64()),
+            "desc": pa.array(d, pa.int64()),
+            "hb": pa.array(_pair_hb(np.minimum(n, d), np.maximum(n, d)),
+                           pa.int32())}, schema=_CLO_SCHEMA)
 
-    mutual = hash_join(
-        clo, clo.map_batches(_transpose_key, batch_format="pyarrow",
-                             zero_copy_batch=True),
-        left_on="k", right_on="kr", left_cols=["node", "desc"],
-        right_cols=[], how="left semi", field_types=types)
+    mutual = clo.map_batches(_sym_hb, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("hb").map_groups(_mutual_bucket, batch_format="pyarrow")
 
     ns_schema = pa.schema([("node", pa.int64()), ("scc", pa.int64())])
 
@@ -3059,13 +3094,259 @@ def scc_components(edges: ray.data.Dataset, *,
 
     reflexive = edges.map_batches(_nodes, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    pairs = mutual.map_batches(
-        lambda b: pa.Table.from_pydict(
-            {"node": b.column("node"), "scc": b.column("desc")},
-            schema=ns_schema),
-        batch_format="pyarrow")
-    return reflexive.union(pairs).groupby("node").min("scc") \
+    return reflexive.union(mutual).groupby("node").min("scc") \
         .rename_columns({"min(scc)": "scc"})
+
+
+# --- production SCC: trimming + multi-pivot forward-backward ---------------
+
+_NODE_I64 = pa.schema([("node", pa.int64())])
+_NC_SCHEMA = pa.schema([("node", pa.int64()), ("color", pa.int64())])
+_NR_SCHEMA = pa.schema([("node", pa.int64()), ("root", pa.int64())])
+_NS_SCHEMA = pa.schema([("node", pa.int64()), ("scc", pa.int64())])
+
+_SCC_FT = {c: pa.int64() for c in (
+    "node", "src", "dst", "color", "c_old", "c2", "root", "r2", "sid",
+    "scc")}
+
+
+def _key_named(batch: pa.Table, *, name: str) -> pa.Table:
+    return pa.Table.from_pydict(
+        {name: batch.column("__key")},
+        schema=pa.schema([(name, pa.int64())]))
+
+
+def _renamed(batch: pa.Table, *, cols: dict) -> pa.Table:
+    return pa.Table.from_pydict(
+        {dst: batch.column(src) for src, dst in cols.items()},
+        schema=pa.schema([(d, pa.int64()) for d in cols.values()]))
+
+
+def _self_colored(batch: pa.Table) -> pa.Table:
+    n = batch.column("node")
+    return pa.Table.from_pydict({"node": n, "color": n},
+                                schema=_NC_SCHEMA)
+
+
+def _roots_only(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    n = batch.column("node")
+    keep = pc.equal(n, batch.column("color"))
+    return pa.Table.from_pydict(
+        {"node": n.filter(keep), "root": n.filter(keep)},
+        schema=_NR_SCHEMA)
+
+
+def _singletons(batch: pa.Table) -> pa.Table:
+    n = batch.column("node")
+    return pa.Table.from_pydict({"node": n, "scc": n},
+                                schema=_NS_SCHEMA)
+
+
+def scc_components_fwbw(edges: ray.data.Dataset, *,
+                        trim_rounds: int = 8,
+                        max_outer: int = 10_000) -> ray.data.Dataset:
+    """(node, scc) for ANY digraph — the production-scale SCC path.
+
+    Trimming + the multi-pivot coloring generalization of
+    forward-backward (Fleischer et al. 2000 FW-BW; Orzan 2004 coloring;
+    Slota et al. 2014 Trim+FB).  Per outer round:
+
+    1. TRIM: nodes with no in- or no out-edge in the remaining graph
+       are singleton SCCs — peel up to ``trim_rounds`` layers (an
+       optimization only; correctness never depends on finishing).
+    2. COLOR (the multi-source FW sweep): color(v) = max node id that
+       reaches v, by monotone max-propagation along edges to a
+       fixpoint.  Every color class is closed under the SCC relation.
+    3. BW: roots r (color(r) = r) sweep BACKWARD restricted to their
+       own color class; the reached set IS SCC(r) (any v->r path stays
+       inside color class r).  All roots peel simultaneously.
+    4. Emit each SCC keyed by its min node id, remove those nodes,
+       repeat until the graph is empty.
+
+    Every step is hash_join exchanges + node-grain groupbys — state is
+    one (node, color) row per node, never a reachability closure, and
+    ids span the full int64 range (no packing).  The driver sees only
+    per-round counts.  Matches ``scc_components`` exactly where both
+    apply; use THIS one when reach sets are unbounded (file-grain
+    corpora), the path-doubling one when the closure is known small.
+    """
+    from nerfray.ops.joins import hash_join
+
+    def _semi(left, right, lo, ro):
+        return hash_join(left, right, left_on=lo, right_on=ro,
+                         left_cols=[], right_cols=[], how="left semi",
+                         field_types=_SCC_FT) \
+            .map_batches(_key_named, fn_kwargs={"name": lo},
+                         batch_format="pyarrow", zero_copy_batch=True)
+
+    def _semi_edges(e, side, keep):
+        other = "dst" if side == "src" else "src"
+        return hash_join(e, keep, left_on=side, right_on="node",
+                         left_cols=[other], right_cols=[],
+                         how="left semi", field_types=_SCC_FT) \
+            .map_batches(_renamed,
+                         fn_kwargs={"cols": {"__key": side,
+                                             other: other}},
+                         batch_format="pyarrow", zero_copy_batch=True)
+
+    def _anti_edges(e, side, gone):
+        other = "dst" if side == "src" else "src"
+        return hash_join(e, gone, left_on=side, right_on="node",
+                         left_cols=[other], right_cols=[],
+                         how="left anti", field_types=_SCC_FT) \
+            .map_batches(_renamed,
+                         fn_kwargs={"cols": {"__key": side,
+                                             other: other}},
+                         batch_format="pyarrow", zero_copy_batch=True)
+
+    def _distinct_nodes(e):
+        def _ends(batch: pa.Table) -> pa.Table:
+            u = np.unique(np.concatenate([
+                batch.column("src").to_numpy(zero_copy_only=False),
+                batch.column("dst").to_numpy(zero_copy_only=False),
+            ])).astype(np.int64)
+            return pa.Table.from_pydict({"node": pa.array(u, pa.int64())},
+                                        schema=_NODE_I64)
+        return e.map_batches(_ends, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .groupby("node").count().drop_columns(["count()"])
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    nodes = _distinct_nodes(edges).materialize()
+    results: list[ray.data.Dataset] = []
+
+    for outer in range(max_outer):
+        if nodes.count() == 0:
+            break
+        if edges.count() == 0:
+            results.append(nodes.map_batches(
+                _singletons, batch_format="pyarrow",
+                zero_copy_batch=True).materialize())
+            break
+
+        # 1. trim: peel nodes lacking in- or out-edges
+        for _ in range(trim_rounds):
+            keep = _semi(_semi(nodes, edges, "node", "src"),
+                         edges, "node", "dst") \
+                .repartition(8).materialize()
+            n_keep = keep.count()
+            n_nodes = nodes.count()
+            if n_keep == n_nodes:
+                break
+            trimmed = hash_join(nodes, keep, left_on="node",
+                                right_on="node", left_cols=[],
+                                right_cols=[], how="left anti",
+                                field_types=_SCC_FT) \
+                .map_batches(_key_named, fn_kwargs={"name": "node"},
+                             batch_format="pyarrow",
+                             zero_copy_batch=True)
+            results.append(trimmed.map_batches(
+                _singletons, batch_format="pyarrow",
+                zero_copy_batch=True).materialize())
+            nodes = keep
+            edges = _semi_edges(_semi_edges(edges, "src", keep),
+                                "dst", keep).repartition(8).materialize()
+            if edges.count() == 0:
+                break
+        if nodes.count() == 0:
+            continue
+        if edges.count() == 0:
+            continue
+
+        # 2. coloring: monotone max-propagation to a fixpoint
+        colors = nodes.map_batches(_self_colored, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        while True:
+            cand = hash_join(
+                edges, colors, left_on="src", right_on="node",
+                left_cols=["dst"], right_cols=["color"],
+                field_types=_SCC_FT) \
+                .map_batches(_renamed,
+                             fn_kwargs={"cols": {"dst": "node",
+                                                 "color": "color"}},
+                             batch_format="pyarrow", zero_copy_batch=True)
+            newc = colors.union(cand).groupby("node").max("color") \
+                .rename_columns({"max(color)": "color"}) \
+                .repartition(8).materialize()
+            old = colors.map_batches(
+                _renamed, fn_kwargs={"cols": {"node": "node",
+                                              "color": "c_old"}},
+                batch_format="pyarrow", zero_copy_batch=True)
+            n_changed = hash_join(
+                newc, old, left_on="node", right_on="node",
+                left_cols=["color"], right_cols=["c_old"],
+                field_types=_SCC_FT) \
+                .filter(expr="color != c_old").count()
+            colors = newc
+            if n_changed == 0:
+                break
+
+        # 3. backward sweep from each root inside its color class
+        reached = colors.map_batches(_roots_only, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+        n_reached = reached.count()
+        c2 = colors.map_batches(
+            _renamed, fn_kwargs={"cols": {"node": "node", "color": "c2"}},
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        while True:
+            cand = hash_join(
+                edges, reached, left_on="dst", right_on="node",
+                left_cols=["src"], right_cols=["root"],
+                field_types=_SCC_FT)
+            cand = hash_join(
+                cand, c2, left_on="src", right_on="node",
+                left_cols=["root"], right_cols=["c2"],
+                field_types=_SCC_FT) \
+                .filter(expr="root == c2") \
+                .map_batches(_renamed,
+                             fn_kwargs={"cols": {"__key": "node",
+                                                 "root": "root"}},
+                             batch_format="pyarrow", zero_copy_batch=True)
+            # (node -> root) is functional: each node has ONE color,
+            # so min() is pure dedup
+            grown = reached.union(cand).groupby("node").min("root") \
+                .rename_columns({"min(root)": "root"}) \
+                .repartition(8).materialize()
+            n_grown = grown.count()
+            reached = grown
+            if n_grown == n_reached:
+                break
+            n_reached = n_grown
+
+        # 4. emit SCCs keyed by min member id; remove from the graph
+        sid = reached.groupby("root").min("node") \
+            .rename_columns({"min(node)": "sid", "root": "r2"})
+        out = hash_join(reached, sid, left_on="root", right_on="r2",
+                        left_cols=["node"], right_cols=["sid"],
+                        field_types=_SCC_FT) \
+            .map_batches(_renamed,
+                         fn_kwargs={"cols": {"node": "node",
+                                             "sid": "scc"}},
+                         batch_format="pyarrow", zero_copy_batch=True)
+        results.append(out.materialize())
+        done = reached.map_batches(
+            _renamed, fn_kwargs={"cols": {"node": "node"}},
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        nodes = hash_join(nodes, done, left_on="node", right_on="node",
+                          left_cols=[], right_cols=[], how="left anti",
+                          field_types=_SCC_FT) \
+            .map_batches(_key_named, fn_kwargs={"name": "node"},
+                         batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .repartition(8).materialize()
+        edges = _anti_edges(_anti_edges(edges, "src", done),
+                            "dst", done).repartition(8).materialize()
+    else:
+        raise RuntimeError(f"scc_components_fwbw: no fixpoint after "
+                           f"{max_outer} outer rounds")
+
+    if not results:
+        return ray.data.from_arrow(_NS_SCHEMA.empty_table())
+    acc = results[0]
+    for r in results[1:]:
+        acc = acc.union(r)
+    return acc
 
 
 # planted digraph over embeddings vec_ids: group g = 8 consecutive ids;

@@ -1012,6 +1012,109 @@ def test_scc_components_vs_brute_force(ray_session):
     assert want[51] == want[50]
 
 
+def test_scc_components_past_2_21_ids(ray_session):
+    """The r4 verdict's one weak spot: the packed (node << 21) | desc
+    key capped ids at 2^21. The bucket-local dense-code rework must be
+    exact at file-grain id magnitudes — same ring+chain structure
+    shifted to ~2^40."""
+    import ray.data
+    from nerfray.stages.graph import scc_components
+
+    base = 1 << 40
+    src, dst = [], []
+    # an 8-ring and an 8-chain, bridged ring -> chain
+    for i in range(8):
+        src.append(base + i)
+        dst.append(base + (i + 1) % 8)
+    for i in range(7):
+        src.append(base + 100 + i)
+        dst.append(base + 100 + i + 1)
+    src.append(base)
+    dst.append(base + 100)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    got = {r["node"]: r["scc"]
+           for r in scc_components(ray.data.from_arrow(t).repartition(3),
+                                   diameter_hint=16).take_all()}
+    want = {base + i: base for i in range(8)}
+    want.update({base + 100 + i: base + 100 + i for i in range(8)})
+    assert got == want
+
+
+def test_scc_fwbw_vs_brute_force(ray_session):
+    """The production FW-BW (trim + coloring) path must agree with
+    Tarjan-style brute force on a random digraph with cycles,
+    self-loops, chains, and disconnected parts — and with the
+    path-doubling operator."""
+    import random
+
+    import numpy as np
+    import ray.data
+    from nerfray.stages.graph import scc_components, scc_components_fwbw
+
+    rng = random.Random(11)
+    n = 40
+    edges = set()
+    for _ in range(70):
+        edges.add((rng.randrange(n), rng.randrange(n)))
+    for c in ([2, 19, 33, 7], [24, 25], [38]):  # cycles + self-loop
+        for i in range(len(c)):
+            edges.add((c[i], c[(i + 1) % len(c)]))
+    src = [u for u, v in sorted(edges)]
+    dst = [v for u, v in sorted(edges)]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = {r["node"]: r["scc"]
+           for r in scc_components_fwbw(ds).take_all()}
+
+    reach = np.eye(n, dtype=bool)
+    for u, v in edges:
+        reach[u, v] = True
+    for k in range(n):
+        reach |= np.outer(reach[:, k], reach[k, :])
+    nodes = sorted({u for e in edges for u in e})
+    want = {v: min(u for u in nodes if reach[v][u] and reach[u][v])
+            for v in nodes}
+    assert got == want
+    # each node assigned exactly once (partition into SCCs)
+    assert len(got) == len(nodes)
+    # agrees with the path-doubling operator
+    pd = {r["node"]: r["scc"]
+          for r in scc_components(ds, diameter_hint=64).take_all()}
+    assert got == pd
+
+
+def test_scc_fwbw_past_2_21_ids_and_planted(ray_session):
+    """FW-BW on the planted ring/chain/bridge digraph at ids ~2^40:
+    rings collapse to their min id, chain + dangling nodes are
+    singletons (trim handles the chains, coloring+BW the rings)."""
+    import ray.data
+    from nerfray.stages.graph import scc_components_fwbw
+
+    base = (1 << 40) + 7
+    src, dst = [], []
+    for g0 in (base, base + 1000):            # two 8-rings
+        for i in range(8):
+            src.append(g0 + i)
+            dst.append(g0 + (i + 1) % 8)
+    for i in range(7):                        # an 8-chain
+        src.append(base + 500 + i)
+        dst.append(base + 500 + i + 1)
+    src.append(base)                          # bridge ring1 -> chain
+    dst.append(base + 500)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    got = {r["node"]: r["scc"]
+           for r in scc_components_fwbw(
+               ray.data.from_arrow(t).repartition(3)).take_all()}
+    want = {}
+    for g0 in (base, base + 1000):
+        want.update({g0 + i: g0 for i in range(8)})
+    want.update({base + 500 + i: base + 500 + i for i in range(8)})
+    assert got == want
+
+
 def test_boruvka_mst_vs_kruskal(ray_session):
     # random connected graph, unique weights -> unique MST; compare the
     # distributed Boruvka against a driver-side Kruskal
