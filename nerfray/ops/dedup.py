@@ -21,6 +21,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 # ---------------------------------------------------------------------------
@@ -1036,62 +1037,165 @@ def _batched_leven_chunk(cps, ai, bi, la, lb, act, k, res) -> None:
                 la_a, lb_a, idx = la_a[keep], lb_a[keep], idx[keep]
 
 
+# gkey bit layout: (group-band << 32) | (si << 16) | sj — supports up
+# to 65,536 shards per band, i.e. cap * 65536 / 2 ≈ 6.5e7 docs in ONE
+# length band before the layout (not the algorithm) runs out.
+_ED_GB_SHIFT = 32
+_ED_SH_SHIFT = 16
+_ED_SH_MASK = (1 << 16) - 1
+
+
+def editdist_band_shards(census: list[tuple[int, int]],
+                         cap: int = ED_BAND_CAP) -> dict[int, int]:
+    """Per GROUP-band shard counts from a (band, n_docs) census.
+
+    Group-band g receives docs of length-band g and g-1 (each doc
+    joins its own band and the one above), so its population is
+    pop(g) + pop(g-1); a shard-pair co-group holds docs of two shards
+    => n_shards = ceil(2 * population / cap) bounds every co-group by
+    ``cap`` docs BY CONSTRUCTION — no truncation, no drops."""
+    pop: dict[int, int] = {}
+    for band, n in census:
+        pop[band] = pop.get(band, 0) + n
+    shards: dict[int, int] = {}
+    for band, n in pop.items():
+        for g in (band, band + 1):
+            shards[g] = shards.get(g, 0) + n
+    return {g: max(1, (2 * n + cap - 1) // cap)
+            for g, n in shards.items()}
+
+
+class _UniformShards:
+    """Picklable band -> n_shards map with one value everywhere (the
+    explicit-``n_shards`` override path)."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def get(self, _g: int, _default: int = 1) -> int:
+        return self.n
+
+
+_ED_CENSUS_SCHEMA = pa.schema([("band", pa.int64()), ("n", pa.int64())])
+
+
+def _ed_census_counts(batch: pa.Table, *, k: int, maxlen: int) -> pa.Table:
+    if batch.num_rows == 0:
+        return _ED_CENSUS_SCHEMA.empty_table()
+    lens = pc.utf8_length(
+        pc.utf8_slice_codeunits(batch.column("text"), 0, maxlen)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    bands, counts = np.unique(lens // k, return_counts=True)
+    return pa.Table.from_pydict({
+        "band": pa.array(bands, pa.int64()),
+        "n": pa.array(counts.astype(np.int64), pa.int64()),
+    }, schema=_ED_CENSUS_SCHEMA)
+
+
+def editdist_band_census(docs: ray.data.Dataset, *,
+                         k: int = ED_K,
+                         maxlen: int = ED_MAXLEN,
+                         cap: int = ED_BAND_CAP) -> ray.data.Dataset:
+    """(band, n_docs, n_shards) audit surface for the adaptive shard
+    plan: how many docs land in each GROUP-band co-group family and
+    how many shard-splits it gets.  Narrow rows only (no text leaves
+    the block); #bands <= maxlen // k + 2, so the driver-side plan is
+    bounded regardless of corpus size.  Full SQL mirror
+    (EDITDIST_CENSUS_SQL) — the drop-accounting oracle row: with the
+    adaptive plan every band is processed whole, so the audit proves
+    ZERO docs were dropped (the pre-r5 ED_BAND_CAP truncation is
+    gone)."""
+    pop = docs.select_columns(["text"]).map_batches(
+        _ed_census_counts, fn_kwargs={"k": k, "maxlen": maxlen},
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("band").sum("n").rename_columns({"sum(n)": "n"})
+
+    def _with_shards(batch: pa.Table) -> pa.Table:
+        # group-band populations + shard plan, from the tiny census
+        census = list(zip(
+            batch.column("band").to_pylist(), batch.column("n").to_pylist()))
+        pop: dict[int, int] = {}
+        for band, n in census:
+            for g in (band, band + 1):
+                pop[g] = pop.get(g, 0) + n
+        shards = editdist_band_shards(census, cap)
+        gs = sorted(pop)
+        return pa.Table.from_pydict({
+            "band": pa.array(gs, pa.int64()),
+            "n_docs": pa.array([pop[g] for g in gs], pa.int64()),
+            "n_shards": pa.array([shards[g] for g in gs], pa.int64())})
+
+    # the census is <= maxlen // k + 2 rows: one block, one map
+    return pop.repartition(1).map_batches(
+        _with_shards, batch_format="pyarrow")
+
+
 def _ed_band_rows(batch: pa.Table, *, k: int, maxlen: int,
-                  n_shards: int) -> pa.Table:
+                  shard_map: dict[int, int]) -> pa.Table:
     """One row per (length-band, shard-pair) a doc participates in.
 
     Quadratic pair work inside a populous band is split across
-    ``n_shards * (n_shards + 1) / 2`` independent co-groups: doc with
-    shard s = doc_id % n_shards joins group (band, min(s, t),
-    max(s, t)) for every t, so each unordered pair of shards lands in
-    exactly ONE group and each doc's text is replicated 2 * n_shards
-    times (two bands).  Output is invariant in n_shards; the split
-    only buys parallelism (the sf0.1 soak's 331 s single-band wall)."""
-    out_schema = pa.schema([("gkey", pa.int64()), ("shard", pa.int8()),
+    ``n_g * (n_g + 1) / 2`` independent co-groups with n_g the
+    PER-GROUP-BAND shard count from the census plan: doc with shard
+    s = doc_id % n_g joins group (g, min(s, t), max(s, t)) for every
+    t, so each unordered pair of shards lands in exactly ONE group
+    and each doc's text is replicated n_{b} + n_{b+1} times.  Output
+    is invariant in the shard plan; the split only buys parallelism
+    and the per-group cap (the sf0.1 soak's 331 s single-band wall)."""
+    out_schema = pa.schema([("gkey", pa.int64()), ("shard", pa.int32()),
                             ("doc_id", pa.int64()), ("text", pa.string())])
     texts = [t[:maxlen] for t in batch.column("text").to_pylist()]
     if not texts:
         return out_schema.empty_table()
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     bands = np.array([len(t) // k for t in texts], dtype=np.int64)
-    s = (ids % n_shards).astype(np.int64)
-    t = np.arange(n_shards, dtype=np.int64)
-    # (n, n_shards) shard-pair keys per doc, for band b and b + 1
-    si = np.minimum(s[:, None], t[None, :])
-    sj = np.maximum(s[:, None], t[None, :])
-    pair_key = si * n_shards + sj
-    gkeys = np.concatenate([
-        (bands[:, None] * n_shards * n_shards + pair_key).ravel(),
-        ((bands[:, None] + 1) * n_shards * n_shards + pair_key).ravel()])
-    rep_ids = np.concatenate([np.repeat(ids, n_shards)] * 2)
-    rep_shards = np.concatenate([np.repeat(s, n_shards)] * 2)
-    rep_texts = [tx for tx in texts for _ in range(n_shards)] * 2
+    gkeys_out: list[np.ndarray] = []
+    shards_out: list[np.ndarray] = []
+    ids_out: list[np.ndarray] = []
+    texts_out: list[str] = []
+    for b in np.unique(bands):
+        sel = np.flatnonzero(bands == b)
+        for g in (int(b), int(b) + 1):
+            n_g = shard_map.get(g, 1)
+            s = (ids[sel] % n_g).astype(np.int64)
+            t = np.arange(n_g, dtype=np.int64)
+            si = np.minimum(s[:, None], t[None, :])
+            sj = np.maximum(s[:, None], t[None, :])
+            gkeys_out.append(
+                ((np.int64(g) << _ED_GB_SHIFT)
+                 | (si << _ED_SH_SHIFT) | sj).ravel())
+            shards_out.append(np.repeat(s, n_g))
+            ids_out.append(np.repeat(ids[sel], n_g))
+            texts_out.extend(
+                tx for i in sel for tx in [texts[i]] * n_g)
     return pa.Table.from_pydict({
-        "gkey": pa.array(gkeys, pa.int64()),
-        "shard": pa.array(rep_shards.astype(np.int8), pa.int8()),
-        "doc_id": pa.array(rep_ids, pa.int64()),
-        "text": pa.array(rep_texts, pa.string()),
+        "gkey": pa.array(np.concatenate(gkeys_out), pa.int64()),
+        "shard": pa.array(
+            np.concatenate(shards_out).astype(np.int32), pa.int32()),
+        "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+        "text": pa.array(texts_out, pa.string()),
     }, schema=out_schema)
 
 
-def _ed_band_pairs(group: pa.Table, *, k: int, n_shards: int) -> pa.Table:
+def _ed_band_pairs(group: pa.Table, *, k: int) -> pa.Table:
     if group.num_rows == 0:
         return _ED_SCHEMA.empty_table()
     gkey = int(group.column("gkey")[0].as_py())
-    si, sj = (gkey // n_shards) % n_shards, gkey % n_shards
+    si = (gkey >> _ED_SH_SHIFT) & _ED_SH_MASK
+    sj = gkey & _ED_SH_MASK
     texts = group.column("text").to_pylist()
     ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     shards = group.column("shard").to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")
     ids, shards = ids[order], shards[order]
     texts = [texts[i] for i in order]
-    if len(ids) > ED_BAND_CAP:
-        import logging
-        logging.getLogger(__name__).warning(
-            "editdist band overflow: %d docs, dropping %d beyond cap",
-            len(ids), len(ids) - ED_BAND_CAP)
-        ids, shards = ids[:ED_BAND_CAP], shards[:ED_BAND_CAP]
-        texts = texts[:ED_BAND_CAP]
+    if len(ids) > 8 * ED_BAND_CAP:
+        # the adaptive census plan bounds co-groups at ED_BAND_CAP by
+        # construction (8x headroom for shard imbalance); landing here
+        # means the plan is broken — fail loudly, never drop silently
+        raise ValueError(
+            f"editdist co-group holds {len(ids)} docs "
+            f"(> 8 * cap {ED_BAND_CAP}); adaptive shard plan violated")
     lens = np.array([len(t) for t in texts], dtype=np.int64)
     cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
            for t in texts]
@@ -1133,26 +1237,58 @@ def _ed_band_pairs(group: pa.Table, *, k: int, n_shards: int) -> pa.Table:
 def editdist_pairs(docs: ray.data.Dataset, *,
                    k: int = ED_K,
                    maxlen: int = ED_MAXLEN,
-                   n_shards: int = 4) -> ray.data.Dataset:
+                   n_shards: int | None = None,
+                   cap: int = ED_BAND_CAP) -> ray.data.Dataset:
     """(doc_a, doc_b, editdist) for every pair within edit distance
     ``k`` — exact via length-banded, shard-split co-groups + two
     counting filters (char histogram, then hashed 4-gram profile)
-    ahead of the DP verify.  ``n_shards`` only splits each band's
-    quadratic candidate work across independent groups
-    (output-invariant; candidate-sweep work grows by (2s-1)/s while
-    per-group serial work falls by ~s/2 — the lever for a corpus
-    whose lengths pile into one band, e.g. everything truncated at
-    ``maxlen``)."""
+    ahead of the DP verify.
+
+    Sharding is POPULATION-ADAPTIVE by default (``n_shards=None``): a
+    narrow census pass counts docs per length band (<= maxlen//k + 2
+    rows at the driver, corpus-size-independent) and each group-band
+    gets ceil(2 * population / cap) shards, bounding every co-group at
+    ``cap`` docs by construction — no truncation, no silent drops
+    (the pre-r5 ED_BAND_CAP drop path is gone; a violated plan raises).
+    Pass an explicit ``n_shards`` to force a uniform plan (the split
+    is output-invariant either way: candidate-sweep work grows by
+    (2s-1)/s while per-group serial work falls by ~s/2)."""
+    if n_shards is None:
+        census = [(r["band"], r["n"])
+                  for r in docs.select_columns(["text"]).map_batches(
+                      _ed_census_counts,
+                      fn_kwargs={"k": k, "maxlen": maxlen},
+                      batch_format="pyarrow", zero_copy_batch=True)
+                  .groupby("band").sum("n")
+                  .rename_columns({"sum(n)": "n"}).take_all()]
+        shard_map = editdist_band_shards(census, cap)
+    else:
+        shard_map = _UniformShards(n_shards)
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
         _ed_band_rows,
-        fn_kwargs={"k": k, "maxlen": maxlen, "n_shards": n_shards},
+        fn_kwargs={"k": k, "maxlen": maxlen, "shard_map": shard_map},
         batch_format="pyarrow", zero_copy_batch=True)
     pairs = bands.groupby("gkey").map_groups(
-        _ed_band_pairs, fn_kwargs={"k": k, "n_shards": n_shards},
+        _ed_band_pairs, fn_kwargs={"k": k},
         batch_format="pyarrow")
     # a pair can surface in both shared bands: one tiny distinct
     return pairs.groupby(["doc_a", "doc_b"]).min("editdist") \
         .rename_columns({"min(editdist)": "editdist"})
+
+
+EDITDIST_CENSUS_SQL = f"""
+WITH d AS (
+  SELECT length(substr(text, 1, {ED_MAXLEN})) // {ED_K} AS band
+  FROM documents),
+pop AS (SELECT band, count(*)::BIGINT AS n FROM d GROUP BY band),
+g AS (SELECT band AS gband, n FROM pop
+      UNION ALL SELECT band + 1, n FROM pop),
+c AS (SELECT gband, sum(n)::BIGINT AS n_docs FROM g GROUP BY gband)
+SELECT gband AS band, n_docs,
+       greatest(1, (2 * n_docs + {ED_BAND_CAP} - 1)
+                   // {ED_BAND_CAP})::BIGINT AS n_shards
+FROM c ORDER BY band
+"""
 
 
 EDITDIST_SQL = f"""

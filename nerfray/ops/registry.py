@@ -81,6 +81,14 @@ def q_dedup_editdist(sf_dir: str):
     return dedup.editdist_pairs(_docs(sf_dir))
 
 
+def q_dedup_editdist_census(sf_dir: str):
+    # the editdist shard-plan audit: per group-band doc population and
+    # adaptive shard count — proves the band join runs drop-free (the
+    # pre-r5 cap truncation is gone); narrow rows, full SQL mirror
+    from . import dedup
+    return dedup.editdist_band_census(_docs(sf_dir))
+
+
 def q_docs_paragraph_dedup(sf_dir: str):
     # paragraph-grain exact dedup (global first occurrence survives,
     # short paragraphs exempt) over planted 3-paragraph docs -> full
@@ -1010,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_splits_leakproof": q_docs_splits_leakproof,
         "docs_dupclass_weights": q_docs_dupclass_weights,
         "dedup_editdist": q_dedup_editdist,
+        "dedup_editdist_census": q_dedup_editdist_census,
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "bloom_corpus": q_bloom_corpus,
         "bloom_probe": q_bloom_probe,
@@ -1572,6 +1581,7 @@ def oracles() -> dict[str, str]:
         "dedup_incremental": INCREMENTAL_SQL,
         "dedup_incremental_bloom": INCREMENTAL_SQL,
         "dedup_editdist": _dedup_sql("EDITDIST_SQL"),
+        "dedup_editdist_census": _dedup_sql("EDITDIST_CENSUS_SQL"),
         "docs_paragraph_dedup": _dedup_sql("PARA_DEDUP_PLANTED_SQL"),
         "bloom_corpus": _bloom_sql("BLOOM_TABLE_SQL"),
         "bloom_probe": _bloom_sql("BLOOM_PROBE_SQL"),

@@ -138,6 +138,48 @@ def test_editdist_pairs_vs_brute_force(ray_session):
     assert len(want) >= 26
 
 
+def test_editdist_adaptive_plan_dropfree_on_hot_band(ray_session):
+    """A pathological corpus whose lengths all pile into ONE band and
+    exceed the per-group cap: the adaptive census plan must split it
+    (n_shards > 1) and stay EXACT — the pre-r5 path silently truncated
+    here."""
+    import ray.data
+    from nerfray.ops import dedup
+
+    cap = 40  # small cap so a 120-doc band overflows a single group
+    rng = np.random.default_rng(7)
+    alphabet = list("abcd")
+    k = 4
+    base = "".join(rng.choice(alphabet, 64))
+    texts = []
+    for i in range(120):
+        mut = list(base)
+        mut[i % 60] = "z"  # distance 2 apart pairwise, 1 from base
+        texts.append("".join(mut))
+    ds = ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(5)
+
+    # the plan splits the hot band
+    census = {r["band"]: (r["n_docs"], r["n_shards"])
+              for r in dedup.editdist_band_census(
+                  ds, k=k, cap=cap).take_all()}
+    hot = [s for n, s in census.values() if n >= 120]
+    assert hot and all(s >= (2 * 120) // cap for s in hot)
+
+    got = {(r["doc_a"], r["doc_b"]): r["editdist"]
+           for r in dedup.editdist_pairs(ds, k=k, cap=cap).take_all()}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ed = dedup._levenshtein(texts[a], texts[b])
+            if ed <= k:
+                want[(a, b)] = ed
+    assert got == want
+    # every same-mutation pair (distance 0/2) is present: nothing dropped
+    assert len(got) == len(want) == 120 * 119 // 2
+
+
 def test_editdist_pairs_shard_invariant(ray_session):
     """n_shards only splits a band's quadratic work across co-groups;
     the pair set and distances must be identical for any shard count."""
