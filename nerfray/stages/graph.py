@@ -2398,16 +2398,17 @@ FROM e, dims GROUP BY 1, 2 ORDER BY 1, 2
 # ---------------------------------------------------------------------------
 #
 # The ontology-materialization step of KG construction (rdfs:subClassOf
-# closure, then type inference over it).  Semi-naive datalog evaluation:
-# round t joins the length-t delta against the base edges, so each
-# closure pair is derived exactly once on unique-path DAGs (trees /
-# forests — the planted taxonomy is a K-ary tree).  Each round is ONE
-# hash_join exchange over the delta (which shrinks as paths top out);
-# the accumulated closure stays a union of per-round Datasets and the
-# driver sees only the per-round delta row count (a scalar).  For
-# general DAGs where multiple derivation paths exist, the min-distance
-# contraction of `_min_relax_rounds` (bfs_hops) is the right kernel —
-# this one materializes the raw closure a reasoner wants.
+# closure, then type inference over it).  POINTER DOUBLING (r5, was
+# semi-naive): round t holds every ancestor pair within distance 2^t,
+# and composing the closure with itself doubles the horizon — so a
+# depth-D taxonomy converges in ceil(log2(D)) rounds instead of D
+# (the r4 profile: 26.7 s at sf0.1, one ~3.5 s fixed-cost exchange
+# set per DEPTH level; depth halves to log-depth here).  Each round is
+# ONE hash_join (closure ⋈ closure) + ONE pair-hash dedup co-group
+# keeping the MIN dist per (node, anc); the driver sees only the
+# closure row count (a scalar).  Exact min-distance closure on any
+# DAG (on unique-path trees — the planted K-ary taxonomy — min is
+# vacuous and this equals the raw closure a reasoner wants).
 
 TAXO_K = 4
 
@@ -2448,30 +2449,87 @@ def _delta_step(batch: pa.Table) -> pa.Table:
     }, schema=_TAXO_CLO_SCHEMA)
 
 
+def _taxo_compose(batch: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict({
+        "node": batch.column("node"),
+        "anc": batch.column("anc2"),
+        "dist": pa.compute.add(batch.column("dist"),
+                               batch.column("dist2")),
+    }, schema=_TAXO_CLO_SCHEMA)
+
+
+def _taxo_dedup_bucket(group: pa.Table) -> pa.Table:
+    """Min dist per (node, anc) composite pair, bucket-locally."""
+    if group.num_rows == 0:
+        return _TAXO_CLO_SCHEMA.empty_table()
+    n = group.column("node").to_numpy(zero_copy_only=False)
+    a = group.column("anc").to_numpy(zero_copy_only=False)
+    d = group.column("dist").to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, a, n))
+    ns, as_, ds = n[order], a[order], d[order]
+    keep = np.r_[True, (ns[1:] != ns[:-1]) | (as_[1:] != as_[:-1])]
+    return pa.Table.from_pydict({
+        "node": pa.array(ns[keep], pa.int64()),
+        "anc": pa.array(as_[keep], pa.int64()),
+        "dist": pa.array(ds[keep], pa.int64()),
+    }, schema=_TAXO_CLO_SCHEMA)
+
+
+def _taxo_hb(batch: pa.Table) -> pa.Table:
+    n = batch.column("node").to_numpy(zero_copy_only=False)
+    a = batch.column("anc").to_numpy(zero_copy_only=False)
+    hb = (((n * np.int64(1000003)) ^ a) & 63).astype(np.int32)
+    return batch.append_column("hb", pa.array(hb, pa.int32()))
+
+
 def taxonomy_closure(edges: ray.data.Dataset, *,
                      max_rounds: int = 40) -> ray.data.Dataset:
-    """(node, anc, dist) for every proper ancestor, exact on
-    unique-path DAGs.  Terminates when a round derives nothing new;
-    ``max_rounds`` only guards against a cyclic input (raises)."""
+    """(node, anc, dist) for every proper ancestor with dist = the
+    MINIMUM subclass-path length — pointer doubling, so a depth-D
+    taxonomy takes ceil(log2(D)) composition rounds (each one
+    closure ⋈ closure hash_join + one pair-hash min-dedup co-group).
+    On unique-path trees/forests (the planted K-ary taxonomy) min is
+    vacuous and this is the raw closure.  Terminates when a round adds
+    no pair; ``max_rounds`` only guards against a cyclic input
+    (raises — a subclass cycle is an ontology bug, not a closure)."""
     from nerfray.ops.joins import hash_join
     types = {c: pa.int64()
-             for c in ("child", "parent", "node", "anc", "dist")}
-    delta = edges.map_batches(_delta_seed, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
-    acc = delta
+             for c in ("node", "anc", "dist", "node2", "anc2", "dist2")}
+    clo = edges.map_batches(_delta_seed, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    prev_n = clo.count()
     for _ in range(max_rounds):
-        if delta.count() == 0:
-            return acc
-        delta = hash_join(
-            delta, edges, left_on="anc", right_on="child",
-            left_cols=["node", "dist"], right_cols=["parent"],
+        right = clo.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"node2": b.column("node"), "anc2": b.column("anc"),
+                 "dist2": b.column("dist")},
+                schema=pa.schema([("node2", pa.int64()),
+                                  ("anc2", pa.int64()),
+                                  ("dist2", pa.int64())])),
+            batch_format="pyarrow", zero_copy_batch=True)
+        comp = hash_join(
+            clo, right, left_on="anc", right_on="node2",
+            left_cols=["node", "dist"], right_cols=["anc2", "dist2"],
             field_types=types,
-        ).map_batches(_delta_step, batch_format="pyarrow").materialize()
-        if delta.count():
-            # block-count clamp: acc = acc.union(delta) loops compound
-            # ~64 join-output blocks per round (SCALE.md r4 lesson) —
-            # coalesce keeps every later consumer off the tiny-task path
-            acc = acc.union(delta).repartition(8).materialize()
+        ).map_batches(_taxo_compose, batch_format="pyarrow")
+        # pair-hash min-dedup + block-count clamp (SCALE.md r4 lesson:
+        # union loops compound ~64 join-output blocks per round)
+        clo = clo.union(comp) \
+            .map_batches(_taxo_hb, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("hb").map_groups(_taxo_dedup_bucket,
+                                      batch_format="pyarrow") \
+            .repartition(8).materialize()
+        n = clo.count()
+        if n == prev_n:
+            # a subclass cycle converges too (min-dist dedup bounds the
+            # pair set) but surfaces as a self-ancestor — keep the
+            # raise-on-cycle contract of the semi-naive version
+            if clo.filter(expr="node == anc").count() > 0:
+                raise ValueError("cyclic subclass graph: node is its "
+                                 "own ancestor")
+            return clo
+        prev_n = n
     raise ValueError(f"taxonomy closure did not converge in "
                      f"{max_rounds} rounds — cyclic subclass graph?")
 
