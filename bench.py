@@ -165,7 +165,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
                  "docs_domain_cap", "docs_feather_roundtrip",
                  "docs_orc_roundtrip", "kg_sssp_paths_planted",
                  "kg_matching_planted", "kg_ppr_planted",
-                 "events_cusum_alerts", "kg_mis_planted", "kg_landmarks_planted", "docs_bucket_diff", "docs_dupclass_weights", "docs_jsonl_gz_roundtrip", "kg_range_violations"):
+                 "events_cusum_alerts", "kg_mis_planted",
+                 "kg_landmarks_planted", "docs_bucket_diff",
+                 "docs_dupclass_weights", "docs_jsonl_gz_roundtrip",
+                 "kg_range_violations", "dedup_editdist_census"):
         t0 = time.time()
         try:
             res = qs[name](sf_dir)
@@ -309,9 +312,71 @@ def run_single_kg(sf_dir: str, num_cpus: int) -> dict:
     out = {"metric": "kg_triples_wall_sec", "value": round(sec, 3),
            "unit": "sec", "num_cpus": num_cpus, "corpus_rows": n,
            "n_triples": n_triples, "runs_sec": [round(t, 3) for t in times],
-           "triples_per_sec": round(n_triples / sec, 1)}
+           "triples_per_sec": round(n_triples / sec, 1),
+           "spill": _spill_stats()}
     ray.shutdown()
     return out
+
+
+def _spill_stats() -> dict:
+    """Object-store spill totals for the current Ray session (0s if the
+    working set never exceeded the store).  memory_summary needs grpc
+    (absent here), so read the raylet's own spill report from the
+    session log — the last 'Spilled N MiB, M objects' line is the
+    session-cumulative total."""
+    import glob
+    import re
+    try:
+        import ray._private.worker as w
+        session = w.global_worker.node.get_session_dir_path()
+        best = {"spilled_mib": 0, "spilled_objects": 0}
+        for path in glob.glob(os.path.join(session, "logs", "raylet*.out")):
+            with open(path, errors="replace") as f:
+                for m in re.finditer(r"Spilled (\d+) MiB, (\d+) objects",
+                                     f.read()):
+                    mib, objs = int(m.group(1)), int(m.group(2))
+                    if mib >= best["spilled_mib"]:
+                        best = {"spilled_mib": mib, "spilled_objects": objs}
+        return best
+    except Exception:
+        return {"spilled_mib": -1, "spilled_objects": -1}
+
+
+def run_weak_scaling(sf_dir: str, num_cpus: int) -> dict:
+    """WEAK scaling on the fixed-size 'cluster': same cpu count, 4x the
+    input (default 4M -> 16M corpus files) in fresh processes.  On a
+    fixed cluster a 4x input should cost ~4x wall (flat throughput);
+    a ratio well above 4 means something row-superlinear or driver-side
+    grows with n.  Each level also records object-store spill bytes —
+    the evidence that the pipeline streams through spill territory
+    rather than holding the working set in memory."""
+    mults = tuple(int(x) for x in os.environ.get(
+        "NERFRAY_WEAK_MULTS", "800,3200").split(","))
+    results = {}
+    for m in mults:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
+                   NERFRAY_BENCH_MULT=str(m))
+        p = subprocess.run(
+            [sys.executable, __file__, "--single-kg"],
+            env=env, capture_output=True, text=True, timeout=7200)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[m] = json.loads(line)
+    lo, hi = mults[0], mults[-1]
+    wall_ratio = results[hi]["value"] / results[lo]["value"]
+    return {
+        "metric": f"weak_scaling_wall_ratio_{hi // lo}x_input",
+        "value": round(wall_ratio, 3),
+        "unit": "ratio",
+        "expected": float(hi // lo),
+        "queries": {f"kg_triples@{m}x": results[m]["value"]
+                    for m in mults},
+        "corpus_rows": {str(m): results[m]["corpus_rows"] for m in mults},
+        "triples_per_sec": {str(m): results[m]["triples_per_sec"]
+                            for m in mults},
+        "spill": {str(m): results[m].get("spill") for m in mults},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
 
 
 def run_scale_probe(sf_dir: str, num_cpus: int) -> dict:
@@ -353,6 +418,8 @@ def main() -> None:
         out = run_single_kg(sf_dir, num_cpus)
     elif "--scale-probe" in sys.argv:
         out = run_scale_probe(sf_dir, num_cpus)
+    elif "--weak-scaling" in sys.argv:
+        out = run_weak_scaling(sf_dir, num_cpus)
     else:
         out = run_headline(sf_dir, num_cpus)
     print(json.dumps(out))
