@@ -701,7 +701,13 @@ def connected_components(triples: ray.data.Dataset,
     edges = init.filter(expr="a != b").materialize()
     sig = _signature(edges)
     for _ in range(max_iters):
-        nxt = _round(edges).materialize()
+        # block-count clamp (SCALE.md): each star round is two sort
+        # co-groups whose output block count tracks input blocks, so
+        # unclamped rounds compound blocks and fixed sort cost — worst
+        # at high cpu counts (ER at sf0.1: 21 s -> 9 s at 32 cpus).
+        # In-bucket vectorized work is the parallel grain (64 hash
+        # buckets), so 16 blocks loses no real parallelism.
+        nxt = _round(edges).repartition(16).materialize()
         nsig = _signature(nxt)
         edges = nxt
         if nsig == sig:
