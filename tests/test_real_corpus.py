@@ -62,6 +62,87 @@ def test_iob_codec_roundtrip_on_real_nesting(nes_lines):
         assert got == want
 
 
+@pytest.fixture(scope="module")
+def nes_model(nes_lines):
+    """CRF trained on the first 800 real sentences, reference
+    hyperparams + default schema (shared across the eval tests)."""
+    parsed = [enamex.parse(ln) for ln in nes_lines]
+    conf = schema.default_conf()
+    train = parsed[:800]
+    sents = [schema.schematize(conf, w) for w, _ in train]
+    labels = [[iob.stack_to_str(st) for st in iob.encode(s, len(w))]
+              for w, s in train]
+    return crf.train(sents, labels, crf.SgdArgs()), conf, parsed
+
+
+def test_distributed_enamex_roundtrip_real_corpus(ray_session, nes_lines):
+    """S1/S2 as Ray Data stages on the real corpus: read_text ->
+    distributed parse -> distributed render reproduces every line
+    (order-insensitively; Ray blocks don't preserve file order)."""
+    from nerfray.sources.enamex_source import read_enamex, render_enamex
+
+    ds = read_enamex(NES_PATH)
+    rendered = sorted(
+        r["text"] for r in render_enamex(ds).take_all())
+    assert rendered == sorted(nes_lines)
+
+
+def test_actor_pool_tagging_matches_driver_on_real_corpus(
+        ray_session, nes_model):
+    """ST1 on real data: the broadcast-model actor-pool map_batches
+    stage must produce byte-identical spans to driver-side Viterbi on
+    the 200 held-out real sentences."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from nerfray import model as model_mod
+
+    model, conf, parsed = nes_model
+    test = parsed[800:]
+    texts = [" ".join(w) for w, _ in test]
+
+    # driver-side reference: tag each text with the library Tagger
+    tagger = model_mod.Tagger(model, conf)
+    want = {t: sorted((s.label, s.start, s.end, s.depth)
+                      for s in tagger.tag(t)) for t in texts}
+
+    blob = model_mod.serialize(model, conf)
+    model_ref = ray.put(blob)
+
+    class TagNes:
+        def __init__(self, ref):
+            m, c = model_mod.deserialize(ray.get(ref))
+            self.tagger = model_mod.Tagger(m, c)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_t, out_s = [], []
+            for t in batch.column("text").to_pylist():
+                out_t.append(t)
+                out_s.append([
+                    {"label": s.label, "start": s.start,
+                     "end": s.end, "depth": s.depth}
+                    for s in self.tagger.tag(t)])
+            span_t = pa.struct([("label", pa.string()),
+                                ("start", pa.int32()),
+                                ("end", pa.int32()),
+                                ("depth", pa.int32())])
+            return pa.Table.from_pydict({
+                "text": pa.array(out_t, pa.string()),
+                "spans": pa.array(out_s, pa.list_(span_t))})
+
+    ds = ray.data.from_items([{"text": t} for t in texts]) \
+        .repartition(4) \
+        .map_batches(TagNes, fn_constructor_args=(model_ref,),
+                     concurrency=2, batch_size=32,
+                     batch_format="pyarrow")
+    got = {r["text"]: sorted((d["label"], d["start"], d["end"], d["depth"])
+                             for d in r["spans"])
+           for r in ds.take_all()}
+    assert got == want
+    assert sum(len(v) for v in got.values()) > 0  # model does tag things
+
+
 def test_crf_trains_and_tags_real_corpus(nes_lines):
     """Train on the first 800 real sentences with the REFERENCE
     hyperparams (app/Main.hs:119-123) and the reference default schema
