@@ -522,7 +522,7 @@ def pagerank_dataset_rank(triples: ray.data.Dataset, *,
         state = skel.union(partials).groupby("hb").map_groups(
             functools.partial(_pr_rank_bucket, base=base,
                               damping=damping),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow").repartition(16).materialize()
 
     def _decode(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -676,7 +676,8 @@ def _round(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def connected_components(triples: ray.data.Dataset,
-                         max_iters: int = 50) -> ray.data.Dataset:
+                         max_iters: int = 50, *,
+                         clamp: bool = True) -> ray.data.Dataset:
     """(node, component) for every subject/object; component = min node
     string in the connected component (edges undirected).
 
@@ -706,8 +707,14 @@ def connected_components(triples: ray.data.Dataset,
         # unclamped rounds compound blocks and fixed sort cost — worst
         # at high cpu counts (ER at sf0.1: 21 s -> 9 s at 32 cpus).
         # In-bucket vectorized work is the parallel grain (64 hash
-        # buckets), so 16 blocks loses no real parallelism.
-        nxt = _round(edges).repartition(16).materialize()
+        # buckets), so 16 blocks loses no real parallelism.  Callers
+        # that run MANY short CCs on small inputs (Boruvka's per-round
+        # contraction: 1-2 star rounds each) pass clamp=False — there
+        # the extra barrier costs more than compounding ever would.
+        nxt = _round(edges)
+        if clamp:
+            nxt = nxt.repartition(16)
+        nxt = nxt.materialize()
         nsig = _signature(nxt)
         edges = nxt
         if nsig == sig:
@@ -1294,8 +1301,11 @@ def _min_relax_rounds(edges_tagged: ray.data.Dataset,
                       kcol: str, dcol: str) -> ray.data.Dataset:
     plan = seeds.map_batches(_relax_seed_rows, batch_format="pyarrow")
     for _ in range(rounds):
+        # repartition clamp per round: the lazy union+sort chain
+        # otherwise compounds block counts across rounds (SCALE.md) —
+        # worst at high cpu counts where each sort fans out wider
         plan = edges_tagged.union(plan).groupby("hb").map_groups(
-            _relax_round_bucket, batch_format="pyarrow")
+            _relax_round_bucket, batch_format="pyarrow").repartition(16)
     return plan.groupby("hb").map_groups(
         functools.partial(_relax_final_bucket, kcol=kcol, dcol=dcol),
         batch_format="pyarrow")
@@ -2046,8 +2056,10 @@ def label_propagation(edges: ray.data.Dataset, *,
         e = edges.map_batches(_lpa_edge_rows, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
         for _ in range(rounds - 1):
+            # per-round repartition clamp — see _min_relax_rounds
             votes = e.union(votes).groupby("hb").map_groups(
-                _lpa_round_bucket, batch_format="pyarrow")
+                _lpa_round_bucket, batch_format="pyarrow") \
+                .repartition(16)
     return votes.groupby("hb").map_groups(_lpa_final_bucket,
                                           batch_format="pyarrow")
 
@@ -2809,7 +2821,7 @@ def hyperanf_registers(edges: ray.data.Dataset,
         ).map_batches(_regs_from_join, batch_format="pyarrow")
         regs = regs.union(prop).groupby(["node", "register"]) \
             .max("rho").rename_columns({"max(rho)": "rho"}) \
-            .materialize()
+            .repartition(16).materialize()
     return regs.rename_columns({"rho": "rho_max"})
 
 
@@ -3669,7 +3681,8 @@ def boruvka_mst(edges: ray.data.Dataset,
                 "obj": _pad12(batch.column("cv"))})
 
         cc = connected_components(
-            chosen.map_batches(_comp_pairs, batch_format="pyarrow"))
+            chosen.map_batches(_comp_pairs, batch_format="pyarrow"),
+            clamp=False)
 
         def _unpad(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -3932,8 +3945,9 @@ def sssp_paths(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
                           zero_copy_batch=True).materialize()
     plan = seeds.map_batches(_relaxp_seed_rows, batch_format="pyarrow")
     for _ in range(rounds):
+        # per-round repartition clamp — see _min_relax_rounds
         plan = e.union(plan).groupby("hb").map_groups(
-            _relaxp_round_bucket, batch_format="pyarrow")
+            _relaxp_round_bucket, batch_format="pyarrow").repartition(16)
     return plan.groupby("hb").map_groups(_relaxp_final_bucket,
                                          batch_format="pyarrow")
 
@@ -4397,8 +4411,9 @@ def nearest_landmarks(edges: ray.data.Dataset,
                           zero_copy_batch=True).materialize()
     plan = landmarks.map_batches(_pack_seed, batch_format="pyarrow")
     for _ in range(max_hops):
+        # per-round repartition clamp — see _min_relax_rounds
         plan = e.union(plan).groupby("hb").map_groups(
-            _relax_round_bucket, batch_format="pyarrow")
+            _relax_round_bucket, batch_format="pyarrow").repartition(16)
     packed = plan.groupby("hb").map_groups(
         functools.partial(_relax_final_bucket, kcol="node",
                           dcol="packed"),
