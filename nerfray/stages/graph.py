@@ -3527,6 +3527,10 @@ GROUP BY node ORDER BY node
 # arithmetic, mirrored verbatim in MST_PLANTED_SQL.
 
 MST_MAX_ROUNDS = 16
+# adaptive contraction bound: below this many chosen edges the round
+# contracts driver-side (union-find + broadcast relabel), above it the
+# distributed star-CC + relabel-join path runs (see boruvka_mst)
+MST_BCAST_ROWS = 100_000
 
 
 def planted_mst_edges(ids: ray.data.Dataset, n: int) -> ray.data.Dataset:
@@ -3674,7 +3678,72 @@ def boruvka_mst(edges: ray.data.Dataset,
             .drop_columns(["hb"]).repartition(8).materialize()
         parts.append(chosen.drop_columns(["cu", "cv"]))
 
-        # contraction: CC over the component-grain chosen graph
+        # contraction — adaptive (the adaptive_join pattern): the
+        # chosen graph is COMPONENT-grain and shrinks geometrically, so
+        # below an explicit row bound the round contracts driver-side
+        # (union-find over <= MST_BCAST_ROWS chosen edges) and relabels
+        # via one broadcast map — 1 exchange instead of ~7.  Above the
+        # bound (early rounds of a 10^9-node corpus) the fully
+        # distributed path runs: star-CC + two relabel hash_joins,
+        # nothing node-proportional on the driver.
+        n_chosen = chosen.count()
+        if n_chosen <= MST_BCAST_ROWS:
+            import ray as _ray
+            blocks = [t for t in _ray.get(
+                chosen.select_columns(["cu", "cv"]).to_arrow_refs())
+                if t.num_rows > 0]
+            ct = pa.concat_tables(blocks)
+            cu_a = ct.column("cu").to_numpy(zero_copy_only=False)
+            cv_a = ct.column("cv").to_numpy(zero_copy_only=False)
+            vals = np.unique(np.concatenate([cu_a, cv_a]))
+            parent = np.arange(len(vals), dtype=np.int64)
+
+            def _find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in zip(np.searchsorted(vals, cu_a),
+                            np.searchsorted(vals, cv_a)):
+                ra, rb = _find(int(a)), _find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            roots = np.array([_find(int(i)) for i in range(len(vals))],
+                             np.int64)
+            # component label = min ORIGINAL id in the component
+            # (np.minimum.at over root buckets), matching the CC path
+            lbl = np.full(len(vals), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(lbl, roots, vals)
+            relabel_ref = _ray.put((vals, lbl[roots]))
+
+            def _relabel_both(batch: pa.Table) -> pa.Table:
+                import ray as _r
+                keys, new = _r.get(relabel_ref)
+                out = {}
+                for col, ccol in (("cu", "cu"), ("cv", "cv")):
+                    old = batch.column(ccol).to_numpy(
+                        zero_copy_only=False)
+                    pos = np.searchsorted(keys, old)
+                    pos[pos >= len(keys)] = 0
+                    hit = keys[pos] == old
+                    out[ccol] = pa.array(
+                        np.where(hit, new[pos], old), pa.int64())
+                return pa.Table.from_pydict({
+                    "u": batch.column("u"), "v": batch.column("v"),
+                    "w": batch.column("w"),
+                    "cu": out["cu"], "cv": out["cv"]})
+
+            work = cross.map_batches(_relabel_both,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+                .repartition(8).materialize()
+            continue
+
+        # distributed contraction: CC over the component-grain chosen
+        # graph
         def _comp_pairs(batch: pa.Table) -> pa.Table:
             return pa.Table.from_pydict({
                 "subj": _pad12(batch.column("cu")),

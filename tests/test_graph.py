@@ -1160,6 +1160,37 @@ def test_boruvka_mst_vs_kruskal(ray_session):
     assert len(got) == n - 1
 
 
+def test_boruvka_distributed_contraction_path(ray_session, monkeypatch):
+    """Force the fully distributed contraction (star-CC + relabel
+    joins) by dropping the adaptive broadcast bound to 0 — its MST
+    must equal the (default) driver-side union-find path's."""
+    import numpy as np
+    import ray.data
+    from nerfray.stages import graph as G
+
+    rng = np.random.default_rng(3)
+    n = 40
+    edges = [(i, i + 1) for i in range(n - 1)]
+    extra = set()
+    while len(extra) < 40:
+        u, v = sorted(rng.integers(0, n, 2).tolist())
+        if u != v and (u, v) not in edges:
+            extra.add((u, v))
+    edges = edges + sorted(extra)
+    ws = rng.permutation(len(edges)) * 7 + 1
+    t = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                  "v": pa.array([e[1] for e in edges], pa.int64()),
+                  "w": pa.array(ws, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    fast = {(r["u"], r["v"], r["w"])
+            for r in G.boruvka_mst(ds).take_all()}
+    monkeypatch.setattr(G, "MST_BCAST_ROWS", 0)
+    dist = {(r["u"], r["v"], r["w"])
+            for r in G.boruvka_mst(ds).take_all()}
+    assert dist == fast
+    assert len(dist) == n - 1
+
+
 def test_mst_planted_fixture_is_all_light_edges(ray_session):
     # the planted chain+skip fixture's unique MST is exactly the light
     # edges (cycle property): check the arithmetic against Kruskal on a
