@@ -404,7 +404,8 @@ def run_scale_probe(sf_dir: str, num_cpus: int) -> dict:
     out = {"metric": "kg_triples_scale_probe_sec", "value": round(sec, 3),
            "unit": "sec", "num_cpus": num_cpus, "corpus_rows": n,
            "n_triples": n_triples,
-           "triples_per_sec": round(n_triples / sec, 1)}
+           "triples_per_sec": round(n_triples / sec, 1),
+           "spill": _spill_stats()}
     ray.shutdown()
     return out
 
