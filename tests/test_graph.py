@@ -763,6 +763,72 @@ def test_taxonomy_closure_vs_brute_force(ray_session):
     assert got == want and max(want.values()) >= 3
 
 
+def test_taxonomy_closure_multipath_dag_min_dist(ray_session):
+    """The r5 pointer-doubling closure claims EXACT MIN-dist on any
+    DAG (the semi-naive version duplicated multi-path pairs): check
+    against driver-side BFS over a random multi-parent DAG."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from nerfray.stages import graph
+
+    rng = np.random.default_rng(23)
+    n = 40
+    ch, par = [], []
+    parents: dict[int, list[int]] = {}
+    for i in range(2, n):
+        k = int(rng.integers(1, 3))  # 1-2 parents -> multiple paths
+        ps = sorted(set(rng.integers(0, i, k).tolist()))
+        parents[i] = ps
+        for p in ps:
+            ch.append(i)
+            par.append(p)
+    edges = ray.data.from_arrow(pa.Table.from_pydict({
+        "child": pa.array(ch, pa.int64()),
+        "parent": pa.array(par, pa.int64())})).repartition(4)
+    got = {(r["node"], r["anc"]): r["dist"]
+           for r in graph.taxonomy_closure(edges).take_all()}
+    want = {}
+    for i in parents:
+        dist = {i: 0}
+        q = deque([i])
+        while q:
+            x = q.popleft()
+            for p in parents.get(x, []):
+                if p not in dist:
+                    dist[p] = dist[x] + 1
+                    q.append(p)
+        for a, d in dist.items():
+            if a != i:
+                want[(i, a)] = d
+    assert got == want
+    # multi-path pairs exist (else the fixture is too weak)
+    assert any(len(ps) == 2 for ps in parents.values())
+
+
+def test_scc_fwbw_without_trim(ray_session):
+    """trim_rounds=0 forces coloring + backward sweeps to peel chains
+    and singletons unaided — the core FW-BW loop must stay exact."""
+    import ray.data
+    from nerfray.stages.graph import scc_components_fwbw
+
+    # 6-chain into a 4-ring, plus an isolated self-loop
+    src = [0, 1, 2, 3, 4, 5, 10, 11, 12, 13, 20]
+    dst = [1, 2, 3, 4, 5, 10, 11, 12, 13, 10, 20]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    got = {r["node"]: r["scc"]
+           for r in scc_components_fwbw(
+               ray.data.from_arrow(t).repartition(2),
+               trim_rounds=0).take_all()}
+    want = {i: i for i in range(6)}
+    want.update({10 + i: 10 for i in range(4)})
+    want[20] = 20
+    assert got == want
+
+
 def test_taxonomy_closure_cycle_raises(ray_session):
     import pyarrow as pa
     import pytest
