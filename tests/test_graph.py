@@ -737,8 +737,9 @@ def test_hash_embedding_brute_force(ray_session, tiny_graph):
 
 
 def test_taxonomy_closure_vs_brute_force(ray_session):
-    """Semi-naive closure must equal the brute-force ancestor chain on
-    a random forest (unique-path DAG), any block structure."""
+    """The (pointer-doubling, r5) closure must equal the brute-force
+    ancestor chain on a random forest (unique-path DAG), any block
+    structure."""
     import numpy as np
     import pyarrow as pa
     import ray.data
